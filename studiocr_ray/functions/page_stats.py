@@ -1,0 +1,73 @@
+"""Per-page derived statistics — typed-Arrow equivalent of the reference's
+pickled ``OcrPageData`` container (/root/reference/StudiOCR/OcrPageData.py).
+
+Reference semantics preserved exactly:
+
+* token filter keeps entries where ``not text.isspace()`` — note the
+  empty string **passes** this filter (``''.isspace()`` is False)
+  (/root/reference/StudiOCR/OcrPageData.py:31-33, OcrEngine.py:131);
+* word stats (``text_counter`` :38, sorted unique ``texts`` :40) and the bbox
+  arrays (:48-51) are over the **filtered** tokens;
+* char stats (``char_counter`` :43, sorted unique ``chars`` :45) are over
+  ``''.join(result_data['text'])`` — the **unfiltered** token list — the
+  filtered/unfiltered asymmetry is reference behavior, kept deliberately
+  (SURVEY.md §7.4 #4);
+* ``confidence_level`` ``dict[text] -> set(conf)`` over filtered tokens
+  (:53-62), canonicalized here to sorted unique lists (pickle→Arrow);
+* ``char_histogram()`` is a fixed 95-bin frequency vector over printable
+  ASCII 32..126 (:84-91).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+HIST_LO, HIST_HI = 32, 126  # inclusive, 95 bins
+
+
+def keep_token(text: str) -> bool:
+    """The reference's non-space filter (keeps '' — quirk preserved)."""
+    return not text.isspace()
+
+
+def build_page_stats(tokens: dict[str, list]) -> dict:
+    """tokens: pytesseract-shaped parallel arrays (unfiltered).
+
+    Returns a plain dict matching the ``page_stats`` Arrow struct
+    (FIXTURES.md §3): texts/text_counts, chars/char_counts, conf_by_text
+    (map<string, list<int>> sorted), char_hist (95 ints).
+    """
+    texts_all = tokens["text"]
+    confs_all = tokens["conf"]
+    keep = [keep_token(t) for t in texts_all]
+    texts_f = [t for t, k in zip(texts_all, keep) if k]
+    confs_f = [int(c) for c, k in zip(confs_all, keep) if k]
+
+    text_counter = Counter(texts_f)
+    texts_sorted = sorted(text_counter)
+    text_counts = [text_counter[t] for t in texts_sorted]
+
+    # char stats over the UNFILTERED join (reference asymmetry, G3)
+    joined = "".join(texts_all)
+    char_counter = Counter(joined)
+    chars_sorted = sorted(char_counter)
+    char_counts = [char_counter[c] for c in chars_sorted]
+
+    conf_by_text: dict[str, set[int]] = {}
+    for t, c in zip(texts_f, confs_f):
+        conf_by_text.setdefault(t, set()).add(c)
+    conf_map = [(t, sorted(conf_by_text[t])) for t in sorted(conf_by_text)]
+
+    hist = [0] * (HIST_HI - HIST_LO + 1)
+    for ch, n in char_counter.items():
+        o = ord(ch)
+        if HIST_LO <= o <= HIST_HI:
+            hist[o - HIST_LO] += n
+    return {
+        "texts": texts_sorted,
+        "text_counts": text_counts,
+        "chars": chars_sorted,
+        "char_counts": char_counts,
+        "conf_by_text": conf_map,
+        "char_hist": hist,
+    }

@@ -1,0 +1,111 @@
+"""Arrow schemas for every table the engine reads or writes (SURVEY.md §1.2).
+
+Replaces the reference's peewee/SQLite models (OcrDocument/OcrPage/OcrBlock,
+/root/reference/StudiOCR/db.py:22-61) and its pickled OcrPageData blob
+(/root/reference/StudiOCR/OcrEngine.py:129) with typed Arrow."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+PAGES_IN = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+BLOCK_STRUCT = pa.struct(
+    [
+        ("block", pa.int32()),
+        ("left", pa.int32()),
+        ("top", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("conf", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+PAGE_STATS_STRUCT = pa.struct(
+    [
+        ("texts", pa.list_(pa.string())),
+        ("text_counts", pa.list_(pa.int32())),
+        ("chars", pa.list_(pa.string())),
+        ("char_counts", pa.list_(pa.int32())),
+        ("conf_by_text", pa.map_(pa.string(), pa.list_(pa.int16()))),
+        ("char_hist", pa.list_(pa.int32())),  # 95 bins, ASCII 32..126
+    ]
+)
+
+PAGE_STRUCT = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("blocks", pa.list_(BLOCK_STRUCT)),
+        ("stats", PAGE_STATS_STRUCT),
+    ]
+)
+
+# The canonical nested extraction output: one row per url.
+EXTRACTED = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("part", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("n_blocks", pa.int64()),
+        ("mean_conf", pa.float64()),
+        ("boilerplate_ratio", pa.float64()),
+        ("extracted_text", pa.string()),
+        ("pages", pa.list_(PAGE_STRUCT)),
+        ("error", pa.string()),
+    ]
+)
+
+# Flat projections derived from EXTRACTED.
+DOCS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_pages", pa.int32()),
+        ("extracted_text", pa.string()),
+        ("n_blocks", pa.int64()),
+        ("mean_conf", pa.float64()),
+        ("boilerplate_ratio", pa.float64()),
+    ]
+)
+
+BLOCKS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page", pa.int32()),
+        ("block", pa.int32()),
+        ("left", pa.int32()),
+        ("top", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("conf", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+POSTING_STRUCT = pa.struct(
+    [
+        ("url", pa.string()),
+        ("page", pa.int32()),
+        ("block", pa.int32()),
+        ("conf", pa.int32()),
+    ]
+)
+
+INDEX = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),          # number of distinct urls
+        ("tf", pa.int64()),          # total postings
+        ("postings", pa.list_(POSTING_STRUCT)),  # sorted (url, page, block)
+    ]
+)

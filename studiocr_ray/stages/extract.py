@@ -1,0 +1,149 @@
+"""Ray Data stages for the extraction pipeline.
+
+Design (SURVEY.md §3.1 "Ours"): one linear Dataset pipeline replaces the
+reference's Queue → OcrWorker → multiprocessing.Pool → SQLite-commit chain
+(/root/reference/StudiOCR/OcrWorker.py:46-93, OcrEngine.py:97-136).  Each url
+is extracted and assembled inside a single actor task, so the reference's
+post-parallel ordering repair (``data.sort(key=lambda x: x[0])``,
+OcrEngine.py:124) is intrinsic — pages of one url never scatter.  Parallelism
+is across urls (billions of rows ≫ cores at target scale) rather than across
+pages within one url.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.document import ExtractConfig, extract_document
+from ..functions.raster import make_engine
+from ..oracle import dedup_key
+from ..schema import EXTRACTED
+
+
+def url_part(url: str, num_partitions: int) -> int:
+    """Deterministic partition id: crc32(url) % P. Stable across runs /
+    processes (never use Python hash() — salted per process)."""
+    return zlib.crc32(url.encode("utf-8")) % num_partitions
+
+
+def add_part_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    parts = np.fromiter(
+        (url_part(u, num_partitions) for u in batch.column("url").to_pylist()),
+        dtype=np.int32,
+        count=batch.num_rows,
+    )
+    return batch.append_column("part", pa.array(parts, pa.int32()))
+
+
+def keep_first_group(group: pa.Table) -> pa.Table:
+    """Per-url keep-first: smallest (warc_ts, html) wins — the analogue of the
+    reference's name-collision resolution (OcrEngine.py:112-118), resolved by
+    keeping the first crawl instead of mutating the key (SURVEY.md J3/D2)."""
+    if group.num_rows == 1:
+        return group
+    tss = group.column("warc_ts").to_pylist()
+    htmls = group.column("html").to_pylist()
+    best = min(range(group.num_rows), key=lambda i: dedup_key(tss[i], htmls[i]))
+    return group.slice(best, 1)
+
+
+def dedup_keep_first(ds):
+    """keep-first url dedup. The groupby("url") doubles as the mandated
+    url-hash repartition before OCR (north rule): it co-locates every url's
+    rows and spreads page-size skew across output blocks.
+
+    Scale note: this shuffles the html payload column. At 10^12 rows with a
+    low duplicate fraction, the cheaper alternative is post-extract dedup
+    (shuffle extracted text, not html); kept pre-extract here because the
+    north rule pins the url-hash exchange before the OCR stage."""
+    return ds.groupby("url").map_groups(keep_first_group, batch_format="pyarrow")
+
+
+class ExtractAssemble:
+    """Actor-pool map_batches UDF: pages_in rows → nested EXTRACTED rows.
+
+    Class-based so the OCR engine is constructed ONCE per actor (the Ray
+    analogue of the reference's warm per-process Tesseract with
+    OMP_THREAD_LIMIT=1, /root/reference/StudiOCR/OcrEngine.py:87); use with
+    ``map_batches(ExtractAssemble, fn_constructor_kwargs={'cfg': cfg},
+    concurrency=N, num_cpus=1, batch_format='pyarrow')``.
+
+    Poison-row quarantine: a row that throws is emitted with ``error`` set and
+    empty pages, so one bad page cannot fail a 10^12-row job (SURVEY.md §4).
+    """
+
+    def __init__(self, cfg: ExtractConfig | None = None, num_partitions: int = 64):
+        self.cfg = cfg or ExtractConfig()
+        self.engine = make_engine(self.cfg.engine)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        has_part = "part" in batch.column_names
+        parts = batch.column("part").to_pylist() if has_part else None
+        rows = []
+        for i, url in enumerate(urls):
+            try:
+                row = extract_document(url, htmls[i], self.cfg, self.engine)
+                row["error"] = None
+            except Exception as e:  # quarantine, never fail the job
+                row = {
+                    "url": url,
+                    "n_pages": 0,
+                    "n_blocks": 0,
+                    "mean_conf": 0.0,
+                    "boilerplate_ratio": 0.0,
+                    "extracted_text": "",
+                    "pages": [],
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            row["warc_ts"] = tss[i]
+            row["lang"] = langs[i]
+            row["part"] = parts[i] if has_part else url_part(url, self.num_partitions)
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=EXTRACTED)
+
+
+def explode_blocks(batch: pa.Table) -> pa.Table:
+    """Nested EXTRACTED rows → flat BLOCKS rows (url, page, block, bbox, conf,
+    text), ordered (url-row order, page, block)."""
+    from ..schema import BLOCKS
+
+    cols: dict[str, list] = {k: [] for k in BLOCKS.names}
+    urls = batch.column("url").to_pylist()
+    pages_col = batch.column("pages").to_pylist()
+    for url, pages in zip(urls, pages_col):
+        for p in pages:
+            for b in p["blocks"]:
+                cols["url"].append(url)
+                cols["page"].append(p["page"])
+                for k in ("block", "left", "top", "width", "height", "conf", "text"):
+                    cols[k].append(b[k])
+    return pa.table(cols, schema=BLOCKS)
+
+
+def explode_page_stats(batch: pa.Table) -> pa.Table:
+    """Nested EXTRACTED rows → flat (url, page, stats) rows."""
+    from ..schema import PAGE_STATS_STRUCT
+
+    urls_out, pages_out, stats_out = [], [], []
+    urls = batch.column("url").to_pylist()
+    pages_col = batch.column("pages").to_pylist()
+    for url, pages in zip(urls, pages_col):
+        for p in pages:
+            urls_out.append(url)
+            pages_out.append(p["page"])
+            stats_out.append(p["stats"])
+    return pa.table(
+        {
+            "url": pa.array(urls_out, pa.string()),
+            "page": pa.array(pages_out, pa.int32()),
+            "stats": pa.array(stats_out, PAGE_STATS_STRUCT),
+        }
+    )

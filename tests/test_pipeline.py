@@ -1,0 +1,149 @@
+"""Golden byte-identity + resume + invariance tests for the extraction
+pipeline (SURVEY.md §5: the t2 gate)."""
+
+import pandas as pd
+import pytest
+
+from studiocr_ray.oracle import oracle_blocks_table, oracle_docs_table
+from studiocr_ray.pipelines.extract_pipeline import (
+    blocks_dataset,
+    corpus_metrics,
+    docs_dataset,
+    invalidate_parts,
+    page_stats_dataset,
+    run_extract,
+)
+from studiocr_ray.state.manifest import load_manifests
+
+
+def _sorted_pdf(ds_or_table, by):
+    df = ds_or_table.to_pandas() if hasattr(ds_or_table, "to_pandas") else ds_or_table
+    return df.sort_values(by).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, pages_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    summary = run_extract(pages_dir, out, num_partitions=8)
+    return out, summary
+
+
+class TestGoldenIdentity:
+    def test_docs_byte_identical(self, extracted, pages_table):
+        out, _ = extracted
+        got = _sorted_pdf(docs_dataset(out), ["url"])
+        want = _sorted_pdf(oracle_docs_table(pages_table), ["url"])
+        got = got[want.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want)
+        # byte-identity of the extracted text, explicitly
+        assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+    def test_blocks_identical(self, extracted, pages_table):
+        out, _ = extracted
+        got = _sorted_pdf(blocks_dataset(out), ["url", "page", "block"])
+        want = _sorted_pdf(
+            oracle_blocks_table(pages_table), ["url", "page", "block"]
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    def test_dedup_keeps_first(self, extracted, pages_table):
+        out, _ = extracted
+        n_unique = len(set(pages_table.column("url").to_pylist()))
+        assert docs_dataset(out).count() == n_unique
+        assert pages_table.num_rows > n_unique  # fixture really has dups
+
+    def test_page_stats_match_oracle(self, extracted, pages_table):
+        out, _ = extracted
+        from studiocr_ray.oracle import oracle_extract
+
+        got = {
+            (r["url"], r["page"]): r["stats"]
+            for r in page_stats_dataset(out).take_all()
+        }
+        for doc in oracle_extract(pages_table):
+            for p in doc["pages"]:
+                g = got[(doc["url"], p["page"])]
+                w = p["stats"]
+                assert g["texts"] == w["texts"]
+                assert g["text_counts"] == w["text_counts"]
+                assert g["chars"] == w["chars"]
+                assert g["char_counts"] == w["char_counts"]
+                assert [(k, list(v)) for k, v in g["conf_by_text"]] == [
+                    (k, list(v)) for k, v in w["conf_by_text"]
+                ]
+                assert list(g["char_hist"]) == w["char_hist"]
+
+    def test_metrics_consistent(self, extracted):
+        out, summary = extracted
+        m = corpus_metrics(out)
+        assert m["docs"] == summary["docs"]
+        assert m["blocks"] == summary["blocks"]
+        assert m["errors"] == 0
+        assert 0.0 < m["mean_boilerplate_ratio"] < 1.0
+        assert m["chars_per_doc"] > 0
+
+
+class TestResume:
+    def test_partition_granular_resume(self, ray_session, pages_dir, tmp_path):
+        out = str(tmp_path / "out")
+        s1 = run_extract(pages_dir, out, num_partitions=8)
+        assert s1["parts_computed"] == 8
+        before = _sorted_pdf(docs_dataset(out), ["url"])
+
+        invalidate_parts(out, [0, 1, 2, 3])
+        s2 = run_extract(pages_dir, out, num_partitions=8)
+        assert s2["parts_skipped"] == 4
+        assert s2["parts_computed"] == 4
+
+        after = _sorted_pdf(docs_dataset(out), ["url"])
+        pd.testing.assert_frame_equal(before, after)
+
+        s3 = run_extract(pages_dir, out, num_partitions=8)
+        assert s3["parts_computed"] == 0 and s3["parts_skipped"] == 8
+        assert len(load_manifests(out)) == 8
+
+    def test_config_change_invalidates(self, ray_session, pages_dir, tmp_path):
+        from studiocr_ray.functions.document import ExtractConfig
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=4)
+        s = run_extract(
+            pages_dir, out, cfg=ExtractConfig(best=False), num_partitions=4
+        )
+        assert s["parts_computed"] == 4  # different config hash → recompute
+
+
+class TestInvariance:
+    def test_partitioning_invariant(self, ray_session, pages_dir, tmp_path, pages_table):
+        """Same input at different partitioning/batching ⇒ identical output
+        (guards ordering / nondeterminism bugs, SURVEY.md §5)."""
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        run_extract(pages_dir, a, num_partitions=2, batch_size=8)
+        run_extract(pages_dir, b, num_partitions=32, batch_size=128)
+        da = _sorted_pdf(docs_dataset(a), ["url"])
+        db = _sorted_pdf(docs_dataset(b), ["url"])
+        pd.testing.assert_frame_equal(da, db)
+
+
+class TestToleranceCorpus:
+    def test_full_pipeline_accuracy(self, ray_session, tmp_path):
+        """Port of the reference's tolerance-corpus harness
+        (Image_Preprocessing_Optimization): every doc's extracted terms must
+        match ground truth at zero_one_loss(tol=0.2) == 1.0."""
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.fixtures import tolerance_corpus
+        from studiocr_ray.functions.textfns import zero_one_loss
+
+        t, ground = tolerance_corpus()
+        ind = tmp_path / "in"
+        ind.mkdir()
+        pq.write_table(t, str(ind / "part-0.parquet"))
+        out = str(tmp_path / "out")
+        run_extract(str(ind), out, num_partitions=4)
+        docs = {r["url"]: r for r in docs_dataset(out).take_all()}
+        assert len(docs) == 20
+        for url, words in ground.items():
+            pred = docs[url]["extracted_text"].split()
+            assert zero_one_loss(words, pred, tol=0.2) == 1.0, url
