@@ -1,0 +1,158 @@
+"""Search over the extracted corpus — the reference's two granularities.
+
+Across documents (``ListDocuments.update_filter``,
+/root/reference/StudiOCR/ListDocuments.py:194-223):
+
+* DOC mode — case-insensitive substring on the document key (:203-205);
+* OCR mode — lowercase the query, whitespace-split into words, a document
+  matches if ANY word is a **substring** of any block's lowered text
+  (:206-221); empty query matches all documents (:210-212).
+
+Because the index is keyed by distinct lowered terms, substring-of-token
+hits (query ``corn`` → token ``cornfield``) are answered by a vectorized
+substring scan over the *distinct-term dictionary* (``pc.match_substring``
+over index terms — millions of terms, not trillions of blocks), then a
+postings union.  Fuzzy mode replaces the substring predicate with the
+levenshtein rule of ``zero_one_loss`` (≤3-char terms exact,
+Image_Preprocessing_Optimization/CustomFunctions.py:66-77).
+
+Within a document (``DocWindow.exec_filter``,
+/root/reference/StudiOCR/DocWindow.py:328-374): optional case sensitivity
+(raw vs ``.lower()`` on BOTH sides, :357-367), ALL matching blocks per page,
+pages in order (:352,372-373), confidence buckets for highlighting
+(:221-227), first-match page = min matching page (:339-345).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.textfns import conf_bucket, fuzzy_match
+
+
+def _match_terms_batch(
+    batch: pa.Table, words: list[str], fuzzy: bool, tol: int | float
+) -> pa.Table:
+    """Filter an index batch to terms matching ANY query word."""
+    if not words:
+        return batch
+    terms = batch.column("term")
+    if fuzzy:
+        tl = terms.to_pylist()
+        mask = pa.array(
+            [any(fuzzy_match(t, w, tol) for w in words) for t in tl], pa.bool_()
+        )
+    else:
+        mask = None
+        for w in words:
+            m = pc.match_substring(terms, w)
+            mask = m if mask is None else pc.or_(mask, m)
+    return batch.filter(mask)
+
+
+def search_corpus(
+    index_ds,
+    query: str,
+    fuzzy: bool = False,
+    tol: int | float = 2,
+):
+    """OCR-mode search across documents → sorted distinct matching urls.
+
+    ``index_ds``: Dataset over the INDEX schema. Empty query ⇒ all urls
+    (ListDocuments.py:210-212). Returns a pyarrow Table (url: string).
+    """
+    words = query.lower().split()
+
+    def matched_urls(batch: pa.Table) -> pa.Table:
+        hit = _match_terms_batch(batch, words, fuzzy, tol)
+        urls: set[str] = set()
+        for posts in hit.column("postings").to_pylist():
+            for p in posts:
+                urls.add(p["url"])
+        return pa.table({"url": pa.array(sorted(urls), pa.string())})
+
+    ds = index_ds.map_batches(matched_urls, batch_format="pyarrow")
+    urls = sorted(set(ds.unique("url") or []))
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def search_doc_names(docs_ds, query: str) -> pa.Table:
+    """DOC-mode search: case-insensitive substring on url
+    (ListDocuments.py:203-205). Returns sorted urls."""
+    q = query.lower()
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(pc.utf8_lower(batch.column("url")), q)
+        return batch.filter(mask).select(["url"])
+
+    ds = docs_ds.map_batches(f, batch_format="pyarrow")
+    return pa.table(
+        {"url": pa.array(sorted(set(ds.unique("url") or [])), pa.string())}
+    )
+
+
+def search_in_document(
+    blocks: pa.Table,
+    query: str,
+    case_sensitive: bool = False,
+    fuzzy: bool = False,
+    tol: int | float = 2,
+) -> dict:
+    """Within-document search over one url's blocks table (already small:
+    one document), DocWindow.exec_filter semantics.
+
+    Returns ``{"pages": {page -> [block rows + bucket]}, "first_match_page",
+    "matched_pages"}``; empty query ⇒ no matches (DocWindow.py:347-350)."""
+    words = (query if case_sensitive else query.lower()).split()
+    result: dict[int, list[dict]] = {}
+    if words:
+        texts = blocks.column("text").to_pylist()
+        pages = blocks.column("page").to_pylist()
+        rows = None
+        for i, t in enumerate(texts):
+            hay = t if case_sensitive else t.lower()
+            matched = (
+                any(fuzzy_match(hay, w, tol) for w in words)
+                if fuzzy
+                else any(w in hay for w in words)
+            )
+            if matched:
+                if rows is None:
+                    rows = blocks.to_pylist()
+                r = dict(rows[i])
+                r["bucket"] = conf_bucket(r["conf"])
+                result.setdefault(pages[i], []).append(r)
+    matched_pages = sorted(result)
+    return {
+        "pages": {p: result[p] for p in matched_pages},
+        "matched_pages": matched_pages,
+        "first_match_page": matched_pages[0] if matched_pages else None,
+    }
+
+
+def doc_blocks(out_dir: str, url: str) -> pa.Table:
+    """Point lookup of one document's blocks (the reference's FK traversal,
+    /root/reference/StudiOCR/ListDocuments.py:143 + backrefs db.py:48,61):
+    parquet read filtered to the url's partition + row groups."""
+    import ray.data as rd
+
+    from .stages.extract import explode_blocks, url_part
+    from .state.manifest import part_dir
+
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        num_partitions = json.load(f)["num_partitions"]
+    pdir = part_dir(out_dir, url_part(url, num_partitions))
+    ds = rd.read_parquet(pdir, columns=["url", "pages"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("url"), url)), batch_format="pyarrow"
+    )
+    tables = [explode_blocks(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    from .schema import BLOCKS
+
+    if not tables:
+        return pa.table({k: [] for k in BLOCKS.names}, schema=BLOCKS)
+    return pa.concat_tables(tables)

@@ -1,0 +1,173 @@
+"""Search parity tests (SURVEY.md §5): index + search vs brute-force oracle
+scans implementing the reference's literal semantics."""
+
+import pyarrow.compute as pc
+import pytest
+
+from studiocr_ray.functions.textfns import conf_bucket, fuzzy_match
+from studiocr_ray.oracle import oracle_blocks_table, oracle_docs_table
+from studiocr_ray.pipelines.extract_pipeline import docs_dataset, run_extract
+from studiocr_ray.pipelines.index_pipeline import index_dataset, run_index
+from studiocr_ray.search import (
+    doc_blocks,
+    search_corpus,
+    search_doc_names,
+    search_in_document,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, pages_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("search_out"))
+    run_extract(pages_dir, out, num_partitions=8)
+    info = run_index(out)
+    return out, info["index_dir"]
+
+
+@pytest.fixture(scope="module")
+def oracle_blocks(pages_table):
+    return oracle_blocks_table(pages_table)
+
+
+def brute_force_corpus_search(blocks, query, fuzzy=False, tol=2):
+    """ListDocuments.update_filter OCR mode (/root/reference/StudiOCR/
+    ListDocuments.py:206-221): ANY word substring of any block text, ci."""
+    words = query.lower().split()
+    urls = blocks.column("url").to_pylist()
+    texts = blocks.column("text").to_pylist()
+    if not words:
+        return sorted(set(urls))
+    hit = set()
+    for u, t in zip(urls, texts):
+        if u in hit:
+            continue
+        tl = t.lower()
+        if any(
+            (fuzzy_match(tl, w, tol) if fuzzy else (w in tl)) for w in words
+        ):
+            hit.add(u)
+    return sorted(hit)
+
+
+class TestIndex:
+    def test_index_consistency(self, corpus, oracle_blocks):
+        out, idx_dir = corpus
+        idx = index_dataset(idx_dir).to_pandas()
+        # terms are exactly the distinct lowered block texts
+        want_terms = sorted({t.lower() for t in oracle_blocks.column("text").to_pylist()})
+        assert sorted(idx["term"].tolist()) == want_terms
+        # postings counts per term match brute force; postings sorted
+        texts = [t.lower() for t in oracle_blocks.column("text").to_pylist()]
+        from collections import Counter
+
+        tf = Counter(texts)
+        for _, row in idx.iterrows():
+            assert row["tf"] == tf[row["term"]]
+            posts = [(p["url"], p["page"], p["block"]) for p in row["postings"]]
+            assert posts == sorted(posts)
+            assert row["df"] == len({p[0] for p in posts})
+            assert len(posts) == row["tf"]
+
+    def test_max_postings_truncation(self, corpus, ray_session, tmp_path):
+        out, _ = corpus
+        info = run_index(out, index_dir=str(tmp_path / "idx"), max_postings=3)
+        idx = index_dataset(info["index_dir"]).to_pandas()
+        assert (idx["postings"].map(len) <= 3).all()
+        assert (idx["tf"] >= idx["postings"].map(len)).all()  # tf stays exact
+
+
+class TestCorpusSearch:
+    @pytest.mark.parametrize(
+        "query", ["the", "corn", "The World", "zzzznope", "man time"]
+    )
+    def test_exact_parity(self, corpus, oracle_blocks, query):
+        _, idx_dir = corpus
+        got = search_corpus(index_dataset(idx_dir), query)["url"].to_pylist()
+        assert got == brute_force_corpus_search(oracle_blocks, query)
+
+    def test_empty_query_matches_all(self, corpus, oracle_blocks):
+        # ListDocuments.py:210-212
+        _, idx_dir = corpus
+        got = search_corpus(index_dataset(idx_dir), "  ")["url"].to_pylist()
+        assert got == brute_force_corpus_search(oracle_blocks, "")
+
+    def test_substring_of_token_hits(self, corpus, oracle_blocks):
+        """query 'ecaus' only occurs inside 'because' — index must still hit."""
+        _, idx_dir = corpus
+        got = search_corpus(index_dataset(idx_dir), "ecaus")["url"].to_pylist()
+        want = brute_force_corpus_search(oracle_blocks, "ecaus")
+        assert got == want and len(want) > 0
+
+    def test_fuzzy_parity(self, corpus, oracle_blocks):
+        _, idx_dir = corpus
+        got = search_corpus(index_dataset(idx_dir), "worlb", fuzzy=True, tol=1)[
+            "url"
+        ].to_pylist()
+        want = brute_force_corpus_search(oracle_blocks, "worlb", fuzzy=True, tol=1)
+        assert got == want and len(want) > 0
+
+    def test_doc_name_mode(self, corpus, oracle_blocks, pages_table):
+        out, _ = corpus
+        got = search_doc_names(docs_dataset(out), "SITE3.EXAMPLE")["url"].to_pylist()
+        want = sorted(
+            {
+                u
+                for u in set(pages_table.column("url").to_pylist())
+                if "site3.example" in u.lower()
+            }
+        )
+        assert got == want and len(want) > 0
+
+
+class TestInDocumentSearch:
+    def _pick_url(self, oracle_blocks):
+        # a url with ≥2 pages if available, else the first
+        urls = oracle_blocks.column("url").to_pylist()
+        pages = oracle_blocks.column("page").to_pylist()
+        best = {}
+        for u, p in zip(urls, pages):
+            best[u] = max(best.get(u, 0), p)
+        multi = [u for u, mp in best.items() if mp > 0]
+        return sorted(multi)[0] if multi else sorted(best)[0]
+
+    def test_block_fetch_matches_oracle(self, corpus, oracle_blocks):
+        out, _ = corpus
+        url = self._pick_url(oracle_blocks)
+        got = doc_blocks(out, url).to_pandas().sort_values(["page", "block"])
+        want = (
+            oracle_blocks.filter(pc.equal(oracle_blocks.column("url"), url))
+            .to_pandas()
+            .sort_values(["page", "block"])
+        )
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    @pytest.mark.parametrize("case_sensitive", [False, True])
+    def test_exec_filter_parity(self, corpus, oracle_blocks, case_sensitive):
+        """DocWindow.exec_filter semantics: all matching blocks, per page,
+        ordered pages, first-match jump, conf buckets."""
+        out, _ = corpus
+        url = self._pick_url(oracle_blocks)
+        blocks = doc_blocks(out, url)
+        query = "The"
+        res = search_in_document(blocks, query, case_sensitive=case_sensitive)
+
+        # brute force (DocWindow.py:347-374)
+        words = (query if case_sensitive else query.lower()).split()
+        want: dict[int, list] = {}
+        for r in blocks.to_pylist():
+            hay = r["text"] if case_sensitive else r["text"].lower()
+            if any(w in hay for w in words):
+                want.setdefault(r["page"], []).append(r)
+        assert res["matched_pages"] == sorted(want)
+        assert res["first_match_page"] == (min(want) if want else None)
+        for p, rows in want.items():
+            got_rows = res["pages"][p]
+            assert [r["block"] for r in got_rows] == [r["block"] for r in rows]
+            for g in got_rows:
+                assert g["bucket"] == conf_bucket(g["conf"])
+
+    def test_empty_query_no_matches(self, corpus, oracle_blocks):
+        out, _ = corpus
+        url = self._pick_url(oracle_blocks)
+        res = search_in_document(doc_blocks(out, url), "")
+        assert res["pages"] == {} and res["first_match_page"] is None
