@@ -1,0 +1,150 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata — the same
+pattern as the reference's JPEG page blobs in SQLite
+(/root/reference/StudiOCR/db.py:46, OcrEngine.py:82-83) lifted to Arrow.
+Real codecs (Pillow/cv2/ffmpeg) are NOT in this container, so the decode
+kernels are pluggable: a real decoder raises ``NotImplementedError`` here and
+a **deterministic fake** stands in for tests — the Ray-side plumbing (schema,
+actor-pool signature, batch sizing, output layout) is real and tested.
+
+Batch-size guidance: media rows are MBs; run these stages with small
+``batch_size`` (8–64) and let block splitting + object-store spilling handle
+the rest rather than holding Python lists (SURVEY.md 'Memory-aware').
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("meta", pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                            ("duration_ms", pa.int32()), ("codec", pa.string())])),
+    ]
+)
+
+
+class RealMediaDecoder:
+    """Placeholder for a Pillow/ffmpeg-backed decoder. Swap point documented:
+    implement decode() with the real library; everything downstream is
+    unchanged."""
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "real media decoding requires Pillow/ffmpeg, not present in this "
+            "environment; use DeterministicFakeDecoder for tests"
+        )
+
+
+class DeterministicFakeDecoder:
+    """Deterministic stand-in: bytes → fixed-shape float32 'pixels'/samples
+    derived from a seeded hash of the payload. Stable across processes."""
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        digest = hashlib.blake2b(payload, digest_size=8).digest()
+        seed = int.from_bytes(digest[:4], "little")
+        rng = np.random.RandomState(seed)
+        if media_type == "image":
+            return rng.rand(16, 16, 3).astype(np.float32)
+        if media_type == "audio":
+            return rng.rand(1600).astype(np.float32)
+        if media_type == "video":
+            return rng.rand(8, 16, 16, 3).astype(np.float32)
+        raise ValueError(f"unknown media_type {media_type}")
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode → feature vector (mean/std/histogram).
+
+    Use: ``ds.map_batches(MediaFeatures, fn_constructor_kwargs={...},
+    batch_size=32, concurrency=(2, 8), num_cpus=1, batch_format="pyarrow")``.
+    Decoder built once per actor (warm state, like the OCR engine)."""
+
+    def __init__(self, decoder: str = "fake"):
+        self.decoder = (
+            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            arr = self.decoder.decode(payload, mtype)
+            flat = arr.ravel()
+            hist, _ = np.histogram(flat, bins=8, range=(0.0, 1.0))
+            feats.append(
+                {
+                    "media_id": mid,
+                    "feature": [float(flat.mean()), float(flat.std())]
+                    + (hist / max(1, flat.size)).astype(np.float64).tolist(),
+                }
+            )
+        return pa.Table.from_pylist(
+            feats,
+            schema=pa.schema(
+                [("media_id", pa.int64()), ("feature", pa.list_(pa.float64()))]
+            ),
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows → one row per sampled frame
+    (deterministic stride). One input row → many output rows."""
+
+    def __init__(self, every_n: int = 2, decoder: str = "fake"):
+        self.every_n = every_n
+        self.decoder = (
+            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            arr = self.decoder.decode(payload, "video")
+            for f in range(0, arr.shape[0], self.every_n):
+                ids.append(mid)
+                frames.append(f)
+                feats.append(float(arr[f].mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "frame_mean": pa.array(feats, pa.float64()),
+            }
+        )
+
+
+def synth_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic media fixture: payload bytes are seeded noise."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        mtype = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(256 + (i % 64)))
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": mtype,
+                "payload": payload,
+                "meta": {"width": 16, "height": 16, "duration_ms": 1000, "codec": "fake"},
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

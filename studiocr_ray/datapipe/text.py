@@ -1,0 +1,178 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's per-page text statistics
+(/root/reference/StudiOCR/OcrPageData.py — word counts, char histograms) to
+the corpus-curation operations a 100 TB web pipeline needs: language ID,
+quality scoring, token counting, fingerprinting.  All are stateless
+``map_batches`` transforms over the ``documents``-shaped table
+``(doc_id, text, lang, source, n_chars)``; none shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Small per-language stopword profiles (public, high-frequency function words).
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and a to in is was he for it with as his on be at by had not are but from or have an they which one you were her all".split()
+    ),
+    "de": frozenset(
+        "der die das und ist ein eine nicht mit von auf für wird sind werden im den dem des zu als auch nach bei um aus".split()
+    ),
+    "fr": frozenset(
+        "le la les et est une un pas avec pour dans sur sont être plus que qui des du au aux ne se ce il elle".split()
+    ),
+    "es": frozenset(
+        "el la los las y es un una no con para en sobre son ser más que de del al se lo le su por como".split()
+    ),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+# A BPE-ish token pattern: word pieces, numbers, punctuation runs — the
+# classic GPT-2-style pre-tokenizer shape, stdlib-re compatible.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc token statistics: whitespace tokens, distinct tokens,
+    BPE-ish tokens, chars.  Whitespace tokenization matches Python
+    ``str.split()`` (runs of ``\\S+``)."""
+    text = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(text, r"\S+")
+    n_bpe = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+    n_chars = pc.utf8_length(text)
+    uniq = pa.array(
+        [len(set(t.split())) for t in text.to_pylist()], pa.int64()
+    )
+    out = batch.select(["doc_id"]) if "doc_id" in batch.column_names else pa.table({})
+    return pa.table(
+        {
+            **{c: out.column(c) for c in out.column_names},
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_unique_tokens": uniq,
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+        }
+    )
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality signals: char-class counts and stopword hits.
+
+    Integer counts only (ratios are left to the consumer) so the results are
+    exactly reproducible by the DuckDB oracle."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64())
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
+    )
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_stop = pa.array(
+        [sum(1 for w in t.lower().split() if w in STOPWORDS_EN) for t in text.to_pylist()],
+        pa.int64(),
+    )
+    cols = {}
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch.column("doc_id")
+    cols.update(
+        n_chars=n_chars, n_alpha=n_alpha, n_digit=n_digit, n_punct=n_punct,
+        n_tokens=n_tokens, n_stopwords=n_stop,
+    )
+    return pa.table(cols)
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scalar quality score in [0,1] from the integer features.
+
+    score = 0.5*alpha_ratio + 0.3*stop_ratio + 0.2*length_ok — a
+    Gopher/C4-style heuristic blend; deterministic double arithmetic."""
+    f = quality_features(batch, text_col)
+    n_chars = f.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_alpha = f.column("n_alpha").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = f.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_stop = f.column("n_stopwords").to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha_ratio = np.divide(n_alpha, n_chars, out=np.zeros_like(n_alpha), where=n_chars > 0)
+    stop_ratio = np.divide(n_stop, n_tok, out=np.zeros_like(n_stop), where=n_tok > 0)
+    length_ok = ((n_tok >= 10) & (n_tok <= 100_000)).astype(np.float64)
+    score = 0.5 * alpha_ratio + 0.3 * np.minimum(stop_ratio * 3.0, 1.0) + 0.2 * length_ok
+    cols = {}
+    if "doc_id" in f.column_names:
+        cols["doc_id"] = f.column("doc_id")
+    cols["quality_score"] = pa.array(score, pa.float64())
+    return pa.table(cols)
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """N-gram/stopword-heuristic language ID: the language whose function-word
+    profile covers the largest fraction of the doc's tokens; 'und'
+    (undetermined) when nothing matches.  Deterministic tie-break by
+    language code."""
+    preds = []
+    for t in batch.column(text_col).to_pylist():
+        toks = t.lower().split()
+        if not toks:
+            preds.append("und")
+            continue
+        scores = {
+            lang: sum(1 for w in toks if w in prof)
+            for lang, prof in LANG_PROFILES.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        preds.append(best if scores[best] > 0 else "und")
+    cols = {}
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch.column("doc_id")
+    cols["pred_lang"] = pa.array(preds, pa.string())
+    return pa.table(cols)
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact content fingerprint: md5 hex digest (DuckDB ``md5()`` parity)."""
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    cols = {}
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch.column("doc_id")
+    cols["fingerprint"] = pa.array(fps, pa.string())
+    return pa.table(cols)
+
+
+def rolling_fingerprint(
+    batch: pa.Table, text_col: str = "text", window: int = 8, keep: int = 4
+) -> pa.Table:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    char ``window``-grams, keep the ``keep`` smallest hashes (hex-joined).
+    Robust to local edits — two docs sharing most content share most of the
+    fingerprint. (Schleimer et al., "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003.)"""
+    B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
+    fps = []
+    for t in batch.column(text_col).to_pylist():
+        data = t.encode("utf-8")
+        if len(data) < window:
+            h = hashlib.md5(data).hexdigest()[:16]
+            fps.append(h)
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        n = len(arr) - window + 1
+        # vectorized polynomial hash of each window
+        hashes = np.zeros(n, dtype=np.uint64)
+        for k in range(window):
+            hashes = (hashes * B + arr[k : k + n]) & M
+        smallest = np.sort(hashes)[:keep]
+        fps.append("".join(f"{int(h):016x}" for h in smallest))
+    cols = {}
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch.column("doc_id")
+    cols["fingerprint"] = pa.array(fps, pa.string())
+    return pa.table(cols)

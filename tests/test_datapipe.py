@@ -1,0 +1,302 @@
+"""Tests for the training-data operators (dedup / similarity / text analysis /
+multimodal plumbing) against brute-force and DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestTextAnalysis:
+    def test_token_stats_vs_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.text import token_stats
+
+        got = (
+            docs_ds.map_batches(token_stats, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS n_unique_tokens,
+                   length(text) AS n_chars
+            FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id
+            """
+        ).df()
+        assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+        assert got["n_unique_tokens"].tolist() == want["n_unique_tokens"].tolist()
+        assert got["n_chars"].tolist() == want["n_chars"].tolist()
+
+    def test_quality_features_vs_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.text import quality_features
+
+        got = (
+            docs_ds.map_batches(quality_features, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+            FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id
+            """
+        ).df()
+        assert got["n_alpha"].tolist() == want["n_alpha"].tolist()
+        assert got["n_digit"].tolist() == want["n_digit"].tolist()
+
+    def test_lang_id(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import lang_id
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the cat and the dog are in a house with all of them",
+                    "der Hund ist nicht mit der Katze und das ist ein Problem",
+                    "le chat est dans la maison avec les enfants et il est content",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+        got = rd.from_arrow(t).map_batches(lang_id, batch_format="pyarrow").to_pandas()
+        got = got.sort_values("doc_id")["pred_lang"].tolist()
+        assert got == ["en", "de", "fr", "und"]
+
+    def test_fingerprints(self, docs_ds):
+        from studiocr_ray.datapipe.text import md5_fingerprint, rolling_fingerprint
+
+        got = (
+            docs_ds.map_batches(md5_fingerprint, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"SELECT doc_id, md5(text) AS fingerprint FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).df()
+        assert got["fingerprint"].tolist() == want["fingerprint"].tolist()
+
+        # rolling fingerprint: stable + edit-robust (shared windows survive)
+        r1 = (
+            docs_ds.map_batches(rolling_fingerprint, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")["fingerprint"]
+            .tolist()
+        )
+        r2 = (
+            docs_ds.map_batches(rolling_fingerprint, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")["fingerprint"]
+            .tolist()
+        )
+        assert r1 == r2
+
+
+class TestDedup:
+    def _dup_docs(self, ray_session):
+        import ray.data as rd
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "a completely different document about maize harvest in the cornfield",
+            "numbers and symbols 12345 !@# mixed into a short text body here",
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append({"doc_id": i, "text": t})
+            rows.append({"doc_id": 100 + i, "text": t})  # exact dup
+        # near dup: one word changed
+        rows.append({"doc_id": 200, "text": base[0].replace("lazy", "sleepy")})
+        rows.append({"doc_id": 300, "text": "totally unrelated tiny text"})
+        return rd.from_arrow(pa.Table.from_pylist(rows)), rows
+
+    def test_exact_dedup_keeps_min_id(self, ray_session):
+        from studiocr_ray.datapipe.dedup import exact_dedup
+
+        ds, rows = self._dup_docs(ray_session)
+        kept = exact_dedup(ds).to_pandas()
+        assert sorted(kept["doc_id"].tolist()) == [0, 1, 2, 200, 300]
+
+    def test_minhash_finds_near_dups(self, ray_session):
+        from studiocr_ray.datapipe.dedup import (
+            _shingles,
+            duplicate_clusters,
+            minhash_dedup_pairs,
+        )
+
+        ds, rows = self._dup_docs(ray_session)
+        # bands=32 (r=2) so candidate recall at jaccard≈0.5 is ~1-4e-6; the
+        # exact-jaccard verify keeps precision
+        pairs = minhash_dedup_pairs(ds, threshold=0.5, n=3, num_perm=64, bands=32)
+        got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+
+        # brute force ground truth at the same threshold
+        want = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                sa, sb = _shingles(a["text"], "word", 3), _shingles(b["text"], "word", 3)
+                jac = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+                if jac >= 0.5:
+                    lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                    want.add((lo, hi))
+        assert got == want and len(want) >= 4  # 3 exact-dup pairs + near-dup
+
+        clusters = duplicate_clusters(pairs).to_pandas()
+        rep = dict(zip(clusters["doc_id"], clusters["cluster_rep"]))
+        assert rep[100] == 0 and rep[200] == 0  # fox docs cluster to min id
+        assert rep[101] == 1
+
+    def test_simhash(self, ray_session):
+        from studiocr_ray.datapipe.dedup import simhash_neardup_pairs, simhash_signatures
+
+        ds, rows = self._dup_docs(ray_session)
+        sigs = simhash_signatures(ds).to_pandas()
+        sig = dict(zip(sigs["doc_id"], sigs["simhash"]))
+        assert sig[0] == sig[100]  # identical text → identical simhash
+        ham_near = bin(int(sig[0], 16) ^ int(sig[200], 16)).count("1")
+        assert 0 < ham_near <= 8  # one-word edit → small distance
+        # 4×16-bit chunk banding guarantees recall only for hamming ≤ 3
+        # (pigeonhole); the one-word edit lands at distance ~6 so only the
+        # exact-dup pairs are guaranteed.
+        pairs = simhash_neardup_pairs(ds, max_hamming=3)
+        got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+        assert {(0, 100), (1, 101), (2, 102)} <= got
+        assert (0, 300) not in got
+
+    def test_ngram_jaccard(self, ray_session):
+        from studiocr_ray.datapipe.dedup import ngram_jaccard_pairs
+
+        ds, rows = self._dup_docs(ray_session)
+        pairs = ngram_jaccard_pairs(ds, threshold=0.8, n=3)
+        got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+        assert {(0, 100), (1, 101), (2, 102), (0, 200)} <= got
+
+
+class TestEmbeddings:
+    def _brute(self, emb_ds, queries, k):
+        rows = emb_ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = np.asarray(queries, dtype=np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ m.T
+        out = {}
+        for qi in range(len(q)):
+            order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids[j]))[:k]
+            out[qi] = [int(ids[j]) for j in order]
+        return out
+
+    def test_brute_topk_matches_driver_oracle(self, emb_ds):
+        from studiocr_ray.datapipe.embed import ann_topk_brute
+
+        qrows = emb_ds.take(3)
+        queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        got_t = ann_topk_brute(emb_ds, queries, k=5).to_pandas()
+        want = self._brute(emb_ds, queries, 5)
+        for qi, grp in got_t.groupby("query_id"):
+            assert grp.sort_values("rank")["vec_id"].tolist() == want[qi]
+
+    def test_ivf_recall(self, emb_ds):
+        from studiocr_ray.datapipe.embed import ann_topk_ivf
+
+        qrows = emb_ds.take(3)
+        queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        got = ann_topk_ivf(emb_ds, queries, k=5, nlist=8, nprobe=3).to_pandas()
+        want = self._brute(emb_ds, queries, 5)
+        recalls = []
+        for qi, grp in got.groupby("query_id"):
+            recalls.append(len(set(grp["vec_id"]) & set(want[qi])) / 5)
+        assert np.mean(recalls) >= 0.5  # approximate, but must be useful
+
+    def test_cosine_neardup_exact_and_lsh(self, ray_session, emb_ds):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import cosine_neardup_exact, cosine_neardup_lsh
+
+        # plant two near-identical vectors
+        rows = emb_ds.take(20)
+        planted = []
+        for r in rows:
+            planted.append({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+        v = np.array(rows[0]["embedding"])
+        planted.append({"vec_id": 9001, "embedding": (v + 0.001).tolist()})
+        ds = rd.from_arrow(pa.Table.from_pylist(planted))
+
+        exact = cosine_neardup_exact(ds, threshold=0.99)
+        got = set(zip(exact.column("id_a").to_pylist(), exact.column("id_b").to_pylist()))
+        assert (rows[0]["vec_id"], 9001) in got
+
+        lsh = cosine_neardup_lsh(ds, threshold=0.99, num_planes=16, bands=8)
+        lset = set(zip(lsh.column("id_a").to_pylist(), lsh.column("id_b").to_pylist()))
+        assert lset <= got  # LSH never invents pairs (exact verify)
+        assert (rows[0]["vec_id"], 9001) in lset  # and finds the planted one
+
+
+class TestMultimodal:
+    def test_feature_stage_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.multimodal import MediaFeatures, synth_media_table
+
+        t = synth_media_table(30)
+        ds = rd.from_arrow(t)
+        a = (
+            ds.map_batches(MediaFeatures, batch_size=8, concurrency=2,
+                           batch_format="pyarrow")
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        )
+        b = (
+            ds.map_batches(MediaFeatures, batch_size=16, concurrency=1,
+                           batch_format="pyarrow")
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        )
+        assert a["feature"].map(tuple).tolist() == b["feature"].map(tuple).tolist()
+        assert len(a) == 30 and len(a["feature"][0]) == 10
+
+    def test_frame_sampler_explodes_videos(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.multimodal import FrameSampler, synth_media_table
+
+        t = synth_media_table(30)
+        out = rd.from_arrow(t).map_batches(
+            FrameSampler, fn_constructor_kwargs={"every_n": 2}, batch_size=8,
+            concurrency=2, batch_format="pyarrow",
+        ).to_pandas()
+        n_videos = sum(1 for mt in t.column("media_type").to_pylist() if mt == "video")
+        assert len(out) == n_videos * 4  # 8 frames, stride 2
+        assert set(out["frame"]) == {0, 2, 4, 6}
+
+    def test_real_decoder_is_explicit_stub(self):
+        from studiocr_ray.datapipe.multimodal import RealMediaDecoder
+
+        with pytest.raises(NotImplementedError):
+            RealMediaDecoder().decode(b"x", "image")
