@@ -1,0 +1,173 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE
+JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "docs": N, "docs_per_sec": N}
+
+``--scaling``: run the same job in two fresh processes at num_cpus=8 and 32
+(the sandbox stand-in for the north rule's N vs 4N clusters) and print both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_name(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    return m.group(1) if m else sf_dir
+
+
+def _bench_input(sf_dir: str) -> str:
+    """Deterministic bench corpus, cached under /tmp (generation excluded
+    from timing)."""
+    from studiocr_ray.fixtures import bench_pages
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|bench-v1".encode()).hexdigest()[:16]
+    d = os.path.join("/tmp/studiocr_bench_cache", key, "pages_in")
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        bench_pages(sf_dir, d, replicas=3)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.dedup import minhash_dedup_pairs
+    from studiocr_ray.datapipe.embed import ann_topk_brute
+    from studiocr_ray.datapipe.relational import word_count
+    from studiocr_ray.pipelines.extract_pipeline import run_extract
+    from studiocr_ray.pipelines.index_pipeline import index_dataset, run_index
+    from studiocr_ray.search import search_corpus
+
+    pages = _bench_input(sf_dir)
+    # warm OS page cache (untimed) so we measure compute+shuffle, not cold disk
+    n_input = rd.read_parquet(pages).count()
+
+    out = f"/tmp/studiocr_bench_out/{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    summary = run_extract(pages, out, num_partitions=max(64, num_cpus * 4),
+                          resume=False, batch_size=32)
+    timings["extract"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    run_index(out)
+    timings["index"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    idx = index_dataset(os.path.join(out, "index"))
+    for q in ("table hash", "corn", "spark"):
+        search_corpus(idx, q)
+    timings["search"] = time.perf_counter() - t0
+
+    docs_ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    minhash_dedup_pairs(docs_ds, threshold=0.5, num_perm=64, bands=16)
+    timings["minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    word_count(docs_ds).to_pandas()
+    timings["word_count"] = time.perf_counter() - t0
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv = np.array([r["embedding"] for r in emb.take(8)], dtype=np.float64)
+    t0 = time.perf_counter()
+    ann_topk_brute(emb, qv, k=10)
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    docs = summary["docs"]
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "metric": "end-to-end extraction seconds (read→dedup→extract→write, "
+        "byte-identical text) over the bench pages corpus",
+        "value": round(timings["extract"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_name(sf_dir),
+        "num_cpus": num_cpus,
+        "input_rows": n_input,
+        "docs": docs,
+        "docs_per_sec": round(docs / timings["extract"], 2),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Two fresh processes on the same input → throughput at both levels +
+    scaling efficiency (the sandbox evidence for the N vs 4N criterion)."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    tp_lo = results[lo]["docs_per_sec"]
+    tp_hi = results[hi]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency docs/sec {lo}→{hi} cpus (N vs 4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_name(sf_dir),
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "queries": {
+            f"extract_{lo}cpu": results[lo]["queries"]["extract"],
+            f"extract_{hi}cpu": results[hi]["queries"]["extract"],
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    res = run_bench(sf_dir, num_cpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -217,3 +217,126 @@ def tolerance_corpus(seed: int = 7) -> tuple[pa.Table, dict[str, list[str]]]:
         }
     )
     return t, ground
+
+
+def pages_from_documents(sf_dir: str) -> pa.Table:
+    """Deterministic pages_in table derived from a testdata ``documents``
+    table: each doc's text is embedded (html-escaped) as the single main
+    <article><p> of a boilerplate-wrapped page.  Because extraction recovers
+    exactly the whitespace-normalized text, the full distributed pipeline
+    becomes SQL-checkable end-to-end:
+    ``extracted_text == trim(regexp_replace(text,'\\s+',' ','g'))``."""
+    import html as html_mod
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id, text, lang in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("text").to_pylist(),
+        docs.column("lang").to_pylist(),
+    ):
+        rng = random.Random(10_000 + doc_id)
+        nav = _link_farm(rng, rng.randrange(4, 10))
+        footer = _link_farm(rng, rng.randrange(3, 6))
+        page = (
+            f"<html><head><title>doc {doc_id}</title></head><body>"
+            f"<nav>{nav}</nav>"
+            f"<article><p>{html_mod.escape(text)}</p></article>"
+            f"<footer>{footer}</footer></body></html>"
+        )
+        urls.append(f"https://docs.example/{doc_id}")
+        tss.append(EPOCH + timedelta(seconds=doc_id))
+        htmls.append(page.encode("utf-8"))
+        texts.append(" ".join(page.split()))
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def write_pages_from_documents(sf_dir: str, out_dir: str, n_files: int = 8) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pages_from_documents(sf_dir)
+    for f in range(n_files):
+        idx = list(range(f, t.num_rows, n_files))
+        pq.write_table(t.take(idx), os.path.join(out_dir, f"part-{f:04d}.parquet"))
+    return out_dir
+
+
+def bench_pages(sf_dir: str, out_dir: str, replicas: int = 3, n_files: int = 16) -> str:
+    """Bench corpus: pages_from_documents × replicas (distinct urls per
+    replica), ~10% of docs carry 1–3 raster payloads (exercises the OCR actor
+    path), ~2% duplicate urls (exercises dedup). Deterministic; cached by the
+    bench harness."""
+    import html as html_mod
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    doc_ids = docs.column("doc_id").to_pylist()
+    doc_texts = docs.column("text").to_pylist()
+    doc_langs = docs.column("lang").to_pylist()
+    for rep in range(replicas):
+        for doc_id, text, lang in zip(doc_ids, doc_texts, doc_langs):
+            rng = random.Random(rep * 1_000_003 + doc_id)
+            nav = _link_farm(rng, rng.randrange(4, 10))
+            footer = _link_farm(rng, rng.randrange(3, 6))
+            payloads = (
+                [_raster_payload(rng, _VOCAB) for _ in range(rng.randrange(1, 4))]
+                if doc_id % 10 == 0
+                else []
+            )
+            imgs = "".join(
+                f'<img src="data:image/x-rstr;base64,{base64.b64encode(p).decode()}">'
+                for p in payloads
+            )
+            page = (
+                f"<html><head><title>doc {rep}/{doc_id}</title></head><body>"
+                f"<nav>{nav}</nav>"
+                f"<article><p>{html_mod.escape(text)}</p>{imgs}</article>"
+                f"<footer>{footer}</footer></body></html>"
+            )
+            urls.append(f"https://bench{rep}.example/{doc_id}")
+            tss.append(EPOCH + timedelta(seconds=rep * 1_000_000 + doc_id))
+            htmls.append(page.encode("utf-8"))
+            texts.append("")
+            langs.append(lang)
+            if rng.random() < 0.02:
+                urls.append(urls[-1])
+                tss.append(tss[-1] + timedelta(days=30))
+                htmls.append(htmls[-1])
+                texts.append("")
+                langs.append(lang)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for f in range(n_files):
+        idx = list(range(f, t.num_rows, n_files))
+        pq.write_table(t.take(idx), os.path.join(out_dir, f"part-{f:04d}.parquet"))
+    return out_dir
