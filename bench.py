@@ -36,11 +36,14 @@ def _bench_input(sf_dir: str) -> str:
     from timing)."""
     from studiocr_ray.fixtures import bench_pages
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|bench-v1".encode()).hexdigest()[:16]
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "30"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|bench-v2|{replicas}".encode()
+    ).hexdigest()[:16]
     d = os.path.join("/tmp/studiocr_bench_cache", key, "pages_in")
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
-        bench_pages(sf_dir, d, replicas=3)
+        bench_pages(sf_dir, d, replicas=replicas)
         with open(marker, "w") as f:
             f.write("ok")
     return d

@@ -87,12 +87,24 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle = shingle
         self.n = n
+        # shingle-hash cache: shingles repeat heavily across documents; the
+        # cache lives per actor (warm state) and is bounded
+        self._hcache: dict[str, int] = {}
+
+    def _h64(self, s: str) -> int:
+        v = self._hcache.get(s)
+        if v is None:
+            v = _stable64(s)
+            if len(self._hcache) > 2_000_000:
+                self._hcache.clear()
+            self._hcache[s] = v
+        return v
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.shingle, self.n)
         if not sh:
             return np.full(self.num_perm, int(_MERSENNE), dtype=np.uint64)
-        hx = np.fromiter((_stable64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        hx = np.fromiter((self._h64(s) for s in sh), dtype=np.uint64, count=len(sh))
         # (a*x + b) mod p, all uint64 modular arithmetic (p = 2^61-1)
         prod = (self.a[:, None] * (hx[None, :] % _MERSENNE)) % _MERSENNE
         return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)

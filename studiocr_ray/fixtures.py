@@ -309,10 +309,16 @@ def bench_pages(sf_dir: str, out_dir: str, replicas: int = 3, n_files: int = 16)
                 f'<img src="data:image/x-rstr;base64,{base64.b64encode(p).decode()}">'
                 for p in payloads
             )
+            esc = html_mod.escape(text)
+            words = esc.split()
+            paras = "".join(
+                f"<p>{' '.join(words[k::3])}</p>" for k in range(3) if words[k::3]
+            )
             page = (
                 f"<html><head><title>doc {rep}/{doc_id}</title></head><body>"
                 f"<nav>{nav}</nav>"
-                f"<article><p>{html_mod.escape(text)}</p>{imgs}</article>"
+                f"<article><p>{esc}</p>{paras}{imgs}</article>"
+                f"<aside>{_link_farm(rng, rng.randrange(3, 8))}</aside>"
                 f"<footer>{footer}</footer></body></html>"
             )
             urls.append(f"https://bench{rep}.example/{doc_id}")

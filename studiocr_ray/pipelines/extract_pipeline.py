@@ -83,7 +83,10 @@ def build_extracted(
             if ray.is_initialized()
             else (os.cpu_count() or 8)
         )
-        concurrency = (1, max(2, ncpu - 2))
+        # fixed-size pool: Ray's autoscaling actor pool ramps too slowly for
+        # short jobs (observed ~5 concurrent actors on a 32-cpu 10s run);
+        # ncpu-2 leaves headroom for the read/shuffle/write stages
+        concurrency = max(2, ncpu - 2)
     ds = ds.map_batches(
         ExtractAssemble,
         fn_constructor_kwargs={"cfg": cfg, "num_partitions": num_partitions},
@@ -93,6 +96,45 @@ def build_extracted(
         num_cpus=1,
     )
     return ds
+
+
+def _partition_metrics(staging: str) -> dict[int, dict]:
+    """Per-partition metric sums from the staged output: one parallel,
+    column-pruned read with per-batch partial aggregation (no text or nested
+    columns leave the workers beyond P small rows per batch)."""
+    import pandas as pd
+
+    if not os.path.isdir(staging) or not os.listdir(staging):
+        return {}
+    ds = rd.read_parquet(
+        staging,
+        columns=["part", "n_blocks", "mean_conf", "boilerplate_ratio",
+                 "extracted_text", "error"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "part": pc.cast(batch.column("part"), pa.int32()).to_pandas(),
+                "blocks": batch.column("n_blocks").to_pandas(),
+                "conf_sum": batch.column("mean_conf").to_pandas(),
+                "bp_sum": batch.column("boilerplate_ratio").to_pandas(),
+                "chars": pc.utf8_length(batch.column("extracted_text")).to_pandas(),
+                "errors": batch.column("error").to_pandas().notna().astype("int64"),
+            }
+        )
+        g = df.groupby("part", as_index=False).agg(
+            rows=("blocks", "size"), blocks=("blocks", "sum"),
+            chars=("chars", "sum"), errors=("errors", "sum"),
+            conf_sum=("conf_sum", "sum"), bp_sum=("bp_sum", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts_df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts_df.empty:
+        return {}
+    agg = parts_df.groupby("part").sum()
+    return {int(p): row.to_dict() for p, row in agg.iterrows()}
 
 
 def run_extract(
@@ -140,35 +182,31 @@ def run_extract(
     ds.write_parquet(staging, partition_cols=["part"])
 
     # Promote each staged partition, then write its manifest (manifest-last).
+    # Per-partition metrics come from ONE parallel column-pruned read of the
+    # staged output (partial-aggregated per batch), not a sequential
+    # driver-side file loop.
+    part_stats = _partition_metrics(staging)
     total_docs = total_blocks = 0
     for part in scheduled:
         src = os.path.join(staging, f"part={part}")
         dst = part_dir(out_dir, part)
         if os.path.isdir(dst):
             shutil.rmtree(dst)
-        files, rows, blocks, conf_sum, bp_sum, chars, errors = [], 0, 0, 0.0, 0.0, 0, 0
+        files = []
+        st = part_stats.get(part, {})
+        rows = int(st.get("rows", 0))
+        blocks = int(st.get("blocks", 0))
+        chars = int(st.get("chars", 0))
+        errors = int(st.get("errors", 0))
+        conf_sum = float(st.get("conf_sum", 0.0))
+        bp_sum = float(st.get("bp_sum", 0.0))
         if os.path.isdir(src):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             for name in sorted(os.listdir(dst)):
-                if not name.endswith(".parquet"):
-                    continue
-                fp = os.path.join(dst, name)
-                t = pq.read_table(
-                    fp,
-                    columns=[
-                        "n_blocks", "mean_conf", "boilerplate_ratio",
-                        "extracted_text", "error",
-                    ],
-                )
-                n = t.num_rows
-                rows += n
-                blocks += pc.sum(t.column("n_blocks")).as_py() or 0
-                conf_sum += pc.sum(t.column("mean_conf")).as_py() or 0.0
-                bp_sum += pc.sum(t.column("boilerplate_ratio")).as_py() or 0.0
-                chars += pc.sum(pc.utf8_length(t.column("extracted_text"))).as_py() or 0
-                errors += n - (t.column("error").null_count)
-                files.append({"name": name, "rows": n, "bytes": os.path.getsize(fp)})
+                if name.endswith(".parquet"):
+                    fp = os.path.join(dst, name)
+                    files.append({"name": name, "bytes": os.path.getsize(fp)})
         write_manifest(
             out_dir,
             part,

@@ -35,43 +35,107 @@ POSTINGS_LIST = pa.list_(POSTING_STRUCT)
 
 
 def partial_postings(batch: pa.Table) -> pa.Table:
-    """Nested EXTRACTED rows → per-batch combined (term, postings, df, tf)."""
-    acc: dict[str, list[dict]] = {}
-    urls = batch.column("url").to_pylist()
-    pages_col = batch.column("pages").to_pylist()
-    for url, pages in zip(urls, pages_col):
-        for p in pages:
-            page_no = p["page"]
-            for b in p["blocks"]:
-                acc.setdefault(b["text"].lower(), []).append(
-                    {"url": url, "page": page_no, "block": b["block"], "conf": b["conf"]}
-                )
-    terms = sorted(acc)
+    """Nested EXTRACTED rows → per-batch combined (term, postings, tf).
+
+    Fully vectorized: the doc→page→block explode is Arrow list-offset
+    arithmetic, the within-batch combine is a sort + run-length boundary
+    scan. No Python loop touches individual tokens."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pages_list = batch.column("pages").combine_chunks()
+    n_pages = pc.list_value_length(pages_list).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    page_struct = pages_list.flatten()
+    urls = batch.column("url").combine_chunks()
+    url_per_page = urls.take(pa.array(np.repeat(np.arange(len(urls)), n_pages)))
+
+    blocks_list = page_struct.field("blocks")
+    n_blocks = pc.list_value_length(blocks_list).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    rep = pa.array(np.repeat(np.arange(len(page_struct)), n_blocks))
+    block_struct = blocks_list.flatten()
+
+    flat = pa.table(
+        {
+            "term": pc.utf8_lower(block_struct.field("text")),
+            "url": url_per_page.take(rep),
+            "page": page_struct.field("page").take(rep),
+            "block": block_struct.field("block"),
+            "conf": block_struct.field("conf"),
+        }
+    )
+    if flat.num_rows == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "postings": pa.array([], POSTINGS_LIST),
+             "tf": pa.array([], pa.int64())}
+        )
+    flat = flat.take(pc.sort_indices(flat.column("term")))
+    terms = flat.column("term").combine_chunks()
+    neq = pc.not_equal(terms.slice(1), terms.slice(0, len(terms) - 1))
+    bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    offsets = np.concatenate(([0], bounds, [len(terms)])).astype(np.int32)
+    def _one(col):
+        c = col.combine_chunks()
+        return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+    posting_struct = pa.StructArray.from_arrays(
+        [
+            _one(flat.column("url")),
+            _one(flat.column("page")),
+            _one(flat.column("block")),
+            _one(flat.column("conf")),
+        ],
+        names=["url", "page", "block", "conf"],
+    )
+    postings = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), posting_struct)
+    uniq_terms = terms.take(pa.array(offsets[:-1].astype(np.int64)))
+    tf = np.diff(offsets).astype(np.int64)
     return pa.table(
         {
-            "term": pa.array(terms, pa.string()),
-            "postings": pa.array([acc[t] for t in terms], POSTINGS_LIST),
-            "tf": pa.array([len(acc[t]) for t in terms], pa.int64()),
+            "term": uniq_terms,
+            "postings": postings.cast(POSTINGS_LIST),
+            "tf": pa.array(tf),
         }
     )
 
 
 def _merge_term_group(group: pa.Table, max_postings: int | None = None) -> pa.Table:
+    """Merge one term's partial posting lists — fully vectorized (hot terms
+    can carry millions of postings; no Python per-posting work)."""
+    import pyarrow.compute as pc
+
     term = group.column("term")[0].as_py()
-    posts: list[dict] = []
-    for chunk in group.column("postings").to_pylist():
-        posts.extend(chunk)
-    posts.sort(key=lambda p: (p["url"], p["page"], p["block"]))
-    df = len({p["url"] for p in posts})
-    tf = len(posts)
+    flat = group.column("postings").combine_chunks().flatten()  # StructArray
+    pt = pa.table(
+        {
+            "url": flat.field("url"),
+            "page": flat.field("page"),
+            "block": flat.field("block"),
+            "conf": flat.field("conf"),
+        }
+    )
+    idx = pc.sort_indices(
+        pt,
+        sort_keys=[("url", "ascending"), ("page", "ascending"), ("block", "ascending")],
+    )
+    sorted_struct = flat.take(idx)
+    tf = len(flat)
+    df = pc.count_distinct(pt.column("url")).as_py()
     if max_postings is not None and tf > max_postings:
-        posts = posts[:max_postings]
+        sorted_struct = sorted_struct.slice(0, max_postings)
+    posts = pa.ListArray.from_arrays(
+        pa.array([0, len(sorted_struct)], pa.int32()), sorted_struct
+    )
     return pa.table(
         {
             "term": pa.array([term], pa.string()),
             "df": pa.array([df], pa.int64()),
             "tf": pa.array([tf], pa.int64()),
-            "postings": pa.array([posts], POSTINGS_LIST),
+            "postings": posts.cast(POSTINGS_LIST),
         }
     )
 
