@@ -36,7 +36,7 @@ def _bench_input(sf_dir: str) -> str:
     from timing)."""
     from studiocr_ray.fixtures import bench_pages
 
-    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "30"))
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "120"))
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|bench-v2|{replicas}".encode()
     ).hexdigest()[:16]
@@ -84,7 +84,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     summary = run_extract(pages, out, num_partitions=max(64, num_cpus * 4),
-                          resume=False, batch_size=32)
+                          resume=False)
     timings["extract"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -120,12 +120,14 @@ def extract_document(url: str, html: bytes, cfg: ExtractConfig, engine: RasterEn
             {"page": page_no, "blocks": blocks, "stats": build_page_stats(tokens)}
         )
 
+    text = "\n".join(page_texts)
     return {
         "url": url,
         "n_pages": len(pages),
         "n_blocks": n_blocks,
         "mean_conf": (conf_sum / n_blocks) if n_blocks else 0.0,
         "boilerplate_ratio": content.boilerplate_ratio,
-        "extracted_text": "\n".join(page_texts),
+        "n_chars": len(text),
+        "extracted_text": text,
         "pages": pages,
     }

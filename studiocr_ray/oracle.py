@@ -19,9 +19,13 @@ from .functions.raster import make_engine
 
 def dedup_key(warc_ts, html: bytes) -> tuple:
     """Keep-first rule: per url keep the row with the smallest
-    (warc_ts, html bytes) — warc_ts is the tiebreak-of-record, html bytes a
-    deterministic final tiebreak for pathological equal-ts rows."""
-    return (warc_ts, html)
+    (warc_ts, sha1(html)) — warc_ts is the tiebreak-of-record, the content
+    digest a deterministic final tiebreak for pathological equal-ts rows.
+    A 20-byte digest (not raw html bytes) so the key can travel through the
+    post-extract exchange without shipping payloads."""
+    import hashlib
+
+    return (warc_ts, hashlib.sha1(html).digest())
 
 
 def oracle_extract(pages: pa.Table, cfg: ExtractConfig | None = None) -> list[dict]:

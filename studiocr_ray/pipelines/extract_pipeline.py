@@ -5,10 +5,16 @@ Stage graph (all lazy, streaming, backpressured)::
     read_parquet(columns=url,warc_ts,html,lang)     # column-pruned read
       → map_batches(add_part)                        # part = crc32(url) % P
       → [resume filter: drop complete partitions]    # vectorized mask
-      → groupby(url).map_groups(keep_first)          # dedup + url-hash exchange
       → map_batches(ExtractAssemble, actor pool)     # html strip + OCR decode
+      → repartition → groupby(part).map_groups       # url-hash exchange +
+                                                     #   keep-first dedup
       → write_parquet(staging, partition_cols=part)  # hive layout
       → move parts into place, write manifests       # manifest-last atomicity
+
+The url-hash exchange defaults to AFTER extraction (dedup="post": streaming
+read→extract with no barrier; the shuffle moves extracted rows, not html);
+dedup="pre" places it before extraction (dedup first, extract once per url —
+for high duplicate rates or OCR-dominated cost).
 
 Replaces the reference's per-document Pool fan-out + single-writer SQLite txn
 (/root/reference/StudiOCR/OcrWorker.py:74-83, OcrEngine.py:97-136) with
@@ -51,13 +57,28 @@ def build_extracted(
     cfg: ExtractConfig | None = None,
     num_partitions: int = 64,
     skip_parts: set[int] | None = None,
-    dedup: bool = True,
+    dedup: bool | str = True,
     concurrency=None,
-    batch_size: int = 64,
+    batch_size: int = 128,
+    metrics_dir: str | None = None,
 ):
     """Build the lazy EXTRACTED dataset (no writes)."""
+    import ray
+
     cfg = cfg or ExtractConfig()
-    ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS)
+    ncpu = int(
+        ray.cluster_resources().get("CPU", os.cpu_count() or 8)
+        if ray.is_initialized()
+        else (os.cpu_count() or 8)
+    )
+    # Read into ~3 blocks per core (see _read_num_blocks): Ray's default
+    # read splits to ≥200 blocks regardless of size, and the downstream
+    # all-to-all's cost grows with block-count², not bytes.
+    ds = rd.read_parquet(
+        input_path,
+        columns=INPUT_COLUMNS,
+        override_num_blocks=_read_num_blocks(input_path, ncpu),
+    )
     ds = ds.map_batches(
         add_part_column,
         fn_kwargs={"num_partitions": num_partitions},
@@ -71,31 +92,81 @@ def build_extracted(
             return batch.filter(pc.invert(pc.is_in(batch.column("part"), skip)))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
-    if dedup:
+    from ..stages.extract import dedup_extracted
+
+    mode = {True: "post", False: None}.get(dedup, dedup)
+    if mode == "pre":
+        # url-hash exchange of the RAW input before extraction: dedup first,
+        # extract each url once. Wins when the duplicate rate is high or the
+        # per-doc extraction (OCR) dominates; costs a pipeline barrier before
+        # the expensive stage and ships html payloads through the shuffle.
         ds = dedup_keep_first(ds)
     if concurrency is None:
-        # autoscaling actor pool sized to the cluster, leaving headroom for
-        # the read / shuffle / write stages so no stage starves (SURVEY §4)
-        import ray
-
-        ncpu = int(
-            ray.cluster_resources().get("CPU", os.cpu_count() or 8)
-            if ray.is_initialized()
-            else (os.cpu_count() or 8)
-        )
         # fixed-size pool: Ray's autoscaling actor pool ramps too slowly for
         # short jobs (observed ~5 concurrent actors on a 32-cpu 10s run);
         # ncpu-2 leaves headroom for the read/shuffle/write stages
         concurrency = max(2, ncpu - 2)
     ds = ds.map_batches(
         ExtractAssemble,
-        fn_constructor_kwargs={"cfg": cfg, "num_partitions": num_partitions},
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "num_partitions": num_partitions,
+            "carry_dedup_sha": mode == "post",
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
+    if mode == "post":
+        # Default: url-hash exchange AFTER extraction. read→extract streams
+        # with no barrier, and the shuffle moves extracted text+spans, not
+        # html payloads (~10× lighter on real web corpora). Duplicate urls
+        # are extracted redundantly before the keep-first drops them — cheap
+        # at crawl-typical dup rates; switch to dedup="pre" otherwise.
+        ds = dedup_extracted(ds, metrics_dir=metrics_dir)
     return ds
+
+
+def _read_num_blocks(input_path: str, ncpu: int) -> int:
+    """Block count for the input read: max(3× cores, compressed_bytes /
+    target block size) — enough blocks that the actor pool dispatches ~3
+    waves of tasks (load balance), few enough that the part exchange stays
+    off the quadratic block-count cliff (the same exchange measured 141s at
+    ~208 blocks vs 15s at ≤96 on a 250MB input). At 100 TB the byte cap,
+    not the core count, sets the count."""
+    total = 0
+    paths = [input_path] if isinstance(input_path, str) else list(input_path)
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, n))
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    target = rd.DataContext.get_current().target_max_block_size or (128 << 20)
+    return max(3 * ncpu, -(-total // target))
+
+
+def _load_metric_sidecars(sidecar_dir: str) -> dict[int, dict]:
+    """Per-part metric sums written by the dedup group fn (tiny jsons)."""
+    import json
+
+    out: dict[int, dict] = {}
+    if not os.path.isdir(sidecar_dir):
+        return out
+    for name in os.listdir(sidecar_dir):
+        if name.startswith("part-") and name.endswith(".json"):
+            try:
+                with open(os.path.join(sidecar_dir, name)) as f:
+                    m = json.load(f)
+                out[int(m["part"])] = m
+            except (OSError, ValueError, KeyError):
+                continue
+    return out
 
 
 def _partition_metrics(staging: str) -> dict[int, dict]:
@@ -109,7 +180,7 @@ def _partition_metrics(staging: str) -> dict[int, dict]:
     ds = rd.read_parquet(
         staging,
         columns=["part", "n_blocks", "mean_conf", "boilerplate_ratio",
-                 "extracted_text", "error"],
+                 "n_chars", "error"],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -119,7 +190,7 @@ def _partition_metrics(staging: str) -> dict[int, dict]:
                 "blocks": batch.column("n_blocks").to_pandas(),
                 "conf_sum": batch.column("mean_conf").to_pandas(),
                 "bp_sum": batch.column("boilerplate_ratio").to_pandas(),
-                "chars": pc.utf8_length(batch.column("extracted_text")).to_pandas(),
+                "chars": batch.column("n_chars").to_pandas(),
                 "errors": batch.column("error").to_pandas().notna().astype("int64"),
             }
         )
@@ -143,9 +214,9 @@ def run_extract(
     cfg: ExtractConfig | None = None,
     num_partitions: int = 64,
     resume: bool = True,
-    dedup: bool = True,
+    dedup: bool | str = True,
     concurrency=None,
-    batch_size: int = 64,
+    batch_size: int = 128,
 ) -> dict:
     """Run extraction end-to-end with partition-granular resume.
 
@@ -170,6 +241,7 @@ def run_extract(
     if os.path.isdir(staging):
         shutil.rmtree(staging)
 
+    sidecar_dir = os.path.join(staging, "_metrics")
     ds = build_extracted(
         input_path,
         cfg,
@@ -178,14 +250,19 @@ def run_extract(
         dedup=dedup,
         concurrency=concurrency,
         batch_size=batch_size,
+        metrics_dir=sidecar_dir,
     )
     ds.write_parquet(staging, partition_cols=["part"])
+    t_write = time.perf_counter()
 
     # Promote each staged partition, then write its manifest (manifest-last).
-    # Per-partition metrics come from ONE parallel column-pruned read of the
-    # staged output (partial-aggregated per batch), not a sequential
-    # driver-side file loop.
-    part_stats = _partition_metrics(staging)
+    # Metrics come from the per-part sidecars the dedup group fn wrote (zero
+    # extra passes); fall back to one parallel column-pruned read of the
+    # staged output when sidecars are absent (dedup="pre" / dedup=False).
+    part_stats = _load_metric_sidecars(sidecar_dir)
+    if not part_stats:
+        part_stats = _partition_metrics(staging)
+    t_metrics = time.perf_counter()
     total_docs = total_blocks = 0
     for part in scheduled:
         src = os.path.join(staging, f"part={part}")
@@ -239,8 +316,16 @@ def run_extract(
             "input_path": str(input_path),
         },
     )
+    t_end = time.perf_counter()
     summary.update(
-        elapsed_sec=time.perf_counter() - t0, docs=total_docs, blocks=total_blocks
+        elapsed_sec=t_end - t0,
+        docs=total_docs,
+        blocks=total_blocks,
+        phase_sec={
+            "extract_write": round(t_write - t0, 3),
+            "metrics": round(t_metrics - t_write, 3),
+            "promote": round(t_end - t_metrics, 3),
+        },
     )
     return summary
 
@@ -279,6 +364,110 @@ def invalidate_parts(out_dir: str, parts: list[int]) -> None:
         mp = manifest_path(out_dir, p)
         if os.path.exists(mp):
             os.remove(mp)
+
+
+def delete_docs(out_dir: str, urls: list[str]) -> int:
+    """Row-level delete: remove documents by url and rewrite only the affected
+    partitions, updating their manifests.
+
+    The delete-cascade analogue (/root/reference/StudiOCR/db.py:26-38 —
+    doc→pages→blocks in one txn, returning rows deleted): the nested layout
+    makes the cascade implicit (a url row carries its pages and blocks), and
+    crc32 partition pruning means only ``|{part(u)}|`` partitions are touched,
+    not the corpus. Rewrite is write-temp-then-rename per partition with a
+    manifest update last, preserving resume atomicity. Returns rows deleted
+    (G8 semantics)."""
+    from ..stages.extract import url_part
+    from ..state.manifest import load_meta
+
+    meta = load_meta(out_dir)
+    num_partitions = int(meta.get("num_partitions", 64))
+    by_part: dict[int, set[str]] = {}
+    for u in urls:
+        by_part.setdefault(url_part(u, num_partitions), set()).add(u)
+
+    manifests = {int(m["part"]): m for m in load_manifests(out_dir)}
+    deleted = 0
+    for part, part_urls in sorted(by_part.items()):
+        d = part_dir(out_dir, part)
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(d)
+        mask = pc.invert(pc.is_in(t.column("url"), pa.array(sorted(part_urls))))
+        kept = t.filter(mask)
+        n_del = t.num_rows - kept.num_rows
+        if n_del == 0:
+            continue
+        deleted += n_del
+        tmp = d + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        fp = os.path.join(tmp, "data.parquet")
+        pq.write_table(kept.drop_columns(["part"]) if "part" in kept.column_names
+                       else kept, fp)
+        fsize = os.path.getsize(fp)
+        shutil.rmtree(d)
+        os.replace(tmp, d)
+        m = manifests.get(part)
+        if m is not None:
+            rows = kept.num_rows
+            blocks = pc.sum(kept.column("n_blocks")).as_py() or 0
+            chars = pc.sum(pc.utf8_length(kept.column("extracted_text"))).as_py() or 0
+            conf = pc.sum(kept.column("mean_conf")).as_py() or 0.0
+            bp = pc.sum(kept.column("boilerplate_ratio")).as_py() or 0.0
+            errors = rows - kept.column("error").null_count
+            m["files"] = [{"name": "data.parquet", "bytes": fsize}]
+            m["metrics"] = {
+                "docs": rows,
+                "blocks": int(blocks),
+                "chars": int(chars),
+                "errors": int(errors),
+                "mean_conf": (conf / rows) if rows else 0.0,
+                "mean_boilerplate_ratio": (bp / rows) if rows else 0.0,
+                "chars_per_doc": (chars / rows) if rows else 0.0,
+            }
+            write_manifest(out_dir, part, m)
+    return deleted
+
+
+def export_document(out_dir: str, url: str) -> dict:
+    """Point-lookup one document and re-assemble its ordered pages for export.
+
+    The PDF-export analogue (/root/reference/StudiOCR/DocWindow.py:157-185 —
+    concat page images → one PDF) over the nested layout: crc32 partition
+    pruning reads ONE partition directory (the S5 point-lookup,
+    ListDocuments.py:143), pages come back in page order, and the export body
+    is the page texts joined in that order (byte-equal to ``extracted_text``).
+    Returns {url, n_pages, pages: [{page, text, n_blocks}], body}."""
+    from ..stages.extract import url_part
+    from ..state.manifest import load_meta
+
+    meta = load_meta(out_dir)
+    num_partitions = int(meta.get("num_partitions", 64))
+    d = part_dir(out_dir, url_part(url, num_partitions))
+    if not os.path.isdir(d):
+        return {}
+    t = pq.read_table(d, columns=["url", "n_pages", "extracted_text", "pages"])
+    t = t.filter(pc.equal(t.column("url"), url))
+    if t.num_rows == 0:
+        return {}
+    row = t.to_pylist()[0]
+    pages = sorted(row["pages"], key=lambda p: p["page"])
+    out_pages = [
+        {
+            "page": p["page"],
+            "text": " ".join(b["text"] for b in p["blocks"]),
+            "n_blocks": len(p["blocks"]),
+        }
+        for p in pages
+    ]
+    return {
+        "url": url,
+        "n_pages": row["n_pages"],
+        "pages": out_pages,
+        "body": row["extracted_text"],
+    }
 
 
 def corpus_metrics(out_dir: str) -> dict:

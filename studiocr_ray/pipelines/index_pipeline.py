@@ -5,9 +5,10 @@ Replaces the reference's O(docs × pages × blocks × words) full-scan search
 built by the one deliberate wide shuffle of the engine:
 
     extracted parquet (url, pages — column-pruned read)
-      → map_batches(partial_postings)     # explode + PER-BATCH pre-aggregation
-      → groupby(term).map_groups(merge)   # the all-to-all exchange
-      → sort(term) → write_parquet        # term-ordered files → pushdown lookups
+      → map_batches(partial_postings)      # explode + PER-BATCH pre-aggregation
+      → map_batches(add term bucket)       # bucket = crc32(term) % B
+      → groupby(bucket).map_groups(merge)  # the all-to-all exchange, B groups
+      → sort(term) → write_parquet         # term-ordered files → pushdown lookups
 
 Pre-aggregation matters at scale: the batch-local combine turns one row per
 token occurrence into one row per *distinct term per batch* (a large constant
@@ -103,49 +104,125 @@ def partial_postings(batch: pa.Table) -> pa.Table:
     )
 
 
-def _merge_term_group(group: pa.Table, max_postings: int | None = None) -> pa.Table:
-    """Merge one term's partial posting lists — fully vectorized (hot terms
-    can carry millions of postings; no Python per-posting work)."""
+def _add_term_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """bucket = crc32(term) % B. Bucketing the merge keeps the group count at
+    B (a handful of vectorized per-bucket calls) instead of one Python call
+    per distinct term — same trick as the extract stage's part-grouped dedup."""
+    import zlib
+
+    import numpy as np
+
+    b = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % num_buckets
+         for t in batch.column("term").to_pylist()),
+        dtype=np.int32,
+        count=batch.num_rows,
+    )
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.Table:
+    """Merge ALL terms of one bucket, fully vectorized: flatten every partial
+    posting list (term repeated per posting via list-offset arithmetic), one
+    sort by (term, url, page, block), then run-length boundaries give each
+    term's merged postings / tf / df without touching individual postings in
+    Python. Hot terms (stopword-like skew) cost a sort, not a Python loop."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    term = group.column("term")[0].as_py()
-    flat = group.column("postings").combine_chunks().flatten()  # StructArray
-    pt = pa.table(
+    posts_list = group.column("postings").combine_chunks()
+    n = pc.list_value_length(posts_list).fill_null(0).to_numpy(zero_copy_only=False)
+    terms = group.column("term").combine_chunks()
+    rep = pa.array(np.repeat(np.arange(len(terms)), n))
+    flat = posts_list.flatten()  # StructArray of postings
+    ft = pa.table(
         {
+            "term": terms.take(rep),
             "url": flat.field("url"),
             "page": flat.field("page"),
             "block": flat.field("block"),
             "conf": flat.field("conf"),
         }
     )
-    idx = pc.sort_indices(
-        pt,
-        sort_keys=[("url", "ascending"), ("page", "ascending"), ("block", "ascending")],
+    if ft.num_rows == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64()), "postings": pa.array([], POSTINGS_LIST)}
+        )
+    ft = ft.take(
+        pc.sort_indices(
+            ft,
+            sort_keys=[("term", "ascending"), ("url", "ascending"),
+                       ("page", "ascending"), ("block", "ascending")],
+        )
     )
-    sorted_struct = flat.take(idx)
-    tf = len(flat)
-    df = pc.count_distinct(pt.column("url")).as_py()
-    if max_postings is not None and tf > max_postings:
-        sorted_struct = sorted_struct.slice(0, max_postings)
-    posts = pa.ListArray.from_arrays(
-        pa.array([0, len(sorted_struct)], pa.int32()), sorted_struct
+    t = ft.column("term").combine_chunks()
+    u = ft.column("url").combine_chunks()
+    t_neq = pc.not_equal(t.slice(1), t.slice(0, len(t) - 1)).to_numpy(
+        zero_copy_only=False
     )
+    bounds = np.flatnonzero(t_neq) + 1
+    offsets = np.concatenate(([0], bounds, [len(t)])).astype(np.int64)
+    tf = np.diff(offsets)
+    # df = number of (term, url) runs inside each term segment
+    u_neq = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    run_start = np.concatenate(([True], t_neq | u_neq)).astype(np.int64)
+    df = np.add.reduceat(run_start, offsets[:-1])
+
+    def _one(col):
+        c = col.combine_chunks()
+        return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+    struct = pa.StructArray.from_arrays(
+        [_one(ft.column("url")), _one(ft.column("page")),
+         _one(ft.column("block")), _one(ft.column("conf"))],
+        names=["url", "page", "block", "conf"],
+    )
+    starts = offsets[:-1]
+    if max_postings is not None and (tf > max_postings).any():
+        lens = np.minimum(tf, max_postings)
+        cum = np.cumsum(lens)
+        base = np.repeat(starts, lens)
+        prev = np.concatenate(([0], cum[:-1]))
+        within = np.arange(int(cum[-1])) - np.repeat(prev, lens)
+        struct = struct.take(pa.array(base + within))
+        list_offsets = np.concatenate(([0], cum)).astype(np.int32)
+    else:
+        list_offsets = offsets.astype(np.int32)
+    postings = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+    uniq_terms = t.take(pa.array(starts))
     return pa.table(
         {
-            "term": pa.array([term], pa.string()),
-            "df": pa.array([df], pa.int64()),
-            "tf": pa.array([tf], pa.int64()),
-            "postings": posts.cast(POSTINGS_LIST),
+            "term": uniq_terms,
+            "df": pa.array(df, pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "postings": postings.cast(POSTINGS_LIST),
         }
     )
 
 
-def build_index_dataset(extracted_ds, max_postings: int | None = None):
+def build_index_dataset(
+    extracted_ds, max_postings: int | None = None, num_buckets: int | None = None
+):
+    if num_buckets is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
+            if ray.is_initialized() else (os.cpu_count() or 8)
+        num_buckets = max(16, ncpu * 2)
     partials = extracted_ds.map_batches(
         partial_postings, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _add_term_bucket,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    merged = partials.groupby("term").map_groups(
-        lambda g: _merge_term_group(g, max_postings), batch_format="pyarrow"
+    merged = partials.groupby("bucket").map_groups(
+        lambda g: _merge_bucket_group(g.drop_columns(["bucket", "tf"]), max_postings),
+        batch_format="pyarrow",
     )
     return merged
 

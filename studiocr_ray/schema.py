@@ -60,6 +60,7 @@ EXTRACTED = pa.schema(
         ("n_blocks", pa.int64()),
         ("mean_conf", pa.float64()),
         ("boilerplate_ratio", pa.float64()),
+        ("n_chars", pa.int64()),
         ("extracted_text", pa.string()),
         ("pages", pa.list_(PAGE_STRUCT)),
         ("error", pa.string()),

@@ -66,11 +66,9 @@ def search_corpus(
 
     def matched_urls(batch: pa.Table) -> pa.Table:
         hit = _match_terms_batch(batch, words, fuzzy, tol)
-        urls: set[str] = set()
-        for posts in hit.column("postings").to_pylist():
-            for p in posts:
-                urls.add(p["url"])
-        return pa.table({"url": pa.array(sorted(urls), pa.string())})
+        flat = hit.column("postings").combine_chunks().flatten()
+        urls = pc.unique(flat.field("url"))
+        return pa.table({"url": urls})
 
     ds = index_ds.map_batches(matched_urls, batch_format="pyarrow")
     urls = sorted(set(ds.unique("url") or []))

@@ -73,6 +73,14 @@ def load_complete_parts(out_dir: str, config_hash: str) -> set[int]:
     return done
 
 
+def load_meta(out_dir: str) -> dict:
+    try:
+        with open(meta_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def load_manifests(out_dir: str) -> list[dict]:
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):

@@ -147,3 +147,41 @@ class TestToleranceCorpus:
         for url, words in ground.items():
             pred = docs[url]["extracted_text"].split()
             assert zero_one_loss(words, pred, tol=0.2) == 1.0, url
+
+
+class TestMaintenance:
+    def test_export_document(self, extracted, pages_table):
+        """K2 analogue: ordered-page reassembly via partition-pruned point
+        lookup (DocWindow.export_pdf, /root/reference/StudiOCR/DocWindow.py:157-185)."""
+        from studiocr_ray.pipelines.extract_pipeline import export_document
+
+        out, _ = extracted
+        url = sorted(set(pages_table.column("url").to_pylist()))[0]
+        doc = export_document(out, url)
+        assert doc["url"] == url
+        assert doc["n_pages"] == len(doc["pages"])
+        assert [p["page"] for p in doc["pages"]] == list(range(doc["n_pages"]))
+        # body is byte-identical to the pipeline's extracted_text assembly rule
+        assert doc["body"] == "\n".join(p["text"] for p in doc["pages"])
+        assert export_document(out, "https://no.such/url") == {}
+
+    def test_delete_docs(self, ray_session, pages_dir, tmp_path, pages_table):
+        """K4 analogue: row-level delete rewrites only affected partitions and
+        keeps manifests/metrics consistent (db.py:26-38 cascade + G8 count)."""
+        from studiocr_ray.pipelines.extract_pipeline import delete_docs
+
+        out = str(tmp_path / "del")
+        run_extract(pages_dir, out, num_partitions=8)
+        urls = sorted(set(pages_table.column("url").to_pylist()))
+        victims = urls[:3]
+        before = docs_dataset(out).count()
+        n = delete_docs(out, victims + ["https://no.such/url"])
+        assert n == 3
+        remaining = set(docs_dataset(out).to_pandas()["url"])
+        assert remaining == set(urls) - set(victims)
+        assert docs_dataset(out).count() == before - 3
+        # manifests reflect the delete: corpus metrics recount from manifests
+        assert corpus_metrics(out)["docs"] == before - 3
+        # resume still sees every partition complete (no recompute)
+        s = run_extract(pages_dir, out, num_partitions=8)
+        assert s["parts_skipped"] == 8
