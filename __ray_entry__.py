@@ -315,6 +315,31 @@ def _q_rolling_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(rolling_fingerprint, batch_format="pyarrow")
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8, n=3)
+
+
+def _q_simhash_neardup(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_cosine_lsh(sf_dir: str):
+    from studiocr_ray.datapipe.embed import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(_emb(sf_dir), threshold=NEARDUP_COSINE)
+
+
+def _q_dup_clusters(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import duplicate_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5, num_perm=64, bands=32)
+    return duplicate_clusters(pairs)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -361,6 +386,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "media_features": _q_media_features,
+        # near-dup family (LSH candidates, exact verify / union-find)
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_neardup": _q_simhash_neardup,
+        "cosine_lsh": _q_cosine_lsh,
+        "dup_clusters": _q_dup_clusters,
     }
 
 
@@ -492,5 +522,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_search": f"""
             SELECT DISTINCT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents WHERE {any_word}
+        """,
+        "ngram_jaccard": """
+            WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+                 d AS (SELECT DISTINCT doc_id, sh FROM (
+                         SELECT doc_id,
+                                unnest([substring(t, i, 3)
+                                        for i in generate_series(1, length(t) - 2)]) AS sh
+                         FROM t)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                                  count(*) AS i
+                           FROM d a JOIN d b
+                             ON a.sh = b.sh AND a.doc_id < b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         """,
     }
