@@ -36,7 +36,7 @@ def _bench_input(sf_dir: str) -> str:
     from timing)."""
     from studiocr_ray.fixtures import bench_pages
 
-    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "120"))
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "240"))
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|bench-v2|{replicas}".encode()
     ).hexdigest()[:16]
@@ -87,6 +87,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                           resume=False)
     timings["extract"] = time.perf_counter() - t0
 
+    if os.environ.get("GRAFT_BENCH_ONLY") == "extract":
+        docs = summary["docs"]
+        shutil.rmtree(out, ignore_errors=True)
+        return {
+            "metric": "end-to-end extraction seconds over the bench pages corpus",
+            "value": round(timings["extract"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": _sf_name(sf_dir),
+            "num_cpus": num_cpus,
+            "input_rows": n_input,
+            "docs": docs,
+            "docs_per_sec": round(docs / timings["extract"], 2),
+        }
+
     t0 = time.perf_counter()
     run_index(out)
     timings["index"] = time.perf_counter() - t0
@@ -130,10 +145,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Two fresh processes on the same input → throughput at both levels +
-    scaling efficiency (the sandbox evidence for the N vs 4N criterion)."""
+    scaling efficiency (the sandbox evidence for the N vs 4N criterion).
+    Runs the headline extraction pipeline only, so both legs measure the
+    same job the criterion names."""
     results = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_ONLY="extract")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,

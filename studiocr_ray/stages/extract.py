@@ -120,19 +120,35 @@ def dedup_extracted_group(group: pa.Table, metrics_dir: str | None = None) -> pa
     tiny json sidecar (atomic temp+rename, deterministic → retry-idempotent):
     the group fn is the one place every part's final rows pass through, so
     manifest metrics cost zero extra passes over the data."""
+    import numpy as np
     import pyarrow.compute as pc
 
+    t = group
     if group.num_rows > 1:
-        t = group.sort_by(
-            [("url", "ascending"), ("warc_ts", "ascending"),
-             ("dedup_sha", "ascending")]
+        # Decide winners on a SLIM key table; never sort the nested payload
+        # (pyarrow take/sort on list<struct<..list<struct>>> rebuilds offsets
+        # per element — measured ~2× the whole exchange's memcpy cost).
+        slim = pa.table(
+            {
+                "url": group.column("url"),
+                "warc_ts": group.column("warc_ts"),
+                "dedup_sha": group.column("dedup_sha"),
+            }
         )
-        urls = t.column("url").combine_chunks()
-        neq = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
-        mask = pa.chunked_array([pa.array([True]), neq])
-        t = t.filter(mask)
-    else:
-        t = group
+        idx = pc.sort_indices(
+            slim,
+            sort_keys=[("url", "ascending"), ("warc_ts", "ascending"),
+                       ("dedup_sha", "ascending")],
+        ).to_numpy(zero_copy_only=False)
+        urls = slim.column("url").combine_chunks().take(pa.array(idx))
+        first = np.ones(len(idx), dtype=bool)
+        first[1:] = pc.not_equal(
+            urls.slice(1), urls.slice(0, len(urls) - 1)
+        ).to_numpy(zero_copy_only=False)
+        if not first.all():
+            mask = np.zeros(len(idx), dtype=bool)
+            mask[idx[first]] = True  # winners, in original row order
+            t = group.filter(pa.array(mask))
     t = t.drop_columns(["dedup_sha"])
     if metrics_dir is not None and t.num_rows:
         import json
