@@ -74,10 +74,15 @@ def partial_postings(batch: pa.Table) -> pa.Table:
              "postings": pa.array([], POSTINGS_LIST),
              "tf": pa.array([], pa.int64())}
         )
-    flat = flat.take(pc.sort_indices(flat.column("term")))
+    # Group by term via dictionary codes + integer argsort — ~2× faster than
+    # sorting the term strings; any term order works for the combine.
+    codes_arr = pc.dictionary_encode(flat.column("term")).combine_chunks()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    flat = flat.take(pa.array(order))
+    sorted_codes = codes[order]
     terms = flat.column("term").combine_chunks()
-    neq = pc.not_equal(terms.slice(1), terms.slice(0, len(terms) - 1))
-    bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    bounds = np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1
     offsets = np.concatenate(([0], bounds, [len(terms)])).astype(np.int32)
     def _one(col):
         c = col.combine_chunks()
@@ -149,25 +154,41 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
             {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
              "tf": pa.array([], pa.int64()), "postings": pa.array([], POSTINGS_LIST)}
         )
-    ft = ft.take(
-        pc.sort_indices(
-            ft,
-            sort_keys=[("term", "ascending"), ("url", "ascending"),
-                       ("page", "ascending"), ("block", "ascending")],
+    # One integer lexsort does both the term grouping and the within-term
+    # (url, page, block) posting order: strings are dictionary-encoded and
+    # replaced by their sorted rank (~2× faster than Arrow's multi-key
+    # string sort on tens of millions of postings).
+    def _ranks(col):
+        d = pc.dictionary_encode(col).combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dic, codes = d.dictionary, d.indices.to_numpy(zero_copy_only=False)
+        rank_of = np.empty(len(dic), dtype=np.int64)
+        rank_of[pc.sort_indices(dic).to_numpy(zero_copy_only=False)] = np.arange(
+            len(dic)
+        )
+        return rank_of[codes]
+
+    t_rank = _ranks(ft.column("term"))
+    u_rank = _ranks(ft.column("url"))
+    order = np.lexsort(
+        (
+            ft.column("block").to_numpy(zero_copy_only=False),
+            ft.column("page").to_numpy(zero_copy_only=False),
+            u_rank,
+            t_rank,
         )
     )
+    ft = ft.take(pa.array(order))
+    t_sorted = t_rank[order]
+    u_sorted = u_rank[order]
     t = ft.column("term").combine_chunks()
-    u = ft.column("url").combine_chunks()
-    t_neq = pc.not_equal(t.slice(1), t.slice(0, len(t) - 1)).to_numpy(
-        zero_copy_only=False
-    )
+    t_neq = t_sorted[1:] != t_sorted[:-1]
     bounds = np.flatnonzero(t_neq) + 1
     offsets = np.concatenate(([0], bounds, [len(t)])).astype(np.int64)
     tf = np.diff(offsets)
     # df = number of (term, url) runs inside each term segment
-    u_neq = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1)).to_numpy(
-        zero_copy_only=False
-    )
+    u_neq = u_sorted[1:] != u_sorted[:-1]
     run_start = np.concatenate(([True], t_neq | u_neq)).astype(np.int64)
     df = np.add.reduceat(run_start, offsets[:-1])
 
