@@ -153,3 +153,80 @@ class TestTextFns:
         assert conf_bucket(80) == 2 and conf_bucket(100) == 2
         assert conf_bucket(79) == 1 and conf_bucket(40) == 1
         assert conf_bucket(39) == 0 and conf_bucket(0) == 0
+
+
+class TestStepPipeline:
+    """T7 — ImagePipeline-equivalent user-extension surface
+    (/root/reference/StudiOCR/ImagePipeline.py:20-145)."""
+
+    def test_ordering_and_prefix_run(self):
+        from studiocr_ray.functions.steps import StepPipeline
+
+        p = StepPipeline()
+        p.add_step("a", lambda v: v + "a")
+        p.add_step("b", lambda v: v + "b")
+        p.add_step("c", lambda v: v + "c")
+        assert p.run("") == "abc"
+        assert p.run("", until="b") == "ab"  # prefix execution (:102-115)
+        assert p.step_names == ["a", "b", "c"]
+
+    def test_capture_index_and_kwargs(self):
+        from studiocr_ray.functions.steps import StepPipeline
+
+        p = StepPipeline()
+        p.add_step("thresh", lambda v, t: (t, v * 2), capture_index=1, t=9)
+        assert p.run(21) == 42  # tuple return, index select (:92-100)
+
+    def test_method_by_name_dispatch(self):
+        from studiocr_ray.functions.steps import StepPipeline
+
+        p = StepPipeline()
+        p.add_step("up", "upper")  # the PIL outer_function trick (:88-96)
+        p.add_step("strip", "strip")
+        assert p.run("  hi  ") == "HI"
+
+    def test_copy_steps_slice(self):
+        from studiocr_ray.functions.steps import StepPipeline
+
+        src = StepPipeline()
+        for ch in "abcd":
+            src.add_step(ch, (lambda c: lambda v: v + c)(ch))
+        dst = StepPipeline().copy_steps(src, start="b", end="c")
+        assert dst.step_names == ["b", "c"]  # inclusive slice (:50-76)
+        assert dst.run("") == "bc"
+
+    def test_config_hash_changes_with_steps(self):
+        from studiocr_ray.functions.steps import StepPipeline, to_grayscale
+
+        a = StepPipeline().add_step("g", to_grayscale)
+        b = StepPipeline().add_step("g", to_grayscale).add_step("i", "upper")
+        assert a.config_hash() != b.config_hash()
+        assert a.config_hash() == StepPipeline().add_step("g", to_grayscale).config_hash()
+
+    def test_image_steps(self):
+        import numpy as np
+
+        from studiocr_ray.functions.steps import (
+            bgr_to_rgb,
+            binary_threshold,
+            default_preprocessing_pipeline,
+            to_grayscale,
+        )
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[..., 0] = 10  # B
+        img[..., 2] = 200  # R
+        rgb = bgr_to_rgb(img)
+        assert rgb[0, 0, 0] == 200 and rgb[0, 0, 2] == 10
+        gray = to_grayscale(rgb)
+        assert gray.shape == (4, 4)
+        # luma of (200, 0, 10) ≈ 0.299*200 + 0.114*10
+        assert abs(int(gray[0, 0]) - int(0.299 * 200 + 0.114 * 10)) <= 1
+        retval, bw = binary_threshold(gray, thresh=20)
+        assert retval == 20.0 and set(np.unique(bw)) <= {0, 255}
+        # flat-field: uniform image stays (approximately) uniform
+        flat = default_preprocessing_pipeline(ksize=3).run(
+            np.full((8, 8, 3), 120, dtype=np.uint8)
+        )
+        assert flat.shape == (8, 8)
+        assert int(flat.min()) >= 118 and int(flat.max()) <= 122
