@@ -4,9 +4,11 @@ The reference cleans *images* before OCR (flat-field correction, grayscale —
 /root/reference/StudiOCR/OcrEngine.py:60-85); the web-page analogue mandated by
 the north rule is readability-style main-content extraction: drop chrome
 (nav/header/footer/ads/link farms) and keep the article text.  No lxml/bs4 in
-the sandbox (SURVEY.md §0), so this builds a lightweight DOM with
-``html.parser.HTMLParser`` and scores block elements by **text density vs link
-density**, the classic readability/boilerpipe heuristic.
+the sandbox (SURVEY.md §0), so this builds a lightweight DOM — a single-pass
+regex scanner (``parse_html``), cross-checked node-for-node against a stdlib
+``html.parser.HTMLParser`` builder (``parse_html_stdlib``) — and scores block
+elements by **text density vs link density**, the classic
+readability/boilerpipe heuristic.
 
 Semantics (shared verbatim by the single-process oracle and the distributed
 pipeline — byte-identity by construction, verified by golden tests):
@@ -31,6 +33,7 @@ pipeline — byte-identity by construction, verified by golden tests):
 from __future__ import annotations
 
 import base64
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -92,13 +95,96 @@ class _DomBuilder(HTMLParser):
             self.stack[-1].children.append(_Node("", text=data))
 
 
-def parse_html(html: bytes | str) -> _Node:
+def parse_html_stdlib(html: bytes | str) -> _Node:
+    """Reference DOM builder on stdlib ``html.parser`` — kept as the
+    cross-check oracle for the fast scanner (see test_fast_parser_parity)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     b = _DomBuilder()
     b.feed(html)
     b.close()
     return b.root
+
+
+# Fast regex scanner: one pass over the document; text nodes are the spans
+# between tag matches. ~4× faster than HTMLParser (which regex-matches
+# per-character states and unconditionally parses attributes); attributes are
+# parsed lazily and only for <img> (the single tag whose attrs extraction
+# reads). Raw-text elements (script/style/...) skip straight to their end tag.
+_TAG_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                  # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"        # cdata
+    r"|<![^>]*>"                         # doctype / declarations
+    r"|<\?[^>]*>"                        # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"  # 1: end tag
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)"            # 2: start tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",  # 3: attr blob (quote-aware)
+    re.S,
+)
+_SRC_RE = re.compile(r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+# Raw-text elements exactly as stdlib html.parser's CDATA_CONTENT_ELEMENTS —
+# keeping the set identical keeps the two parsers' DOMs identical.
+_RAWTEXT_END = {t: re.compile(f"</\\s*{t}", re.I) for t in ("script", "style")}
+
+
+def parse_html(html: bytes | str) -> _Node:
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    root = _Node("#root")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    unescape = _unescape
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if text:
+                stack[-1].children.append(
+                    _Node("", text=unescape(text) if "&" in text else text)
+                )
+            break
+        if m.start() > pos:
+            text = html[pos:m.start()]
+            stack[-1].children.append(
+                _Node("", text=unescape(text) if "&" in text else text)
+            )
+        pos = m.end()
+        end_name, start_name, attr_blob = m.group(1), m.group(2), m.group(3)
+        if start_name is not None:
+            tag = start_name.lower()
+            attrs = {}
+            if tag == "img" and attr_blob:
+                sm = _SRC_RE.search(attr_blob)
+                if sm:
+                    attrs["src"] = sm.group(2) or sm.group(3) or sm.group(4) or ""
+            node = _Node(tag, attrs=attrs)
+            stack[-1].children.append(node)
+            self_closing = attr_blob.rstrip().endswith("/") if attr_blob else False
+            if tag in _RAWTEXT_END and not self_closing:
+                em = _RAWTEXT_END[tag].search(html, pos)
+                raw_end = em.start() if em else n
+                raw = html[pos:raw_end]
+                if raw:
+                    node.children.append(_Node("", text=raw))
+                gt = html.find(">", raw_end)
+                pos = (gt + 1) if gt != -1 else n
+            elif tag not in _VOID_TAGS and not self_closing:
+                stack.append(node)
+        elif end_name is not None:
+            tag = end_name.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        # comments / doctype / PI: skipped
+    return root
+
+
+def _unescape(s: str) -> str:
+    from html import unescape
+
+    return unescape(s)
 
 
 @dataclass

@@ -230,3 +230,25 @@ class TestStepPipeline:
         )
         assert flat.shape == (8, 8)
         assert int(flat.min()) >= 118 and int(flat.max()) <= 122
+
+
+class TestFastParserParity:
+    def test_fast_parser_matches_stdlib_on_fixture_corpus(self):
+        """The regex scanner and the stdlib HTMLParser builder must produce
+        identical extraction output — the scanner is the hot path, the stdlib
+        DOM is the reference."""
+        from studiocr_ray.fixtures import generate_pages
+        from studiocr_ray.functions import html_extract as he
+
+        t = generate_pages(80, seed=23)
+        orig = he.parse_html
+        try:
+            fast = [he.extract_content(h) for h in t.column("html").to_pylist()]
+            he.parse_html = he.parse_html_stdlib
+            std = [he.extract_content(h) for h in t.column("html").to_pylist()]
+        finally:
+            he.parse_html = orig
+        for a, b in zip(fast, std):
+            assert a.main_text == b.main_text
+            assert a.raster_payloads == b.raster_payloads
+            assert a.total_chars == b.total_chars
