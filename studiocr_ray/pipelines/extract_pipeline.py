@@ -61,9 +61,12 @@ def build_extracted(
     concurrency=None,
     batch_size: int = 128,
     metrics_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Build the lazy EXTRACTED dataset (no writes)."""
     import ray
+
+    from ..sources.pages import read_pages
 
     cfg = cfg or ExtractConfig()
     ncpu = int(
@@ -73,10 +76,12 @@ def build_extracted(
     )
     # Read into ~3 blocks per core (see _read_num_blocks): Ray's default
     # read splits to ≥200 blocks regardless of size, and the downstream
-    # all-to-all's cost grows with block-count², not bytes.
-    ds = rd.read_parquet(
+    # all-to-all's cost grows with block-count², not bytes. Malformed rows
+    # (null/bad url, null html/warc_ts) go to the quarantine sink (S3
+    # input-gatekeeping analogue, SURVEY.md §2.1).
+    ds = read_pages(
         input_path,
-        columns=INPUT_COLUMNS,
+        quarantine_dir=quarantine_dir,
         override_num_blocks=_read_num_blocks(input_path, ncpu),
     )
     ds = ds.map_batches(
@@ -251,6 +256,7 @@ def run_extract(
         concurrency=concurrency,
         batch_size=batch_size,
         metrics_dir=sidecar_dir,
+        quarantine_dir=os.path.join(out_dir, "quarantine"),
     )
     ds.write_parquet(staging, partition_cols=["part"])
     t_write = time.perf_counter()

@@ -1,0 +1,98 @@
+"""pages_in source: column-pruned read + input validation + quarantine.
+
+The reference gatekeeps its inputs in the GUI — only ``.jpg/.jpeg/.png/.pdf``
+files are accepted and duplicates are skipped (``insert_files``,
+/root/reference/StudiOCR/EditDocWindow.py:463-486, SURVEY.md S3).  The
+engine-side analogue over a pages table is a vectorized validity predicate in
+the first ``map_batches`` after the read, with malformed rows routed to a
+quarantine sink instead of silently dropped — at 10^12 rows "some rows are
+garbage" is a certainty, and a quarantine table keeps the job auditable
+without failing it (same philosophy as ExtractAssemble's poison-row columns,
+SURVEY.md §4 stragglers row).
+
+Validity rules (vectorized, pyarrow.compute):
+* ``url`` non-null, non-empty, parses with a scheme (``http://``/``https://``);
+* ``html`` non-null;
+* ``warc_ts`` non-null (it is the dedup tiebreak-of-record).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+_SCHEME_RE = r"^https?://."
+
+
+def valid_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    url = batch.column("url")
+    ok = pc.and_(pc.is_valid(url), pc.match_substring_regex(
+        url.cast(pa.string()), _SCHEME_RE))
+    ok = pc.fill_null(ok, False)
+    ok = pc.and_(ok, pc.is_valid(batch.column("html")))
+    ok = pc.and_(ok, pc.is_valid(batch.column("warc_ts")))
+    return ok
+
+
+def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(valid_rows, quarantined_rows_with_reason)."""
+    mask = valid_mask(batch)
+    good = batch.filter(mask)
+    bad = batch.filter(pc.invert(mask))
+    if bad.num_rows:
+        url = bad.column("url")
+        reason = pc.if_else(
+            pc.invert(pc.fill_null(pc.and_(
+                pc.is_valid(url),
+                pc.match_substring_regex(url.cast(pa.string()), _SCHEME_RE)), False)),
+            pa.scalar("bad_url"),
+            pc.if_else(pc.is_null(bad.column("html")), pa.scalar("null_html"),
+                       pa.scalar("null_warc_ts")),
+        )
+        bad = bad.append_column("reason", reason)
+    else:
+        bad = bad.append_column("reason", pa.array([], pa.string()))
+    return good, bad
+
+
+def read_pages(
+    input_path: str,
+    quarantine_dir: str | None = None,
+    override_num_blocks: int | None = None,
+):
+    """Validated pages dataset. Malformed rows are written to
+    ``quarantine_dir`` (one parquet per offending batch, keyed by
+    task/batch uuid — append-only, never read back by the pipeline) and
+    dropped from the returned stream."""
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS, **kw)
+
+    if quarantine_dir is None:
+        return ds.map_batches(
+            lambda b: b.filter(valid_mask(b)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    os.makedirs(quarantine_dir, exist_ok=True)
+
+    def validate(batch: pa.Table) -> pa.Table:
+        good, bad = split_valid(batch)
+        if bad.num_rows:
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            name = f"quarantine-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(quarantine_dir, f".{name}.tmp")
+            pq.write_table(bad, tmp)
+            os.replace(tmp, os.path.join(quarantine_dir, name))
+        return good
+
+    return ds.map_batches(validate, batch_format="pyarrow", zero_copy_batch=True)

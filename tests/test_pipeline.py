@@ -185,3 +185,44 @@ class TestMaintenance:
         # resume still sees every partition complete (no recompute)
         s = run_extract(pages_dir, out, num_partitions=8)
         assert s["parts_skipped"] == 8
+
+
+class TestQuarantine:
+    def test_malformed_rows_quarantined(self, ray_session, tmp_path, pages_table):
+        """S3 analogue (/root/reference/StudiOCR/EditDocWindow.py:463-486):
+        invalid rows are routed to a quarantine sink, not dropped silently,
+        and never fail the job."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        good = pages_table.slice(0, 20)
+        bad = pa.table(
+            {
+                "url": pa.array([None, "", "ftp://x/1", "https://ok.example/1"],
+                                pa.string()),
+                "warc_ts": pa.array(
+                    [good.column("warc_ts")[0].as_py()] * 3 + [None],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([b"<p>x</p>"] * 4, pa.binary()),
+                "text": pa.array(["", "", "", ""], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+            }
+        )
+        ind = tmp_path / "in"
+        ind.mkdir()
+        pq.write_table(pa.concat_tables([good, bad.cast(good.schema)]),
+                       str(ind / "p.parquet"))
+        out = str(tmp_path / "out")
+        s = run_extract(str(ind), out, num_partitions=4)
+        n_unique_good = len(set(good.column("url").to_pylist()))
+        assert s["docs"] == n_unique_good  # all 4 bad rows gone from output
+        qfiles = glob.glob(out + "/quarantine/*.parquet")
+        assert qfiles
+        q = pa.concat_tables([pq.read_table(f) for f in qfiles])
+        assert q.num_rows == 4
+        assert sorted(set(q.column("reason").to_pylist())) == [
+            "bad_url", "null_warc_ts"
+        ]
