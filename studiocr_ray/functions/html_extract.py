@@ -58,12 +58,19 @@ MAX_LINK_DENSITY = 0.33
 MIN_TEXT_LEN = 25
 
 
-@dataclass
+_EMPTY_ATTRS: dict = {}  # shared read-only default; never mutated after parse
+
+
 class _Node:
-    tag: str  # "" for text nodes
-    text: str = ""
-    attrs: dict = field(default_factory=dict)
-    children: list = field(default_factory=list)
+    """Lightweight DOM node; ``tag == ""`` marks a text node."""
+
+    __slots__ = ("tag", "text", "attrs", "children")
+
+    def __init__(self, tag: str, text: str = "", attrs: dict | None = None):
+        self.tag = tag
+        self.text = text
+        self.attrs = _EMPTY_ATTRS if attrs is None else attrs
+        self.children: list = []
 
 
 class _DomBuilder(HTMLParser):
@@ -153,11 +160,11 @@ def parse_html(html: bytes | str) -> _Node:
         end_name, start_name, attr_blob = m.group(1), m.group(2), m.group(3)
         if start_name is not None:
             tag = start_name.lower()
-            attrs = {}
+            attrs = None
             if tag == "img" and attr_blob:
                 sm = _SRC_RE.search(attr_blob)
                 if sm:
-                    attrs["src"] = sm.group(2) or sm.group(3) or sm.group(4) or ""
+                    attrs = {"src": sm.group(2) or sm.group(3) or sm.group(4) or ""}
             node = _Node(tag, attrs=attrs)
             stack[-1].children.append(node)
             self_closing = attr_blob.rstrip().endswith("/") if attr_blob else False
@@ -295,18 +302,25 @@ def layout_tokens(text: str) -> dict[str, list]:
     conf is a deterministic function of the token so confidence-bucket
     semantics (/root/reference/StudiOCR/DocWindow.py:221-227) are exercised.
     """
-    cols: dict[str, list] = {k: [] for k in ("left", "top", "width", "height", "conf", "text")}
+    toks = text.split()
+    lens = [len(t) for t in toks]  # split() tokens are never empty
+    widths = [l * _CHAR_W for l in lens]
+    left: list[int] = []
+    top: list[int] = []
+    la, ta = left.append, top.append
     x = y = 0
-    for tok in text.split():
-        w = max(1, len(tok)) * _CHAR_W
+    for w in widths:
         if x + w > _MAX_W and x > 0:
             x = 0
             y += _LINE_H
-        cols["left"].append(x)
-        cols["top"].append(y)
-        cols["width"].append(w)
-        cols["height"].append(_TOK_H)
-        cols["conf"].append(88 + (len(tok) % 12))
-        cols["text"].append(tok)
+        la(x)
+        ta(y)
         x += w + _CHAR_W
-    return cols
+    return {
+        "left": left,
+        "top": top,
+        "width": widths,
+        "height": [_TOK_H] * len(toks),
+        "conf": [88 + (l % 12) for l in lens],
+        "text": toks,
+    }

@@ -39,9 +39,13 @@ def build_page_stats(tokens: dict[str, list]) -> dict:
     """
     texts_all = tokens["text"]
     confs_all = tokens["conf"]
-    keep = [keep_token(t) for t in texts_all]
-    texts_f = [t for t, k in zip(texts_all, keep) if k]
-    confs_f = [int(c) for c, k in zip(confs_all, keep) if k]
+    texts_f: list[str] = []
+    confs_f: list[int] = []
+    ta, ca = texts_f.append, confs_f.append
+    for t, c in zip(texts_all, confs_all):
+        if not t.isspace():  # keep_token inlined (keeps '', quirk preserved)
+            ta(t)
+            ca(int(c))
 
     text_counter = Counter(texts_f)
     texts_sorted = sorted(text_counter)
