@@ -38,7 +38,7 @@ def _extraction(sf_dir: str) -> tuple[str, str]:
     from studiocr_ray.pipelines.index_pipeline import run_index
 
     cfg = ExtractConfig()
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v1".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v2".encode()).hexdigest()[:16]
     root = os.path.join(_CACHE_ROOT, key)
     pages = os.path.join(root, "pages_in")
     out = os.path.join(root, "out")
@@ -226,6 +226,22 @@ def _q_events_daily(sf_dir: str):
     )
 
 
+def _q_topk_terms(sf_dir: str):
+    from studiocr_ray.datapipe.relational import topk_terms
+
+    return topk_terms(_docs(sf_dir), k=20)
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    return sessionize(events, gap_seconds=1800)
+
+
 def _q_extract_docs(sf_dir: str):
     from studiocr_ray.pipelines.extract_pipeline import docs_dataset
 
@@ -373,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_priority": _q_orders_by_priority,
         "orders_per_nation": _q_orders_per_nation,
         "events_daily": _q_events_daily,
+        "topk_terms": _q_topk_terms,
+        "sessionize": _q_sessionize,
         # the flagship extraction pipeline (SURVEY §3.1) + index + search
         "extract_docs": _q_extract_docs,
         "extract_index": _q_extract_index,
@@ -504,6 +522,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) AS n_event_types,
                    count(*) AS n_events
             FROM events GROUP BY user_id, day
+        """,
+        "topk_terms": f"""
+            SELECT term, cnt FROM (
+              SELECT term, count(*) AS cnt FROM (
+                SELECT unnest({toks.format(src='lower(text)')}) AS term
+                FROM documents
+              ) GROUP BY term
+            ) ORDER BY cnt DESC, term LIMIT 20
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) - 1
+                        AS BIGINT) AS session_idx
+            FROM o
         """,
         "extract_docs": """
             SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,

@@ -258,3 +258,88 @@ def events_daily(ds):
         Count("event_type", alias_name="n_event_types"),
         Sum("n", alias_name="n_events"),
     )
+
+
+def topk_terms(ds, k: int = 20, text_col: str = "text"):
+    """Top-k most frequent lowered terms (cnt desc, term asc tiebreak) —
+    the streaming top-k-frequent-terms query shape; exact here via the
+    word_count partial+final aggregation, then a tiny driver-side top-k
+    (the aggregate output is vocabulary-sized, not corpus-sized)."""
+    import pyarrow.compute as pc
+
+    t = word_count(ds, text_col=text_col).to_pandas()
+    t = t.sort_values(["cnt", "term"], ascending=[False, True], kind="mergesort")
+    return pa.Table.from_pandas(t.head(k).reset_index(drop=True))
+
+
+def sessionize(ds, gap_seconds: int = 1800, num_buckets: int | None = None):
+    """Gap-based session windows over the events table: per user, events
+    sorted by (ts, event_id) belong to one session until a gap >
+    ``gap_seconds`` opens a new one. Returns (event_id, user_id,
+    session_idx) — session_idx is 0-based per user.
+
+    The streaming-window analogue the reference lacks (SURVEY.md §2.10): the
+    exchange is a user-hash bucket groupby (B groups, vectorized numpy inside
+    — user-count-independent Python overhead, same bucketing pattern as the
+    index merge); event-time ordering is restored per bucket, so late
+    arrivals are handled by the sort, not a watermark."""
+    import zlib
+
+    import numpy as np
+
+    if num_buckets is None:
+        import os as _os
+
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8)) \
+            if _ray.is_initialized() else (_os.cpu_count() or 8)
+        num_buckets = max(16, ncpu * 2)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(str(u).encode()) % num_buckets
+             for u in batch.column("user_id").to_pylist()),
+            dtype=np.int32, count=batch.num_rows,
+        )
+        return batch.select(["event_id", "user_id", "ts"]).append_column(
+            "bucket", pa.array(b, pa.int32())
+        )
+
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = group.column("user_id").combine_chunks()
+        d = pc.dictionary_encode(uid)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        user_change = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        gap_us = gap_seconds * 1_000_000
+        gap_break = np.concatenate(([False], (ts_s[1:] - ts_s[:-1]) > gap_us))
+        new_session = user_change | gap_break
+        # session ordinal within user: cumsum of new_session minus the
+        # cumulative count at each user's first row
+        cum = np.cumsum(new_session)
+        first_of_user = np.where(user_change)[0]
+        base = np.zeros(len(cum), dtype=np.int64)
+        base[first_of_user] = cum[first_of_user]
+        base = np.maximum.accumulate(base)
+        session_idx = cum - base
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": uid.take(pa.array(order)),
+                "session_idx": pa.array(session_idx, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_sessions, batch_format="pyarrow")
+    )

@@ -65,15 +65,31 @@ PRESETS: dict[str, ExtractConfig] = {
 }
 
 
-def extract_document(url: str, html: bytes, cfg: ExtractConfig, engine: RasterEngine) -> dict:
+def extract_document(
+    url: str,
+    html: bytes,
+    cfg: ExtractConfig,
+    engine: RasterEngine,
+    include_stats: bool = False,
+) -> dict:
     """Extract one document. Returns the nested doc row (plain python).
 
     Shape::
 
         url, n_pages, n_blocks, mean_conf, boilerplate_ratio, extracted_text,
         pages: [ {page, blocks: [{block, left, top, width, height, conf, text}],
-                  stats: page_stats struct} ]
-    """
+                  dropped: [{pos, text}]} ]
+
+    ``dropped`` records the whitespace-only tokens the non-space filter
+    removed, with their positions in the page's unfiltered token sequence —
+    the minimal extra state that makes the per-page OcrPageData statistics
+    (including the G3 char-stats-over-UNFILTERED-tokens asymmetry) exactly
+    derivable from the stored row (``page_stats.stats_from_page``). Stats are
+    therefore NOT stored (they were ~25% of the output bytes moving through
+    the url-hash exchange) — consumers derive them on read. With
+    ``include_stats=True`` (the sequential oracle) each page also carries
+    ``stats`` computed directly from the raw token arrays, so golden tests
+    prove the derive path is exact."""
     content = extract_content(html)
 
     raw_pages: list[dict[str, list]] = [layout_tokens(content.main_text)]
@@ -95,9 +111,11 @@ def extract_document(url: str, html: bytes, cfg: ExtractConfig, engine: RasterEn
     for page_no, tokens in enumerate(raw_pages):
         blocks = []
         texts = []
+        dropped = []
         b = 0
         for i, text in enumerate(tokens["text"]):
             if not keep_token(text):
+                dropped.append({"pos": i, "text": text})
                 continue
             conf = int(tokens["conf"][i])
             blocks.append(
@@ -116,9 +134,10 @@ def extract_document(url: str, html: bytes, cfg: ExtractConfig, engine: RasterEn
             b += 1
         n_blocks += b
         page_texts.append(" ".join(texts))
-        pages.append(
-            {"page": page_no, "blocks": blocks, "stats": build_page_stats(tokens)}
-        )
+        page = {"page": page_no, "blocks": blocks, "dropped": dropped}
+        if include_stats:
+            page["stats"] = build_page_stats(tokens)
+        pages.append(page)
 
     text = "\n".join(page_texts)
     return {

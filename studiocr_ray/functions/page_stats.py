@@ -75,3 +75,36 @@ def build_page_stats(tokens: dict[str, list]) -> dict:
         "conf_by_text": conf_map,
         "char_hist": hist,
     }
+
+
+def page_tokens(page: dict) -> dict[str, list]:
+    """Reconstruct the page's UNFILTERED (text, conf) parallel arrays from a
+    stored page row (blocks + dropped) — the inverse of the non-space filter.
+    Dropped tokens' conf is irrelevant (the filter removes them from every
+    conf-consuming statistic) and set to 0."""
+    blocks = page["blocks"]
+    dropped = page.get("dropped") or []
+    drop_map = {d["pos"]: d["text"] for d in dropped}
+    n = len(blocks) + len(dropped)
+    texts: list[str] = []
+    confs: list[int] = []
+    bi = 0
+    for pos in range(n):
+        t = drop_map.get(pos)
+        if t is not None:
+            texts.append(t)
+            confs.append(0)
+        else:
+            blk = blocks[bi]
+            texts.append(blk["text"])
+            confs.append(blk["conf"])
+            bi += 1
+    return {"text": texts, "conf": confs}
+
+
+def stats_from_page(page: dict) -> dict:
+    """Derive the OcrPageData-equivalent stats for a stored page row —
+    byte-equal to computing them from the original token arrays (proved by
+    test_page_stats_match_oracle: the oracle computes directly, the pipeline
+    through this path)."""
+    return build_page_stats(page_tokens(page))

@@ -46,7 +46,10 @@ def oracle_extract(pages: pa.Table, cfg: ExtractConfig | None = None) -> list[di
     out = []
     for url in sorted(best):
         _, i = best[url]
-        row = extract_document(url, htmls[i], cfg, engine)
+        # include_stats=True: the oracle computes page stats directly from
+        # the raw token arrays; the pipeline derives them from blocks+dropped
+        # — their equality is the reconstruction proof (see document.py).
+        row = extract_document(url, htmls[i], cfg, engine, include_stats=True)
         row["warc_ts"] = tss[i]
         row["lang"] = langs[i]
         out.append(row)

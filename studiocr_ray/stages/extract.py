@@ -273,7 +273,10 @@ def explode_blocks(batch: pa.Table) -> pa.Table:
 
 
 def explode_page_stats(batch: pa.Table) -> pa.Table:
-    """Nested EXTRACTED rows → flat (url, page, stats) rows."""
+    """Nested EXTRACTED rows → flat (url, page, stats) rows; stats are
+    DERIVED from the stored blocks+dropped (page_stats.stats_from_page) —
+    they are not persisted (schema.py PAGE_STRUCT note)."""
+    from ..functions.page_stats import stats_from_page
     from ..schema import PAGE_STATS_STRUCT
 
     urls_out, pages_out, stats_out = [], [], []
@@ -283,7 +286,7 @@ def explode_page_stats(batch: pa.Table) -> pa.Table:
         for p in pages:
             urls_out.append(url)
             pages_out.append(p["page"])
-            stats_out.append(p["stats"])
+            stats_out.append(stats_from_page(p))
     return pa.table(
         {
             "url": pa.array(urls_out, pa.string()),

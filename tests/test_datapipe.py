@@ -300,3 +300,80 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             RealMediaDecoder().decode(b"x", "image")
+
+
+class TestWindows:
+    def test_sessionize_gap_semantics(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import sessionize
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [
+            # user A: two sessions (gap 3600 > 1800)
+            (1, "A", base),
+            (2, "A", base + pd.Timedelta(seconds=100)),
+            (3, "A", base + pd.Timedelta(seconds=100 + 3600)),
+            # user B: one session, out-of-order arrival (sorted by ts inside)
+            (5, "B", base + pd.Timedelta(seconds=50)),
+            (4, "B", base),
+            # tie on ts: event_id breaks it deterministically
+            (7, "C", base),
+            (6, "C", base),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+        out = sessionize(rd.from_arrow(t), gap_seconds=1800).to_pandas()
+        got = {r.event_id: r.session_idx for r in out.itertuples()}
+        assert got == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0}
+
+    def test_sessionize_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import sessionize
+
+        sf = "/root/testdata/sf0.001"
+        events = rd.read_parquet(f"{sf}/events.parquet",
+                                 columns=["event_id", "user_id", "ts"])
+        got = sessionize(events, gap_seconds=1800).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM read_parquet('{sf}/events.parquet')
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) - 1
+                        AS BIGINT) AS session_idx
+            FROM o ORDER BY event_id
+        """).df().reset_index(drop=True)
+        assert got["session_idx"].tolist() == want["session_idx"].tolist()
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+
+    def test_topk_terms(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import topk_terms, word_count
+
+        docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        top = topk_terms(docs, k=5).to_pandas()
+        assert len(top) == 5
+        full = word_count(rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet")).to_pandas()
+        best = full.sort_values(["cnt", "term"], ascending=[False, True]).head(5)
+        assert top["term"].tolist() == best["term"].tolist()
+        assert (top["cnt"].values == best["cnt"].values).all()
