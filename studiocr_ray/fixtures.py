@@ -291,7 +291,24 @@ def bench_pages(sf_dir: str, out_dir: str, replicas: int = 3, n_files: int = 16)
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    # Accumulate per output file (round-robin), so no single Arrow binary
+    # array approaches the 2 GiB int32-offset limit at large replica counts.
+    buckets = [
+        {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        for _ in range(n_files)
+    ]
+    row_no = 0
+
+    def emit(url, ts, html_b, lang):
+        nonlocal row_no
+        b = buckets[row_no % n_files]
+        b["url"].append(url)
+        b["warc_ts"].append(ts)
+        b["html"].append(html_b)
+        b["text"].append("")
+        b["lang"].append(lang)
+        row_no += 1
+
     doc_ids = docs.column("doc_id").to_pylist()
     doc_texts = docs.column("text").to_pylist()
     doc_langs = docs.column("lang").to_pylist()
@@ -321,28 +338,23 @@ def bench_pages(sf_dir: str, out_dir: str, replicas: int = 3, n_files: int = 16)
                 f"<aside>{_link_farm(rng, rng.randrange(3, 8))}</aside>"
                 f"<footer>{footer}</footer></body></html>"
             )
-            urls.append(f"https://bench{rep}.example/{doc_id}")
-            tss.append(EPOCH + timedelta(seconds=rep * 1_000_000 + doc_id))
-            htmls.append(page.encode("utf-8"))
-            texts.append("")
-            langs.append(lang)
+            url = f"https://bench{rep}.example/{doc_id}"
+            ts = EPOCH + timedelta(seconds=rep * 1_000_000 + doc_id)
+            html_b = page.encode("utf-8")
+            emit(url, ts, html_b, lang)
             if rng.random() < 0.02:
-                urls.append(urls[-1])
-                tss.append(tss[-1] + timedelta(days=30))
-                htmls.append(htmls[-1])
-                texts.append("")
-                langs.append(lang)
-    t = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
-    )
+                emit(url, ts + timedelta(days=30), html_b, lang)
     os.makedirs(out_dir, exist_ok=True)
     for f in range(n_files):
-        idx = list(range(f, t.num_rows, n_files))
-        pq.write_table(t.take(idx), os.path.join(out_dir, f"part-{f:04d}.parquet"))
+        b = buckets[f]
+        t = pa.table(
+            {
+                "url": pa.array(b["url"], pa.string()),
+                "warc_ts": pa.array(b["warc_ts"], pa.timestamp("us")),
+                "html": pa.array(b["html"], pa.binary()),
+                "text": pa.array(b["text"], pa.string()),
+                "lang": pa.array(b["lang"], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(out_dir, f"part-{f:04d}.parquet"))
     return out_dir
