@@ -71,8 +71,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from studiocr_ray.datapipe.embed import ann_topk_brute
     from studiocr_ray.datapipe.relational import word_count
     from studiocr_ray.pipelines.extract_pipeline import run_extract
-    from studiocr_ray.pipelines.index_pipeline import index_dataset, run_index
-    from studiocr_ray.search import search_corpus
+    from studiocr_ray.pipelines.index_pipeline import run_index
+    from studiocr_ray.search import search_corpus_indexed
 
     pages = _bench_input(sf_dir)
     # warm OS page cache (untimed) so we measure compute+shuffle, not cold disk
@@ -107,9 +107,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["index"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    idx = index_dataset(os.path.join(out, "index"))
+    idx_dir = os.path.join(out, "index")
     for q in ("table hash", "corn", "spark"):
-        search_corpus(idx, q)
+        search_corpus_indexed(idx_dir, q)
     timings["search"] = time.perf_counter() - t0
 
     docs_ds = rd.read_parquet(f"{sf_dir}/documents.parquet")

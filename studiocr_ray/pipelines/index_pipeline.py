@@ -258,7 +258,10 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
     index_dir = index_dir or os.path.join(out_dir, "index")
     ds = read_extracted(out_dir, columns=["url", "pages"])
     idx = build_index_dataset(ds, max_postings=max_postings).sort("term")
-    idx.write_parquet(index_dir)
+    # Small row groups on the term-sorted layout: tight term min/max stats
+    # per group let search_corpus_indexed's `term isin` filter skip all
+    # non-matching groups (row-group-granular pushdown).
+    idx.write_parquet(index_dir, row_group_size=2048)
     import pyarrow.parquet as pq
 
     n_terms = sum(

@@ -75,6 +75,56 @@ def search_corpus(
     return pa.table({"url": pa.array(urls, pa.string())})
 
 
+def search_corpus_indexed(
+    index_dir: str,
+    query: str,
+    fuzzy: bool = False,
+    tol: int | float = 2,
+) -> pa.Table:
+    """Two-phase search against the term-SORTED on-disk index — the payoff of
+    ``run_index``'s ``sort("term")`` (SURVEY.md §7.3 "term-ordered files →
+    pushdown lookups"):
+
+    1. scan only the ``term`` column (the dictionary — tiny next to the
+       postings) to resolve the substring/fuzzy predicate to exact terms;
+    2. re-read with a ``term isin matched`` pyarrow filter — term-sorted row
+       groups give tight min/max statistics, so parquet reads only the row
+       groups containing matches instead of the whole postings column.
+
+    Matches ``search_corpus`` row-for-row (asserted in tests); empty query ⇒
+    all urls (ListDocuments.py:210-212)."""
+    import ray.data as rd
+
+    words = query.lower().split()
+    terms_ds = rd.read_parquet(index_dir, columns=["term"])
+    if words:
+        mdf = terms_ds.map_batches(
+            lambda b: _match_terms_batch(b, words, fuzzy, tol),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        matched = mdf["term"].tolist() if "term" in mdf.columns else []
+        if not matched:
+            return pa.table({"url": pa.array([], pa.string())})
+        import pyarrow.dataset as pads
+
+        posts = rd.read_parquet(
+            index_dir,
+            columns=["postings"],
+            filter=pads.field("term").isin(matched),
+        )
+    else:
+        posts = rd.read_parquet(index_dir, columns=["postings"])
+
+    def urls_of(batch: pa.Table) -> pa.Table:
+        flat = batch.column("postings").combine_chunks().flatten()
+        return pa.table({"url": pc.unique(flat.field("url"))})
+
+    ds = posts.map_batches(urls_of, batch_format="pyarrow")
+    urls = sorted(set(ds.unique("url") or []))
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
 def search_doc_names(docs_ds, query: str) -> pa.Table:
     """DOC-mode search: case-insensitive substring on url
     (ListDocuments.py:203-205). Returns sorted urls."""

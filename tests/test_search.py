@@ -171,3 +171,19 @@ class TestInDocumentSearch:
         url = self._pick_url(oracle_blocks)
         res = search_in_document(doc_blocks(out, url), "")
         assert res["pages"] == {} and res["first_match_page"] is None
+
+
+class TestIndexedSearch:
+    def test_matches_full_scan_path(self, ray_session, corpus):
+        """search_corpus_indexed (term-dictionary scan + row-group-pruned
+        postings read) must equal search_corpus (full scan) for every mode."""
+        from studiocr_ray.pipelines.index_pipeline import index_dataset
+        from studiocr_ray.search import search_corpus, search_corpus_indexed
+
+        out, idx_dir = corpus
+        ds = index_dataset(idx_dir)
+        for q, fz in [("corn", False), ("table hash", False), ("", False),
+                      ("tabl", True), ("zzz-no-such-term", False)]:
+            a = search_corpus(ds, q, fuzzy=fz, tol=1)["url"].to_pylist()
+            b = search_corpus_indexed(idx_dir, q, fuzzy=fz, tol=1)["url"].to_pylist()
+            assert a == b, (q, fz)
