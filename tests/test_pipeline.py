@@ -226,3 +226,19 @@ class TestQuarantine:
         assert sorted(set(q.column("reason").to_pylist())) == [
             "bad_url", "null_warc_ts"
         ]
+
+
+class TestDedupModes:
+    def test_pre_and_post_exchange_identical(self, ray_session, pages_dir, tmp_path):
+        """dedup="pre" (url-hash exchange of raw input before extraction) and
+        the default dedup="post" (exchange of extracted rows) must produce
+        identical output — same keep-first (warc_ts, sha1(html)) winner rule
+        on both sides of the extract stage."""
+        a = str(tmp_path / "pre")
+        b = str(tmp_path / "post")
+        run_extract(pages_dir, a, num_partitions=8, dedup="pre")
+        run_extract(pages_dir, b, num_partitions=8, dedup="post")
+        da = _sorted_pdf(docs_dataset(a), ["url"])
+        db = _sorted_pdf(docs_dataset(b), ["url"])
+        pd.testing.assert_frame_equal(da, db)
+        assert corpus_metrics(a)["blocks"] == corpus_metrics(b)["blocks"]
