@@ -281,6 +281,7 @@ def run_extract(
         blocks = int(st.get("blocks", 0))
         chars = int(st.get("chars", 0))
         errors = int(st.get("errors", 0))
+        duplicates = int(st.get("duplicates", 0))
         conf_sum = float(st.get("conf_sum", 0.0))
         bp_sum = float(st.get("bp_sum", 0.0))
         if os.path.isdir(src):
@@ -304,6 +305,7 @@ def run_extract(
                     "blocks": blocks,
                     "chars": chars,
                     "errors": errors,
+                    "duplicates": duplicates,
                     "mean_conf": (conf_sum / rows) if rows else 0.0,
                     "mean_boilerplate_ratio": (bp_sum / rows) if rows else 0.0,
                     "chars_per_doc": (chars / rows) if rows else 0.0,
@@ -429,6 +431,7 @@ def delete_docs(out_dir: str, urls: list[str]) -> int:
                 "blocks": int(blocks),
                 "chars": int(chars),
                 "errors": int(errors),
+                "duplicates": m["metrics"].get("duplicates", 0),
                 "mean_conf": (conf / rows) if rows else 0.0,
                 "mean_boilerplate_ratio": (bp / rows) if rows else 0.0,
                 "chars_per_doc": (chars / rows) if rows else 0.0,
@@ -493,4 +496,8 @@ def corpus_metrics(out_dir: str) -> dict:
         "mean_conf": conf / docs if docs else 0.0,
         "mean_boilerplate_ratio": bp / docs if docs else 0.0,
         "errors": sum(m["metrics"]["errors"] for m in ms),
+        # duplicate-url rows dropped by keep-first (J3/D2 collision metric);
+        # recorded by the post-extract dedup sidecars — 0 under dedup="pre"
+        # (dropped before the metrics point) or dedup=False.
+        "duplicates": sum(m["metrics"].get("duplicates", 0) for m in ms),
     }

@@ -17,10 +17,11 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.document import ExtractConfig, extract_document
+from ..functions.document import ExtractConfig, extract_document  # noqa: F401 — oracle parity reference
+from ..functions.html_extract import extract_content, layout_tokens
 from ..functions.raster import make_engine
 from ..oracle import dedup_key
-from ..schema import EXTRACTED
+from ..schema import BLOCK_STRUCT, DROPPED_STRUCT, EXTRACTED, PAGE_STRUCT
 
 
 def url_part(url: str, num_partitions: int) -> int:
@@ -163,6 +164,10 @@ def dedup_extracted_group(group: pa.Table, metrics_dir: str | None = None) -> pa
             "errors": t.num_rows - t.column("error").null_count,
             "conf_sum": float(pc.sum(t.column("mean_conf")).as_py() or 0.0),
             "bp_sum": float(pc.sum(t.column("boilerplate_ratio")).as_py() or 0.0),
+            # J3/D2 collision metric (SURVEY): duplicate-url rows dropped by
+            # keep-first, recorded instead of mutating the key
+            # (/root/reference/StudiOCR/OcrEngine.py:112-118 semantics).
+            "duplicates": group.num_rows - t.num_rows,
         }
         os.makedirs(metrics_dir, exist_ok=True)
         path = os.path.join(metrics_dir, f"part-{int(part)}.json")
@@ -220,38 +225,173 @@ class ExtractAssemble:
             self.schema = EXTRACTED.append(pa.field("dedup_sha", pa.binary()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Columnar assembly: extraction appends into flat per-level python
+        lists (block / dropped / page / doc) and the nested Arrow arrays are
+        built ONCE per batch from those lists + offset arrays — no per-row
+        dicts, no ``from_pylist`` of nested rows, and the pass-through columns
+        (url, warc_ts, lang, part) are reused zero-copy from the input batch.
+        Extraction semantics are THE ones defined by
+        ``functions.document.extract_document`` (the sequential oracle);
+        byte-identity between the two paths is asserted by the golden tests.
+        """
         import hashlib
 
-        urls = batch.column("url").to_pylist()
-        tss = batch.column("warc_ts").to_pylist()
         htmls = batch.column("html").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        has_part = "part" in batch.column_names
-        parts = batch.column("part").to_pylist() if has_part else None
-        rows = []
-        for i, url in enumerate(urls):
+        cfg, engine = self.cfg, self.engine
+
+        # doc level
+        n_pages_a: list[int] = []
+        n_blocks_a: list[int] = []
+        mean_conf_a: list[float] = []
+        bp_a: list[float] = []
+        n_chars_a: list[int] = []
+        text_a: list[str] = []
+        err_a: list[str | None] = []
+        doc_off = [0]
+        # page level
+        page_no_a: list[int] = []
+        blk_off = [0]
+        drop_off = [0]
+        # block level (flat across the batch)
+        b_id: list[int] = []
+        b_left: list[int] = []
+        b_top: list[int] = []
+        b_w: list[int] = []
+        b_h: list[int] = []
+        b_conf: list[int] = []
+        b_text: list[str] = []
+        # dropped level (flat)
+        d_pos: list[int] = []
+        d_text: list[str] = []
+
+        for html in htmls:
             try:
-                row = extract_document(url, htmls[i], self.cfg, self.engine)
-                row["error"] = None
+                content = extract_content(html)
+                raw_pages = [layout_tokens(content.main_text)]
+                for payload in content.raster_payloads:
+                    raw_pages.append(
+                        engine.process(
+                            payload,
+                            oem=cfg.oem,
+                            psm=cfg.psm,
+                            best=cfg.best,
+                            preprocessing=cfg.preprocessing,
+                        )
+                    )
+                for t in raw_pages:  # shape check before any accumulation
+                    if len(t["text"]) != len(t["conf"]):
+                        raise ValueError("engine output length mismatch")
             except Exception as e:  # quarantine, never fail the job
-                row = {
-                    "url": url,
-                    "n_pages": 0,
-                    "n_blocks": 0,
-                    "mean_conf": 0.0,
-                    "boilerplate_ratio": 0.0,
-                    "n_chars": 0,
-                    "extracted_text": "",
-                    "pages": [],
-                    "error": f"{type(e).__name__}: {e}",
-                }
-            row["warc_ts"] = tss[i]
-            row["lang"] = langs[i]
-            row["part"] = parts[i] if has_part else url_part(url, self.num_partitions)
-            if self.carry_dedup_sha:
-                row["dedup_sha"] = hashlib.sha1(htmls[i]).digest()
-            rows.append(row)
-        return pa.Table.from_pylist(rows, schema=self.schema)
+                n_pages_a.append(0)
+                n_blocks_a.append(0)
+                mean_conf_a.append(0.0)
+                bp_a.append(0.0)
+                n_chars_a.append(0)
+                text_a.append("")
+                err_a.append(f"{type(e).__name__}: {e}")
+                doc_off.append(len(page_no_a))
+                continue
+            page_texts: list[str] = []
+            doc_blocks = 0
+            conf_sum = 0
+            for page_no, tokens in enumerate(raw_pages):
+                texts = tokens["text"]
+                # The reference's non-space filter keeps ``not t.isspace()``
+                # ('' kept — /root/reference/StudiOCR/OcrEngine.py:130-135).
+                # layout_tokens (page 0) never emits whitespace-only tokens,
+                # so drops occur only on raster pages.
+                drops = [i for i, t in enumerate(texts) if t.isspace()]
+                if drops:
+                    for i in drops:
+                        d_pos.append(i)
+                        d_text.append(texts[i])
+                    keep = [i for i, t in enumerate(texts) if not t.isspace()]
+                    kept_texts = [texts[i] for i in keep]
+                    b_left.extend(tokens["left"][i] for i in keep)
+                    b_top.extend(tokens["top"][i] for i in keep)
+                    b_w.extend(tokens["width"][i] for i in keep)
+                    b_h.extend(tokens["height"][i] for i in keep)
+                    kept_confs = [int(tokens["conf"][i]) for i in keep]
+                else:
+                    kept_texts = texts
+                    b_left.extend(tokens["left"])
+                    b_top.extend(tokens["top"])
+                    b_w.extend(tokens["width"])
+                    b_h.extend(tokens["height"])
+                    kept_confs = [int(c) for c in tokens["conf"]]
+                nk = len(kept_texts)
+                b_id.extend(range(nk))
+                b_conf.extend(kept_confs)
+                b_text.extend(kept_texts)
+                conf_sum += sum(kept_confs)
+                doc_blocks += nk
+                page_texts.append(" ".join(kept_texts))
+                page_no_a.append(page_no)
+                blk_off.append(len(b_text))
+                drop_off.append(len(d_text))
+            doc_off.append(len(page_no_a))
+            text = "\n".join(page_texts)
+            n_pages_a.append(len(raw_pages))
+            n_blocks_a.append(doc_blocks)
+            mean_conf_a.append((conf_sum / doc_blocks) if doc_blocks else 0.0)
+            bp_a.append(content.boilerplate_ratio)
+            n_chars_a.append(len(text))
+            text_a.append(text)
+            err_a.append(None)
+
+        blocks_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(b_id, pa.int32()),
+                pa.array(b_left, pa.int32()),
+                pa.array(b_top, pa.int32()),
+                pa.array(b_w, pa.int32()),
+                pa.array(b_h, pa.int32()),
+                pa.array(b_conf, pa.int32()),
+                pa.array(b_text, pa.string()),
+            ],
+            fields=list(BLOCK_STRUCT),
+        )
+        dropped_struct = pa.StructArray.from_arrays(
+            [pa.array(d_pos, pa.int32()), pa.array(d_text, pa.string())],
+            fields=list(DROPPED_STRUCT),
+        )
+        page_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(page_no_a, pa.int32()),
+                pa.ListArray.from_arrays(pa.array(blk_off, pa.int32()), blocks_struct),
+                pa.ListArray.from_arrays(pa.array(drop_off, pa.int32()), dropped_struct),
+            ],
+            fields=list(PAGE_STRUCT),
+        )
+        pages_list = pa.ListArray.from_arrays(pa.array(doc_off, pa.int32()), page_struct)
+
+        if "part" in batch.column_names:
+            part_col = batch.column("part")
+        else:
+            part_col = pa.array(
+                [url_part(u, self.num_partitions)
+                 for u in batch.column("url").to_pylist()],
+                pa.int32(),
+            )
+        cols: dict = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "part": part_col,
+            "n_pages": pa.array(n_pages_a, pa.int32()),
+            "n_blocks": pa.array(n_blocks_a, pa.int64()),
+            "mean_conf": pa.array(mean_conf_a, pa.float64()),
+            "boilerplate_ratio": pa.array(bp_a, pa.float64()),
+            "n_chars": pa.array(n_chars_a, pa.int64()),
+            "extracted_text": pa.array(text_a, pa.string()),
+            "pages": pages_list.cast(self.schema.field("pages").type),
+            "error": pa.array(err_a, pa.string()),
+        }
+        if self.carry_dedup_sha:
+            cols["dedup_sha"] = pa.array(
+                [hashlib.sha1(h).digest() for h in htmls], pa.binary()
+            )
+        return pa.table(cols, schema=self.schema)
 
 
 def explode_blocks(batch: pa.Table) -> pa.Table:
