@@ -30,7 +30,11 @@ _MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _stable64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+    """Stable 64-bit token hash: first 8 bytes of md5, big-endian — chosen
+    over blake2b because DuckDB can compute the identical value
+    (``('0x' || substr(md5(s), 1, 16))::UBIGINT``), which lets the simhash
+    oracle recompute signatures in pure SQL."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def _shingles(text: str, mode: str, n: int) -> set[str]:
@@ -54,21 +58,46 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep-first exact dedup: hash-partition on content hash, keep the row
-    with the smallest id per hash. Returns the kept rows (all columns +
-    content_hash)."""
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
+    """Keep-first exact dedup: bucket by crc32(content_hash) % B so every
+    row of a given hash meets in one group, then ONE vectorized sort +
+    neighbor scan per bucket keeps the smallest-id row per hash.  B groups
+    total (not one Python call per distinct hash — the same trick as the
+    extract stage's part-grouped dedup).  Returns the kept rows (all columns
+    + content_hash)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
     ds = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        ids = group.column(id_col).to_pylist()
-        return group.slice(min(range(len(ids)), key=lambda i: ids[i]), 1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(h.encode()) % num_buckets
+             for h in batch.column("content_hash").to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return batch.append_column("hash_bucket", pa.array(b, pa.int32()))
 
-    return ds.groupby("content_hash").map_groups(keep_min, batch_format="pyarrow")
+    def keep_min_group(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("content_hash", "ascending"), (id_col, "ascending")]
+        )
+        h = t.column("content_hash").combine_chunks()
+        first = np.ones(len(h), dtype=bool)
+        if len(h) > 1:
+            first[1:] = pc.not_equal(
+                h.slice(1), h.slice(0, len(h) - 1)
+            ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(first)).drop_columns(["hash_bucket"])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "hash_bucket"
+    ).map_groups(keep_min_group, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -145,8 +174,18 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 def _bucket_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
     """Candidate pairs within one LSH bucket. Buckets larger than
     ``max_bucket`` are truncated (hot-bucket skew cap — a bucket that big is
-    one near-identical cluster; the survivors still chain it together)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))[:max_bucket]
+    one near-identical cluster; the survivors still chain it together).
+    Truncation is logged: it makes candidate recall corpus-dependent, which
+    matters when the result is compared against an exact all-pairs oracle."""
+    all_ids = sorted(set(group.column("doc_id").to_pylist()))
+    ids = all_ids[:max_bucket]
+    if len(all_ids) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket truncated: %d ids > max_bucket=%d (kept smallest)",
+            len(all_ids), max_bucket,
+        )
     a, b = [], []
     for x, y in itertools.combinations(ids, 2):
         a.append(x)
@@ -181,11 +220,88 @@ def minhash_candidates(
     return pairs
 
 
+def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
+    """Dataset-side distinct over (id_a, id_b): bucket by a pair hash so the
+    group count is B (vectorized per-bucket sort + neighbor scan), never one
+    Python call per pair and never a driver-side ``to_pandas`` — pairs stay
+    in the object store at crawl-scale dup rates."""
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(num_buckets)
+        return batch.append_column("pair_bucket", pa.array(h.astype(np.int32), pa.int32()))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(first)).drop_columns(["pair_bucket"])
+
+    return pairs_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "pair_bucket"
+    ).map_groups(uniq, batch_format="pyarrow")
+
+
+def _pair_id_set(pairs_ds) -> list[int]:
+    """Distinct doc ids involved in any candidate pair — tiny (8B/pair) rows,
+    unique'd per batch before the driver collects them."""
+    def ids_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pa.chunked_array(
+            [batch.column("id_a").combine_chunks(),
+             batch.column("id_b").combine_chunks()]
+        )
+        return pa.table({"doc_id": pc.unique(both)})
+
+    out: set[int] = set()
+    for b in pairs_ds.map_batches(ids_of, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(b.column("doc_id").to_pylist())
+    return sorted(out)
+
+
+class JaccardVerifier:
+    """Actor-pool pair verifier: exact Jaccard over shingle sets, texts of
+    candidate-involved docs broadcast ONCE via ``ray.put`` (fetched per
+    actor, zero-copy from the object store), shingle sets cached per actor."""
+
+    def __init__(self, texts_ref, shingle: str, n: int):
+        import ray
+
+        self.id_to_text: dict[int, str] = ray.get(texts_ref)
+        self.shingle = shingle
+        self.n = n
+        self._cache: dict[int, set] = {}
+
+    def _sh(self, i: int) -> set:
+        s = self._cache.get(i)
+        if s is None:
+            s = _shingles(self.id_to_text[i], self.shingle, self.n)
+            self._cache[i] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ja = []
+        for a, b in zip(
+            batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()
+        ):
+            sa, sb = self._sh(a), self._sh(b)
+            u = len(sa | sb)
+            ja.append((len(sa & sb) / u) if u else 1.0)
+        return batch.append_column("jaccard", pa.array(ja, pa.float64()))
+
+
 def verify_jaccard(
     pairs: pa.Table, id_to_text: dict[int, str], shingle: str = "word", n: int = 3
 ) -> pa.Table:
-    """Exact Jaccard over shingle sets for candidate pairs (driver-side or
-    broadcast: the candidate set is small by construction)."""
+    """Single-process exact-Jaccard verify (test/oracle helper; the pipeline
+    path is :class:`JaccardVerifier` inside ``map_batches``)."""
     cache: dict[int, set] = {}
 
     def sh(i: int) -> set:
@@ -201,6 +317,28 @@ def verify_jaccard(
     return pairs.append_column("jaccard", pa.array(ja, pa.float64()))
 
 
+def _broadcast_candidate_texts(ds, cand_ids: list[int], id_col: str = "doc_id",
+                               text_col: str = "text"):
+    """Semi-join the corpus to candidate-involved ids and ``ray.put`` the
+    id→text map once.  Only the candidate subset is ever collected."""
+    import pyarrow.compute as pc
+    import ray
+
+    ids_arr = pa.array(cand_ids, pa.int64())
+    id_to_text: dict[int, str] = {}
+    filtered = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), ids_arr)).select(
+            [id_col, text_col]
+        ),
+        batch_format="pyarrow",
+    )
+    for b in filtered.iter_batches(batch_format="pyarrow"):
+        id_to_text.update(
+            zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist())
+        )
+    return ray.put(id_to_text)
+
+
 def minhash_dedup_pairs(
     ds,
     threshold: float = 0.8,
@@ -211,41 +349,39 @@ def minhash_dedup_pairs(
 ) -> pa.Table:
     """Near-duplicate pairs with exact-Jaccard verification ≥ threshold.
 
-    The verify step broadcasts only the texts of candidate-involved docs
-    (semi-join via isin), not the corpus."""
+    Fully distributed shape: LSH candidates → dataset-side distinct →
+    ``map_batches`` verify against a ``ray.put`` broadcast of the
+    candidate-involved texts.  Only the final verified pairs (small by
+    construction) are collected."""
     import pyarrow.compute as pc
 
-    pairs_ds = minhash_candidates(ds, num_perm=num_perm, bands=bands, shingle=shingle, n=n)
-    pairs = _distinct_pairs(pairs_ds)
-    if pairs.num_rows == 0:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    cand_ids = pa.array(
-        sorted(set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())),
-        pa.int64(),
+    cand_ds = minhash_candidates(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle, n=n
     )
-    texts = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("doc_id"), cand_ids)).select(
-            ["doc_id", "text"]
-        ),
+    pairs_ds = distinct_pairs_ds(cand_ds).materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    cand_ids = _pair_id_set(pairs_ds)
+    if not cand_ids:
+        return empty
+    texts_ref = _broadcast_candidate_texts(ds, cand_ids)
+    verified = pairs_ds.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={"texts_ref": texts_ref, "shingle": shingle, "n": n},
         batch_format="pyarrow",
-    ).take_all()
-    id_to_text = {r["doc_id"]: r["text"] for r in texts}
-    verified = verify_jaccard(pairs, id_to_text, shingle=shingle, n=n)
-    out = verified.filter(pc.greater_equal(verified.column("jaccard"), threshold))
-    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
-
-
-def _distinct_pairs(pairs_ds) -> pa.Table:
-    import pandas as pd
-
-    df = pairs_ds.to_pandas()
-    if df.empty:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    df = df.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(df[["id_a", "id_b"]], preserve_index=False)
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
+        batch_format="pyarrow",
+    )
+    out = verified.take_all()
+    if not out:
+        return empty
+    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def duplicate_clusters(pairs: pa.Table) -> pa.Table:
@@ -280,7 +416,14 @@ def duplicate_clusters(pairs: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over whitespace tokens (tf-weighted bit votes)."""
+    """64-bit simhash over whitespace tokens (tf-weighted bit votes).
+
+    Vectorized: hash each DISTINCT token once (per-actor cache), unpack all
+    64 bits of the distinct-token hashes in one ``np.unpackbits``, and get
+    the per-bit vote totals as a tf-weighted matvec — no per-token 64-lane
+    python-loop work."""
+
+    _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __init__(self) -> None:
         self._cache: dict[str, int] = {}
@@ -295,16 +438,17 @@ class SimHasher:
         return v
 
     def simhash(self, text: str) -> int:
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in text.lower().split():
-            h = self._h(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if votes[i] > 0:
-                out |= 1 << i
-        return out
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.fromiter((self._h(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+        # bits[i, j] = bit j of hash i (little-endian byte+bit order == >> j & 1)
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        votes = counts @ (2 * bits - 1)  # (64,) tf-weighted bit votes
+        return int(((votes > 0).astype(np.uint64) * self._BIT_WEIGHTS).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
@@ -320,11 +464,37 @@ def simhash_signatures(ds, concurrency=(1, 8)):
     return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
 
 
+class HammingVerifier:
+    """Actor-pool pair verifier: exact hamming distance between broadcast
+    simhash signatures (id→sig map ``ray.put`` once, tiny: 8B/doc)."""
+
+    def __init__(self, sigs_ref):
+        import ray
+
+        self.sig_of: dict[int, int] = ray.get(sigs_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig_of = self.sig_of
+        ham = [
+            (sig_of[a] ^ sig_of[b]).bit_count()
+            for a, b in zip(
+                batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()
+            )
+        ]
+        return batch.append_column("hamming", pa.array(ham, pa.int32()))
+
+
 def simhash_neardup_pairs(ds, max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by simhash: 4×16-bit chunk banding (any pair within
     hamming distance ≤ 3 shares at least one exact 16-bit chunk — pigeonhole),
-    then exact hamming verify on candidates."""
-    sigs = simhash_signatures(ds)
+    then exact hamming verify on candidates.
+
+    Signatures are computed ONCE (materialized: (doc_id, hex) rows, 24B/doc)
+    and reused for both banding and the broadcast verify; candidate pairs are
+    distinct'd dataset-side and verified in ``map_batches``."""
+    import pyarrow.compute as pc
+
+    sigs = simhash_signatures(ds).materialize()
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         band, key, ids = [], [], []
@@ -344,32 +514,46 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    pairs = _distinct_pairs(
+    pairs_ds = distinct_pairs_ds(
         sigs.map_batches(chunk_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
+    ).materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int32())}
     )
-    if pairs.num_rows == 0:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int32())}
-        )
-    import pyarrow.compute as pc
+    if pairs_ds.count() == 0:
+        return empty
+    import ray
 
-    cand = pa.array(
-        sorted(set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())),
-        pa.int64(),
-    )
-    sig_rows = sigs.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("doc_id"), cand)), batch_format="pyarrow"
+    cand = pa.array(_pair_id_set(pairs_ds), pa.int64())
+    sig_of: dict[int, int] = {}
+    for b in sigs.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), cand)),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        sig_of.update(
+            (i, int(s, 16))
+            for i, s in zip(
+                b.column("doc_id").to_pylist(), b.column("simhash").to_pylist()
+            )
+        )
+    sigs_ref = ray.put(sig_of)
+    out = pairs_ds.map_batches(
+        HammingVerifier,
+        fn_constructor_kwargs={"sigs_ref": sigs_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("hamming"), max_hamming)),
+        batch_format="pyarrow",
     ).take_all()
-    sig_of = {r["doc_id"]: int(r["simhash"], 16) for r in sig_rows}
-    ham = [
-        bin(sig_of[a] ^ sig_of[b]).count("1")
-        for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist())
-    ]
-    out = pairs.append_column("hamming", pa.array(ham, pa.int32()))
-    return out.filter(pc.less_equal(out.column("hamming"), max_hamming))
+    if not out:
+        return empty
+    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3) -> pa.Table:

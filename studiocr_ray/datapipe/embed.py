@@ -58,21 +58,10 @@ class _BruteTopK:
         )
 
 
-def ann_topk_brute(ds, queries: np.ndarray, k: int = 10, concurrency=(1, 8)) -> pa.Table:
-    """Exact cosine top-k: batched matmul against the broadcast query matrix,
-    per-batch top-k, tiny driver-side merge of (batches × nq × k) partials.
-
-    Ties broken by (-score, vec_id) so results are partitioning-invariant.
-    Returns (query_id, rank, vec_id, score)."""
-    import ray
-
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        _BruteTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    ).take_all()
+def _merge_topk(partials: list[dict], k: int) -> pa.Table:
+    """Driver-side merge of per-batch top-k partials (tiny: batches × nq × k
+    rows).  Ties broken by (-score, vec_id) so results are
+    partitioning-invariant.  Returns (query_id, rank, vec_id, score)."""
     heaps: dict[int, list] = {}
     for r in partials:
         heaps.setdefault(r["query_id"], []).append((-r["score"], r["vec_id"]))
@@ -91,6 +80,21 @@ def ann_topk_brute(ds, queries: np.ndarray, k: int = 10, concurrency=(1, 8)) -> 
             "score": pa.array(sc, pa.float64()),
         }
     )
+
+
+def ann_topk_brute(ds, queries: np.ndarray, k: int = 10, concurrency=(1, 8)) -> pa.Table:
+    """Exact cosine top-k: batched matmul against the broadcast query matrix,
+    per-batch top-k, tiny driver-side merge of (batches × nq × k) partials."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _BruteTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -148,46 +152,150 @@ def ivf_index(ds, nlist: int = 16, concurrency=(1, 8)):
     return cent, assigned
 
 
+class _IvfTopK:
+    """Per-batch cosine top-k with per-query cluster restriction applied
+    INSIDE the distributed stage: scores of vectors outside a query's probed
+    clusters are masked to -inf before the per-batch top-k, so the driver
+    only merges valid partials — no re-rank loop."""
+
+    def __init__(self, queries_ref, probe_mask_ref, k: int):
+        import ray
+
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        # (nq, nlist) bool: query qi may see cluster cl
+        self.allowed = ray.get(probe_mask_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _normalize(_batch_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        # hive-partition reads may surface the cluster as string/dictionary
+        clusters = pc.cast(
+            batch.column("ivf_cluster").combine_chunks().cast(pa.string())
+            if pa.types.is_dictionary(batch.column("ivf_cluster").type)
+            else batch.column("ivf_cluster"),
+            pa.int32(),
+        ).to_numpy(zero_copy_only=False)
+        sims = self.q @ m.T  # (nq, nb)
+        sims = np.where(self.allowed[:, clusters], sims, -np.inf)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        qi, vi, sc = [], [], []
+        for qidx in range(sims.shape[0]):
+            for j in top[qidx]:
+                s = sims[qidx, j]
+                if s != -np.inf:
+                    qi.append(qidx)
+                    vi.append(int(ids[j]))
+                    sc.append(float(s))
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "vec_id": pa.array(vi, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+
+def _probe_mask(cent: np.ndarray, q: np.ndarray, nprobe: int) -> np.ndarray:
+    """(nq, nlist) bool membership mask of each query's nprobe nearest
+    centroids (deterministic ties: argsort is stable on index order)."""
+    probes = np.argsort(-(q @ cent.T), kind="stable", axis=1)[:, :nprobe]
+    mask = np.zeros((q.shape[0], cent.shape[0]), dtype=bool)
+    mask[np.arange(q.shape[0])[:, None], probes] = True
+    return mask
+
+
 def ann_topk_ivf(
     ds, queries: np.ndarray, k: int = 10, nlist: int = 16, nprobe: int = 4,
     concurrency=(1, 8),
 ) -> pa.Table:
     """IVF ANN: scan only vectors whose cluster is among each query's nprobe
-    nearest centroids. Approximate — recall measured in tests vs brute."""
+    nearest centroids, cluster restriction enforced inside the distributed
+    top-k stage. Approximate — recall measured in tests vs brute."""
     import pyarrow.compute as pc
+    import ray
 
     cent, assigned = ivf_index(ds, nlist=nlist, concurrency=concurrency)
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = pa.array(sorted({int(c) for row in probes for c in row}), pa.int32())
+    mask = _probe_mask(cent, q, nprobe)
+    wanted = pa.array(sorted(np.flatnonzero(mask.any(axis=0)).tolist()), pa.int32())
     pruned = assigned.map_batches(
         lambda b: b.filter(pc.is_in(b.column("ivf_cluster"), wanted)),
         batch_format="pyarrow",
     )
-    # exact top-k within the probed subset, per query restricted to its clusters
-    full = ann_topk_brute(pruned, q, k=max(k * nprobe, k), concurrency=concurrency)
-    # restrict each query's results to vectors in its probed clusters
-    cluster_of: dict[int, int] = {}
-    for r in pruned.select_columns(["vec_id", "ivf_cluster"]).take_all():
-        cluster_of[r["vec_id"]] = r["ivf_cluster"]
-    keep_rows = []
-    per_q_count: dict[int, int] = {}
-    for r in sorted(
-        full.to_pylist(), key=lambda r: (r["query_id"], -r["score"], r["vec_id"])
-    ):
-        qid = r["query_id"]
-        if cluster_of.get(r["vec_id"]) in set(int(c) for c in probes[qid]):
-            if per_q_count.get(qid, 0) < k:
-                r["rank"] = per_q_count.get(qid, 0)
-                keep_rows.append(r)
-                per_q_count[qid] = per_q_count.get(qid, 0) + 1
-    return pa.Table.from_pylist(
-        keep_rows,
-        schema=pa.schema(
-            [("query_id", pa.int64()), ("rank", pa.int32()),
-             ("vec_id", pa.int64()), ("score", pa.float64())]
-        ),
+    partials = pruned.map_batches(
+        _IvfTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(q),
+            "probe_mask_ref": ray.put(mask),
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, k)
+
+
+def write_ivf_index(ds, index_dir: str, nlist: int = 16, concurrency=(1, 8)) -> np.ndarray:
+    """Materialize the IVF index on disk, hive-partitioned by ``ivf_cluster``
+    (the scale path: a probe reads only its nprobe partition directories via
+    partition-pruned parquet filters).  Centroids are stored alongside as a
+    tiny parquet table.  Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent, assigned = ivf_index(ds, nlist=nlist, concurrency=concurrency)
+    assigned.write_parquet(os.path.join(index_dir, "vectors"),
+                           partition_cols=["ivf_cluster"])
+    cent_table = pa.table(
+        {
+            "cluster": pa.array(range(len(cent)), pa.int32()),
+            "centroid": pa.array([c.tolist() for c in cent],
+                                  pa.list_(pa.float64())),
+        }
     )
+    pq.write_table(cent_table, os.path.join(index_dir, "centroids.parquet"))
+    return cent
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Probe a written IVF index: read ONLY the probed cluster partitions
+    (hive partition pruning via the ``ivf_cluster isin`` filter), distributed
+    per-query-masked top-k, tiny driver merge."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent = np.asarray(cent_t.column("centroid").to_pylist(), dtype=np.float64)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    mask = _probe_mask(cent, q, nprobe)
+    wanted = sorted(int(c) for c in np.flatnonzero(mask.any(axis=0)))
+    pruned = rd.read_parquet(
+        os.path.join(index_dir, "vectors"),
+        filter=pads.field("ivf_cluster").isin(wanted),
+    )
+    partials = pruned.map_batches(
+        _IvfTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(q),
+            "probe_mask_ref": ray.put(mask),
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -283,41 +391,59 @@ def cosine_neardup_lsh(
                 }
             )
 
-    from .dedup import _bucket_pairs, _distinct_pairs
+    import pyarrow.compute as pc
 
-    cands = _distinct_pairs(
+    from .dedup import _bucket_pairs, _pair_id_set, distinct_pairs_ds
+
+    cands_ds = distinct_pairs_ds(
         ds.map_batches(Sign, batch_format="pyarrow", concurrency=concurrency)
         .groupby(["band", "band_hash"])
         .map_groups(lambda g: _bucket_pairs(g, max_bucket=500), batch_format="pyarrow")
+    ).materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
     )
-    if cands.num_rows == 0:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "cosine": pa.array([], pa.float64())}
-        )
-    import pyarrow.compute as pc
+    ids_needed = _pair_id_set(cands_ds)
+    if not ids_needed:
+        return empty
+    # broadcast the candidate-involved (normalized) vectors once
+    ids_arr = pa.array(ids_needed, pa.int64())
+    vec: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), ids_arr)).select(
+            ["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        m = _normalize(_batch_matrix(b))
+        for i, vid in enumerate(b.column("vec_id").to_pylist()):
+            vec[vid] = m[i]
+    vref = ray.put(vec)
 
-    ids_needed = pa.array(
-        sorted(set(cands.column("id_a").to_pylist()) | set(cands.column("id_b").to_pylist())),
-        pa.int64(),
-    )
-    vec_rows = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("vec_id"), ids_needed)),
+    class CosVerify:
+        def __init__(self):
+            self.vec = ray.get(vref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = self.vec
+            cos = [
+                float(v[a] @ v[b])
+                for a, b in zip(
+                    batch.column("id_a").to_pylist(),
+                    batch.column("id_b").to_pylist(),
+                )
+            ]
+            return batch.append_column("cosine", pa.array(cos, pa.float64()))
+
+    out = cands_ds.map_batches(
+        CosVerify, batch_format="pyarrow", concurrency=concurrency
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("cosine"), threshold)),
         batch_format="pyarrow",
     ).take_all()
-    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in vec_rows}
-    for k in vec:
-        n = np.linalg.norm(vec[k])
-        if n > 0:
-            vec[k] = vec[k] / n
-    ai, bi, sc = [], [], []
-    for a, b in zip(cands.column("id_a").to_pylist(), cands.column("id_b").to_pylist()):
-        c = float(vec[a] @ vec[b])
-        if c >= threshold:
-            ai.append(a)
-            bi.append(b)
-            sc.append(c)
-    return pa.table(
-        {"id_a": pa.array(ai, pa.int64()), "id_b": pa.array(bi, pa.int64()),
-         "cosine": pa.array(sc, pa.float64())}
-    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    if not out:
+        return empty
+    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )

@@ -83,6 +83,11 @@ def partial_postings(batch: pa.Table) -> pa.Table:
     sorted_codes = codes[order]
     terms = flat.column("term").combine_chunks()
     bounds = np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1
+    if len(terms) >= 2**31:  # int32 ListArray offsets would wrap silently
+        raise OverflowError(
+            f"{len(terms)} postings in one batch exceed int32 list offsets; "
+            "lower batch size or raise num_buckets"
+        )
     offsets = np.concatenate(([0], bounds, [len(terms)])).astype(np.int32)
     def _one(col):
         c = col.combine_chunks()
@@ -209,9 +214,15 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
         prev = np.concatenate(([0], cum[:-1]))
         within = np.arange(int(cum[-1])) - np.repeat(prev, lens)
         struct = struct.take(pa.array(base + within))
-        list_offsets = np.concatenate(([0], cum)).astype(np.int32)
+        list_offsets = np.concatenate(([0], cum))
     else:
-        list_offsets = offsets.astype(np.int32)
+        list_offsets = offsets
+    if list_offsets[-1] >= 2**31:  # int32 ListArray offsets would wrap silently
+        raise OverflowError(
+            f"{int(list_offsets[-1])} postings in one term bucket exceed int32 "
+            "list offsets; raise num_buckets or set max_postings"
+        )
+    list_offsets = list_offsets.astype(np.int32)
     postings = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
     uniq_terms = t.take(pa.array(starts))
     return pa.table(
@@ -224,16 +235,16 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
     )
 
 
-def build_index_dataset(
-    extracted_ds, max_postings: int | None = None, num_buckets: int | None = None
-):
-    if num_buckets is None:
-        import ray
+def _default_num_buckets() -> int:
+    import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
-            if ray.is_initialized() else (os.cpu_count() or 8)
-        num_buckets = max(16, ncpu * 2)
-    partials = extracted_ds.map_batches(
+    ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
+        if ray.is_initialized() else (os.cpu_count() or 8)
+    return max(16, ncpu * 2)
+
+
+def _bucketed_partials(extracted_ds, num_buckets: int):
+    return extracted_ds.map_batches(
         partial_postings, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         _add_term_bucket,
@@ -241,6 +252,14 @@ def build_index_dataset(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def build_index_dataset(
+    extracted_ds, max_postings: int | None = None, num_buckets: int | None = None
+):
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+    partials = _bucketed_partials(extracted_ds, num_buckets)
     merged = partials.groupby("bucket").map_groups(
         lambda g: _merge_bucket_group(g.drop_columns(["bucket", "tf"]), max_postings),
         batch_format="pyarrow",
@@ -248,28 +267,68 @@ def build_index_dataset(
     return merged
 
 
+def _merge_write_bucket_group(
+    group: pa.Table, staging_dir: str, max_postings: int | None,
+    row_group_size: int = 2048,
+) -> pa.Table:
+    """Merge one bucket's partials AND write its index file directly.
+
+    ``_merge_bucket_group`` output is already term-sorted within the bucket
+    (the lexsort), so writing one small-row-group file per bucket gives
+    equally tight per-row-group term min/max stats as a global sort would —
+    without a second all-to-all over the postings payload (the round-1 index
+    build's single biggest cost).  Write is temp+rename with a deterministic
+    bucket-numbered name, so task retries are idempotent.  Returns a tiny
+    (bucket, terms, bytes) summary row — only summaries flow back."""
+    import pyarrow.parquet as pq
+
+    bucket = int(group.column("bucket")[0].as_py())
+    t = _merge_bucket_group(group.drop_columns(["bucket", "tf"]), max_postings)
+    path = os.path.join(staging_dir, f"bucket-{bucket:05d}.parquet")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(t, tmp, row_group_size=row_group_size)
+    os.replace(tmp, path)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int32()),
+            "terms": pa.array([t.num_rows], pa.int64()),
+            "bytes": pa.array([os.path.getsize(path)], pa.int64()),
+        }
+    )
+
+
 def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | None = None) -> dict:
-    """Build the index from an extraction output dir and write it term-sorted."""
+    """Build the index from an extraction output dir: one term-sorted file
+    per term bucket, small row groups → row-group-granular term pushdown
+    (search_corpus_indexed).  Exactly ONE all-to-all (the bucket exchange);
+    files are staged then atomically moved into place."""
+    import functools
+    import shutil
     import time
 
     from .extract_pipeline import read_extracted
 
     t0 = time.perf_counter()
     index_dir = index_dir or os.path.join(out_dir, "index")
+    staging = f"{index_dir}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
     ds = read_extracted(out_dir, columns=["url", "pages"])
-    idx = build_index_dataset(ds, max_postings=max_postings).sort("term")
-    # Small row groups on the term-sorted layout: tight term min/max stats
-    # per group let search_corpus_indexed's `term isin` filter skip all
-    # non-matching groups (row-group-granular pushdown).
-    idx.write_parquet(index_dir, row_group_size=2048)
-    import pyarrow.parquet as pq
 
-    n_terms = sum(
-        pq.ParquetFile(os.path.join(index_dir, f)).metadata.num_rows
-        for f in os.listdir(index_dir)
-        if f.endswith(".parquet")
+    num_buckets = _default_num_buckets()
+    partials = _bucketed_partials(ds, num_buckets)
+    write_fn = functools.partial(
+        _merge_write_bucket_group, staging_dir=staging, max_postings=max_postings
     )
+    summaries = partials.groupby("bucket").map_groups(
+        write_fn, batch_format="pyarrow"
+    ).take_all()
+    n_terms = sum(int(r["terms"]) for r in summaries)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(staging, index_dir)
     return {"index_dir": index_dir, "terms": n_terms,
+            "buckets": len(summaries),
             "elapsed_sec": time.perf_counter() - t0}
 
 
