@@ -109,7 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     idx_dir = os.path.join(out, "index")
     for q in ("table hash", "corn", "spark"):
-        search_corpus_indexed(idx_dir, q)
+        search_corpus_indexed(idx_dir, q).count()  # consume the lazy result
     timings["search"] = time.perf_counter() - t0
 
     docs_ds = rd.read_parquet(f"{sf_dir}/documents.parquet")

@@ -230,7 +230,24 @@ def run_extract(
     chash = cfg.config_hash()
     t0 = time.perf_counter()
 
-    done = load_complete_parts(out_dir, chash) if resume else set()
+    # Refuse a silent re-bucketing: rerunning into an out_dir that was built
+    # with a different num_partitions would mix two crc32 moduli (point
+    # lookups would then read the wrong partition and return empty).
+    from ..state.manifest import load_meta
+
+    meta = load_meta(out_dir)
+    if meta and int(meta.get("num_partitions", num_partitions)) != num_partitions:
+        raise ValueError(
+            f"out_dir {out_dir} was built with num_partitions="
+            f"{meta.get('num_partitions')}, got {num_partitions}; use the "
+            "original value, a fresh out_dir, or invalidate_parts() first"
+        )
+    done = (
+        load_complete_parts(out_dir, chash, num_partitions=num_partitions,
+                            input_path=str(input_path))
+        if resume
+        else set()
+    )
     scheduled = [p for p in range(num_partitions) if p not in done]
     summary = {
         "config_hash": chash,
@@ -298,6 +315,7 @@ def run_extract(
                 "part": part,
                 "status": "complete",
                 "config_hash": chash,
+                "num_partitions": num_partitions,
                 "input_path": str(input_path),
                 "files": files,
                 "metrics": {

@@ -51,17 +51,53 @@ def _match_terms_batch(
     return batch.filter(mask)
 
 
+def distinct_urls_ds(ds, num_buckets: int = 64):
+    """Dataset-side distinct over a (url) dataset: bucket by crc32(url) % B,
+    one vectorized sort + neighbor scan per bucket — B groups, never one
+    Python call per url and never a driver-side collection.  Result is
+    unsorted across buckets (callers sort their final small output if they
+    need order)."""
+    import zlib
+
+    import numpy as np
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(u.encode()) % num_buckets
+             for u in batch.column("url").to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return batch.append_column("ubucket", pa.array(b, pa.int32()))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("url", "ascending")])
+        u = t.column("url").combine_chunks()
+        first = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            first[1:] = pc.not_equal(
+                u.slice(1), u.slice(0, len(u) - 1)
+            ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(first)).drop_columns(["ubucket"])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "ubucket"
+    ).map_groups(uniq, batch_format="pyarrow")
+
+
 def search_corpus(
     index_ds,
     query: str,
     fuzzy: bool = False,
     tol: int | float = 2,
 ):
-    """OCR-mode search across documents → sorted distinct matching urls.
+    """OCR-mode search across documents → Dataset of distinct matching urls.
 
     ``index_ds``: Dataset over the INDEX schema. Empty query ⇒ all urls
-    (ListDocuments.py:210-212). Returns a pyarrow Table (url: string).
-    """
+    (ListDocuments.py:210-212). Returns a lazy ``ray.data.Dataset`` with one
+    ``url`` column — a stopword query can match the whole corpus, so the
+    result is never collected here (consume with write/iter, or ``to_pandas``
+    on known-small results)."""
     words = query.lower().split()
 
     def matched_urls(batch: pa.Table) -> pa.Table:
@@ -71,8 +107,7 @@ def search_corpus(
         return pa.table({"url": urls})
 
     ds = index_ds.map_batches(matched_urls, batch_format="pyarrow")
-    urls = sorted(set(ds.unique("url") or []))
-    return pa.table({"url": pa.array(urls, pa.string())})
+    return distinct_urls_ds(ds)
 
 
 def search_corpus_indexed(
@@ -88,16 +123,20 @@ def search_corpus_indexed(
     1. scan only the ``term`` column (the dictionary — tiny next to the
        postings) to resolve the substring/fuzzy predicate to exact terms;
     2. re-read with a ``term isin matched`` pyarrow filter — term-sorted row
-       groups give tight min/max statistics, so parquet reads only the row
-       groups containing matches instead of the whole postings column.
+       groups (per bucket file) give tight min/max statistics, so parquet
+       reads only the row groups containing matches instead of the whole
+       postings column.
 
     Matches ``search_corpus`` row-for-row (asserted in tests); empty query ⇒
-    all urls (ListDocuments.py:210-212)."""
+    all urls (ListDocuments.py:210-212).  Returns a lazy Dataset of distinct
+    urls (see ``search_corpus``)."""
     import ray.data as rd
 
     words = query.lower().split()
     terms_ds = rd.read_parquet(index_dir, columns=["term"])
     if words:
+        # the distinct-term dictionary is tiny next to the postings; collect
+        # the matched terms only (bounded by vocabulary, not corpus)
         mdf = terms_ds.map_batches(
             lambda b: _match_terms_batch(b, words, fuzzy, tol),
             batch_format="pyarrow",
@@ -105,7 +144,7 @@ def search_corpus_indexed(
         ).to_pandas()
         matched = mdf["term"].tolist() if "term" in mdf.columns else []
         if not matched:
-            return pa.table({"url": pa.array([], pa.string())})
+            return rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
         import pyarrow.dataset as pads
 
         posts = rd.read_parquet(
@@ -121,23 +160,19 @@ def search_corpus_indexed(
         return pa.table({"url": pc.unique(flat.field("url"))})
 
     ds = posts.map_batches(urls_of, batch_format="pyarrow")
-    urls = sorted(set(ds.unique("url") or []))
-    return pa.table({"url": pa.array(urls, pa.string())})
+    return distinct_urls_ds(ds)
 
 
-def search_doc_names(docs_ds, query: str) -> pa.Table:
+def search_doc_names(docs_ds, query: str):
     """DOC-mode search: case-insensitive substring on url
-    (ListDocuments.py:203-205). Returns sorted urls."""
+    (ListDocuments.py:203-205). Returns a lazy Dataset of distinct urls."""
     q = query.lower()
 
     def f(batch: pa.Table) -> pa.Table:
         mask = pc.match_substring(pc.utf8_lower(batch.column("url")), q)
         return batch.filter(mask).select(["url"])
 
-    ds = docs_ds.map_batches(f, batch_format="pyarrow")
-    return pa.table(
-        {"url": pa.array(sorted(set(ds.unique("url") or [])), pa.string())}
-    )
+    return distinct_urls_ds(docs_ds.map_batches(f, batch_format="pyarrow"))
 
 
 def search_in_document(

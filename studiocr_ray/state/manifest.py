@@ -55,7 +55,17 @@ def write_manifest(out_dir: str, part: int, manifest: dict) -> None:
     os.replace(tmp, manifest_path(out_dir, part))
 
 
-def load_complete_parts(out_dir: str, config_hash: str) -> set[int]:
+def load_complete_parts(
+    out_dir: str,
+    config_hash: str,
+    num_partitions: int | None = None,
+    input_path: str | None = None,
+) -> set[int]:
+    """Partitions safe to skip on resume.  A manifest counts only when its
+    status is complete AND its config_hash matches AND (when given) its
+    num_partitions and input_path match the current run — a manifest written
+    under a different partition modulus or input would otherwise be treated
+    as complete while its rows live in the wrong crc32 bucket."""
     done: set[int] = set()
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
@@ -68,8 +78,13 @@ def load_complete_parts(out_dir: str, config_hash: str) -> set[int]:
                 m = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if m.get("status") == "complete" and m.get("config_hash") == config_hash:
-            done.add(int(m["part"]))
+        if m.get("status") != "complete" or m.get("config_hash") != config_hash:
+            continue
+        if num_partitions is not None and m.get("num_partitions") != num_partitions:
+            continue
+        if input_path is not None and m.get("input_path") != input_path:
+            continue
+        done.add(int(m["part"]))
     return done
 
 

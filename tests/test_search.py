@@ -29,6 +29,12 @@ def oracle_blocks(pages_table):
     return oracle_blocks_table(pages_table)
 
 
+def _urls(ds):
+    """Collect a lazy distinct-url Dataset result (test-side collection —
+    the search API itself returns a Dataset, SURVEY/VERDICT round-2 #10)."""
+    return sorted(r["url"] for r in ds.take_all())
+
+
 def brute_force_corpus_search(blocks, query, fuzzy=False, tol=2):
     """ListDocuments.update_filter OCR mode (/root/reference/StudiOCR/
     ListDocuments.py:206-221): ANY word substring of any block text, ci."""
@@ -82,33 +88,31 @@ class TestCorpusSearch:
     )
     def test_exact_parity(self, corpus, oracle_blocks, query):
         _, idx_dir = corpus
-        got = search_corpus(index_dataset(idx_dir), query)["url"].to_pylist()
+        got = _urls(search_corpus(index_dataset(idx_dir), query))
         assert got == brute_force_corpus_search(oracle_blocks, query)
 
     def test_empty_query_matches_all(self, corpus, oracle_blocks):
         # ListDocuments.py:210-212
         _, idx_dir = corpus
-        got = search_corpus(index_dataset(idx_dir), "  ")["url"].to_pylist()
+        got = _urls(search_corpus(index_dataset(idx_dir), "  "))
         assert got == brute_force_corpus_search(oracle_blocks, "")
 
     def test_substring_of_token_hits(self, corpus, oracle_blocks):
         """query 'ecaus' only occurs inside 'because' — index must still hit."""
         _, idx_dir = corpus
-        got = search_corpus(index_dataset(idx_dir), "ecaus")["url"].to_pylist()
+        got = _urls(search_corpus(index_dataset(idx_dir), "ecaus"))
         want = brute_force_corpus_search(oracle_blocks, "ecaus")
         assert got == want and len(want) > 0
 
     def test_fuzzy_parity(self, corpus, oracle_blocks):
         _, idx_dir = corpus
-        got = search_corpus(index_dataset(idx_dir), "worlb", fuzzy=True, tol=1)[
-            "url"
-        ].to_pylist()
+        got = _urls(search_corpus(index_dataset(idx_dir), "worlb", fuzzy=True, tol=1))
         want = brute_force_corpus_search(oracle_blocks, "worlb", fuzzy=True, tol=1)
         assert got == want and len(want) > 0
 
     def test_doc_name_mode(self, corpus, oracle_blocks, pages_table):
         out, _ = corpus
-        got = search_doc_names(docs_dataset(out), "SITE3.EXAMPLE")["url"].to_pylist()
+        got = _urls(search_doc_names(docs_dataset(out), "SITE3.EXAMPLE"))
         want = sorted(
             {
                 u
@@ -184,6 +188,6 @@ class TestIndexedSearch:
         ds = index_dataset(idx_dir)
         for q, fz in [("corn", False), ("table hash", False), ("", False),
                       ("tabl", True), ("zzz-no-such-term", False)]:
-            a = search_corpus(ds, q, fuzzy=fz, tol=1)["url"].to_pylist()
-            b = search_corpus_indexed(idx_dir, q, fuzzy=fz, tol=1)["url"].to_pylist()
+            a = _urls(search_corpus(ds, q, fuzzy=fz, tol=1))
+            b = _urls(search_corpus_indexed(idx_dir, q, fuzzy=fz, tol=1))
             assert a == b, (q, fz)
