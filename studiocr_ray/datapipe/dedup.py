@@ -27,6 +27,31 @@ import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+_U3 = np.uint64(3)
+_U29 = np.uint64(29)
+_U32 = np.uint64(32)
+_U61 = np.uint64(61)
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK32 = np.uint64((1 << 32) - 1)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise ``(a*b) mod (2^61-1)`` for a, b < 2^61 without 128-bit
+    ints: split both into 32-bit halves and collapse the carries with
+    2^61 ≡ 1 (mod p), so the minhash family really is the documented
+    universal (a*x+b) mod p — not the wrapped-mod-2^64 variant.
+    Every intermediate stays < 2^63 (see the bound comments)."""
+    a0, a1 = a & _MASK32, a >> _U32          # a1 < 2^29
+    b0, b1 = b & _MASK32, b >> _U32          # b1 < 2^29
+    hi = a1 * b1                             # < 2^58
+    mid = a1 * b0 + a0 * b1                  # < 2^62
+    lo = a0 * b0                             # < 2^64 (fits uint64)
+    r = hi << _U3                            # hi * 2^64 ≡ hi * 8;   < 2^61
+    r += (mid >> _U29) + ((mid & _MASK29) << _U32)  # mid * 2^32;  +< 2^61+2^33
+    r += (lo >> _U61) + (lo & _MERSENNE)     # lo mod-ish;         +< 2^61+2^3
+    r = (r >> _U61) + (r & _MERSENNE)        # total was < 2^63
+    r = (r >> _U61) + (r & _MERSENNE)
+    return np.where(r >= _MERSENNE, r - _MERSENNE, r)
 
 
 def _stable64(s: str) -> int:
@@ -134,8 +159,11 @@ class MinHasher:
         if not sh:
             return np.full(self.num_perm, int(_MERSENNE), dtype=np.uint64)
         hx = np.fromiter((self._h64(s) for s in sh), dtype=np.uint64, count=len(sh))
-        # (a*x + b) mod p, all uint64 modular arithmetic (p = 2^61-1)
-        prod = (self.a[:, None] * (hx[None, :] % _MERSENNE)) % _MERSENNE
+        # (a*x + b) mod p with a true mod-(2^61-1) multiply (no 2^64 wrap)
+        prod = _mulmod61(
+            np.broadcast_to(self.a[:, None], (self.num_perm, len(sh))),
+            np.broadcast_to(hx[None, :] % _MERSENNE, (self.num_perm, len(sh))),
+        )
         return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -150,23 +178,33 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
-    """(doc_id, minhash) → flat (band, band_hash, doc_id) rows."""
-    out_band, out_hash, out_id = [], [], []
-    ids = batch.column("doc_id").to_pylist()
-    for did, sig in zip(ids, batch.column("minhash").to_pylist()):
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(
-                np.asarray(chunk, dtype=np.int64).tobytes(), digest_size=8
-            ).hexdigest()
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(did)
+    """(doc_id, minhash) → flat (band, band_hash, doc_id) rows, vectorized.
+
+    ``doc_id`` keeps its input type — int64 surrogate keys and url strings
+    both work.  ``band_hash`` is an FNV-style uint64 fold of the band's
+    minhash rows (a bucketing key needs determinism, not crypto strength),
+    computed for the whole batch with ``rows_per_band`` numpy ops instead of
+    one blake2b call per (doc, band)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {"band": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.int64()),
+             "doc_id": batch.column("doc_id")}
+        )
+    mh = batch.column("minhash").combine_chunks()
+    flat = mh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    m = flat.reshape(n, bands, rows_per_band)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = (h ^ m[:, :, j]) * mult  # wraps mod 2^64 — fine for bucketing
+    ids = batch.column("doc_id").take(pa.array(np.repeat(np.arange(n), bands)))
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": ids,
         }
     )
 
@@ -190,7 +228,8 @@ def _bucket_pairs(group: pa.Table, max_bucket: int = 200) -> pa.Table:
     for x, y in itertools.combinations(ids, 2):
         a.append(x)
         b.append(y)
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    id_type = group.column("doc_id").type
+    return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
 
 
 def minhash_candidates(
@@ -228,17 +267,37 @@ def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
     import pyarrow.compute as pc
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(num_buckets)
-        return batch.append_column("pair_bucket", pa.array(h.astype(np.int32), pa.int32()))
+        col = batch.column("id_a")
+        if pa.types.is_integer(col.type):
+            a = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
+                num_buckets
+            )
+            b = h.astype(np.int32)
+        else:  # string ids (urls)
+            import zlib
+
+            b = np.fromiter(
+                (zlib.crc32(s.encode()) % num_buckets for s in col.to_pylist()),
+                dtype=np.int32,
+                count=batch.num_rows,
+            )
+        return batch.append_column("pair_bucket", pa.array(b, pa.int32()))
 
     def uniq(group: pa.Table) -> pa.Table:
         t = group.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
         first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        if len(a) > 1:
+            first[1:] = (
+                pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                | pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+            )
         return t.filter(pa.array(first)).drop_columns(["pair_bucket"])
 
     return pairs_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
@@ -324,7 +383,7 @@ def _broadcast_candidate_texts(ds, cand_ids: list[int], id_col: str = "doc_id",
     import pyarrow.compute as pc
     import ray
 
-    ids_arr = pa.array(cand_ids, pa.int64())
+    ids_arr = pa.array(cand_ids)  # type inferred: int64 keys or url strings
     id_to_text: dict[int, str] = {}
     filtered = ds.map_batches(
         lambda b: b.filter(pc.is_in(b.column(id_col), ids_arr)).select(
@@ -359,8 +418,9 @@ def minhash_dedup_pairs(
         ds, num_perm=num_perm, bands=bands, shingle=shingle, n=n
     )
     pairs_ds = distinct_pairs_ds(cand_ds).materialize()
+    id_type = _pairs_id_type(pairs_ds, ds)
     empty = pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
          "jaccard": pa.array([], pa.float64())}
     )
     cand_ids = _pair_id_set(pairs_ds)
@@ -376,10 +436,36 @@ def minhash_dedup_pairs(
         lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
         batch_format="pyarrow",
     )
-    out = verified.take_all()
-    if not out:
+    return _collect_pairs(verified, empty)
+
+
+def _pairs_id_type(pairs_ds, source_ds=None) -> pa.DataType:
+    """id column type of a (possibly empty) pairs Dataset; falls back to the
+    source dataset's doc_id type, then int64."""
+    try:
+        sch = pairs_ds.schema(fetch_if_missing=True)
+        return sch.base_schema.field("id_a").type
+    except Exception:
+        pass
+    if source_ds is not None:
+        try:
+            sch = source_ds.schema(fetch_if_missing=True)
+            return sch.base_schema.field("doc_id").type
+        except Exception:
+            pass
+    return pa.int64()
+
+
+def _collect_pairs(verified_ds, empty: pa.Table) -> pa.Table:
+    """Collect a verified-pairs Dataset (small by construction) into one
+    sorted Arrow table, preserving id types."""
+    parts = [
+        b for b in verified_ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
         return empty
-    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
+    return pa.concat_tables(parts).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
 
@@ -403,10 +489,11 @@ def duplicate_clusters(pairs: pa.Table) -> pa.Table:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
     members = sorted(parent)
+    id_type = pairs.column("id_a").type
     return pa.table(
         {
-            "doc_id": pa.array(members, pa.int64()),
-            "cluster_rep": pa.array([find(m) for m in members], pa.int64()),
+            "doc_id": pa.array(members, id_type),
+            "cluster_rep": pa.array([find(m) for m in members], id_type),
         }
     )
 
@@ -497,20 +584,29 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3) -> pa.Table:
     sigs = simhash_signatures(ds).materialize()
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        band, key, ids = [], [], []
-        for did, hx in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            h = int(hx, 16)
-            for c in range(4):
-                band.append(c)
-                key.append(f"{(h >> (16 * c)) & 0xFFFF:04x}")
-                ids.append(did)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64()),
+                 "doc_id": batch.column("doc_id")}
+            )
+        hs = np.fromiter(
+            (int(x, 16) for x in batch.column("simhash").to_pylist()),
+            dtype=np.uint64,
+            count=n,
+        )
+        chunks = np.empty((n, 4), dtype=np.int64)
+        for c in range(4):
+            chunks[:, c] = ((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        ids = batch.column("doc_id").take(pa.array(np.repeat(np.arange(n), 4)))
         return pa.table(
             {
-                "band": pa.array(band, pa.int32()),
-                "band_hash": pa.array(key, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(chunks.reshape(-1), pa.int64()),
+                "doc_id": ids,
             }
         )
 
@@ -519,15 +615,16 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3) -> pa.Table:
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     ).materialize()
+    id_type = _pairs_id_type(pairs_ds, ds)
     empty = pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
          "hamming": pa.array([], pa.int32())}
     )
     if pairs_ds.count() == 0:
         return empty
     import ray
 
-    cand = pa.array(_pair_id_set(pairs_ds), pa.int64())
+    cand = pa.array(_pair_id_set(pairs_ds))
     sig_of: dict[int, int] = {}
     for b in sigs.map_batches(
         lambda t: t.filter(pc.is_in(t.column("doc_id"), cand)),
@@ -548,12 +645,8 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3) -> pa.Table:
     ).map_batches(
         lambda b: b.filter(pc.less_equal(b.column("hamming"), max_hamming)),
         batch_format="pyarrow",
-    ).take_all()
-    if not out:
-        return empty
-    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
     )
+    return _collect_pairs(out, empty)
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3) -> pa.Table:

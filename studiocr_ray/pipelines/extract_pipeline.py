@@ -433,8 +433,15 @@ def delete_docs(out_dir: str, urls: list[str]) -> int:
         pq.write_table(kept.drop_columns(["part"]) if "part" in kept.column_names
                        else kept, fp)
         fsize = os.path.getsize(fp)
-        shutil.rmtree(d)
+        # Swap via rename-aside, never rmtree-the-live-dir first: a crash
+        # between the two renames leaves the data recoverable in ``.old``
+        # (and the absent-dir window is two renames, not a tree delete).
+        old = d + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.replace(d, old)
         os.replace(tmp, d)
+        shutil.rmtree(old)
         m = manifests.get(part)
         if m is not None:
             rows = kept.num_rows

@@ -136,6 +136,25 @@ class TestDedup:
         rows.append({"doc_id": 300, "text": "totally unrelated tiny text"})
         return rd.from_arrow(pa.Table.from_pylist(rows)), rows
 
+    def test_mulmod61_matches_bigint_math(self):
+        """The minhash family must be the documented (a*x+b) mod 2^61-1 —
+        verify the vectorized split-multiply against Python bigints."""
+        import numpy as np
+
+        from studiocr_ray.datapipe.dedup import _mulmod61
+
+        p = (1 << 61) - 1
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, p, size=5000).astype(np.uint64)
+        b = rng.randint(0, p, size=5000).astype(np.uint64)
+        edges = np.array([0, 1, 2, p - 1, p - 2, 2**32 - 1, 2**32, 2**60],
+                         dtype=np.uint64)
+        A, B = np.meshgrid(edges, edges)
+        for x, y in ((a, b), (A.ravel(), B.ravel())):
+            got = _mulmod61(x, y).astype(object)
+            want = (x.astype(object) * y.astype(object)) % p
+            assert (got == want).all()
+
     def test_exact_dedup_keeps_min_id(self, ray_session):
         from studiocr_ray.datapipe.dedup import exact_dedup
 
@@ -172,6 +191,39 @@ class TestDedup:
         rep = dict(zip(clusters["doc_id"], clusters["cluster_rep"]))
         assert rep[100] == 0 and rep[200] == 0  # fox docs cluster to min id
         assert rep[101] == 1
+
+    def test_string_doc_ids(self, ray_session):
+        """Web-scale ids are urls: the whole near-dup family must accept a
+        string doc_id column, not just int64 surrogate keys."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import (
+            duplicate_clusters,
+            minhash_dedup_pairs,
+            simhash_neardup_pairs,
+        )
+
+        _, rows = self._dup_docs(ray_session)
+        srows = [{"doc_id": f"https://x.example/{r['doc_id']}", "text": r["text"]}
+                 for r in rows]
+        ds = rd.from_arrow(pa.Table.from_pylist(srows))
+        pairs = minhash_dedup_pairs(ds, threshold=0.9, n=3, num_perm=64, bands=32)
+        got = set(zip(pairs.column("id_a").to_pylist(),
+                      pairs.column("id_b").to_pylist()))
+        # the three exact-dup pairs must survive the 0.9 verify (pair order
+        # is lexicographic on the string ids, e.g. ".../102" < ".../2")
+        want = {
+            tuple(sorted((f"https://x.example/{i}", f"https://x.example/{100+i}")))
+            for i in range(3)
+        }
+        assert want <= got
+        assert pa.types.is_string(pairs.column("id_a").type)
+        clusters = duplicate_clusters(pairs)
+        assert pa.types.is_string(clusters.column("doc_id").type)
+        spairs = simhash_neardup_pairs(ds, max_hamming=3)
+        sgot = set(zip(spairs.column("id_a").to_pylist(),
+                       spairs.column("id_b").to_pylist()))
+        assert want <= sgot
 
     def test_simhash(self, ray_session):
         from studiocr_ray.datapipe.dedup import simhash_neardup_pairs, simhash_signatures
