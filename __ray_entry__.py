@@ -38,7 +38,7 @@ def _extraction(sf_dir: str) -> tuple[str, str]:
     from studiocr_ray.pipelines.index_pipeline import run_index
 
     cfg = ExtractConfig()
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v2".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v3".encode()).hexdigest()[:16]
     root = os.path.join(_CACHE_ROOT, key)
     pages = os.path.join(root, "pages_in")
     out = os.path.join(root, "out")
@@ -163,18 +163,56 @@ def _q_ann_topk(sf_dir: str):
     )
 
 
-def _q_ann_ivf(sf_dir: str):
+def _ann_queries(sf_dir: str):
     import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES)).sort_by("vec_id")
+    return np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF is approximate, so the oracled result is its recall property:
+    per query, |ivf_topk ∩ brute_topk| / k ≥ 0.5 and a full result list —
+    the SQL oracle asserts the same constants, so a recall regression (or a
+    short result) flips the row and fails the hash gate."""
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.embed import ann_topk_brute, ann_topk_ivf
+
+    queries = _ann_queries(sf_dir)
+    ivf = ann_topk_ivf(_emb(sf_dir), queries, k=ANN_K, nlist=8, nprobe=3)
+    brute = ann_topk_brute(_emb(sf_dir), queries, k=ANN_K)
+    by_q: dict[int, set] = {}
+    for r in brute.to_pylist():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict[int, set] = {q: set() for q in range(ANN_NUM_QUERIES)}
+    for r in ivf.to_pylist():
+        got[r["query_id"]].add(r["vec_id"])
+    qids = sorted(got)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_results": pa.array([len(got[q]) for q in qids], pa.int64()),
+            "recall_ok": pa.array(
+                [len(got[q] & by_q.get(q, set())) / ANN_K >= 0.5 for q in qids],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+def _q_ann_ivf_fullprobe(sf_dir: str):
+    """IVF with nprobe == nlist probes every cluster, so the result is EXACT
+    top-k — the same SQL oracle as ann_topk checks the whole IVF machinery
+    (assignment, masking, distributed top-k, merge) end to end."""
     from studiocr_ray.datapipe.embed import ann_topk_ivf
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    import pyarrow.compute as pc
-
-    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES)).sort_by("vec_id")
-    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    return ann_topk_ivf(_emb(sf_dir), queries, k=ANN_K, nlist=8, nprobe=3)
+    queries = _ann_queries(sf_dir)
+    res = ann_topk_ivf(_emb(sf_dir), queries, k=ANN_K, nlist=8, nprobe=8)
+    return res.select(["query_id", "vec_id", "rank"])
 
 
 def _q_cosine_neardup(sf_dir: str):
@@ -293,12 +331,20 @@ def _q_extract_page_stats(sf_dir: str):
 
 
 def _q_extract_metrics(sf_dir: str):
+    """Zero-pass corpus metrics from the partition manifests, projected to
+    the deterministically SQL-reproducible columns (mean_boilerplate_ratio
+    depends on the page chrome randomness and mean_conf on per-partition
+    float summation order; both stay in the corpus_metrics() API and are
+    covered by pytest instead)."""
     import pandas as pd
 
     from studiocr_ray.pipelines.extract_pipeline import corpus_metrics
 
     out, _ = _extraction(sf_dir)
-    return pd.DataFrame([corpus_metrics(out)])
+    m = corpus_metrics(out)
+    cols = ["partitions", "docs", "blocks", "chars", "chars_per_doc",
+            "conf_total", "mean_conf_block", "errors", "duplicates"]
+    return pd.DataFrame([{c: m[c] for c in cols}])
 
 
 def _q_lang_id(sf_dir: str):
@@ -383,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
         "cosine_neardup": _q_cosine_neardup,
         # relational / windows
         "pricing_summary": _q_pricing_summary,
@@ -413,7 +460,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from studiocr_ray.datapipe.text import BPE_ISH_PATTERN, STOPWORDS_EN
+    from studiocr_ray.datapipe.text import (
+        BPE_ISH_PATTERN,
+        LANG_PROFILES,
+        STOPWORDS_EN,
+    )
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
     toks = (
@@ -421,6 +472,84 @@ def oracle_sql() -> dict[str, str]:
     )
     any_word = " OR ".join(
         f"contains(lower(text), '{w.lower()}')" for w in SEARCH_WORDS
+    )
+    prof_vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_PROFILES)
+        for w in sorted(LANG_PROFILES[lang])
+    )
+    # simhash signature recomputed in pure SQL: the token hash is the first 8
+    # bytes of md5 big-endian (_stable64 was chosen for exactly this), votes
+    # are tf-weighted bit sums, the signature packs vote>0 bits.
+    simhash_cte = f"""
+        tk AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest({toks.format(src='lower(text)')}) AS tok
+            FROM documents
+          ) GROUP BY doc_id, tok
+        ),
+        hh AS (
+          SELECT doc_id, tf,
+                 ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h64 FROM tk
+        ),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+          FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ),
+        sigv AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN 1::HUGEINT << bit
+                               ELSE 0::HUGEINT END) AS UBIGINT) AS s
+          FROM votes GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 coalesce(lower(lpad(to_hex(v.s), 16, '0')),
+                          '0000000000000000') AS simhash,
+                 coalesce(v.s, 0::UBIGINT) AS sval
+          FROM documents d LEFT JOIN sigv v ON v.doc_id = d.doc_id
+        )
+    """
+    # exact word-3-shingle Jaccard pairs ≥ 0.5 — the all-pairs ground truth
+    # for the minhash-LSH path (candidate recall at j≥0.5 with 32 bands of 2
+    # rows is 1-(1-j²)^32 ≥ 0.9999; deterministic at a fixed corpus).
+    word_jaccard_cte = f"""
+        wtoks AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                  FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) = 0 THEN []
+                               WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                               ELSE [array_to_string(tk[i:i+2], ' ')
+                                     for i in generate_series(1, len(tk) - 2)]
+                          END) AS sh
+            FROM wtoks)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        vpairs AS (
+          SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        )
+    """
+    # rolling (winnowing-style) fingerprint: polynomial hash of each 8-byte
+    # window mod 2^64 (HUGEINT arithmetic; testdata text is pure ASCII so
+    # char==byte), keep the 4 smallest hex-joined.
+    rf_b = 1000003
+    rf_pows = [pow(rf_b, k, 1 << 64) for k in range(7, -1, -1)]
+    rf_terms = " + ".join(
+        f"ascii(substring(text, i+{k}, 1))::HUGEINT * {rf_pows[k]}::HUGEINT"
+        for k in range(8)
     )
     return {
         "token_stats": f"""
@@ -564,6 +693,156 @@ def oracle_sql() -> dict[str, str]:
         "extract_search": f"""
             SELECT DISTINCT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url
             FROM documents WHERE {any_word}
+        """,
+        "ann_ivf": f"""
+            SELECT unnest(generate_series(0, {ANN_NUM_QUERIES - 1})) AS query_id,
+                   CAST({ANN_K} AS BIGINT) AS n_results,
+                   true AS recall_ok
+        """,
+        "ann_ivf_fullprobe": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < {ANN_NUM_QUERIES}),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     e.embedding::DOUBLE[]) AS score
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY score DESC, vec_id) - 1 AS rk
+                       FROM s)
+            SELECT query_id, vec_id, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk < {ANN_K}
+        """,
+        "cosine_lsh": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= {NEARDUP_COSINE}
+        """,
+        "lang_id": f"""
+            WITH prof(lang, w) AS (VALUES {prof_vals}),
+            tks AS (
+              SELECT doc_id, unnest({toks.format(src='lower(text)')}) AS tok
+              FROM documents
+            ),
+            sc AS (
+              SELECT t.doc_id, p.lang, count(*) AS score
+              FROM tks t JOIN prof p ON t.tok = p.w
+              GROUP BY t.doc_id, p.lang
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang ASC) AS rn
+              FROM sc
+            )
+            SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+            FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        """,
+        "quality_score": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     len({toks.format(src='text')}) AS n_tokens,
+                     len(list_filter({toks.format(src='lower(text)')},
+                         x -> list_contains([{stop_list}], x))) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   0.5 * (CASE WHEN n_chars > 0
+                               THEN CAST(n_alpha AS DOUBLE) / n_chars
+                               ELSE 0.0 END)
+                 + 0.3 * least((CASE WHEN n_tokens > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                     ELSE 0.0 END) * 3.0, 1.0)
+                 + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                               THEN 1.0 ELSE 0.0 END) AS quality_score
+            FROM f
+        """,
+        "simhash": f"WITH {simhash_cte} SELECT doc_id, simhash FROM sig",
+        "simhash_neardup": f"""
+            WITH {simhash_cte}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sval, b.sval)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sval, b.sval)) <= 3
+        """,
+        "minhash_pairs": f"WITH {word_jaccard_cte} SELECT id_a, id_b, jaccard FROM vpairs",
+        "dup_clusters": f"""
+            WITH RECURSIVE {word_jaccard_cte},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            )
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+        """,
+        "rolling_fingerprint": f"""
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 7)) AS i
+              FROM documents WHERE length(text) >= 8
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(({rf_terms}) % 18446744073709551616::HUGEINT
+                          AS UBIGINT) AS hv
+              FROM pos
+            ),
+            r AS (
+              SELECT doc_id, hv,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+              FROM h
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(lower(lpad(to_hex(hv), 16, '0')), ''
+                                ORDER BY hv) AS fingerprint
+              FROM r WHERE rn <= 4 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN length(d.text) >= 8 THEN a.fingerprint
+                        ELSE substring(md5(d.text), 1, 16) END AS fingerprint
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "extract_page_stats": f"""
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(0 AS INTEGER) AS page,
+                   CAST(len(list_distinct({toks.format(src='text')}))
+                        AS BIGINT) AS n_terms,
+                   CAST(len(list_distinct(string_split(
+                            regexp_replace(text, '\\s', '', 'g'), '')))
+                        AS BIGINT) AS n_chars_distinct
+            FROM documents
+        """,
+        "extract_metrics": f"""
+            WITH nt AS (
+              SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            tok AS (
+              SELECT unnest({toks.format(src='t')}) AS tk FROM nt
+            ),
+            d AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+                         CAST(sum(length(t)) AS BIGINT) AS chars FROM nt),
+            b AS (SELECT CAST(count(*) AS BIGINT) AS blocks,
+                         CAST(sum(88 + length(tk) % 12) AS BIGINT) AS conf_total
+                  FROM tok)
+            SELECT CAST(16 AS BIGINT) AS partitions,
+                   d.docs, b.blocks, d.chars,
+                   CAST(d.chars AS DOUBLE) / d.docs AS chars_per_doc,
+                   b.conf_total,
+                   CAST(b.conf_total AS DOUBLE) / b.blocks AS mean_conf_block,
+                   CAST(0 AS BIGINT) AS errors,
+                   CAST(0 AS BIGINT) AS duplicates
+            FROM d, b
         """,
         "ngram_jaccard": """
             WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -300,6 +300,7 @@ def run_extract(
         errors = int(st.get("errors", 0))
         duplicates = int(st.get("duplicates", 0))
         conf_sum = float(st.get("conf_sum", 0.0))
+        conf_total = int(st.get("conf_total", 0))
         bp_sum = float(st.get("bp_sum", 0.0))
         if os.path.isdir(src):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -324,6 +325,7 @@ def run_extract(
                     "chars": chars,
                     "errors": errors,
                     "duplicates": duplicates,
+                    "conf_total": conf_total,
                     "mean_conf": (conf_sum / rows) if rows else 0.0,
                     "mean_boilerplate_ratio": (bp_sum / rows) if rows else 0.0,
                     "chars_per_doc": (chars / rows) if rows else 0.0,
@@ -444,12 +446,16 @@ def delete_docs(out_dir: str, urls: list[str]) -> int:
         shutil.rmtree(old)
         m = manifests.get(part)
         if m is not None:
+            import numpy as np
+
             rows = kept.num_rows
             blocks = pc.sum(kept.column("n_blocks")).as_py() or 0
             chars = pc.sum(pc.utf8_length(kept.column("extracted_text"))).as_py() or 0
             conf = pc.sum(kept.column("mean_conf")).as_py() or 0.0
             bp = pc.sum(kept.column("boilerplate_ratio")).as_py() or 0.0
             errors = rows - kept.column("error").null_count
+            mc = kept.column("mean_conf").to_numpy(zero_copy_only=False)
+            nb = kept.column("n_blocks").to_numpy(zero_copy_only=False)
             m["files"] = [{"name": "data.parquet", "bytes": fsize}]
             m["metrics"] = {
                 "docs": rows,
@@ -457,6 +463,7 @@ def delete_docs(out_dir: str, urls: list[str]) -> int:
                 "chars": int(chars),
                 "errors": int(errors),
                 "duplicates": m["metrics"].get("duplicates", 0),
+                "conf_total": int(np.rint(mc * nb).sum()) if rows else 0,
                 "mean_conf": (conf / rows) if rows else 0.0,
                 "mean_boilerplate_ratio": (bp / rows) if rows else 0.0,
                 "chars_per_doc": (chars / rows) if rows else 0.0,
@@ -511,6 +518,7 @@ def corpus_metrics(out_dir: str) -> dict:
     blocks = sum(m["metrics"]["blocks"] for m in ms)
     chars = sum(m["metrics"]["chars"] for m in ms)
     conf = sum(m["metrics"]["mean_conf"] * m["metrics"]["docs"] for m in ms)
+    conf_total = sum(m["metrics"].get("conf_total", 0) for m in ms)
     bp = sum(m["metrics"]["mean_boilerplate_ratio"] * m["metrics"]["docs"] for m in ms)
     return {
         "partitions": len(ms),
@@ -518,6 +526,10 @@ def corpus_metrics(out_dir: str) -> dict:
         "blocks": blocks,
         "chars": chars,
         "chars_per_doc": chars / docs if docs else 0.0,
+        # block-weighted mean conf: integer total / integer count — a single
+        # deterministic division, exactly reproducible by the SQL oracle
+        "conf_total": conf_total,
+        "mean_conf_block": conf_total / blocks if blocks else 0.0,
         "mean_conf": conf / docs if docs else 0.0,
         "mean_boilerplate_ratio": bp / docs if docs else 0.0,
         "errors": sum(m["metrics"]["errors"] for m in ms),

@@ -156,6 +156,12 @@ def dedup_extracted_group(group: pa.Table, metrics_dir: str | None = None) -> pa
         import os
 
         part = t.column("part")[0].as_py()
+        # integer conf total (Σ per-token conf) recovered exactly from the
+        # per-doc means: mean_conf*n_blocks is an integer up to fp rounding,
+        # so rint is exact — keeps corpus mean_conf_block = conf_total/blocks
+        # a single deterministic division (SQL-oracle-able).
+        mc = t.column("mean_conf").to_numpy(zero_copy_only=False)
+        nb = t.column("n_blocks").to_numpy(zero_copy_only=False)
         stats = {
             "part": int(part),
             "rows": t.num_rows,
@@ -163,6 +169,7 @@ def dedup_extracted_group(group: pa.Table, metrics_dir: str | None = None) -> pa
             "chars": int(pc.sum(t.column("n_chars")).as_py() or 0),
             "errors": t.num_rows - t.column("error").null_count,
             "conf_sum": float(pc.sum(t.column("mean_conf")).as_py() or 0.0),
+            "conf_total": int(np.rint(mc * nb).sum()),
             "bp_sum": float(pc.sum(t.column("boilerplate_ratio")).as_py() or 0.0),
             # J3/D2 collision metric (SURVEY): duplicate-url rows dropped by
             # keep-first, recorded instead of mutating the key
