@@ -376,6 +376,196 @@ def blocks_dataset(out_dir: str):
     return ds.map_batches(explode_blocks, batch_format="pyarrow")
 
 
+def _merge_append_part(out_dir: str, tmp_out: str, part: int,
+                       new_duplicates: int) -> dict:
+    """Merge one partition's freshly-extracted append rows into the live
+    partition (the incremental path of /root/reference/StudiOCR/
+    OcrEngine.py:108-110,128 — pages added to an existing doc continue its
+    page numbering).
+
+    Existing urls get the new crawl's pages appended with ``page`` offset by
+    the current ``n_pages`` (doc-level text/blocks/conf recomputed); new urls
+    are plain new rows.  Only matched urls are touched in Python — unmatched
+    rows on both sides move as whole Arrow tables.  Swap is rename-aside
+    (crash leaves data in ``.old``), manifest written last."""
+    import numpy as np
+
+    new_t = pq.read_table(part_dir(tmp_out, part))
+    if "part" in new_t.column_names:
+        new_t = new_t.drop_columns(["part"])
+    d = part_dir(out_dir, part)
+    old_t = pq.read_table(d) if os.path.isdir(d) else None
+    if old_t is not None and "part" in old_t.column_names:
+        old_t = old_t.drop_columns(["part"])
+
+    if old_t is None:
+        merged = new_t
+        appended = 0
+    else:
+        old_urls = old_t.column("url")
+        new_urls = new_t.column("url")
+        match = pc.is_in(old_urls, pc.unique(new_urls))
+        old_hit = old_t.filter(match)
+        old_keep = old_t.filter(pc.invert(match))
+        nmatch = pc.is_in(new_urls, pc.unique(old_hit.column("url")))
+        new_hit = new_t.filter(nmatch)
+        new_keep = new_t.filter(pc.invert(nmatch))
+        appended = old_hit.num_rows
+        if appended:
+            by_url = {r["url"]: r for r in new_hit.to_pylist()}
+            rows = []
+            for o in old_hit.to_pylist():
+                n = by_url[o["url"]]
+                off = int(o["n_pages"])
+                pages = list(o["pages"])
+                for p in n["pages"]:
+                    pages.append({**p, "page": int(p["page"]) + off})
+                ob, nb = int(o["n_blocks"]), int(n["n_blocks"])
+                conf_tot = (round(o["mean_conf"] * ob) +
+                            round(n["mean_conf"] * nb))
+                text = o["extracted_text"] + "\n" + n["extracted_text"]
+                rows.append(
+                    {
+                        **o,
+                        "n_pages": off + int(n["n_pages"]),
+                        "n_blocks": ob + nb,
+                        "mean_conf": (conf_tot / (ob + nb)) if ob + nb else 0.0,
+                        # per-crawl HTML metric: page-count-weighted mean
+                        "boilerplate_ratio": (
+                            (o["boilerplate_ratio"] * off
+                             + n["boilerplate_ratio"] * int(n["n_pages"]))
+                            / (off + int(n["n_pages"]))
+                        ),
+                        "n_chars": len(text),
+                        "extracted_text": text,
+                        "pages": pages,
+                        "error": o["error"] if o["error"] is not None else n["error"],
+                    }
+                )
+            merged_hit = pa.Table.from_pylist(rows, schema=old_t.schema)
+            merged = pa.concat_tables([old_keep, merged_hit, new_keep])
+        else:
+            merged = pa.concat_tables([old_keep, new_keep])
+
+    tmp = d + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    fp = os.path.join(tmp, "data.parquet")
+    pq.write_table(merged, fp)
+    fsize = os.path.getsize(fp)
+    if os.path.isdir(d):
+        old_dir = d + ".old"
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        os.replace(d, old_dir)
+        os.replace(tmp, d)
+        shutil.rmtree(old_dir)
+    else:
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        os.replace(tmp, d)
+
+    rows_n = merged.num_rows
+    blocks = int(pc.sum(merged.column("n_blocks")).as_py() or 0)
+    chars = int(pc.sum(merged.column("n_chars")).as_py() or 0)
+    mc = merged.column("mean_conf").to_numpy(zero_copy_only=False)
+    nb = merged.column("n_blocks").to_numpy(zero_copy_only=False)
+    manifests = {int(m["part"]): m for m in load_manifests(out_dir)}
+    prev = manifests.get(part, {})
+    prev_metrics = prev.get("metrics", {})
+    m = {
+        **prev,
+        "part": part,
+        "status": "complete",
+        "files": [{"name": "data.parquet", "bytes": fsize}],
+        "metrics": {
+            "docs": rows_n,
+            "blocks": blocks,
+            "chars": chars,
+            "errors": rows_n - merged.column("error").null_count,
+            "duplicates": int(prev_metrics.get("duplicates", 0)) + new_duplicates,
+            "conf_total": int(np.rint(mc * nb).sum()) if rows_n else 0,
+            "mean_conf": float(
+                (pc.sum(merged.column("mean_conf")).as_py() or 0.0) / rows_n
+            ) if rows_n else 0.0,
+            "mean_boilerplate_ratio": float(
+                (pc.sum(merged.column("boilerplate_ratio")).as_py() or 0.0)
+                / rows_n
+            ) if rows_n else 0.0,
+            "chars_per_doc": (chars / rows_n) if rows_n else 0.0,
+        },
+    }
+    write_manifest(out_dir, part, m)
+    return {"part": part, "docs": rows_n, "appended": appended,
+            "new": new_t.num_rows - appended}
+
+
+def append_extract(
+    input_path: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    dedup: bool | str = True,
+    concurrency=None,
+    batch_size: int = 128,
+) -> dict:
+    """Incrementally extract NEW crawl rows into an existing out_dir.
+
+    The reference's add-pages-to-existing-document path
+    (/root/reference/StudiOCR/OcrEngine.py:108-110,128) at corpus scale: the
+    new input runs through the same distributed pipeline (same partition
+    modulus, read from ``_meta.json``), then ONLY the partitions that
+    received new rows are merged — one Ray task per affected partition, each
+    a local parquet merge + atomic swap + manifest update.  Untouched
+    partitions are never read or written."""
+    import ray
+
+    from ..state.manifest import load_meta
+
+    cfg = cfg or ExtractConfig()
+    meta = load_meta(out_dir)
+    if not meta:
+        raise ValueError(f"{out_dir} has no _meta.json — run run_extract first")
+    if meta.get("config_hash") != cfg.config_hash():
+        raise ValueError(
+            f"append config_hash {cfg.config_hash()} != existing "
+            f"{meta.get('config_hash')}; appending with a different config "
+            "would mix extraction semantics in one corpus"
+        )
+    num_partitions = int(meta["num_partitions"])
+    t0 = time.perf_counter()
+
+    tmp_out = f"{out_dir}.append-{os.getpid()}"
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    try:
+        run_extract(
+            input_path, tmp_out, cfg=cfg, num_partitions=num_partitions,
+            resume=False, dedup=dedup, concurrency=concurrency,
+            batch_size=batch_size,
+        )
+        new_dups = {
+            int(m["part"]): int(m["metrics"].get("duplicates", 0))
+            for m in load_manifests(tmp_out)
+        }
+        parts = [
+            p for p in range(num_partitions)
+            if os.path.isdir(part_dir(tmp_out, p))
+        ]
+        merge = ray.remote(num_cpus=1)(_merge_append_part)
+        results = ray.get(
+            [merge.remote(out_dir, tmp_out, p, new_dups.get(p, 0))
+             for p in parts]
+        )
+    finally:
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    return {
+        "parts_touched": len(results),
+        "parts_untouched": num_partitions - len(results),
+        "docs_appended_to": sum(r["appended"] for r in results),
+        "docs_new": sum(r["new"] for r in results),
+        "elapsed_sec": time.perf_counter() - t0,
+    }
+
+
 def page_stats_dataset(out_dir: str):
     ds = read_extracted(out_dir, columns=["url", "pages"])
     return ds.map_batches(explode_page_stats, batch_format="pyarrow")

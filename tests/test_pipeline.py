@@ -83,6 +83,85 @@ class TestGoldenIdentity:
         assert m["chars_per_doc"] > 0
 
 
+class TestAppend:
+    def test_append_second_crawl(self, ray_session, pages_dir, pages_table, tmp_path):
+        """Reference OcrEngine.py:108-110,128: a second crawl of an existing
+        url appends its pages with numbering offset by the current count;
+        only the affected partitions are rewritten."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.functions.document import ExtractConfig
+        from studiocr_ray.pipelines.extract_pipeline import (
+            append_extract,
+            export_document,
+            run_extract,
+        )
+        from studiocr_ray.stages.extract import url_part
+        from studiocr_ray.state.manifest import part_dir
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=8)
+        before = {r["url"]: r for r in docs_dataset(out).take_all()}
+
+        urls = sorted(before)[:2]
+        rows, seen = [], set()
+        for r in pages_table.to_pylist():
+            if r["url"] in urls and r["url"] not in seen:
+                seen.add(r["url"])
+                rows.append(r)
+        new_url = "https://appended.example/new"
+        rows.append({**rows[0], "url": new_url})
+        crawl2 = str(tmp_path / "crawl2")
+        os.makedirs(crawl2)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pages_table.schema),
+            os.path.join(crawl2, "p.parquet"),
+        )
+
+        touched = {url_part(u, 8) for u in urls} | {url_part(new_url, 8)}
+        mtimes = {
+            p: os.path.getmtime(part_dir(out, p))
+            for p in range(8)
+            if os.path.isdir(part_dir(out, p))
+        }
+
+        s = append_extract(crawl2, out)
+        assert s["docs_appended_to"] == 2
+        assert s["docs_new"] == 1
+        assert s["parts_touched"] == len(touched)
+        for p, mt in mtimes.items():
+            if p not in touched:
+                assert os.path.getmtime(part_dir(out, p)) == mt, p
+
+        after = {r["url"]: r for r in docs_dataset(out).take_all()}
+        assert len(after) == len(before) + 1
+        for u in urls:
+            o, a = before[u], after[u]
+            assert a["n_pages"] == 2 * o["n_pages"]
+            assert a["n_blocks"] == 2 * o["n_blocks"]
+            assert (
+                a["extracted_text"]
+                == o["extracted_text"] + "\n" + o["extracted_text"]
+            )
+        # page numbering continues across the append (the reference offset)
+        doc = export_document(out, urls[0])
+        assert [p["page"] for p in doc["pages"]] == list(
+            range(after[urls[0]]["n_pages"])
+        )
+        assert new_url in after
+
+        m = corpus_metrics(out)
+        assert m["docs"] == len(before) + 1
+        assert m["blocks"] == sum(r["n_blocks"] for r in after.values())
+
+        # a different extraction config must be refused
+        with pytest.raises(ValueError):
+            append_extract(crawl2, out, cfg=ExtractConfig(psm=6))
+
+
 class TestResume:
     def test_partition_granular_resume(self, ray_session, pages_dir, tmp_path):
         out = str(tmp_path / "out")
