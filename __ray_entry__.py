@@ -313,16 +313,20 @@ def _q_extract_page_stats(sf_dir: str):
     ds = page_stats_dataset(out)
 
     def flat(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         stats = batch.column("stats")
+        if isinstance(stats, pa.ChunkedArray):
+            stats = stats.combine_chunks()
         return pa.table(
             {
                 "url": batch.column("url"),
                 "page": batch.column("page"),
-                "n_terms": pa.array(
-                    [len(s["texts"]) for s in stats.to_pylist()], pa.int64()
+                "n_terms": pc.cast(
+                    pc.list_value_length(stats.field("texts")), pa.int64()
                 ),
-                "n_chars_distinct": pa.array(
-                    [len(s["chars"]) for s in stats.to_pylist()], pa.int64()
+                "n_chars_distinct": pc.cast(
+                    pc.list_value_length(stats.field("chars")), pa.int64()
                 ),
             }
         )
@@ -402,6 +406,19 @@ def _q_dup_clusters(sf_dir: str):
     return duplicate_clusters(pairs)
 
 
+def _q_config_sweep(sf_dir: str):
+    """Grid-search sweep (ImageGridSearch analogue) over a raster corpus
+    derived from documents; scoring is exact integer micro-averages, so the
+    whole ranked table is SQL-reproducible."""
+    import ray.data as rd
+
+    from studiocr_ray.fixtures import raster_pages_from_documents
+    from studiocr_ray.pipelines.sweep import config_sweep
+
+    pages, truth = raster_pages_from_documents(sf_dir)
+    return config_sweep(rd.from_arrow(pages), truth, tol=0)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -444,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_search": _q_extract_search,
         "extract_page_stats": _q_extract_page_stats,
         "extract_metrics": _q_extract_metrics,
+        "config_sweep": _q_config_sweep,
         # rows-only ops
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -542,6 +560,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         )
     """
+    from studiocr_ray.pipelines.sweep import default_grid
+
+    cfg_vals = ", ".join(
+        f"('{name}', {int(c.preprocessing)})"
+        for name, c in default_grid().items()
+    )
     # rolling (winnowing-style) fingerprint: polynomial hash of each 8-byte
     # window mod 2^64 (HUGEINT arithmetic; testdata text is pure ASCII so
     # char==byte), keep the 4 smallest hex-joined.
@@ -843,6 +867,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS errors,
                    CAST(0 AS BIGINT) AS duplicates
             FROM d, b
+        """,
+        "config_sweep": f"""
+            WITH tok AS (
+              SELECT unnest({toks.format(src='text')}) AS tk FROM documents
+            ),
+            base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(88 + length(tk) % 12) AS BIGINT) AS conf0,
+                     CAST(sum(least(100, 88 + length(tk) % 12 + 3))
+                          AS BIGINT) AS conf3
+              FROM tok
+            ),
+            cfg(config, pre) AS (VALUES {cfg_vals})
+            SELECT c.config,
+                   1.0 AS hit_rate,
+                   CAST(CASE WHEN c.pre = 1 THEN b.conf3 ELSE b.conf0 END
+                        AS DOUBLE) / b.n AS mean_conf,
+                   b.n AS hits, b.n AS expected, b.n AS blocks
+            FROM cfg c, base b
         """,
         "ngram_jaccard": """
             WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -181,14 +181,16 @@ def pricing_summary(ds):
     """TPC-H-Q1-style grouped aggregate over lineitem with per-batch partial
     aggregation (exact: quantities are integral doubles, counts are ints)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("l_quantity", "sum"), n_items=("l_orderkey", "size"))
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_orderkey", "count")]
         )
-        return g
+        names = ["sum_qty" if n == "l_quantity_sum"
+                 else "n_items" if n == "l_orderkey_count" else n
+                 for n in g.column_names]
+        return g.rename_columns(names)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"), Sum("n_items", alias_name="n_items")
     )
@@ -196,12 +198,13 @@ def pricing_summary(ds):
 
 
 def orders_by_priority(ds):
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_orderpriority", as_index=False).agg(
-            n_orders=("o_orderkey", "size")
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return g.rename_columns(
+            ["n_orders" if n == "o_orderkey_count" else n for n in g.column_names]
         )
 
-    return ds.map_batches(partial, batch_format="pandas").groupby(
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "o_orderpriority"
     ).aggregate(Sum("n_orders", alias_name="n_orders"))
 
@@ -244,13 +247,20 @@ def events_daily(ds):
     """Per (user_id, day): event count + distinct event types. Two-stage
     partial aggregation (tumbling daily window over event time)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(day=batch["ts"].dt.strftime("%Y-%m-%d"))
-        return batch.groupby(["user_id", "day", "event_type"], as_index=False).agg(
-            n=("event_id", "size")
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+        g = batch.group_by(["user_id", "day", "event_type"]).aggregate(
+            [("event_id", "count")]
+        )
+        return g.rename_columns(
+            ["n" if n == "event_id_count" else n for n in g.column_names]
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     per_type = partials.groupby(["user_id", "day", "event_type"]).aggregate(
         Sum("n", alias_name="n")
     )

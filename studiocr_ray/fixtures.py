@@ -219,6 +219,58 @@ def tolerance_corpus(seed: int = 7) -> tuple[pa.Table, dict[str, list[str]]]:
     return t, ground
 
 
+def raster_pages_from_documents(sf_dir: str) -> tuple[pa.Table, dict[str, list[str]]]:
+    """Deterministic RASTER pages + ground truth from a testdata ``documents``
+    table: each doc's whitespace tokens become one RSTR1 payload with
+    ``conf = 88 + len(token) % 12`` (the layout_tokens conf rule, so the SQL
+    oracle can recompute every sweep statistic).  Returns (pages, truth)."""
+    import base64
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions.raster import encode_payload
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    truth: dict[str, list[str]] = {}
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id, text, lang in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("text").to_pylist(),
+        docs.column("lang").to_pylist(),
+    ):
+        words = text.split()
+        url = f"https://raster.example/{doc_id}"
+        truth[url] = words
+        tokens = [
+            (j * 90, 10, max(1, len(w)) * 9, 18, 88 + len(w) % 12, w)
+            for j, w in enumerate(words)
+        ]
+        payload = encode_payload(tokens)
+        html = (
+            "<html><body><article>"
+            f'<img src="data:image/x-rstr;base64,{base64.b64encode(payload).decode()}">'
+            "</article></body></html>"
+        )
+        urls.append(url)
+        tss.append(EPOCH + timedelta(seconds=doc_id))
+        htmls.append(html.encode())
+        texts.append("")
+        langs.append(lang)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    return t, truth
+
+
 def pages_from_documents(sf_dir: str) -> pa.Table:
     """Deterministic pages_in table derived from a testdata ``documents``
     table: each doc's text is embedded (html-escaped) as the single main

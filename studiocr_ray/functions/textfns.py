@@ -39,15 +39,35 @@ def fuzzy_match(pred: str, expected: str, tol: int | float) -> bool:
     return levenshtein(pred, expected) <= limit
 
 
+def zero_one_hits(expected: list[str], predicted: list[str], tol: int | float = 0) -> int:
+    """Count of expected terms matched by ≥1 prediction within tolerance —
+    the integer numerator of :func:`zero_one_loss` (exposed so corpus-level
+    sweeps can micro-average with exact integer sums).
+
+    An exact prediction always satisfies every tol ≥ 0, so equality is
+    checked first against a set (O(1)); the O(|pred|·len²) levenshtein scan
+    runs only for unmatched terms at tol > 0 — at tol == 0 it is skipped
+    entirely (lev ≤ 0 ⟺ equality)."""
+    pset = set(predicted)
+    tol_zero = not isinstance(tol, float) and int(tol) <= 0
+    preds_uniq = None
+    hit = 0
+    for e in expected:
+        if e in pset:
+            hit += 1
+        elif not tol_zero:
+            if preds_uniq is None:
+                preds_uniq = list(pset)
+            if any(fuzzy_match(p, e, tol) for p in preds_uniq):
+                hit += 1
+    return hit
+
+
 def zero_one_loss(expected: list[str], predicted: list[str], tol: int | float = 0) -> float:
     """Fraction of expected terms matched by ≥1 prediction within tolerance."""
     if not expected:
         return 1.0
-    hit = 0
-    for e in expected:
-        if any(fuzzy_match(p, e, tol) for p in predicted):
-            hit += 1
-    return hit / len(expected)
+    return zero_one_hits(expected, predicted, tol) / len(expected)
 
 
 def conf_bucket(conf: int) -> int:

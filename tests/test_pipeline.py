@@ -162,6 +162,39 @@ class TestAppend:
             append_extract(crawl2, out, cfg=ExtractConfig(psm=6))
 
 
+class TestConfigSweep:
+    def test_sweep_ranks_configs(self, ray_session, tmp_path):
+        """ImageGridSearch analogue: sweep (psm × preprocessing) + presets
+        over a labeled raster corpus; preprocessing configs must rank first
+        by conf (the synthetic engine's PREPROCESS_CONF_BONUS), all configs
+        must recover the ground-truth tokens (hit_rate 1.0 at tol=0.2)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.fixtures import tolerance_corpus
+        from studiocr_ray.pipelines.sweep import config_sweep, default_grid
+
+        pages, truth = tolerance_corpus()
+        d = str(tmp_path / "tol_pages")
+        os.makedirs(d)
+        pq.write_table(pages, os.path.join(d, "p.parquet"))
+
+        res = config_sweep(d, truth, tol=0.2).to_pandas()
+        grid = default_grid()
+        assert set(res["config"]) == set(grid)
+        assert (res["expected"] == sum(len(v) for v in truth.values())).all()
+        # the synthetic raster engine recovers every token verbatim
+        assert (res["hit_rate"] == 1.0).all()
+        # preprocessing=True configs outrank preprocessing=False by conf
+        pre = {n for n, c in grid.items() if c.preprocessing}
+        n_pre = len(pre)
+        assert set(res["config"].head(n_pre)) == pre
+        # deterministic: a second run returns the identical table
+        res2 = config_sweep(d, truth, tol=0.2).to_pandas()
+        pd.testing.assert_frame_equal(res, res2)
+
+
 class TestResume:
     def test_partition_granular_resume(self, ray_session, pages_dir, tmp_path):
         out = str(tmp_path / "out")
