@@ -38,7 +38,7 @@ def _extraction(sf_dir: str) -> tuple[str, str]:
     from studiocr_ray.pipelines.index_pipeline import run_index
 
     cfg = ExtractConfig()
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v3".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{cfg.config_hash()}|v4".encode()).hexdigest()[:16]
     root = os.path.join(_CACHE_ROOT, key)
     pages = os.path.join(root, "pages_in")
     out = os.path.join(root, "out")

@@ -150,3 +150,46 @@ def extract_document(
         "extracted_text": text,
         "pages": pages,
     }
+
+
+def layout_page_row(page_no: int, page_text: str) -> dict:
+    """Reconstruct a layout page's full row from its stored text.
+
+    EXACT inverse of the storage elision (schema.py EXTRACTED note): the
+    stored page text is ``" ".join(tokens)`` where tokens came from
+    ``layout_tokens(main_text)`` — whitespace-normalized, so
+    ``layout_tokens(page_text)`` regenerates the identical token list, and
+    bbox/conf are pure functions of it.  Layout pages never produce
+    whitespace-only tokens, so ``dropped`` is always empty."""
+    toks = layout_tokens(page_text)
+    blocks = [
+        {
+            "block": i,
+            "left": left,
+            "top": top,
+            "width": w,
+            "height": h,
+            "conf": conf,
+            "text": t,
+        }
+        for i, (left, top, w, h, conf, t) in enumerate(
+            zip(toks["left"], toks["top"], toks["width"], toks["height"],
+                toks["conf"], toks["text"])
+        )
+    ]
+    return {"page": page_no, "blocks": blocks, "dropped": []}
+
+
+def materialize_pages(
+    n_pages: int, extracted_text: str, stored_pages: list[dict] | None
+) -> list[dict]:
+    """Full ordered page list of a stored doc row: stored (raster) pages as
+    recorded, missing page numbers regenerated as layout pages from the
+    ``"\\n"``-segmented extracted_text."""
+    stored = {int(p["page"]): p for p in (stored_pages or [])}
+    if len(stored) == n_pages:
+        return [stored[i] for i in range(n_pages)]
+    texts = extracted_text.split("\n")
+    return [
+        stored.get(i) or layout_page_row(i, texts[i]) for i in range(n_pages)
+    ]

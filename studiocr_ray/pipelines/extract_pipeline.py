@@ -372,7 +372,9 @@ def docs_dataset(out_dir: str):
 
 
 def blocks_dataset(out_dir: str):
-    ds = read_extracted(out_dir, columns=["url", "pages"])
+    from ..stages.extract import PAGES_READ_COLUMNS
+
+    ds = read_extracted(out_dir, columns=PAGES_READ_COLUMNS)
     return ds.map_batches(explode_blocks, batch_format="pyarrow")
 
 
@@ -417,9 +419,15 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
             for o in old_hit.to_pylist():
                 n = by_url[o["url"]]
                 off = int(o["n_pages"])
+                # stored pages are the RASTER pages only; layout pages stay
+                # implicit — their positions (old + offset new) are tracked
+                # in layout_pages so readers can regenerate them
                 pages = list(o["pages"])
                 for p in n["pages"]:
                     pages.append({**p, "page": int(p["page"]) + off})
+                layout_pages = list(o.get("layout_pages") or []) + [
+                    int(x) + off for x in (n.get("layout_pages") or [])
+                ]
                 ob, nb = int(o["n_blocks"]), int(n["n_blocks"])
                 conf_tot = (round(o["mean_conf"] * ob) +
                             round(n["mean_conf"] * nb))
@@ -438,6 +446,7 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
                         ),
                         "n_chars": len(text),
                         "extracted_text": text,
+                        "layout_pages": layout_pages,
                         "pages": pages,
                         "error": o["error"] if o["error"] is not None else n["error"],
                     }
@@ -567,7 +576,9 @@ def append_extract(
 
 
 def page_stats_dataset(out_dir: str):
-    ds = read_extracted(out_dir, columns=["url", "pages"])
+    from ..stages.extract import PAGES_READ_COLUMNS
+
+    ds = read_extracted(out_dir, columns=PAGES_READ_COLUMNS)
     return ds.map_batches(explode_page_stats, batch_format="pyarrow")
 
 
@@ -684,7 +695,11 @@ def export_document(out_dir: str, url: str) -> dict:
     if t.num_rows == 0:
         return {}
     row = t.to_pylist()[0]
-    pages = sorted(row["pages"], key=lambda p: p["page"])
+    from ..functions.document import materialize_pages
+
+    pages = materialize_pages(
+        int(row["n_pages"]), row["extracted_text"], row["pages"]
+    )
     out_pages = [
         {
             "page": p["page"],

@@ -4,7 +4,7 @@ Replaces the reference's O(docs × pages × blocks × words) full-scan search
 (/root/reference/StudiOCR/ListDocuments.py:206-221) with a term-keyed index
 built by the one deliberate wide shuffle of the engine:
 
-    extracted parquet (url, pages — column-pruned read)
+    extracted parquet (url, extracted_text, layout_pages, pages)
       → map_batches(partial_postings)      # explode + PER-BATCH pre-aggregation
       → map_batches(add term bucket)       # bucket = crc32(term) % B
       → groupby(bucket).map_groups(merge)  # the all-to-all exchange, B groups
@@ -35,11 +35,76 @@ from ..schema import POSTING_STRUCT
 POSTINGS_LIST = pa.list_(POSTING_STRUCT)
 
 
-def partial_postings(batch: pa.Table) -> pa.Table:
-    """Nested EXTRACTED rows → per-batch combined (term, postings, tf).
+def _layout_flat(batch: pa.Table) -> pa.Table | None:
+    """Flat (term,url,page,block,conf) rows of the IMPLICIT layout pages,
+    exploded straight from ``extracted_text`` — no nested data is read or
+    reconstructed.  Page texts are the text's "\\n" segments; token conf is
+    the layout rule ``88 + len % 12`` (html_extract.layout_tokens), block
+    ids are within-page positions.  All list-offset/numpy arithmetic."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    Fully vectorized: the doc→page→block explode is Arrow list-offset
-    arithmetic, the within-batch combine is a sort + run-length boundary
+    n = batch.num_rows
+    lp = batch.column("layout_pages").combine_chunks()
+    lp_counts = pc.list_value_length(lp).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    total_lp = int(lp_counts.sum())
+    if total_lp == 0:
+        return None
+    pt = pc.split_pattern(
+        batch.column("extracted_text").combine_chunks(), pattern="\n"
+    )
+    if isinstance(pt, pa.ChunkedArray):
+        pt = pt.combine_chunks()
+    doc_idx = np.repeat(np.arange(n), lp_counts)
+    lp_flat = lp.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    pt_off = pt.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    pt_off = pt_off - pt_off[0]  # flatten() is rebased to offset 0
+    page_texts = pt.flatten().take(pa.array(pt_off[doc_idx] + lp_flat))
+    nonempty = pc.not_equal(page_texts, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        keep = pa.array(np.flatnonzero(nonempty))
+        page_texts = page_texts.take(keep)
+        doc_idx = doc_idx[nonempty]
+        lp_flat = lp_flat[nonempty]
+    toks = pc.split_pattern(page_texts, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tok_counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    tok_flat = toks.flatten()
+    total = len(tok_flat)
+    starts = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
+    block = np.arange(total, dtype=np.int64) - np.repeat(starts, tok_counts)
+    urls = batch.column("url").combine_chunks()
+    return pa.table(
+        {
+            "term": pc.utf8_lower(tok_flat),
+            "url": urls.take(pa.array(np.repeat(doc_idx, tok_counts))),
+            "page": pa.array(
+                np.repeat(lp_flat, tok_counts).astype(np.int32), pa.int32()
+            ),
+            "block": pa.array(block.astype(np.int32), pa.int32()),
+            "conf": pa.array(
+                88
+                + pc.utf8_length(tok_flat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+                % 12,
+                pa.int32(),
+            ),
+        }
+    )
+
+
+def partial_postings(batch: pa.Table) -> pa.Table:
+    """EXTRACTED rows → per-batch combined (term, postings, tf).
+
+    Fully vectorized: layout tokens explode straight from extracted_text
+    (``_layout_flat``), stored raster pages via Arrow list-offset
+    arithmetic, and the within-batch combine is a sort + run-length boundary
     scan. No Python loop touches individual tokens."""
     import numpy as np
     import pyarrow.compute as pc
@@ -59,7 +124,7 @@ def partial_postings(batch: pa.Table) -> pa.Table:
     rep = pa.array(np.repeat(np.arange(len(page_struct)), n_blocks))
     block_struct = blocks_list.flatten()
 
-    flat = pa.table(
+    raster_flat = pa.table(
         {
             "term": pc.utf8_lower(block_struct.field("text")),
             "url": url_per_page.take(rep),
@@ -67,6 +132,11 @@ def partial_postings(batch: pa.Table) -> pa.Table:
             "block": block_struct.field("block"),
             "conf": block_struct.field("conf"),
         }
+    )
+    layout = _layout_flat(batch)
+    flat = (
+        raster_flat if layout is None
+        else pa.concat_tables([layout, raster_flat]).combine_chunks()
     )
     if flat.num_rows == 0:
         return pa.table(
@@ -313,7 +383,10 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
     staging = f"{index_dir}.staging-{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
-    ds = read_extracted(out_dir, columns=["url", "pages"])
+    ds = read_extracted(
+        out_dir,
+        columns=["url", "extracted_text", "layout_pages", "pages"],
+    )
 
     num_buckets = _default_num_buckets()
     partials = _bucketed_partials(ds, num_buckets)

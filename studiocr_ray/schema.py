@@ -56,6 +56,17 @@ PAGE_STRUCT = pa.struct(
 )
 
 # The canonical nested extraction output: one row per url.
+#
+# ``pages`` stores ONLY raster (OCR) pages.  Layout pages — the HTML main
+# text flowed through the deterministic monospace layout — are fully
+# derivable from ``extracted_text`` (page texts are its "\n" segments;
+# bbox/conf/block follow from functions.document.layout_tokens), so storing
+# them would ship ~80% redundant bytes through the url-hash exchange and the
+# parquet write for the ~90% of web docs with no embedded raster content.
+# ``layout_pages`` lists the implicit page numbers (``[0]`` for a fresh doc;
+# appends add the later crawls' layout positions).  Readers call
+# ``functions.document.materialize_pages`` (exactness proved by the golden
+# blocks/page-stats tests against the sequential oracle).
 EXTRACTED = pa.schema(
     [
         ("url", pa.string()),
@@ -68,6 +79,7 @@ EXTRACTED = pa.schema(
         ("boilerplate_ratio", pa.float64()),
         ("n_chars", pa.int64()),
         ("extracted_text", pa.string()),
+        ("layout_pages", pa.list_(pa.int32())),
         ("pages", pa.list_(PAGE_STRUCT)),
         ("error", pa.string()),
     ]

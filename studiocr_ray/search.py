@@ -229,7 +229,9 @@ def doc_blocks(out_dir: str, url: str) -> pa.Table:
     with open(os.path.join(out_dir, "_meta.json")) as f:
         num_partitions = json.load(f)["num_partitions"]
     pdir = part_dir(out_dir, url_part(url, num_partitions))
-    ds = rd.read_parquet(pdir, columns=["url", "pages"])
+    from .stages.extract import PAGES_READ_COLUMNS
+
+    ds = rd.read_parquet(pdir, columns=PAGES_READ_COLUMNS)
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("url"), url)), batch_format="pyarrow"
     )

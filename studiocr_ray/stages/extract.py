@@ -270,6 +270,8 @@ class ExtractAssemble:
         # dropped level (flat)
         d_pos: list[int] = []
         d_text: list[str] = []
+        # implicit layout page numbers per doc ([0] normally, [] on error)
+        layout_a: list[list[int]] = []
 
         for html in htmls:
             try:
@@ -297,16 +299,27 @@ class ExtractAssemble:
                 text_a.append("")
                 err_a.append(f"{type(e).__name__}: {e}")
                 doc_off.append(len(page_no_a))
+                layout_a.append([])
                 continue
             page_texts: list[str] = []
             doc_blocks = 0
             conf_sum = 0
             for page_no, tokens in enumerate(raw_pages):
                 texts = tokens["text"]
-                # The reference's non-space filter keeps ``not t.isspace()``
-                # ('' kept — /root/reference/StudiOCR/OcrEngine.py:130-135).
-                # layout_tokens (page 0) never emits whitespace-only tokens,
-                # so drops occur only on raster pages.
+                if page_no == 0:
+                    # Layout page: fully derivable from its text
+                    # (materialize_pages), so it is NOT stored — only its
+                    # stats fold into the doc aggregates.  layout_tokens
+                    # never emits whitespace-only tokens (split() tokens),
+                    # so every token is kept and contributes conf.
+                    confs = tokens["conf"]
+                    conf_sum += sum(confs)
+                    doc_blocks += len(texts)
+                    page_texts.append(" ".join(texts))
+                    continue
+                # Raster page: stored verbatim.  The reference's non-space
+                # filter keeps ``not t.isspace()`` ('' kept —
+                # /root/reference/StudiOCR/OcrEngine.py:130-135).
                 drops = [i for i, t in enumerate(texts) if t.isspace()]
                 if drops:
                     for i in drops:
@@ -337,6 +350,7 @@ class ExtractAssemble:
                 blk_off.append(len(b_text))
                 drop_off.append(len(d_text))
             doc_off.append(len(page_no_a))
+            layout_a.append([0])
             text = "\n".join(page_texts)
             n_pages_a.append(len(raw_pages))
             n_blocks_a.append(doc_blocks)
@@ -391,6 +405,7 @@ class ExtractAssemble:
             "boilerplate_ratio": pa.array(bp_a, pa.float64()),
             "n_chars": pa.array(n_chars_a, pa.int64()),
             "extracted_text": pa.array(text_a, pa.string()),
+            "layout_pages": pa.array(layout_a, pa.list_(pa.int32())),
             "pages": pages_list.cast(self.schema.field("pages").type),
             "error": pa.array(err_a, pa.string()),
         }
@@ -401,15 +416,31 @@ class ExtractAssemble:
         return pa.table(cols, schema=self.schema)
 
 
+def _full_pages_iter(batch: pa.Table):
+    """(url, full page list) per row — stored raster pages + regenerated
+    layout pages (functions.document.materialize_pages)."""
+    from ..functions.document import materialize_pages
+
+    for url, n_pages, text, pages in zip(
+        batch.column("url").to_pylist(),
+        batch.column("n_pages").to_pylist(),
+        batch.column("extracted_text").to_pylist(),
+        batch.column("pages").to_pylist(),
+    ):
+        yield url, materialize_pages(int(n_pages), text, pages)
+
+
+# columns a batch must carry for _full_pages_iter
+PAGES_READ_COLUMNS = ["url", "n_pages", "extracted_text", "pages"]
+
+
 def explode_blocks(batch: pa.Table) -> pa.Table:
     """Nested EXTRACTED rows → flat BLOCKS rows (url, page, block, bbox, conf,
     text), ordered (url-row order, page, block)."""
     from ..schema import BLOCKS
 
     cols: dict[str, list] = {k: [] for k in BLOCKS.names}
-    urls = batch.column("url").to_pylist()
-    pages_col = batch.column("pages").to_pylist()
-    for url, pages in zip(urls, pages_col):
+    for url, pages in _full_pages_iter(batch):
         for p in pages:
             for b in p["blocks"]:
                 cols["url"].append(url)
@@ -421,15 +452,14 @@ def explode_blocks(batch: pa.Table) -> pa.Table:
 
 def explode_page_stats(batch: pa.Table) -> pa.Table:
     """Nested EXTRACTED rows → flat (url, page, stats) rows; stats are
-    DERIVED from the stored blocks+dropped (page_stats.stats_from_page) —
-    they are not persisted (schema.py PAGE_STRUCT note)."""
+    DERIVED from the stored/reconstructed blocks+dropped
+    (page_stats.stats_from_page) — they are not persisted (schema.py
+    PAGE_STRUCT note)."""
     from ..functions.page_stats import stats_from_page
     from ..schema import PAGE_STATS_STRUCT
 
     urls_out, pages_out, stats_out = [], [], []
-    urls = batch.column("url").to_pylist()
-    pages_col = batch.column("pages").to_pylist()
-    for url, pages in zip(urls, pages_col):
+    for url, pages in _full_pages_iter(batch):
         for p in pages:
             urls_out.append(url)
             pages_out.append(p["page"])
