@@ -290,10 +290,16 @@ def _q_extract_docs(sf_dir: str):
 
 
 def _q_extract_index(sf_dir: str):
+    """Index rows are (term, url-shard) — the hot-term salt — so per-term
+    df/tf are the shard sums (exact: shard url sets are disjoint)."""
+    from ray.data.aggregate import Sum
+
     from studiocr_ray.pipelines.index_pipeline import index_dataset
 
     _, idx = _extraction(sf_dir)
-    return index_dataset(idx, columns=["term", "df", "tf"])
+    return index_dataset(idx, columns=["term", "df", "tf"]).groupby(
+        "term"
+    ).aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
 
 
 def _q_extract_search(sf_dir: str):

@@ -359,8 +359,26 @@ def run_extract(
 
 
 def read_extracted(out_dir: str, columns: list[str] | None = None):
-    """Read the nested extracted table back (column-pruned)."""
-    return rd.read_parquet(os.path.join(out_dir, "parts"), columns=columns)
+    """Read the nested extracted table back (column-pruned).
+
+    Block count is capped by bytes, NOT by the partition-dir file count: the
+    hive layout has O(num_partitions) small files, Ray's default read splits
+    to ≥200 blocks regardless, and any downstream all-to-all (the index
+    build's bucket exchange) pays the block-count² cliff (measured 141s at
+    ~208 blocks vs 15s at ≤96 for the same bytes)."""
+    import ray
+
+    ncpu = int(
+        ray.cluster_resources().get("CPU", os.cpu_count() or 8)
+        if ray.is_initialized()
+        else (os.cpu_count() or 8)
+    )
+    path = os.path.join(out_dir, "parts")
+    return rd.read_parquet(
+        path,
+        columns=columns,
+        override_num_blocks=_read_num_blocks(path, ncpu),
+    )
 
 
 def docs_dataset(out_dir: str):

@@ -27,12 +27,20 @@ search (/root/reference/StudiOCR/DocWindow.py:357-360).
 from __future__ import annotations
 
 import os
+import zlib
 
 import pyarrow as pa
 
 from ..schema import POSTING_STRUCT
 
 POSTINGS_LIST = pa.list_(POSTING_STRUCT)
+
+# Hot-key salt: each term's postings are split into URL_SHARDS rows keyed by
+# crc32(url) % URL_SHARDS, so a stopword-grade term merges as URL_SHARDS
+# parallel groups instead of one giant serial one.  Disjoint url sets per
+# shard keep df/tf exact under summation; readers union/aggregate the shard
+# rows (search unions urls anyway; term_df sums df/tf per term).
+URL_SHARDS = 8
 
 
 def _layout_flat(batch: pa.Table) -> pa.Table | None:
@@ -141,18 +149,32 @@ def partial_postings(batch: pa.Table) -> pa.Table:
     if flat.num_rows == 0:
         return pa.table(
             {"term": pa.array([], pa.string()),
+             "ushard": pa.array([], pa.int32()),
              "postings": pa.array([], POSTINGS_LIST),
              "tf": pa.array([], pa.int64())}
         )
-    # Group by term via dictionary codes + integer argsort — ~2× faster than
-    # sorting the term strings; any term order works for the combine.
+    # Group by (term, url-shard) via dictionary codes + one integer argsort —
+    # ~2× faster than sorting the term strings; any order works for the
+    # combine.  The url shard (crc32(url) % URL_SHARDS, hashed once per
+    # DISTINCT url in the batch) is the hot-key salt: a stopword-grade term's
+    # postings split into URL_SHARDS independent rows, so the bucket merge
+    # parallelizes within the term instead of serializing on it.  Disjoint
+    # url sets per shard keep df/tf exact under summation.
     codes_arr = pc.dictionary_encode(flat.column("term")).combine_chunks()
-    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-    order = np.argsort(codes, kind="stable")
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    u_d = pc.dictionary_encode(flat.column("url")).combine_chunks()
+    shard_of = np.fromiter(
+        (zlib.crc32(s.encode()) % URL_SHARDS for s in u_d.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(u_d.dictionary),
+    )
+    ushard = shard_of[u_d.indices.to_numpy(zero_copy_only=False)]
+    key = codes * URL_SHARDS + ushard
+    order = np.argsort(key, kind="stable")
     flat = flat.take(pa.array(order))
-    sorted_codes = codes[order]
+    sorted_key = key[order]
     terms = flat.column("term").combine_chunks()
-    bounds = np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1
+    bounds = np.flatnonzero(sorted_key[1:] != sorted_key[:-1]) + 1
     if len(terms) >= 2**31:  # int32 ListArray offsets would wrap silently
         raise OverflowError(
             f"{len(terms)} postings in one batch exceed int32 list offsets; "
@@ -173,11 +195,15 @@ def partial_postings(batch: pa.Table) -> pa.Table:
         names=["url", "page", "block", "conf"],
     )
     postings = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), posting_struct)
-    uniq_terms = terms.take(pa.array(offsets[:-1].astype(np.int64)))
+    starts = offsets[:-1].astype(np.int64)
+    uniq_terms = terms.take(pa.array(starts))
     tf = np.diff(offsets).astype(np.int64)
     return pa.table(
         {
             "term": uniq_terms,
+            "ushard": pa.array(
+                (sorted_key[starts] % URL_SHARDS).astype(np.int32), pa.int32()
+            ),
             "postings": postings.cast(POSTINGS_LIST),
             "tf": pa.array(tf),
         }
@@ -330,8 +356,10 @@ def build_index_dataset(
     if num_buckets is None:
         num_buckets = _default_num_buckets()
     partials = _bucketed_partials(extracted_ds, num_buckets)
-    merged = partials.groupby("bucket").map_groups(
-        lambda g: _merge_bucket_group(g.drop_columns(["bucket", "tf"]), max_postings),
+    merged = partials.groupby(["bucket", "ushard"]).map_groups(
+        lambda g: _merge_bucket_group(
+            g.drop_columns(["bucket", "ushard", "tf"]), max_postings
+        ),
         batch_format="pyarrow",
     )
     return merged
@@ -353,14 +381,20 @@ def _merge_write_bucket_group(
     import pyarrow.parquet as pq
 
     bucket = int(group.column("bucket")[0].as_py())
-    t = _merge_bucket_group(group.drop_columns(["bucket", "tf"]), max_postings)
-    path = os.path.join(staging_dir, f"bucket-{bucket:05d}.parquet")
+    ushard = int(group.column("ushard")[0].as_py())
+    t = _merge_bucket_group(
+        group.drop_columns(["bucket", "ushard", "tf"]), max_postings
+    )
+    path = os.path.join(
+        staging_dir, f"bucket-{bucket:05d}-{ushard:02d}.parquet"
+    )
     tmp = f"{path}.tmp-{os.getpid()}"
     pq.write_table(t, tmp, row_group_size=row_group_size)
     os.replace(tmp, path)
     return pa.table(
         {
             "bucket": pa.array([bucket], pa.int32()),
+            "ushard": pa.array([ushard], pa.int32()),
             "terms": pa.array([t.num_rows], pa.int64()),
             "bytes": pa.array([os.path.getsize(path)], pa.int64()),
         }
@@ -393,9 +427,11 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
     write_fn = functools.partial(
         _merge_write_bucket_group, staging_dir=staging, max_postings=max_postings
     )
-    summaries = partials.groupby("bucket").map_groups(
+    summaries = partials.groupby(["bucket", "ushard"]).map_groups(
         write_fn, batch_format="pyarrow"
     ).take_all()
+    # rows are (term, ushard); distinct terms can span shards, so the
+    # reported count is shard rows, labeled accordingly in callers
     n_terms = sum(int(r["terms"]) for r in summaries)
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)

@@ -142,7 +142,9 @@ def search_corpus_indexed(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).to_pandas()
-        matched = mdf["term"].tolist() if "term" in mdf.columns else []
+        # index rows are (term, url-shard): the same term appears once per
+        # shard file — dedupe before building the pushdown filter
+        matched = sorted(set(mdf["term"])) if "term" in mdf.columns else []
         if not matched:
             return rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
         import pyarrow.dataset as pads

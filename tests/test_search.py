@@ -57,22 +57,31 @@ def brute_force_corpus_search(blocks, query, fuzzy=False, tol=2):
 
 class TestIndex:
     def test_index_consistency(self, corpus, oracle_blocks):
+        """Index rows are (term, url-shard) — the hot-term salt.  Per-term
+        totals are the shard sums; shard url sets must be disjoint so those
+        sums are exact."""
         out, idx_dir = corpus
         idx = index_dataset(idx_dir).to_pandas()
-        # terms are exactly the distinct lowered block texts
+        # distinct terms are exactly the distinct lowered block texts
         want_terms = sorted({t.lower() for t in oracle_blocks.column("text").to_pylist()})
-        assert sorted(idx["term"].tolist()) == want_terms
-        # postings counts per term match brute force; postings sorted
+        assert sorted(set(idx["term"])) == want_terms
+        # per-term tf (summed over shards) matches brute force
         texts = [t.lower() for t in oracle_blocks.column("text").to_pylist()]
         from collections import Counter
 
         tf = Counter(texts)
+        for term, total in idx.groupby("term")["tf"].sum().items():
+            assert total == tf[term]
+        # each shard row: postings sorted, df/tf exact within the row
         for _, row in idx.iterrows():
-            assert row["tf"] == tf[row["term"]]
             posts = [(p["url"], p["page"], p["block"]) for p in row["postings"]]
             assert posts == sorted(posts)
             assert row["df"] == len({p[0] for p in posts})
             assert len(posts) == row["tf"]
+        # shard url sets are disjoint per term (Σ shard df == distinct urls)
+        for term, g in idx.groupby("term"):
+            urls = [p["url"] for posts in g["postings"] for p in posts]
+            assert int(g["df"].sum()) == len(set(urls))
 
     def test_max_postings_truncation(self, corpus, ray_session, tmp_path):
         out, _ = corpus
