@@ -149,14 +149,16 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     Runs the headline extraction pipeline only, so both legs measure the
     same job the criterion names."""
     results = {}
-    # The default 1.2M-row corpus is this VM's sweet spot: smaller and the
-    # per-run constants (actor startup, read ramp) dominate the 32-cpu leg;
-    # larger (2.4M) and the single-vda staging-write bandwidth term does —
-    # both are single-node artifacts a real cluster (per-node disks,
-    # distributed output store) doesn't share.
+    # 2.4M rows (replicas=480): large enough that per-run constants (actor
+    # startup, read ramp — ~4s) are <8% of the 32-cpu leg.  Round 1 capped
+    # this at 1.2M because the staging write hit the single-vda bandwidth
+    # wall at 2.4M; the round-2 layout-page virtualization cut output bytes
+    # ~5×, which removed that constant term (measured 0.85 at 2.4M vs
+    # 0.68–0.82 at 1.2M).
+    replicas = os.environ.get("GRAFT_BENCH_REPLICAS", "480")
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_ONLY="extract")
+                   GRAFT_BENCH_ONLY="extract", GRAFT_BENCH_REPLICAS=replicas)
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -350,21 +350,6 @@ def _bucketed_partials(extracted_ds, num_buckets: int):
     )
 
 
-def build_index_dataset(
-    extracted_ds, max_postings: int | None = None, num_buckets: int | None = None
-):
-    if num_buckets is None:
-        num_buckets = _default_num_buckets()
-    partials = _bucketed_partials(extracted_ds, num_buckets)
-    merged = partials.groupby(["bucket", "ushard"]).map_groups(
-        lambda g: _merge_bucket_group(
-            g.drop_columns(["bucket", "ushard", "tf"]), max_postings
-        ),
-        batch_format="pyarrow",
-    )
-    return merged
-
-
 def _merge_write_bucket_group(
     group: pa.Table, staging_dir: str, max_postings: int | None,
     row_group_size: int = 2048,
