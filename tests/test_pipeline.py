@@ -161,6 +161,29 @@ class TestAppend:
         with pytest.raises(ValueError):
             append_extract(crawl2, out, cfg=ExtractConfig(psm=6))
 
+        # the index explode must handle multi-layout-page docs (layout pages
+        # at positions 0 AND n after the append): tf of a token present in
+        # both crawls of url[0] doubles, and indexed search still finds it
+        from studiocr_ray.pipelines.index_pipeline import index_dataset, run_index
+        from studiocr_ray.search import search_corpus, search_corpus_indexed
+
+        info = run_index(out, index_dir=str(tmp_path / "idx2"))
+        idx = index_dataset(info["index_dir"]).to_pandas()
+        total_tf = int(idx["tf"].sum())
+        assert total_tf == sum(r["n_blocks"] for r in after.values())
+        tok = before[urls[0]]["extracted_text"].split()[0].lower()
+        a = sorted(
+            r["url"] for r in search_corpus_indexed(
+                info["index_dir"], tok
+            ).take_all()
+        )
+        b = sorted(
+            r["url"] for r in search_corpus(
+                index_dataset(info["index_dir"]), tok
+            ).take_all()
+        )
+        assert a == b and urls[0] in a
+
 
 class TestConfigSweep:
     def test_sweep_ranks_configs(self, ray_session, tmp_path):
