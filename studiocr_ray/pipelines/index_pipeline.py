@@ -253,7 +253,9 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
     if ft.num_rows == 0:
         return pa.table(
             {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
-             "tf": pa.array([], pa.int64()), "postings": pa.array([], POSTINGS_LIST)}
+             "tf": pa.array([], pa.int64()),
+             "urls": pa.array([], pa.list_(pa.string())),
+             "postings": pa.array([], POSTINGS_LIST)}
         )
     # One integer lexsort does both the term grouping and the within-term
     # (url, page, block) posting order: strings are dictionary-encoded and
@@ -321,11 +323,19 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
     list_offsets = list_offsets.astype(np.int32)
     postings = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
     uniq_terms = t.take(pa.array(starts))
+    # distinct sorted urls per term — the (term,url) run starts the df count
+    # already identified.  Search reads ONLY this column (df-sized, ~tf/df×
+    # smaller than the postings payload) to resolve matching documents.
+    run_idx = np.flatnonzero(run_start)
+    url_vals = _one(ft.column("url")).take(pa.array(run_idx))
+    url_offsets = np.concatenate(([0], np.cumsum(df))).astype(np.int32)
+    urls_col = pa.ListArray.from_arrays(pa.array(url_offsets, pa.int32()), url_vals)
     return pa.table(
         {
             "term": uniq_terms,
             "df": pa.array(df, pa.int64()),
             "tf": pa.array(tf, pa.int64()),
+            "urls": urls_col,
             "postings": postings.cast(POSTINGS_LIST),
         }
     )

@@ -51,23 +51,50 @@ def _match_terms_batch(
     return batch.filter(mask)
 
 
-def distinct_urls_ds(ds, num_buckets: int = 64):
-    """Dataset-side distinct over a (url) dataset: bucket by crc32(url) % B,
-    one vectorized sort + neighbor scan per bucket — B groups, never one
-    Python call per url and never a driver-side collection.  Result is
-    unsorted across buckets (callers sort their final small output if they
-    need order)."""
-    import zlib
+def _string_buckets(arr, num_buckets: int):
+    """Vectorized bucket hash of a string array: FNV fold over the LAST 12
+    bytes of each value (urls differ in their suffix), computed with numpy
+    over the Arrow buffers — no per-row Python.  Internal exchange key only
+    (nothing else depends on this hash)."""
+    import numpy as np
 
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, np.uint8)
+        if data_buf is not None and len(data_buf) > 0
+        else np.zeros(1, np.uint8)
+    )
+    starts, ends = off[:-1], off[1:]
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    mult = np.uint64(0x100000001B3)
+    for j in range(12):
+        pos = ends - 1 - j
+        valid = pos >= starts
+        b = np.where(
+            valid, data[np.clip(pos, 0, len(data) - 1)], 0
+        ).astype(np.uint64)
+        h = (h ^ b) * mult
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def distinct_urls_ds(ds, num_buckets: int = 64):
+    """Dataset-side distinct over a (url) dataset: bucket by a vectorized
+    url-suffix hash % B, one vectorized sort + neighbor scan per bucket — B
+    groups, never one Python call per url and never a driver-side
+    collection.  Result is unsorted across buckets (callers sort their final
+    small output if they need order)."""
     import numpy as np
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (zlib.crc32(u.encode()) % num_buckets
-             for u in batch.column("url").to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        b = _string_buckets(batch.column("url"), num_buckets)
         return batch.append_column("ubucket", pa.array(b, pa.int32()))
 
     def uniq(group: pa.Table) -> pa.Table:
@@ -102,9 +129,12 @@ def search_corpus(
 
     def matched_urls(batch: pa.Table) -> pa.Table:
         hit = _match_terms_batch(batch, words, fuzzy, tol)
-        flat = hit.column("postings").combine_chunks().flatten()
-        urls = pc.unique(flat.field("url"))
-        return pa.table({"url": urls})
+        # the per-row distinct-url list (df-sized) answers search without
+        # flattening the block-level postings payload
+        col = "urls" if "urls" in hit.column_names else "postings"
+        flat = hit.column(col).combine_chunks().flatten()
+        urls = flat if col == "urls" else flat.field("url")
+        return pa.table({"url": pc.unique(urls)})
 
     ds = index_ds.map_batches(matched_urls, batch_format="pyarrow")
     return distinct_urls_ds(ds)
@@ -133,7 +163,12 @@ def search_corpus_indexed(
     import ray.data as rd
 
     words = query.lower().split()
-    terms_ds = rd.read_parquet(index_dir, columns=["term"])
+    # the index dir has O(buckets × shards) small files; without a block cap
+    # each becomes its own read task and per-task overhead dominates the
+    # (tiny) term-column scan
+    terms_ds = rd.read_parquet(
+        index_dir, columns=["term"], override_num_blocks=8
+    )
     if words:
         # the distinct-term dictionary is tiny next to the postings; collect
         # the matched terms only (bounded by vocabulary, not corpus)
@@ -151,15 +186,16 @@ def search_corpus_indexed(
 
         posts = rd.read_parquet(
             index_dir,
-            columns=["postings"],
+            columns=["urls"],
             filter=pads.field("term").isin(matched),
+            override_num_blocks=32,
         )
     else:
-        posts = rd.read_parquet(index_dir, columns=["postings"])
+        posts = rd.read_parquet(index_dir, columns=["urls"], override_num_blocks=32)
 
     def urls_of(batch: pa.Table) -> pa.Table:
-        flat = batch.column("postings").combine_chunks().flatten()
-        return pa.table({"url": pc.unique(flat.field("url"))})
+        flat = batch.column("urls").combine_chunks().flatten()
+        return pa.table({"url": pc.unique(flat)})
 
     ds = posts.map_batches(urls_of, batch_format="pyarrow")
     return distinct_urls_ds(ds)

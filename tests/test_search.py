@@ -72,12 +72,14 @@ class TestIndex:
         tf = Counter(texts)
         for term, total in idx.groupby("term")["tf"].sum().items():
             assert total == tf[term]
-        # each shard row: postings sorted, df/tf exact within the row
+        # each shard row: postings sorted, df/tf exact within the row, and
+        # the search-serving urls column is the sorted distinct posting urls
         for _, row in idx.iterrows():
             posts = [(p["url"], p["page"], p["block"]) for p in row["postings"]]
             assert posts == sorted(posts)
             assert row["df"] == len({p[0] for p in posts})
             assert len(posts) == row["tf"]
+            assert list(row["urls"]) == sorted({p[0] for p in posts})
         # shard url sets are disjoint per term (Σ shard df == distinct urls)
         for term, g in idx.groupby("term"):
             urls = [p["url"] for posts in g["postings"] for p in posts]
@@ -89,6 +91,9 @@ class TestIndex:
         idx = index_dataset(info["index_dir"]).to_pandas()
         assert (idx["postings"].map(len) <= 3).all()
         assert (idx["tf"] >= idx["postings"].map(len)).all()  # tf stays exact
+        # the urls column is built BEFORE truncation: df and search recall
+        # stay complete even when deep posting lists are cut
+        assert (idx["urls"].map(len) == idx["df"]).all()
 
 
 class TestCorpusSearch:
