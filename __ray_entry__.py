@@ -412,6 +412,17 @@ def _q_dup_clusters(sf_dir: str):
     return duplicate_clusters(pairs)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """The composed training-data cleaning pipeline (lang filter → quality
+    filter → exact dedup → minhash near-dup dedup) — every stage's formula
+    is reproduced by the single composed SQL oracle."""
+    from studiocr_ray.datapipe.curate import curate
+
+    return curate(
+        _docs(sf_dir), lang="en", min_quality=0.5, neardup_threshold=0.5
+    ).select_columns(["doc_id", "content_hash"])
+
+
 def _q_config_sweep(sf_dir: str):
     """Grid-search sweep (ImageGridSearch analogue) over a raster corpus
     derived from documents; scoring is exact integer micro-averages, so the
@@ -468,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_page_stats": _q_extract_page_stats,
         "extract_metrics": _q_extract_metrics,
         "config_sweep": _q_config_sweep,
+        "curate_corpus": _q_curate_corpus,
         # rows-only ops
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -536,9 +548,88 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d LEFT JOIN sigv v ON v.doc_id = d.doc_id
         )
     """
-    # exact word-3-shingle Jaccard pairs ≥ 0.5 — the all-pairs ground truth
-    # for the minhash-LSH path (candidate recall at j≥0.5 with 32 bands of 2
-    # rows is 1-(1-j²)^32 ≥ 0.9999; deterministic at a fixed corpus).
+    # language-pick and quality-score CTE chains, shared by the per-operator
+    # oracles AND the composed curate_corpus oracle (same formulas, defined
+    # once so they cannot drift)
+    lang_cte = f"""
+        prof(lang, w) AS (VALUES {prof_vals}),
+        tks AS (
+          SELECT doc_id, unnest({toks.format(src='lower(text)')}) AS tok
+          FROM documents
+        ),
+        sc AS (
+          SELECT t.doc_id, p.lang, count(*) AS score
+          FROM tks t JOIN prof p ON t.tok = p.w
+          GROUP BY t.doc_id, p.lang
+        ),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang ASC) AS rn
+          FROM sc
+        ),
+        lng AS (
+          SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+          FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        )
+    """
+    quality_cte = f"""
+        qf AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 len({toks.format(src='text')}) AS n_tokens,
+                 len(list_filter({toks.format(src='lower(text)')},
+                     x -> list_contains([{stop_list}], x))) AS n_stop
+          FROM documents
+        ),
+        qs AS (
+          SELECT doc_id,
+                 0.5 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars
+                             ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN n_tokens > 0
+                                   THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                   ELSE 0.0 END) * 3.0, 1.0)
+               + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                             THEN 1.0 ELSE 0.0 END) AS quality_score
+          FROM qf
+        )
+    """
+
+    # exact word-3-shingle Jaccard pairs ≥ threshold over a source relation
+    # (doc_id, text) — the all-pairs ground truth for the minhash-LSH path
+    # (candidate recall at j≥0.5 with 32 bands of 2 rows is 1-(1-j²)^32 ≥
+    # 0.9999; deterministic at a fixed corpus).
+    def word_jaccard_over(src: str, threshold: float) -> str:
+        return f"""
+        wtoks AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                  FROM {src}),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) = 0 THEN []
+                               WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                               ELSE [array_to_string(tk[i:i+2], ' ')
+                                     for i in generate_series(1, len(tk) - 2)]
+                          END) AS sh
+            FROM wtoks)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        vpairs AS (
+          SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+        )
+        """
+
     word_jaccard_cte = f"""
         wtoks AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
                   FROM documents),
@@ -801,6 +892,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sval, b.sval)) <= 3
         """,
         "minhash_pairs": f"WITH {word_jaccard_cte} SELECT id_a, id_b, jaccard FROM vpairs",
+        "curate_corpus": f"""
+            WITH RECURSIVE {lang_cte},
+            {quality_cte},
+            surv1 AS (
+              SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN lng USING (doc_id)
+              JOIN qs USING (doc_id)
+              WHERE lng.pred_lang = 'en' AND qs.quality_score >= 0.5
+            ),
+            surv2 AS (
+              SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+              FROM surv1 GROUP BY md5(text)
+            ),
+            s2 AS (
+              SELECT v.doc_id, v.content_hash, d.text
+              FROM surv2 v JOIN documents d USING (doc_id)
+            ),
+            {word_jaccard_over('s2', 0.5)},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            clus AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+            SELECT s2.doc_id, s2.content_hash
+            FROM s2 LEFT JOIN clus ON clus.id = s2.doc_id
+            WHERE clus.id IS NULL OR clus.rep = s2.doc_id
+        """,
         "dup_clusters": f"""
             WITH RECURSIVE {word_jaccard_cte},
             nodes AS (SELECT id_a AS id FROM vpairs

@@ -251,7 +251,31 @@ class TestDedup:
         assert {(0, 100), (1, 101), (2, 102), (0, 200)} <= got
 
 
-class TestEmbeddings:
+class TestCurate:
+    def test_curate_composition(self, ray_session):
+        """lang filter → quality filter → exact dedup → near-dup dedup, each
+        stage's effect visible on a corpus built to exercise all four."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.curate import curate
+
+        good = ("the quick brown fox jumps over the lazy dog and then it "
+                "was done for all of them at the end of the day")
+        rows = [
+            {"doc_id": 0, "text": good},                       # survives
+            {"doc_id": 1, "text": good},                       # exact dup of 0
+            {"doc_id": 2, "text": good.replace("lazy", "sleepy")},  # near dup
+            {"doc_id": 3, "text": "der die das und ist ein eine nicht mit "
+                                   "von auf für wird sind werden im den"},  # de
+            {"doc_id": 4, "text": "xq zz 9& !!"},              # low quality
+            {"doc_id": 5, "text": "a completely different story about corn "
+                                   "in the field where they had all of the "
+                                   "harvest from it and the rest of it"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        kept = curate(ds, lang="en", min_quality=0.5, neardup_threshold=0.5)
+        ids = sorted(r["doc_id"] for r in kept.take_all())
+        assert ids == [0, 5]
     def _brute(self, emb_ds, queries, k):
         rows = emb_ds.take_all()
         ids = np.array([r["vec_id"] for r in rows])
