@@ -97,6 +97,54 @@ class MediaFeatures:
         )
 
 
+class MediaResize:
+    """Actor-pool stage: decode → spatial downsample by ``factor`` →
+    re-encode as raw float32 bytes with updated meta.
+
+    The resize itself is a real numpy stride subsample (images: H×W×C →
+    H/f×W/f×C; video per frame; audio: 1-D decimation), so the stage's data
+    movement, batch sizing and meta bookkeeping are production-shaped — only
+    the codec behind decode() is the documented swap point."""
+
+    def __init__(self, factor: int = 2, decoder: str = "fake"):
+        self.factor = factor
+        self.decoder = (
+            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.factor
+        ids, types, payloads, metas = [], [], [], []
+        for mid, mtype, payload, meta in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            arr = self.decoder.decode(payload, mtype)
+            if mtype == "image":
+                small = arr[::f, ::f, :]
+                meta = {**meta, "width": small.shape[1], "height": small.shape[0]}
+            elif mtype == "video":
+                small = arr[:, ::f, ::f, :]
+                meta = {**meta, "width": small.shape[2], "height": small.shape[1]}
+            else:  # audio: time decimation
+                small = arr[::f]
+                meta = {**meta,
+                        "duration_ms": int(meta["duration_ms"])}
+            ids.append(mid)
+            types.append(mtype)
+            payloads.append(np.ascontiguousarray(small, np.float32).tobytes())
+            metas.append({**meta, "codec": "raw-f32"})
+        return pa.Table.from_pylist(
+            [
+                {"media_id": i, "media_type": t, "payload": p, "meta": m}
+                for i, t, p, m in zip(ids, types, payloads, metas)
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+
 class FrameSampler:
     """Actor-pool stage: video rows → one row per sampled frame
     (deterministic stride). One input row → many output rows."""

@@ -6,9 +6,12 @@ built by the one deliberate wide shuffle of the engine:
 
     extracted parquet (url, extracted_text, layout_pages, pages)
       → map_batches(partial_postings)      # explode + PER-BATCH pre-aggregation
+                                           #   into (term, url-shard) rows
       → map_batches(add term bucket)       # bucket = crc32(term) % B
-      → groupby(bucket).map_groups(merge)  # the all-to-all exchange, B groups
-      → sort(term) → write_parquet         # term-ordered files → pushdown lookups
+      → groupby(bucket, ushard)            # the ONE all-to-all, B×S groups
+          .map_groups(merge + direct write)  # each group writes its own
+                                             # term-sorted file → row-group
+                                             # pushdown, no second shuffle
 
 Pre-aggregation matters at scale: the batch-local combine turns one row per
 token occurrence into one row per *distinct term per batch* (a large constant
@@ -425,14 +428,14 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
     summaries = partials.groupby(["bucket", "ushard"]).map_groups(
         write_fn, batch_format="pyarrow"
     ).take_all()
-    # rows are (term, ushard); distinct terms can span shards, so the
-    # reported count is shard rows, labeled accordingly in callers
-    n_terms = sum(int(r["terms"]) for r in summaries)
+    # index rows are (term, url-shard); a term can span shards, so the row
+    # count is reported as term_rows, not distinct terms
+    n_rows = sum(int(r["terms"]) for r in summaries)
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     os.replace(staging, index_dir)
-    return {"index_dir": index_dir, "terms": n_terms,
-            "buckets": len(summaries),
+    return {"index_dir": index_dir, "term_rows": n_rows,
+            "files": len(summaries),
             "elapsed_sec": time.perf_counter() - t0}
 
 

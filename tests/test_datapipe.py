@@ -371,6 +371,41 @@ class TestMultimodal:
         assert len(out) == n_videos * 4  # 8 frames, stride 2
         assert set(out["frame"]) == {0, 2, 4, 6}
 
+    def test_resize_halves_dims_and_is_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.multimodal import (
+            DeterministicFakeDecoder,
+            MediaResize,
+            synth_media_table,
+        )
+
+        ds = rd.from_arrow(synth_media_table(30))
+        out = ds.map_batches(
+            MediaResize, fn_constructor_kwargs={"factor": 2},
+            batch_size=8, concurrency=2, batch_format="pyarrow",
+        ).take_all()
+        assert len(out) == 30
+        dec = DeterministicFakeDecoder()
+        import numpy as np
+
+        for r in out:
+            m = r["meta"]
+            assert m["codec"] == "raw-f32"
+            buf = np.frombuffer(r["payload"], np.float32)
+            if r["media_type"] == "image":
+                assert (m["height"], m["width"]) == (8, 8)
+                assert buf.size == 8 * 8 * 3
+            elif r["media_type"] == "video":
+                assert buf.size == 8 * 8 * 8 * 3
+            else:
+                assert buf.size == 800
+        # deterministic: same input → same bytes
+        row0 = synth_media_table(30).slice(0, 1)
+        a = MediaResize(factor=2)(row0)["payload"][0].as_py()
+        b = MediaResize(factor=2)(row0)["payload"][0].as_py()
+        assert a == b
+
     def test_real_decoder_is_explicit_stub(self):
         from studiocr_ray.datapipe.multimodal import RealMediaDecoder
 
