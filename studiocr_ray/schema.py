@@ -111,9 +111,14 @@ BLOCKS = pa.schema(
     ]
 )
 
+# A posting references its url by INDEX into the row's ``urls`` list (a
+# per-row dictionary): a 4-byte int instead of a repeated ~30-byte url
+# string.  At web scale tf/df ≈ 10–1000 for hot terms, so this is the
+# difference between shipping the url once per document and once per token
+# occurrence through the index's all-to-all exchange and onto disk.
 POSTING_STRUCT = pa.struct(
     [
-        ("url", pa.string()),
+        ("url_idx", pa.int32()),
         ("page", pa.int32()),
         ("block", pa.int32()),
         ("conf", pa.int32()),
@@ -125,6 +130,7 @@ INDEX = pa.schema(
         ("term", pa.string()),
         ("df", pa.int64()),          # number of distinct urls
         ("tf", pa.int64()),          # total postings
+        ("urls", pa.list_(pa.string())),  # sorted distinct urls (the row dict)
         ("postings", pa.list_(POSTING_STRUCT)),  # sorted (url, page, block)
     ]
 )

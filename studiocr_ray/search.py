@@ -130,11 +130,9 @@ def search_corpus(
     def matched_urls(batch: pa.Table) -> pa.Table:
         hit = _match_terms_batch(batch, words, fuzzy, tol)
         # the per-row distinct-url list (df-sized) answers search without
-        # flattening the block-level postings payload
-        col = "urls" if "urls" in hit.column_names else "postings"
-        flat = hit.column(col).combine_chunks().flatten()
-        urls = flat if col == "urls" else flat.field("url")
-        return pa.table({"url": pc.unique(urls)})
+        # touching the block-level postings payload
+        flat = hit.column("urls").combine_chunks().flatten()
+        return pa.table({"url": pc.unique(flat)})
 
     ds = index_ds.map_batches(matched_urls, batch_format="pyarrow")
     return distinct_urls_ds(ds)

@@ -73,16 +73,20 @@ class TestIndex:
         for term, total in idx.groupby("term")["tf"].sum().items():
             assert total == tf[term]
         # each shard row: postings sorted, df/tf exact within the row, and
-        # the search-serving urls column is the sorted distinct posting urls
+        # postings reference the row's sorted distinct-urls list by index
         for _, row in idx.iterrows():
-            posts = [(p["url"], p["page"], p["block"]) for p in row["postings"]]
+            urls = list(row["urls"])
+            posts = [
+                (urls[p["url_idx"]], p["page"], p["block"])
+                for p in row["postings"]
+            ]
             assert posts == sorted(posts)
             assert row["df"] == len({p[0] for p in posts})
             assert len(posts) == row["tf"]
-            assert list(row["urls"]) == sorted({p[0] for p in posts})
+            assert urls == sorted({p[0] for p in posts})
         # shard url sets are disjoint per term (Σ shard df == distinct urls)
         for term, g in idx.groupby("term"):
-            urls = [p["url"] for posts in g["postings"] for p in posts]
+            urls = [u for row_urls in g["urls"] for u in row_urls]
             assert int(g["df"].sum()) == len(set(urls))
 
     def test_max_postings_truncation(self, corpus, ray_session, tmp_path):
