@@ -75,7 +75,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from studiocr_ray.search import search_corpus_indexed
 
     pages = _bench_input(sf_dir)
-    # warm OS page cache (untimed) so we measure compute+shuffle, not cold disk
+    # Warm the OS page cache (untimed) so we measure compute+shuffle, not
+    # cold-disk reads.  count() on parquet is metadata-only and touches no
+    # data bytes — stream the files for real.
+    for name in sorted(os.listdir(pages)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(pages, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
     n_input = rd.read_parquet(pages).count()
 
     out = f"/tmp/studiocr_bench_out/{os.getpid()}"

@@ -144,9 +144,9 @@ def search_corpus_indexed(
     fuzzy: bool = False,
     tol: int | float = 2,
 ) -> pa.Table:
-    """Two-phase search against the term-SORTED on-disk index — the payoff of
-    ``run_index``'s ``sort("term")`` (SURVEY.md §7.3 "term-ordered files →
-    pushdown lookups"):
+    """Two-phase search against the term-SORTED on-disk index (each
+    bucket-shard file is written term-sorted with small row groups —
+    SURVEY.md §7.3 "term-ordered files → pushdown lookups"):
 
     1. scan only the ``term`` column (the dictionary — tiny next to the
        postings) to resolve the substring/fuzzy predicate to exact terms;
