@@ -391,12 +391,21 @@ def _merge_bucket_group(group: pa.Table, max_postings: int | None = None) -> pa.
     )
 
 
-def _default_num_buckets() -> int:
+def _default_num_buckets(input_bytes: int | None = None) -> int:
+    """Term-bucket count: 2× cores for merge parallelism, but never more
+    groups than the data justifies — a tiny corpus otherwise explodes into
+    buckets × URL_SHARDS near-empty files (group-call and file overhead)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8)) \
         if ray.is_initialized() else (os.cpu_count() or 8)
-    return max(16, ncpu * 2)
+    buckets = max(16, ncpu * 2)
+    if input_bytes is not None:
+        # ~one (bucket × URL_SHARDS) group per MB of extracted input, min 2
+        # buckets — only corpora well under ncpu·shards MB lose parallelism
+        by_bytes = max(2, input_bytes // (1 << 20) // URL_SHARDS)
+        buckets = min(buckets, by_bytes)
+    return buckets
 
 
 def _bucketed_partials(extracted_ds, num_buckets: int):
@@ -467,7 +476,14 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
         columns=["url", "extracted_text", "layout_pages", "pages"],
     )
 
-    num_buckets = _default_num_buckets()
+    parts_dir = os.path.join(out_dir, "parts")
+    input_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(parts_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    num_buckets = _default_num_buckets(input_bytes)
     partials = _bucketed_partials(ds, num_buckets)
     write_fn = functools.partial(
         _merge_write_bucket_group, staging_dir=staging, max_postings=max_postings
