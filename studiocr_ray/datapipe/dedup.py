@@ -91,33 +91,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     total (not one Python call per distinct hash — the same trick as the
     extract stage's part-grouped dedup).  Returns the kept rows (all columns
     + content_hash)."""
-    import zlib
-
-    import pyarrow.compute as pc
+    from ..functions.arrowutil import first_of_run_mask, string_buckets
 
     ds = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (zlib.crc32(h.encode()) % num_buckets
-             for h in batch.column("content_hash").to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
+        b = string_buckets(batch.column("content_hash"), num_buckets)
         return batch.append_column("hash_bucket", pa.array(b, pa.int32()))
 
     def keep_min_group(group: pa.Table) -> pa.Table:
         t = group.sort_by(
             [("content_hash", "ascending"), (id_col, "ascending")]
         )
-        h = t.column("content_hash").combine_chunks()
-        first = np.ones(len(h), dtype=bool)
-        if len(h) > 1:
-            first[1:] = pc.not_equal(
-                h.slice(1), h.slice(0, len(h) - 1)
-            ).to_numpy(zero_copy_only=False)
+        first = first_of_run_mask([t.column("content_hash")])
         return t.filter(pa.array(first)).drop_columns(["hash_bucket"])
 
     return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
@@ -264,7 +252,7 @@ def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
     group count is B (vectorized per-bucket sort + neighbor scan), never one
     Python call per pair and never a driver-side ``to_pandas`` — pairs stay
     in the object store at crawl-scale dup rates."""
-    import pyarrow.compute as pc
+    from ..functions.arrowutil import first_of_run_mask, string_buckets
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         col = batch.column("id_a")
@@ -275,29 +263,12 @@ def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
             )
             b = h.astype(np.int32)
         else:  # string ids (urls)
-            import zlib
-
-            b = np.fromiter(
-                (zlib.crc32(s.encode()) % num_buckets for s in col.to_pylist()),
-                dtype=np.int32,
-                count=batch.num_rows,
-            )
+            b = string_buckets(col, num_buckets)
         return batch.append_column("pair_bucket", pa.array(b, pa.int32()))
 
     def uniq(group: pa.Table) -> pa.Table:
         t = group.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
-        a = t.column("id_a").combine_chunks()
-        b = t.column("id_b").combine_chunks()
-        first = np.ones(len(a), dtype=bool)
-        if len(a) > 1:
-            first[1:] = (
-                pc.not_equal(a.slice(1), a.slice(0, len(a) - 1)).to_numpy(
-                    zero_copy_only=False
-                )
-                | pc.not_equal(b.slice(1), b.slice(0, len(b) - 1)).to_numpy(
-                    zero_copy_only=False
-                )
-            )
+        first = first_of_run_mask([t.column("id_a"), t.column("id_b")])
         return t.filter(pa.array(first)).drop_columns(["pair_bucket"])
 
     return pairs_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(

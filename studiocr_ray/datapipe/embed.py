@@ -27,6 +27,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+_EMPTY_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+)
+
+
 class _BruteTopK:
     """Per-batch cosine top-k against a broadcast query matrix."""
 
@@ -38,6 +47,8 @@ class _BruteTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # upstream filters can emit empty blocks
+            return _EMPTY_PARTIAL
         m = _normalize(_batch_matrix(batch))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         sims = self.q @ m.T  # (nq, nb)
@@ -169,6 +180,8 @@ class _IvfTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0:  # cluster filter upstream can empty a block
+            return _EMPTY_PARTIAL
         m = _normalize(_batch_matrix(batch))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         # hive-partition reads may surface the cluster as string/dictionary

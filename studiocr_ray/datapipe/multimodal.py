@@ -128,10 +128,12 @@ class MediaResize:
             elif mtype == "video":
                 small = arr[:, ::f, ::f, :]
                 meta = {**meta, "width": small.shape[2], "height": small.shape[1]}
-            else:  # audio: time decimation
+            else:
+                # audio: decimation keeps the time span (duration_ms
+                # unchanged) and lowers the sample RATE; with codec
+                # "raw-f32" the rate is derivable as
+                # len(payload)/4 / (duration_ms/1000)
                 small = arr[::f]
-                meta = {**meta,
-                        "duration_ms": int(meta["duration_ms"])}
             ids.append(mid)
             types.append(mtype)
             payloads.append(np.ascontiguousarray(small, np.float32).tobytes())

@@ -397,7 +397,7 @@ def blocks_dataset(out_dir: str):
 
 
 def _merge_append_part(out_dir: str, tmp_out: str, part: int,
-                       new_duplicates: int) -> dict:
+                       new_duplicates: int, meta_identity: dict) -> dict:
     """Merge one partition's freshly-extracted append rows into the live
     partition (the incremental path of /root/reference/StudiOCR/
     OcrEngine.py:108-110,128 — pages added to an existing doc continue its
@@ -437,6 +437,16 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
             for o in old_hit.to_pylist():
                 n = by_url[o["url"]]
                 off = int(o["n_pages"])
+                if off == 0:
+                    # old crawl errored (no pages): the re-crawl REPLACES it
+                    # — appending onto an empty text would leave a phantom
+                    # empty leading "\n" segment misaligning layout_pages
+                    rows.append(n)
+                    continue
+                if int(n["n_pages"]) == 0:
+                    # re-crawl errored: keep the good old doc untouched
+                    rows.append(o)
+                    continue
                 # stored pages are the RASTER pages only; layout pages stay
                 # implicit — their positions (old + offset new) are tracked
                 # in layout_pages so readers can regenerate them
@@ -466,7 +476,7 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
                         "extracted_text": text,
                         "layout_pages": layout_pages,
                         "pages": pages,
-                        "error": o["error"] if o["error"] is not None else n["error"],
+                        "error": None,
                     }
                 )
             merged_hit = pa.Table.from_pylist(rows, schema=old_t.schema)
@@ -497,13 +507,26 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
     chars = int(pc.sum(merged.column("n_chars")).as_py() or 0)
     mc = merged.column("mean_conf").to_numpy(zero_copy_only=False)
     nb = merged.column("n_blocks").to_numpy(zero_copy_only=False)
-    manifests = {int(m["part"]): m for m in load_manifests(out_dir)}
-    prev = manifests.get(part, {})
+    # read ONLY this partition's manifest (a full load_manifests here would
+    # make the whole append O(P²) manifest reads)
+    import json
+
+    prev = {}
+    try:
+        with open(manifest_path(out_dir, part)) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
     prev_metrics = prev.get("metrics", {})
     m = {
         **prev,
         "part": part,
         "status": "complete",
+        # partitions first created by an append must still carry the resume
+        # identity (config_hash / num_partitions / ORIGINAL input_path) or a
+        # later resumed run_extract treats them as incomplete and clobbers
+        # the appended docs
+        **meta_identity,
         "files": [{"name": "data.parquet", "bytes": fsize}],
         "metrics": {
             "docs": rows_n,
@@ -577,9 +600,15 @@ def append_extract(
             p for p in range(num_partitions)
             if os.path.isdir(part_dir(tmp_out, p))
         ]
+        meta_identity = {
+            "config_hash": meta["config_hash"],
+            "num_partitions": num_partitions,
+            "input_path": meta.get("input_path"),
+        }
         merge = ray.remote(num_cpus=1)(_merge_append_part)
         results = ray.get(
-            [merge.remote(out_dir, tmp_out, p, new_dups.get(p, 0))
+            [merge.remote(out_dir, tmp_out, p, new_dups.get(p, 0),
+                          meta_identity)
              for p in parts]
         )
     finally:

@@ -468,35 +468,41 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
 
     t0 = time.perf_counter()
     index_dir = index_dir or os.path.join(out_dir, "index")
-    staging = f"{index_dir}.staging-{os.getpid()}"
+    # constant staging name: a crashed build's leftovers are reclaimed by
+    # the next run instead of leaking one pid-suffixed dir per failure
+    staging = f"{index_dir}.staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
-    ds = read_extracted(
-        out_dir,
-        columns=["url", "extracted_text", "layout_pages", "pages"],
-    )
+    try:
+        ds = read_extracted(
+            out_dir,
+            columns=["url", "extracted_text", "layout_pages", "pages"],
+        )
 
-    parts_dir = os.path.join(out_dir, "parts")
-    input_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(parts_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    num_buckets = _default_num_buckets(input_bytes)
-    partials = _bucketed_partials(ds, num_buckets)
-    write_fn = functools.partial(
-        _merge_write_bucket_group, staging_dir=staging, max_postings=max_postings
-    )
-    summaries = partials.groupby(["bucket", "ushard"]).map_groups(
-        write_fn, batch_format="pyarrow"
-    ).take_all()
-    # index rows are (term, url-shard); a term can span shards, so the row
-    # count is reported as term_rows, not distinct terms
-    n_rows = sum(int(r["terms"]) for r in summaries)
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    os.replace(staging, index_dir)
+        parts_dir = os.path.join(out_dir, "parts")
+        input_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(parts_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        num_buckets = _default_num_buckets(input_bytes)
+        partials = _bucketed_partials(ds, num_buckets)
+        write_fn = functools.partial(
+            _merge_write_bucket_group, staging_dir=staging,
+            max_postings=max_postings,
+        )
+        summaries = partials.groupby(["bucket", "ushard"]).map_groups(
+            write_fn, batch_format="pyarrow"
+        ).take_all()
+        # index rows are (term, url-shard); a term can span shards, so the
+        # row count is reported as term_rows, not distinct terms
+        n_rows = sum(int(r["terms"]) for r in summaries)
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.replace(staging, index_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return {"index_dir": index_dir, "term_rows": n_rows,
             "files": len(summaries),
             "elapsed_sec": time.perf_counter() - t0}

@@ -51,60 +51,21 @@ def _match_terms_batch(
     return batch.filter(mask)
 
 
-def _string_buckets(arr, num_buckets: int):
-    """Vectorized bucket hash of a string array: FNV fold over the LAST 12
-    bytes of each value (urls differ in their suffix), computed with numpy
-    over the Arrow buffers — no per-row Python.  Internal exchange key only
-    (nothing else depends on this hash)."""
-    import numpy as np
-
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
-        return np.zeros(0, np.int32)
-    off = np.frombuffer(arr.buffers()[1], np.int32)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, np.uint8)
-        if data_buf is not None and len(data_buf) > 0
-        else np.zeros(1, np.uint8)
-    )
-    starts, ends = off[:-1], off[1:]
-    h = np.full(n, 0xCBF29CE484222325, np.uint64)
-    mult = np.uint64(0x100000001B3)
-    for j in range(12):
-        pos = ends - 1 - j
-        valid = pos >= starts
-        b = np.where(
-            valid, data[np.clip(pos, 0, len(data) - 1)], 0
-        ).astype(np.uint64)
-        h = (h ^ b) * mult
-    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
-
-
 def distinct_urls_ds(ds, num_buckets: int = 64):
     """Dataset-side distinct over a (url) dataset: bucket by a vectorized
     url-suffix hash % B, one vectorized sort + neighbor scan per bucket — B
     groups, never one Python call per url and never a driver-side
     collection.  Result is unsorted across buckets (callers sort their final
     small output if they need order)."""
-    import numpy as np
+    from .functions.arrowutil import first_of_run_mask, string_buckets
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = _string_buckets(batch.column("url"), num_buckets)
+        b = string_buckets(batch.column("url"), num_buckets)
         return batch.append_column("ubucket", pa.array(b, pa.int32()))
 
     def uniq(group: pa.Table) -> pa.Table:
         t = group.sort_by([("url", "ascending")])
-        u = t.column("url").combine_chunks()
-        first = np.ones(len(u), dtype=bool)
-        if len(u) > 1:
-            first[1:] = pc.not_equal(
-                u.slice(1), u.slice(0, len(u) - 1)
-            ).to_numpy(zero_copy_only=False)
+        first = first_of_run_mask([t.column("url")])
         return t.filter(pa.array(first)).drop_columns(["ubucket"])
 
     return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
@@ -143,7 +104,7 @@ def search_corpus_indexed(
     query: str,
     fuzzy: bool = False,
     tol: int | float = 2,
-) -> pa.Table:
+):
     """Two-phase search against the term-SORTED on-disk index (each
     bucket-shard file is written term-sorted with small row groups —
     SURVEY.md §7.3 "term-ordered files → pushdown lookups"):

@@ -276,6 +276,9 @@ class TestCurate:
         kept = curate(ds, lang="en", min_quality=0.5, neardup_threshold=0.5)
         ids = sorted(r["doc_id"] for r in kept.take_all())
         assert ids == [0, 5]
+
+
+class TestEmbeddings:
     def _brute(self, emb_ds, queries, k):
         rows = emb_ds.take_all()
         ids = np.array([r["vec_id"] for r in rows])

@@ -157,10 +157,6 @@ class TestAppend:
         assert m["docs"] == len(before) + 1
         assert m["blocks"] == sum(r["n_blocks"] for r in after.values())
 
-        # a different extraction config must be refused
-        with pytest.raises(ValueError):
-            append_extract(crawl2, out, cfg=ExtractConfig(psm=6))
-
         # the index explode must handle multi-layout-page docs (layout pages
         # at positions 0 AND n after the append): tf of a token present in
         # both crawls of url[0] doubles, and indexed search still finds it
@@ -183,6 +179,104 @@ class TestAppend:
             ).take_all()
         )
         assert a == b and urls[0] in a
+
+        # a different extraction config must be refused
+        with pytest.raises(ValueError):
+            append_extract(crawl2, out, cfg=ExtractConfig(psm=6))
+
+    def test_append_replaces_errored_doc(self, ray_session, tmp_path):
+        """A re-crawl of a doc whose first crawl ERRORED replaces it
+        outright (no phantom empty text segment); a re-crawl that errors
+        leaves the good doc untouched."""
+        import base64
+        import os
+        from datetime import datetime, timedelta
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.pipelines.extract_pipeline import (
+            append_extract,
+            corpus_metrics,
+            docs_dataset,
+            export_document,
+            run_extract,
+        )
+        from studiocr_ray.pipelines.index_pipeline import run_index
+        from studiocr_ray.search import search_corpus_indexed
+
+        bad_payload = base64.b64encode(b"corrupt").decode()
+        bad_html = (
+            "<html><body><article><img "
+            f'src="data:image/x-rstr;base64,{bad_payload}">'
+            "</article></body></html>"
+        ).encode()
+        good_html = (
+            "<html><body><article><p>replacement crawl recovered body"
+            "</p></article></body></html>"
+        ).encode()
+        epoch = datetime(2024, 1, 1)
+
+        def crawl(dirname, rows):
+            d = str(tmp_path / dirname)
+            os.makedirs(d)
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array([r[0] for r in rows], pa.string()),
+                        "warc_ts": pa.array(
+                            [epoch + timedelta(seconds=i)
+                             for i in range(len(rows))],
+                            pa.timestamp("us"),
+                        ),
+                        "html": pa.array([r[1] for r in rows], pa.binary()),
+                        "text": pa.array([""] * len(rows), pa.string()),
+                        "lang": pa.array(["en"] * len(rows), pa.string()),
+                    }
+                ),
+                os.path.join(d, "p.parquet"),
+            )
+            return d
+
+        u_bad, u_good = "https://e.example/bad", "https://e.example/good"
+        out = str(tmp_path / "out")
+        run_extract(
+            crawl("c1", [(u_bad, bad_html), (u_good, good_html)]),
+            out, num_partitions=4,
+        )
+        m0 = corpus_metrics(out)
+        assert m0["errors"] == 1
+
+        # re-crawl: the errored doc succeeds, the good doc now errors
+        append_extract(
+            crawl("c2", [(u_bad, good_html), (u_good, bad_html)]), out
+        )
+        docs = {r["url"]: r for r in docs_dataset(out).take_all()}
+        want_text = "replacement crawl recovered body"
+        assert docs[u_bad]["extracted_text"] == want_text
+        assert docs[u_bad]["n_pages"] == 1  # replaced, not appended-to-empty
+        assert docs[u_good]["extracted_text"] == want_text  # untouched
+        assert corpus_metrics(out)["errors"] == 0  # bad doc recovered
+        # reconstruction + index see the replacement text
+        doc = export_document(out, u_bad)
+        assert doc["pages"][0]["text"] == want_text
+        info = run_index(out, index_dir=str(tmp_path / "idx"))
+        got = sorted(
+            r["url"] for r in search_corpus_indexed(
+                info["index_dir"], "recovered"
+            ).take_all()
+        )
+        assert got == [u_bad, u_good]
+
+        # a resumed re-run of the ORIGINAL extraction must treat every
+        # appended-to partition as complete (manifests carry the resume
+        # identity) — the appended docs survive
+        c1 = str(tmp_path / "c1")
+        s2 = run_extract(c1, out, num_partitions=4)
+        assert s2["parts_computed"] == 0
+        docs2 = {r["url"]: r for r in docs_dataset(out).take_all()}
+        assert docs2[u_bad]["extracted_text"] == want_text
+        assert docs2[u_good]["extracted_text"] == want_text
 
 
 class TestConfigSweep:

@@ -81,18 +81,18 @@ class TestKernels:
     @settings(max_examples=100, deadline=None)
     @given(st.lists(token, min_size=0, max_size=30), st.integers(2, 64))
     def test_string_buckets_in_range_and_deterministic(self, strings, nb):
-        from studiocr_ray.search import _string_buckets
+        from studiocr_ray.functions.arrowutil import string_buckets
 
         arr = pa.array(strings, pa.string())
-        b1 = _string_buckets(arr, nb)
-        b2 = _string_buckets(arr, nb)
+        b1 = string_buckets(arr, nb)
+        b2 = string_buckets(arr, nb)
         assert (b1 == b2).all()
         assert len(b1) == len(strings)
         if len(b1):
             assert b1.min() >= 0 and b1.max() < nb
         # slicing must not change a value's bucket (buffer-offset handling)
         if len(strings) > 2:
-            sliced = _string_buckets(arr.slice(1, len(strings) - 1), nb)
+            sliced = string_buckets(arr.slice(1, len(strings) - 1), nb)
             assert (sliced == b1[1:]).all()
 
     @settings(max_examples=150, deadline=None)
