@@ -457,9 +457,13 @@ def _merge_write_bucket_group(
 
 def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | None = None) -> dict:
     """Build the index from an extraction output dir: one term-sorted file
-    per term bucket, small row groups → row-group-granular term pushdown
-    (search_corpus_indexed).  Exactly ONE all-to-all (the bucket exchange);
-    files are staged then atomically moved into place."""
+    per (term-bucket, url-shard), small row groups → row-group-granular term
+    pushdown (search_corpus_indexed).  Exactly ONE all-to-all (the bucket
+    exchange); files are staged then atomically moved into place.
+
+    Not safe to run CONCURRENTLY for the same ``index_dir`` (the constant
+    staging name is deliberate: it lets a rerun reclaim a crashed build's
+    leftovers instead of leaking them)."""
     import functools
     import shutil
     import time
