@@ -264,6 +264,30 @@ def _q_events_daily(sf_dir: str):
     )
 
 
+def _q_asof_match(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import asof_match_events
+
+    return asof_match_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "event_type"]),
+        left_type="purchase", right_type="click",
+    )
+
+
+def _q_hopping_counts(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import hopping_counts
+
+    return hopping_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]),
+        window_minutes=60, slide_minutes=15,
+    )
+
+
 def _q_topk_terms(sf_dir: str):
     from studiocr_ray.datapipe.relational import topk_terms
 
@@ -472,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "topk_terms": _q_topk_terms,
         "sessionize": _q_sessionize,
+        "asof_match": _q_asof_match,
+        "hopping_counts": _q_hopping_counts,
         # the flagship extraction pipeline (SURVEY §3.1) + index + search
         "extract_docs": _q_extract_docs,
         "extract_index": _q_extract_index,
@@ -772,6 +798,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type) AS n_event_types,
                    count(*) AS n_events
             FROM events GROUP BY user_id, day
+        """,
+        "asof_match": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            m AS (
+              SELECT l.event_id, r.event_id AS m_id,
+                     epoch_us(l.ts) - epoch_us(r.ts) AS lag,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts DESC,
+                                                 r.event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT l.event_id, l.user_id,
+                   m.m_id AS matched_event_id,
+                   CAST(m.lag AS BIGINT) AS lag_us
+            FROM l LEFT JOIN m ON m.event_id = l.event_id AND m.rn = 1
+        """,
+        "hopping_counts": """
+            SELECT user_id,
+                   (epoch_us(ts) // 900000000) * 900000000
+                     - j * 900000000 AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+            GROUP BY user_id, window_start_us
         """,
         "topk_terms": f"""
             SELECT term, cnt FROM (

@@ -353,3 +353,148 @@ def sessionize(ds, gap_seconds: int = 1800, num_buckets: int | None = None):
         .groupby("bucket")
         .map_groups(bucket_sessions, batch_format="pyarrow")
     )
+
+
+def asof_match_events(
+    ds,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_buckets: int | None = None,
+):
+    """Per-user AS-OF JOIN inside the events table: each LEFT-type event is
+    matched to the user's latest RIGHT-type event with ``ts_right <=
+    ts_left`` (ties: greatest right ``event_id``); unmatched lefts keep
+    nulls.  The windowed-join shape Ray Data lacks, composed as
+    filter+user-hash bucket → ``groupby(bucket)`` → ONE vectorized merge per
+    bucket:
+
+    * both sides sort together by (user, ts, side: right-first, event_id);
+    * "latest right so far" is a single ``np.maximum.accumulate`` over right
+      positions, invalidated across user boundaries by comparing with the
+      user run start — no per-user Python loop;
+
+    Partitioning assumption (same as sessionize): a user's rows co-locate in
+    one bucket, so buckets are independent and the exchange moves only
+    (event_id, user_id, ts, side) rows.
+
+    Returns (event_id, user_id, matched_event_id: nullable int64,
+    lag_us: nullable int64)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    if num_buckets is None:
+        import os as _os
+
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8)) \
+            if _ray.is_initialized() else (_os.cpu_count() or 8)
+        num_buckets = max(16, ncpu * 2)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = batch.filter(keep)
+        side = pc.cast(
+            pc.equal(t.column("event_type"), left_type), pa.int8()
+        )  # 1 = left, 0 = right
+        b = np.fromiter(
+            (zlib.crc32(str(u).encode()) % num_buckets
+             for u in t.column("user_id").to_pylist()),
+            dtype=np.int32, count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "side": side,
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def bucket_asof(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = pc.dictionary_encode(uid)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        # (user, ts, right-before-left, event_id): at equal ts the right row
+        # sorts first (eligible, ts<=), rights at equal ts keep max event_id
+        # last so the accumulate picks it
+        order = np.lexsort((eid, side, ts, codes))
+        codes_s, ts_s, eid_s, side_s = (
+            codes[order], ts[order], eid[order], side[order]
+        )
+        n = len(order)
+        pos = np.where(side_s == 0, np.arange(n), -1)
+        last_right = np.maximum.accumulate(pos)
+        user_change = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        run_start = np.zeros(n, dtype=np.int64)
+        run_start[user_change] = np.flatnonzero(user_change)
+        run_start = np.maximum.accumulate(run_start)
+        is_left = side_s == 1
+        valid = is_left & (last_right >= run_start)
+        safe = np.clip(last_right, 0, None)
+        matched = np.where(valid, eid_s[safe], 0)
+        lag = np.where(valid, ts_s - ts_s[safe], 0)
+        li = np.flatnonzero(is_left)
+        null_mask = ~valid[li]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[li]),
+                "user_id": uid.take(pa.array(order[li])),
+                "matched_event_id": pa.array(
+                    matched[li], pa.int64(), mask=null_mask
+                ),
+                "lag_us": pa.array(lag[li], pa.int64(), mask=null_mask),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_asof, batch_format="pyarrow")
+    )
+
+
+def hopping_counts(
+    ds, window_minutes: int = 60, slide_minutes: int = 15
+):
+    """Hopping-window event counts per user: every event lands in
+    ``window/slide`` overlapping epoch-aligned windows; returns
+    (user_id, window_start_us, n_events).
+
+    The explode is pure numpy (np.repeat over nw = window//slide window
+    starts per event) with PER-BATCH partial aggregation, so the final
+    groupby moves one row per (user, window) per batch — never one row per
+    (event, window)."""
+    assert window_minutes % slide_minutes == 0, "window must be a multiple of slide"
+    win_us = window_minutes * 60_000_000
+    slide_us = slide_minutes * 60_000_000
+    nw = window_minutes // slide_minutes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        starts = (
+            base[:, None] - np.arange(nw, dtype=np.int64)[None, :] * slide_us
+        ).reshape(-1)
+        users = np.repeat(uid, nw)
+        g = pa.table(
+            {"user_id": pa.array(users), "window_start_us": pa.array(starts)}
+        ).group_by(["user_id", "window_start_us"]).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["n_events" if c == "count_all" else c for c in g.column_names]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )

@@ -417,6 +417,76 @@ class TestMultimodal:
 
 
 class TestWindows:
+    def test_asof_match_semantics(self, ray_session):
+        """Latest right ≤ left per user; equal-ts rights ARE eligible with
+        max-event_id tiebreak; no cross-user leakage; unmatched → nulls."""
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import asof_match_events
+
+        T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            # user 1: clicks at t=1,5 (two at t=5: ids 11,12), purchase t=5
+            {"event_id": 10, "user_id": 1, "ts": T(1), "event_type": "click"},
+            {"event_id": 11, "user_id": 1, "ts": T(5), "event_type": "click"},
+            {"event_id": 12, "user_id": 1, "ts": T(5), "event_type": "click"},
+            {"event_id": 13, "user_id": 1, "ts": T(5), "event_type": "purchase"},
+            # user 2: purchase BEFORE any click → unmatched
+            {"event_id": 20, "user_id": 2, "ts": T(2), "event_type": "purchase"},
+            {"event_id": 21, "user_id": 2, "ts": T(3), "event_type": "click"},
+            # user 3: only a click — must not leak into user 2's purchase
+            {"event_id": 30, "user_id": 3, "ts": T(0), "event_type": "click"},
+            {"event_id": 31, "user_id": 3, "ts": T(9), "event_type": "purchase"},
+            # noise type, ignored
+            {"event_id": 40, "user_id": 1, "ts": T(4), "event_type": "view"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = {
+            r["event_id"]: r
+            for r in asof_match_events(ds).take_all()
+        }
+        assert set(got) == {13, 20, 31}
+        assert got[13]["matched_event_id"] == 12  # equal-ts, max id wins
+        assert got[13]["lag_us"] == 0
+        assert got[20]["matched_event_id"] is None
+        assert got[20]["lag_us"] is None
+        assert got[31]["matched_event_id"] == 30
+        assert got[31]["lag_us"] == 9_000_000
+
+    def test_hopping_counts_overlap(self, ray_session):
+        """Each event lands in exactly window/slide overlapping windows."""
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import hopping_counts
+
+        rows = [
+            {"user_id": 1, "ts": datetime(2024, 1, 1, 0, 50)},
+            {"user_id": 1, "ts": datetime(2024, 1, 1, 1, 5)},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = hopping_counts(ds, window_minutes=60, slide_minutes=15).to_pandas()
+        # 2 events × 4 windows = 8 (window, count) memberships
+        assert int(got["n_events"].sum()) == 8
+        # exact window sets: event at t lands in the 4 slide-aligned windows
+        # (t//slide*slide - j*slide, j=0..3); windows 00:15/00:30/00:45 cover
+        # BOTH events (00:50 and 01:05), 01:00 covers only the second
+        t1 = pa.scalar(datetime(2024, 1, 1, 0, 50), pa.timestamp("us")).cast(
+            pa.int64()
+        ).as_py()
+        slide = 15 * 60_000_000
+        base1 = (t1 // slide) * slide  # the 00:45 window start
+        by_w = dict(zip(got["window_start_us"], got["n_events"]))
+        # 00:45/00:30/00:15 cover both events; 00:00 only the first, 01:00
+        # only the second
+        assert by_w[base1] == 2
+        assert by_w[base1 - 3 * slide] == 1   # 00:00
+        assert by_w[base1 + slide] == 1       # 01:00
+        assert sorted(by_w.values()) == [1, 1, 2, 2, 2]
+
     def test_sessionize_gap_semantics(self, ray_session):
         import pandas as pd
         import pyarrow as pa
