@@ -288,6 +288,18 @@ def _q_hopping_counts(sf_dir: str):
     )
 
 
+def _q_range_count(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import range_count_events
+
+    return range_count_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "ts", "event_type"]),
+        left_type="purchase", right_type="click", lookback_minutes=60,
+    )
+
+
 def _q_topk_terms(sf_dir: str):
     from studiocr_ray.datapipe.relational import topk_terms
 
@@ -498,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_match": _q_asof_match,
         "hopping_counts": _q_hopping_counts,
+        "range_count": _q_range_count,
         # the flagship extraction pipeline (SURVEY §3.1) + index + search
         "extract_docs": _q_extract_docs,
         "extract_index": _q_extract_index,
@@ -825,6 +838,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
             GROUP BY user_id, window_start_us
+        """,
+        "range_count": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id,
+                   CAST(count(r.event_id) AS BIGINT) AS n_recent
+            FROM l LEFT JOIN r
+              ON r.user_id = l.user_id
+             AND r.ts <= l.ts
+             AND r.ts > l.ts - INTERVAL 60 MINUTE
+            GROUP BY l.event_id, l.user_id
         """,
         "topk_terms": f"""
             SELECT term, cnt FROM (

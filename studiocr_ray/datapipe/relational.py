@@ -498,3 +498,92 @@ def hopping_counts(
         .groupby(["user_id", "window_start_us"])
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
+
+
+def range_count_events(
+    ds,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback_minutes: int = 10,
+    num_buckets: int | None = None,
+):
+    """Per-user RANGE JOIN (aggregated): for each LEFT-type event, count the
+    user's RIGHT-type events in the half-open interval
+    ``(ts_left - lookback, ts_left]``.
+
+    Vectorized per user-hash bucket with ONE composite-key searchsorted pair
+    per side — no per-user Python loop: right rows sort by
+    ``user_rank * SPAN + (ts - ts_min)`` where SPAN exceeds the bucket's
+    time span + lookback, so a left's two probes (at ts and ts - lookback)
+    can never collide with a neighboring user's key range.  Partitioning
+    assumptions: a user's rows co-locate in one bucket (user-hash exchange),
+    and per bucket ``distinct_users × (time_span + lookback)`` µs fits int64
+    (≈ 10^5 users × decades — holds when bucket count scales with the
+    cluster).
+
+    Returns (event_id, user_id, n_recent)."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    lookback_us = lookback_minutes * 60_000_000
+    if num_buckets is None:
+        import os as _os
+
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8)) \
+            if _ray.is_initialized() else (_os.cpu_count() or 8)
+        num_buckets = max(16, ncpu * 2)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = batch.filter(keep)
+        side = pc.cast(pc.equal(t.column("event_type"), left_type), pa.int8())
+        b = np.fromiter(
+            (zlib.crc32(str(u).encode()) % num_buckets
+             for u in t.column("user_id").to_pylist()),
+            dtype=np.int32, count=t.num_rows,
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "side": side,
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def bucket_range_count(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = pc.dictionary_encode(uid)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        is_left = side == 1
+        ts0 = int(ts.min()) if len(ts) else 0
+        span = (int(ts.max()) - ts0 if len(ts) else 0) + lookback_us + 2
+        r_keys = np.sort(codes[~is_left] * span + (ts[~is_left] - ts0))
+        l_codes, l_ts, l_eid = codes[is_left], ts[is_left], eid[is_left]
+        hi = np.searchsorted(r_keys, l_codes * span + (l_ts - ts0), side="right")
+        lo = np.searchsorted(
+            r_keys, l_codes * span + (l_ts - lookback_us - ts0), side="right"
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(l_eid),
+                "user_id": uid.filter(pa.array(is_left)),
+                "n_recent": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_range_count, batch_format="pyarrow")
+    )

@@ -487,6 +487,34 @@ class TestWindows:
         assert by_w[base1 + slide] == 1       # 01:00
         assert sorted(by_w.values()) == [1, 1, 2, 2, 2]
 
+    def test_range_count_interval_semantics(self, ray_session):
+        """(ts - lookback, ts] is half-open: a right AT the lower bound is
+        excluded, AT ts included; counts never cross users."""
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import range_count_events
+
+        T = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": T(0), "event_type": "click"},
+            {"event_id": 2, "user_id": 1, "ts": T(5), "event_type": "click"},
+            {"event_id": 3, "user_id": 1, "ts": T(10), "event_type": "click"},
+            # purchase at 10:00, lookback 10 min → interval (00:00, 10:00]:
+            # click at exactly 00:00 excluded, 05:00 and 10:00 included
+            {"event_id": 4, "user_id": 1, "ts": T(10), "event_type": "purchase"},
+            # other user's clicks must not count
+            {"event_id": 5, "user_id": 2, "ts": T(9), "event_type": "click"},
+            {"event_id": 6, "user_id": 2, "ts": T(20), "event_type": "purchase"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = {
+            r["event_id"]: r["n_recent"]
+            for r in range_count_events(ds, lookback_minutes=10).take_all()
+        }
+        assert got == {4: 2, 6: 0}
+
     def test_sessionize_gap_semantics(self, ray_session):
         import pandas as pd
         import pyarrow as pa
