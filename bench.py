@@ -49,6 +49,19 @@ def _bench_input(sf_dir: str) -> str:
     return d
 
 
+def _host_memcpy_gbps() -> float:
+    """First-touch memcpy bandwidth probe (200 MB numpy copy).  The shared
+    VM host intermittently memory-throttles (observed 0.07 GB/s vs several
+    GB/s healthy), which inflates the bandwidth-sensitive high-cpu legs —
+    recording the probe with every result makes each number interpretable."""
+    import numpy as np
+
+    a = np.random.rand(200_000_000 // 8)
+    t0 = time.perf_counter()
+    a.copy()
+    return round(0.2 / (time.perf_counter() - t0), 2)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -107,6 +120,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "input_rows": n_input,
             "docs": docs,
             "docs_per_sec": round(docs / timings["extract"], 2),
+            "host_memcpy_gbps": _host_memcpy_gbps(),
         }
 
     t0 = time.perf_counter()
@@ -147,6 +161,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "input_rows": n_input,
         "docs": docs,
         "docs_per_sec": round(docs / timings["extract"], 2),
+        "host_memcpy_gbps": _host_memcpy_gbps(),
     }
 
 
@@ -184,6 +199,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"docs_per_sec_{lo}": tp_lo,
         f"docs_per_sec_{hi}": tp_hi,
         "scaling_efficiency": round(eff, 3),
+        "host_memcpy_gbps": _host_memcpy_gbps(),
         "queries": {
             f"extract_{lo}cpu": results[lo]["queries"]["extract"],
             f"extract_{hi}cpu": results[hi]["queries"]["extract"],
