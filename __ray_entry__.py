@@ -215,6 +215,24 @@ def _q_ann_ivf_fullprobe(sf_dir: str):
     return res.select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_ivf_disk(sf_dir: str):
+    """The on-disk IVF path end to end: write the index hive-partitioned by
+    cluster, probe through path-pruned partition reads.  nprobe == nlist ⇒
+    EXACT, checked by the same SQL oracle as ann_topk."""
+    import os
+    import shutil
+
+    from studiocr_ray.datapipe.embed import ann_topk_ivf_indexed, write_ivf_index
+
+    idx = os.path.join(_CACHE_ROOT, "ivf_disk",
+                       hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_index(_emb(sf_dir), idx, nlist=8)
+    queries = _ann_queries(sf_dir)
+    res = ann_topk_ivf_indexed(idx, queries, k=ANN_K, nprobe=8)
+    return res.select(["query_id", "vec_id", "rank"])
+
+
 def _q_cosine_neardup(sf_dir: str):
     from studiocr_ray.datapipe.embed import cosine_neardup_exact
 
@@ -500,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
+        "ann_ivf_disk": _q_ann_ivf_disk,
         "cosine_neardup": _q_cosine_neardup,
         # relational / windows
         "pricing_summary": _q_pricing_summary,
@@ -900,6 +919,20 @@ def oracle_sql() -> dict[str, str]:
                    true AS recall_ok
         """,
         "ann_ivf_fullprobe": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < {ANN_NUM_QUERIES}),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     e.embedding::DOUBLE[]) AS score
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY score DESC, vec_id) - 1 AS rk
+                       FROM s)
+            SELECT query_id, vec_id, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk < {ANN_K}
+        """,
+        "ann_ivf_disk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < {ANN_NUM_QUERIES}),
                  s AS (SELECT q.query_id, e.vec_id,

@@ -184,11 +184,15 @@ class _IvfTopK:
             return _EMPTY_PARTIAL
         m = _normalize(_batch_matrix(batch))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        # hive-partition reads may surface the cluster as string/dictionary
+        # in-memory probes carry ivf_cluster; on-disk probes carry the
+        # duplicated data column cluster_id (hive partition types are
+        # reader-dependent, so the disk path never reads the partition col)
+        col = "cluster_id" if "cluster_id" in batch.column_names else "ivf_cluster"
+        cval = batch.column(col)
         clusters = pc.cast(
-            batch.column("ivf_cluster").combine_chunks().cast(pa.string())
-            if pa.types.is_dictionary(batch.column("ivf_cluster").type)
-            else batch.column("ivf_cluster"),
+            cval.combine_chunks().cast(pa.string())
+            if pa.types.is_dictionary(cval.type)
+            else cval,
             pa.int32(),
         ).to_numpy(zero_copy_only=False)
         sims = self.q @ m.T  # (nq, nb)
@@ -262,6 +266,13 @@ def write_ivf_index(ds, index_dir: str, nlist: int = 16, concurrency=(1, 8)) -> 
     import pyarrow.parquet as pq
 
     cent, assigned = ivf_index(ds, nlist=nlist, concurrency=concurrency)
+    # the cluster id is both the hive partition key (directory pruning) and a
+    # plain data column (per-row masking on read) — hive partition TYPES are
+    # inferred inconsistently between readers, so probes never rely on them
+    assigned = assigned.map_batches(
+        lambda b: b.append_column("cluster_id", b.column("ivf_cluster")),
+        batch_format="pyarrow",
+    )
     assigned.write_parquet(os.path.join(index_dir, "vectors"),
                            partition_cols=["ivf_cluster"])
     cent_table = pa.table(
@@ -279,12 +290,11 @@ def ann_topk_ivf_indexed(
     index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
     concurrency=(1, 8),
 ) -> pa.Table:
-    """Probe a written IVF index: read ONLY the probed cluster partitions
-    (hive partition pruning via the ``ivf_cluster isin`` filter), distributed
-    per-query-masked top-k, tiny driver merge."""
+    """Probe a written IVF index: read ONLY the probed clusters' hive
+    partition directories (pruning by path), distributed per-query-masked
+    top-k, tiny driver merge."""
     import os
 
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -294,9 +304,21 @@ def ann_topk_ivf_indexed(
     q = _normalize(np.asarray(queries, dtype=np.float64))
     mask = _probe_mask(cent, q, nprobe)
     wanted = sorted(int(c) for c in np.flatnonzero(mask.any(axis=0)))
+    # directory-level partition pruning by PATH: only the probed clusters'
+    # hive directories are listed/read — no partition-type-dependent filter
+    # expression (Ray and pyarrow infer hive types differently)
+    vec_dir = os.path.join(index_dir, "vectors")
+    import glob as _glob
+
+    paths = [
+        f
+        for c in wanted
+        for f in sorted(
+            _glob.glob(os.path.join(vec_dir, f"ivf_cluster={c}", "*.parquet"))
+        )
+    ]
     pruned = rd.read_parquet(
-        os.path.join(index_dir, "vectors"),
-        filter=pads.field("ivf_cluster").isin(wanted),
+        paths, columns=["vec_id", "embedding", "cluster_id"]
     )
     partials = pruned.map_batches(
         _IvfTopK,

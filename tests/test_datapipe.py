@@ -315,6 +315,40 @@ class TestEmbeddings:
             recalls.append(len(set(grp["vec_id"]) & set(want[qi])) / 5)
         assert np.mean(recalls) >= 0.5  # approximate, but must be useful
 
+    def test_ivf_disk_index_roundtrip(self, ray_session, emb_ds, tmp_path):
+        """write_ivf_index partitions by cluster on disk; probing ALL
+        clusters through the partition-pruned read is exact vs brute force,
+        and a small nprobe keeps recall."""
+        import os
+
+        from studiocr_ray.datapipe.embed import (
+            ann_topk_ivf_indexed,
+            write_ivf_index,
+        )
+
+        idx = str(tmp_path / "ivf")
+        cent = write_ivf_index(emb_ds, idx, nlist=8)
+        assert len(cent) == 8
+        # hive layout: one partition dir per cluster
+        parts = [d for d in os.listdir(os.path.join(idx, "vectors"))
+                 if d.startswith("ivf_cluster=")]
+        assert len(parts) >= 2
+
+        qrows = emb_ds.take(3)
+        queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        want = self._brute(emb_ds, queries, 10)
+        exact = ann_topk_ivf_indexed(idx, queries, k=10, nprobe=8)
+        got = {}
+        for r in exact.to_pylist():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        for q in want:
+            assert [v for _, v in sorted(got[q])] == want[q]
+        approx = ann_topk_ivf_indexed(idx, queries, k=10, nprobe=3)
+        for q in want:
+            hits = {r["vec_id"] for r in approx.to_pylist()
+                    if r["query_id"] == q}
+            assert len(hits & set(want[q])) / 10 >= 0.5
+
     def test_cosine_neardup_exact_and_lsh(self, ray_session, emb_ds):
         import ray.data as rd
 
