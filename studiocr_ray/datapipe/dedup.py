@@ -133,9 +133,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 class MinHasher:
     """Vectorized minhash signatures: h_i(x) = (a_i*x + b_i) mod p over
     stable 64-bit shingle hashes. Class-based so the permutation table is
-    built once per actor."""
+    built once per actor.  With ``bands`` set, the actor emits flat LSH band
+    rows directly (one fused stage instead of signatures → band map)."""
 
-    def __init__(self, num_perm: int = 64, shingle: str = "word", n: int = 3, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle: str = "word", n: int = 3,
+                 seed: int = 7, bands: int | None = None):
+        self.bands = bands
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
@@ -169,13 +172,16 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "minhash": pa.array([s.astype(np.int64).tolist() for s in sigs],
                                      pa.list_(pa.int64())),
             }
         )
+        if self.bands is None:
+            return out
+        return _band_rows(out, self.bands, self.num_perm // self.bands)
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
@@ -211,7 +217,9 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 
 def _bucket_pairs(group: pa.Table, max_bucket: int | None = None) -> pa.Table:
-    """Candidate pairs within one LSH bucket.
+    """Candidate pairs within one LSH bucket (single-bucket helper kept for
+    tests; the pipeline path is :func:`banded_candidate_pairs`, which scans
+    MANY buckets per group call).
 
     ``max_bucket=None`` (default) emits ALL pairs — the exact-parity
     contract the oracle-gated queries rely on (a silent cap would lose
@@ -238,6 +246,86 @@ def _bucket_pairs(group: pa.Table, max_bucket: int | None = None) -> pa.Table:
     return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
 
 
+def _add_band_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """bucket = hash(band, band_hash) % B — so the candidate groupby has B
+    groups (each holding MANY LSH buckets), not one Python call per distinct
+    (band, band_hash)."""
+    n = batch.num_rows
+    bh = batch.column("band_hash").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).view(np.uint64)
+    band = batch.column("band").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.uint64)
+    h = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        band * np.uint64(0xC2B2AE3D27D4EB4F)
+    )
+    bb = ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
+    return batch.append_column("bb", pa.array(bb, pa.int32()))
+
+
+def _band_bucket_pairs(group: pa.Table, max_bucket: int | None) -> pa.Table:
+    """All candidate pairs of one band-bucket group: sort by
+    (band, band_hash, doc_id), find equal-key runs with numpy, emit each
+    run's pairs — per-run work only for runs of size ≥ 2 (actual LSH
+    collisions), never a Python call per singleton bucket."""
+    t = group.sort_by(
+        [("band", "ascending"), ("band_hash", "ascending"),
+         ("doc_id", "ascending")]
+    )
+    n = t.num_rows
+    id_type = t.column("doc_id").type
+    empty = pa.table(
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+    )
+    if n < 2:
+        return empty
+    band = t.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+    bh = t.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = _flat_arr(t.column("doc_id"))
+    change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    ai, bi = [], []
+    log_trunc = None
+    for s, e in zip(starts[:-1], starts[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        if max_bucket is not None and m > max_bucket:
+            log_trunc = m
+            e = s + max_bucket
+            m = max_bucket
+        i, j = np.triu_indices(m, 1)
+        ai.append(i + s)
+        bi.append(j + s)
+    if log_trunc is not None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket truncated: %d ids > max_bucket=%d (kept smallest)",
+            log_trunc, max_bucket,
+        )
+    if not ai:
+        return empty
+    ia = np.concatenate(ai)
+    ib = np.concatenate(bi)
+    return pa.table({"id_a": ids.take(pa.array(ia)),
+                     "id_b": ids.take(pa.array(ib))})
+
+
+def banded_candidate_pairs(band_rows_ds, max_bucket: int | None = None,
+                           num_buckets: int = 64):
+    """(band, band_hash, doc_id) rows → candidate (id_a < id_b) pairs via ONE
+    bucketed groupby (B groups, vectorized run scan per group)."""
+    return band_rows_ds.map_batches(
+        _add_band_bucket, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+    ).groupby("bb").map_groups(
+        _band_bucket_pairs, fn_kwargs={"max_bucket": max_bucket},
+        batch_format="pyarrow",
+    )
+
+
 def minhash_candidates(
     ds,
     num_perm: int = 64,
@@ -247,24 +335,18 @@ def minhash_candidates(
     concurrency=(1, 8),
     max_bucket: int | None = None,
 ):
-    """documents ds → candidate pair rows (id_a < id_b, pre-distinct)."""
-    rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
+    """documents ds → candidate pair rows (id_a < id_b, pre-distinct).
+
+    Banding is fused into the signature actor (one stage); the only shuffle
+    is the (band, band_hash) groupby over narrow band rows."""
+    banded = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle, "n": n},
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle,
+                               "n": n, "bands": bands},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    banded = sigs.map_batches(
-        _band_rows,
-        fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
-        batch_format="pyarrow",
-    )
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, fn_kwargs={"max_bucket": max_bucket},
-        batch_format="pyarrow",
-    )
-    return pairs
+    return banded_candidate_pairs(banded, max_bucket=max_bucket)
 
 
 def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
@@ -405,13 +487,27 @@ def _half_rows(batch: pa.Table, num_buckets: int, id_type: pa.DataType,
 
 def _resolve_group(group: pa.Table, num_buckets: int) -> pa.Table:
     """One jb bucket: every pair half picks up the value of the id it wants
-    from the co-partitioned side rows (vectorized index_in + take)."""
+    from the co-partitioned side rows (vectorized index_in + take).
+
+    Also the GLOBAL pair-distinct: every copy of a given half (an LSH
+    candidate emitted by multiple bands) has the same wanted id, hence the
+    same jb — deduping halves here by (id_a, id_b, side) is exactly
+    distinct-pairs, with no separate distinct shuffle."""
     import pyarrow.compute as pc
 
-    from ..functions.arrowutil import pair_buckets
+    from ..functions.arrowutil import first_of_run_mask, pair_buckets
 
     kind = group.column("kind")
     halves = group.filter(pc.equal(kind, _KIND_HALF))
+    if halves.num_rows > 1:
+        halves = halves.sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending"), ("side", "ascending")]
+        )
+        first = first_of_run_mask(
+            [halves.column("id_a"), halves.column("id_b"),
+             halves.column("side")]
+        )
+        halves = halves.filter(pa.array(first))
     vals = group.filter(pc.equal(kind, _KIND_VALUE))
     idx = pc.index_in(halves.column("doc_id"),
                       value_set=_flat_arr(vals.column("doc_id")))
@@ -478,10 +574,12 @@ def copartition_verify(
     two side values and compute ``metric_fn`` per pair — no driver
     collection, no corpus-scale broadcast.
 
-    ``pairs_ds``: distinct (id_a, id_b) rows.  ``side_ds``: (doc_id, value)
-    rows.  ``metric_fn(id_a, id_b, value_a, value_b) -> Arrow array / list``
-    runs once per pair bucket over aligned halves.  Returns a Dataset of
-    (id_a, id_b, metric_name)."""
+    ``pairs_ds``: (id_a, id_b) rows — duplicates allowed (LSH candidates
+    from multiple bands collapse inside the resolve stage, which doubles as
+    the global pair-distinct).  ``side_ds``: (doc_id, value) rows.
+    ``metric_fn(id_a, id_b, value_a, value_b) -> Arrow array / list`` runs
+    once per pair bucket over aligned halves.  Returns a Dataset of
+    distinct (id_a, id_b, metric_name) rows."""
     value_type = value_type or pa.string()
     metric_type = metric_type or pa.float64()
     side_rows = side_ds.map_batches(
@@ -562,7 +660,6 @@ def minhash_dedup_pairs(
         ds, num_perm=num_perm, bands=bands, shingle=shingle, n=n,
         max_bucket=max_bucket,
     )
-    pairs_ds = distinct_pairs_ds(cand_ds)
     id_type = _id_type_of(ds, "doc_id")
     side = ds.map_batches(
         lambda b: b.select(["doc_id", "text"]).rename_columns(
@@ -571,7 +668,7 @@ def minhash_dedup_pairs(
         batch_format="pyarrow",
     )
     verified = copartition_verify(
-        pairs_ds, side, _JaccardMetric(shingle, n), "jaccard",
+        cand_ds, side, _JaccardMetric(shingle, n), "jaccard",
         id_type=id_type, value_type=pa.string(),
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
@@ -881,11 +978,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3,
             }
         )
 
-    pairs_ds = distinct_pairs_ds(
-        sigs.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, fn_kwargs={"max_bucket": max_bucket},
-                    batch_format="pyarrow")
+    pairs_ds = banded_candidate_pairs(
+        sigs.map_batches(chunk_rows, batch_format="pyarrow"),
+        max_bucket=max_bucket,
     )
     id_type = _id_type_of(ds, "doc_id")
     empty = pa.table(

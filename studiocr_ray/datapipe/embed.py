@@ -420,37 +420,28 @@ def cosine_neardup_lsh(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            bits = (m @ self.planes.T) >= 0  # (nb, num_planes)
-            ids = batch.column("vec_id").to_pylist()
-            band_c, key_c, id_c = [], [], []
-            for i, did in enumerate(ids):
-                for b in range(bands):
-                    chunk = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
-                    key = "".join("1" if x else "0" for x in chunk)
-                    band_c.append(b)
-                    key_c.append(key)
-                    id_c.append(did)
+            nb = m.shape[0]
+            bits = ((m @ self.planes.T) >= 0).astype(np.int64)  # (nb, planes)
+            # pack each band's sign bits into an int64 key (vectorized)
+            weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+            keys = bits.reshape(nb, bands, rows_per_band) @ weights  # (nb, bands)
+            ids = batch.column("vec_id").combine_chunks()
             return pa.table(
                 {
-                    "band": pa.array(band_c, pa.int32()),
-                    "band_hash": pa.array(key_c, pa.string()),
-                    "doc_id": pa.array(id_c, pa.int64()),
+                    "band": pa.array(
+                        np.tile(np.arange(bands, dtype=np.int32), nb), pa.int32()
+                    ),
+                    "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                    "doc_id": ids.take(pa.array(np.repeat(np.arange(nb), bands))),
                 }
             )
 
     import pyarrow.compute as pc
 
-    from .dedup import (
-        _bucket_pairs,
-        _collect_pairs,
-        copartition_verify,
-        distinct_pairs_ds,
-    )
+    from .dedup import _collect_pairs, banded_candidate_pairs, copartition_verify
 
-    cands_ds = distinct_pairs_ds(
+    cands_ds = banded_candidate_pairs(
         ds.map_batches(Sign, batch_format="pyarrow", concurrency=concurrency)
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
