@@ -491,14 +491,30 @@ def _q_config_sweep(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    import ray.data as rd
+    """Decode→feature over media derived from the documents table (payload =
+    text bytes) — feature list exploded into flat double columns so the
+    DuckDB oracle (which recomputes the md5-keystream decode in SQL) can
+    compare values bit-for-bit."""
+    import pyarrow as pa
 
-    from studiocr_ray.datapipe.multimodal import MediaFeatures, synth_media_table
+    from studiocr_ray.datapipe.multimodal import MediaFeatures, media_from_documents
 
-    ds = rd.from_arrow(synth_media_table(120))
-    return ds.map_batches(
-        MediaFeatures, batch_size=16, concurrency=2, batch_format="pyarrow"
+    feats = media_from_documents(sf_dir).map_batches(
+        MediaFeatures, batch_size=64, concurrency=2, batch_format="pyarrow"
     )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        f = batch.column("feature").combine_chunks()
+        import numpy as np
+
+        m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(f), 10)
+        cols = {"media_id": batch.column("media_id")}
+        names = ["f_mean", "f_std"] + [f"h{i}" for i in range(8)]
+        for i, nm in enumerate(names):
+            cols[nm] = pa.array(m[:, i], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1128,6 +1144,61 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / b.n AS mean_conf,
                    b.n AS hits, b.n AS expected, b.n AS blocks
             FROM cfg c, base b
+        """,
+        # the fake decoder's md5 keystream recomputed in SQL: value j of a
+        # payload is byte j%16 of md5(md5(payload) || ':' || j//16) / 256 —
+        # every value is an exact multiple of 1/256, so the float64 sums are
+        # exact and mean/std/hist reproduce bit-for-bit (multimodal.py
+        # DeterministicFakeDecoder / MediaFeatures mirror this expression
+        # tree exactly).
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, md5(text) AS dh,
+                     CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 768 WHEN 1 THEN 1600 ELSE 6144 END AS n
+              FROM documents
+            ),
+            blk AS (
+              SELECT media_id, n, dh,
+                     unnest(generate_series(0, n // 16 - 1)) AS i
+              FROM m
+            ),
+            bh AS (
+              SELECT media_id, n,
+                     md5(dh || ':' || CAST(i AS VARCHAR)) AS h
+              FROM blk
+            ),
+            v AS (
+              SELECT media_id, n,
+                     ('0x' || substr(h, j.j * 2 + 1, 2))::INTEGER AS k
+              FROM bh, (SELECT unnest(generate_series(0, 15)) AS j) j
+            ),
+            agg AS (
+              SELECT media_id, n,
+                     sum(k / 256.0) AS s1,
+                     sum((k / 256.0) * (k / 256.0)) AS s2,
+                     sum(CASE WHEN k // 32 = 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN k // 32 = 1 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN k // 32 = 2 THEN 1 ELSE 0 END) AS c2,
+                     sum(CASE WHEN k // 32 = 3 THEN 1 ELSE 0 END) AS c3,
+                     sum(CASE WHEN k // 32 = 4 THEN 1 ELSE 0 END) AS c4,
+                     sum(CASE WHEN k // 32 = 5 THEN 1 ELSE 0 END) AS c5,
+                     sum(CASE WHEN k // 32 = 6 THEN 1 ELSE 0 END) AS c6,
+                     sum(CASE WHEN k // 32 = 7 THEN 1 ELSE 0 END) AS c7
+              FROM v GROUP BY media_id, n
+            )
+            SELECT media_id,
+                   s1 / n AS f_mean,
+                   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS f_std,
+                   c0 / CAST(n AS DOUBLE) AS h0,
+                   c1 / CAST(n AS DOUBLE) AS h1,
+                   c2 / CAST(n AS DOUBLE) AS h2,
+                   c3 / CAST(n AS DOUBLE) AS h3,
+                   c4 / CAST(n AS DOUBLE) AS h4,
+                   c5 / CAST(n AS DOUBLE) AS h5,
+                   c6 / CAST(n AS DOUBLE) AS h6,
+                   c7 / CAST(n AS DOUBLE) AS h7
+            FROM agg
         """,
         "ngram_jaccard": """
             WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -45,19 +45,27 @@ class RealMediaDecoder:
 
 class DeterministicFakeDecoder:
     """Deterministic stand-in: bytes → fixed-shape float32 'pixels'/samples
-    derived from a seeded hash of the payload. Stable across processes."""
+    from an md5 keystream over the payload digest — value j is byte j of
+    ``md5(md5(payload).hexdigest() + ':' + str(j // 16))`` divided by 256.
+    Byte-derived (no RandomState), so the decoded values — and therefore the
+    downstream feature vectors — are bit-reproducible in SQL
+    (``('0x' || substr(md5(dh || ':' || blk), pos, 2))::INT / 256.0``); every
+    value k/256 is exactly representable in float32/float64."""
+
+    _SHAPES = {"image": (16, 16, 3), "audio": (1600,), "video": (8, 16, 16, 3)}
 
     def decode(self, payload: bytes, media_type: str) -> np.ndarray:
-        digest = hashlib.blake2b(payload, digest_size=8).digest()
-        seed = int.from_bytes(digest[:4], "little")
-        rng = np.random.RandomState(seed)
-        if media_type == "image":
-            return rng.rand(16, 16, 3).astype(np.float32)
-        if media_type == "audio":
-            return rng.rand(1600).astype(np.float32)
-        if media_type == "video":
-            return rng.rand(8, 16, 16, 3).astype(np.float32)
-        raise ValueError(f"unknown media_type {media_type}")
+        shape = self._SHAPES.get(media_type)
+        if shape is None:
+            raise ValueError(f"unknown media_type {media_type}")
+        size = int(np.prod(shape))
+        dh = hashlib.md5(payload).hexdigest()
+        ks = np.empty(size, np.uint8)
+        for i in range(size // 16):
+            ks[i * 16 : (i + 1) * 16] = np.frombuffer(
+                hashlib.md5(f"{dh}:{i}".encode()).digest(), np.uint8
+            )
+        return (ks.astype(np.float32) / 256.0).reshape(shape)
 
 
 class MediaFeatures:
@@ -73,6 +81,8 @@ class MediaFeatures:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
         feats = []
         for mid, mtype, payload in zip(
             batch.column("media_id").to_pylist(),
@@ -80,13 +90,23 @@ class MediaFeatures:
             batch.column("payload").to_pylist(),
         ):
             arr = self.decoder.decode(payload, mtype)
-            flat = arr.ravel()
-            hist, _ = np.histogram(flat, bins=8, range=(0.0, 1.0))
+            flat = arr.ravel().astype(np.float64)
+            n = flat.size
+            # explicit sum-based mean/std, written to MIRROR the SQL oracle's
+            # expression tree exactly: values are exact multiples of 1/256
+            # (so both sums are exact in float64) and the remaining ops are
+            # single IEEE divisions/multiplies in the same order
+            s1 = float(flat.sum())
+            s2 = float((flat * flat).sum())
+            mean = s1 / n
+            std = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+            hist = np.bincount(
+                np.minimum((flat * 8).astype(np.int64), 7), minlength=8
+            )
             feats.append(
                 {
                     "media_id": mid,
-                    "feature": [float(flat.mean()), float(flat.std())]
-                    + (hist / max(1, flat.size)).astype(np.float64).tolist(),
+                    "feature": [mean, std] + [h / n for h in hist.tolist()],
                 }
             )
         return pa.Table.from_pylist(
@@ -178,6 +198,39 @@ class FrameSampler:
                 "frame_mean": pa.array(feats, pa.float64()),
             }
         )
+
+
+def media_from_documents(sf_dir: str):
+    """Deterministic media Dataset derived from the documents table (payload
+    = utf-8 text bytes, media_type cycles by doc_id) — the oracle-able media
+    fixture: DuckDB can recompute the whole decode→feature path from
+    ``documents.text`` (md5 keystream, see DeterministicFakeDecoder)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    kinds = ["image", "audio", "video"]
+
+    def conv(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").combine_chunks()
+        mod = pc.cast(did, pa.int64()).to_numpy(zero_copy_only=False) % 3
+        n = batch.num_rows
+        meta = pa.array(
+            [{"width": 16, "height": 16, "duration_ms": 1000, "codec": "fake"}] * n,
+            MEDIA_SCHEMA.field("meta").type,
+        )
+        return pa.Table.from_arrays(
+            [
+                did,
+                pa.array([kinds[m] for m in mod], pa.string()),
+                pc.cast(batch.column("text"), pa.binary()),
+                meta,
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(conv, batch_format="pyarrow")
 
 
 def synth_media_table(n: int, seed: int = 5) -> pa.Table:

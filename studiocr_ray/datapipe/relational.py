@@ -9,27 +9,70 @@ Every groupby here follows the partial-aggregation pattern: combine inside
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import Count, Sum
 
 
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """Lowered whitespace tokens of every row, flattened + doc-aligned:
+    returns (token_array, doc_index_array) with empty tokens removed —
+    the same token multiset as per-row ``text.lower().split()``, computed
+    with Arrow kernels (``utf8_split_whitespace`` emits '' at string
+    boundaries; the filter restores str.split semantics)."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        keep = np.flatnonzero(nonempty)
+        flat = flat.take(pa.array(keep))
+        doc_idx = doc_idx[nonempty]
+    return flat, doc_idx
+
+
+def _dict_encode(arr):
+    """dictionary_encode normalized to a flat DictionaryArray (pyarrow
+    returns ChunkedArray for chunked input)."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.chunk(0)
+    return d
+
+
 def word_count(ds, text_col: str = "text"):
-    """Corpus term frequencies over lowered whitespace tokens → (term, cnt)."""
+    """Corpus term frequencies over lowered whitespace tokens → (term, cnt).
+
+    Vectorized partial: split + dictionary-encode + bincount per batch (the
+    ``pc.split_pattern`` + dictionary pattern proven in the index pipeline,
+    index_pipeline.py:113-243) — output is vocabulary-bounded, so the
+    groupby moves one row per distinct term per batch."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update(t.lower().split())
-        terms = sorted(c)
+        flat, _ = _flat_tokens(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        d = _dict_encode(flat)
+        counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
         return pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "cnt": pa.array([c[t] for t in terms], pa.int64()),
-            }
+            {"term": d.dictionary, "cnt": pa.array(counts, pa.int64())}
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -40,23 +83,31 @@ def term_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Term document-frequency + total frequency → (term, df, tf).
 
     (term, doc) partials are exact because one document is one row (never
-    split across batches)."""
+    split across batches).  Vectorized: one dictionary encode + one
+    np.unique over composite (doc, term) keys per batch."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        terms, ids, tfs = [], [], []
-        for did, t in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            c = Counter(t.lower().split())
-            for term in sorted(c):
-                terms.append(term)
-                ids.append(did)
-                tfs.append(c[term])
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        d = _dict_encode(flat)
+        ndict = len(d.dictionary)
+        key = doc_idx.astype(np.int64) * ndict + d.indices.to_numpy(
+            zero_copy_only=False
+        )
+        uniq, counts = np.unique(key, return_counts=True)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "tf": pa.array(tfs, pa.int64()),
+                "term": d.dictionary.take(pa.array(uniq % ndict)),
+                "doc_id": ids.take(pa.array(uniq // ndict)),
+                "tf": pa.array(counts, pa.int64()),
             }
         )
 
@@ -155,16 +206,40 @@ def conf_bucket_counts(ds, text_col: str = "text"):
     from ..functions.textfns import conf_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            for tok in t.split():
-                conf = 40 + (ord(tok[0]) % 60)
-                c[conf_bucket(conf)] += 1
-        buckets = sorted(c)
+        import pyarrow.compute as pc
+
+        # tokens are NOT lowered here (the reference confidence keys off the
+        # original first character) — split only, then count per DISTINCT
+        # token and fold the tiny distinct set through conf_bucket
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "cnt": pa.array([], pa.int64())})
+        d = _dict_encode(flat)
+        counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
+        bucket_of = np.fromiter(
+            (conf_bucket(40 + (ord(t[0]) % 60))
+             for t in d.dictionary.to_pylist()),
+            dtype=np.int64, count=len(d.dictionary),
+        )
+        # bucket ids may include -1 sentinel-free small ints; shift-safe sum
+        lo = int(bucket_of.min())
+        agg = np.bincount(bucket_of - lo, weights=counts).astype(np.int64)
+        buckets = np.flatnonzero(agg) + lo
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int32()),
-                "cnt": pa.array([c[b] for b in buckets], pa.int64()),
+                "bucket": pa.array(buckets.astype(np.int32), pa.int32()),
+                "cnt": pa.array(agg[buckets - lo], pa.int64()),
             }
         )
 
@@ -210,37 +285,63 @@ def orders_by_priority(ds):
 
 
 def orders_per_nation(orders_ds, sf_dir: str):
-    """Broadcast join: orders ⋈ customer ⋈ nation (both dimension tables are
-    small sides — ray.put once, numpy lookup per batch; no shuffle join)."""
+    """orders ⋈ customer ⋈ nation → per-nation order counts.
+
+    Customer is NOT a broadcastable dimension at TPC-H scale (1.5M rows/sf),
+    so no Python dict of the customer table ships anywhere: the broadcast
+    side is a dense int8 nationkey-per-custkey numpy array (1 byte per
+    customer — broadcastable ~two orders of magnitude longer than an object
+    dict), looked up per batch as one fancy-index + bincount.  Nation names
+    (25 rows, the genuine small side) are applied to the 25-row aggregate at
+    the end."""
     import pyarrow.parquet as pq
     import ray
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nation_of = dict(zip(cust.column("c_custkey").to_pylist(),
-                         cust.column("c_nationkey").to_pylist()))
-    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
-                       nation.column("n_name").to_pylist()))
-    ref = ray.put((nation_of, name_of))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    n_nations = int(nk.max()) + 1
+    assert n_nations <= 127, "int8 nationkey array"
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = nk.astype(np.int8)
+    ref = ray.put(nation_of)
 
     class J:
         def __init__(self):
-            self.nation_of, self.name_of = ray.get(ref)
+            self.nation_of = ray.get(ref)  # zero-copy from object store
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            c: Counter = Counter()
-            for ck in batch.column("o_custkey").to_pylist():
-                c[self.name_of[self.nation_of[ck]]] += 1
-            names = sorted(c)
+            cks = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            nks = self.nation_of[cks]
+            counts = np.bincount(nks, minlength=n_nations)
+            nz = np.flatnonzero(counts)
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
-                    "n_orders": pa.array([c[n] for n in names], pa.int64()),
+                    "n_nationkey": pa.array(nz.astype(np.int32), pa.int32()),
+                    "n_orders": pa.array(counts[nz], pa.int64()),
                 }
             )
 
     partials = orders_ds.map_batches(J, batch_format="pyarrow", concurrency=(1, 4))
-    return partials.groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"))
+    agg = partials.groupby("n_nationkey").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        names = [name_of[int(k)] for k in batch.column("n_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return agg.map_batches(add_name, batch_format="pyarrow")
 
 
 def events_daily(ds):
