@@ -517,6 +517,58 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_repetition_stats(sf_dir: str):
+    from studiocr_ray.datapipe.signals import repetition_stats
+
+    return _docs(sf_dir).map_batches(repetition_stats, batch_format="pyarrow")
+
+
+# Contamination benchmark: the first CONTAM_BENCH_DOCS docs stand in for an
+# eval set; word n-grams of size CONTAM_N.
+CONTAM_BENCH_DOCS = 10
+CONTAM_N = 3
+
+
+def _q_contamination(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from studiocr_ray.datapipe.signals import contamination_check
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench_texts = bench.filter(
+        pc.less(bench.column("doc_id"), CONTAM_BENCH_DOCS)
+    ).column("text").to_pylist()
+    return contamination_check(_docs(sf_dir), bench_texts, n=CONTAM_N)
+
+
+# Stratified-sample configuration shared verbatim with the SQL oracle.
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def _q_stratified_sample(sf_dir: str):
+    from studiocr_ray.datapipe.sample import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select_columns(["doc_id", "source"])
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from studiocr_ray.datapipe.relational import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=5)
+
+
+def _q_source_stats(sf_dir: str):
+    from studiocr_ray.datapipe.relational import source_stats
+
+    return source_stats(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (SURVEY §2.9 F-series + training-data ops)
@@ -566,6 +618,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "cosine_lsh": _q_cosine_lsh,
         "dup_clusters": _q_dup_clusters,
+        # corpus-quality signals + sampling (round-3 additions)
+        "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_topk": _q_tfidf_topk,
+        "source_stats": _q_source_stats,
     }
 
 
@@ -1220,4 +1278,137 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         """,
+        # Gopher-style repetition signals: fraction of n-gram positions
+        # occupied by the most frequent n-gram (signals.repetition_stats —
+        # integer max-count / integer position-count, single double division
+        # both sides).
+        "repetition_stats": f"""
+            WITH tk AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            uni AS (SELECT doc_id, tok, count(*) c FROM (
+                      SELECT doc_id, unnest(tk) tok FROM tk) GROUP BY 1, 2),
+            um AS (SELECT doc_id, max(c) mc FROM uni GROUP BY doc_id),
+            bg AS (SELECT doc_id, g, count(*) c FROM (
+                     SELECT doc_id,
+                            unnest([array_to_string(tk[i:i+1], ' ')
+                                    for i in generate_series(1, len(tk) - 1)]) g
+                     FROM tk) GROUP BY 1, 2),
+            bm AS (SELECT doc_id, max(c) mc FROM bg GROUP BY doc_id),
+            tg AS (SELECT doc_id, g, count(*) c FROM (
+                     SELECT doc_id,
+                            unnest([array_to_string(tk[i:i+2], ' ')
+                                    for i in generate_series(1, len(tk) - 2)]) g
+                     FROM tk) GROUP BY 1, 2),
+            tm AS (SELECT doc_id, max(c) mc FROM tg GROUP BY doc_id)
+            SELECT k.doc_id, len(k.tk) AS n_tokens,
+                   CASE WHEN len(k.tk) > 0
+                        THEN CAST(coalesce(um.mc, 0) AS DOUBLE) / len(k.tk)
+                        ELSE 0.0 END AS top_token_frac,
+                   CASE WHEN len(k.tk) > 1
+                        THEN CAST(coalesce(bm.mc, 0) AS DOUBLE) / (len(k.tk) - 1)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CASE WHEN len(k.tk) > 2
+                        THEN CAST(coalesce(tm.mc, 0) AS DOUBLE) / (len(k.tk) - 2)
+                        ELSE 0.0 END AS top_trigram_frac
+            FROM tk k
+            LEFT JOIN um USING (doc_id)
+            LEFT JOIN bm USING (doc_id)
+            LEFT JOIN tm USING (doc_id)
+        """,
+        # benchmark contamination: distinct word CONTAM_N-grams shared with
+        # the benchmark relation (first CONTAM_BENCH_DOCS docs)
+        "contamination": f"""
+            WITH tk AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            ng AS (SELECT DISTINCT doc_id, g FROM (
+                     SELECT doc_id,
+                            unnest([array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')
+                                    for i in generate_series(1, len(tk) - {CONTAM_N - 1})]) g
+                     FROM tk)),
+            bench AS (SELECT DISTINCT g FROM ng
+                      WHERE doc_id < {CONTAM_BENCH_DOCS}),
+            ov AS (SELECT doc_id, count(*) n_overlap FROM ng
+                   WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) n_ngrams FROM ng GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(t.n_ngrams, 0) AS n_ngrams,
+                   coalesce(o.n_overlap, 0) AS n_overlap,
+                   coalesce(o.n_overlap, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN ov o USING (doc_id)
+        """,
+        "stratified_sample": _stratified_sample_oracle(),
+        # log-free tf-idf (score = tf * N/df — IEEE-exact both sides), top-5
+        # per doc, ties broken by term asc
+        "tfidf_topk": f"""
+            WITH tk AS (SELECT doc_id, unnest({toks.format(src='lower(text)')}) tok
+                        FROM documents),
+            tfq AS (SELECT doc_id, tok, count(*) tf FROM tk GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(DISTINCT doc_id) df FROM tk GROUP BY tok),
+            scored AS (SELECT doc_id, tok AS term, tf, df,
+                              tf * (CAST((SELECT count(*) FROM documents)
+                                         AS DOUBLE) / df) AS score
+                       FROM tfq JOIN dfq USING (tok)),
+            rk AS (SELECT *, row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rank
+                   FROM scored)
+            SELECT doc_id, term, tf, df, score, rank FROM rk WHERE rank <= 5
+        """,
+        "source_stats": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len({toks.format(src='text')})) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(sum(len({toks.format(src='text')})) AS DOUBLE)
+                     / count(*) AS mean_tokens
+            FROM documents GROUP BY source
+        """,
     }
+
+
+def _stratified_sample_oracle() -> str:
+    """splitmix64-in-SQL sample oracle: the 64-bit multiplies are done as
+    hi/lo-split HUGEINT mulmods (a*b mod 2^64 = ((a>>32)*b mod 2^32)*2^32 +
+    (a&0xffffffff)*b mod 2^64 — every intermediate < 2^97 fits INT128), and
+    the per-source keep-thresholds are the SAME precomputed integers the Ray
+    filter uses (sample.rate_thresholds), so the comparison is bit-exact."""
+    from studiocr_ray.datapipe.sample import rate_thresholds
+
+    thr, dthr = rate_thresholds(SAMPLE_RATES, SAMPLE_DEFAULT_RATE)
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{s}' THEN {t}::HUGEINT"
+            for s, t in sorted(thr.items())
+        )
+        + f" ELSE {dthr}::HUGEINT END"
+    )
+    return f"""
+        WITH s1 AS (SELECT doc_id, source,
+                           (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+                             % 18446744073709551616::HUGEINT AS z
+                    FROM documents),
+        s2 AS (SELECT doc_id, source,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                          13787848793156543929)} AS z
+               FROM s1),
+        s3 AS (SELECT doc_id, source,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                          10723151780598845931)} AS z
+               FROM s2),
+        h AS (SELECT doc_id, source,
+                     xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT AS hv
+              FROM s3)
+        SELECT doc_id, source FROM h WHERE hv < {case}
+    """

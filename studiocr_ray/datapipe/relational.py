@@ -688,3 +688,153 @@ def range_count_events(
         .groupby("bucket")
         .map_groups(bucket_range_count, batch_format="pyarrow")
     )
+
+
+def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+               n_docs: int | None = None):
+    """Per-doc top-k terms by tf-idf → (doc_id, term, tf, df, score, rank).
+
+    Two streaming passes over the corpus, no corpus-scale shuffle:
+
+    1. document frequencies via :func:`term_doc_freq` (vocab-bounded
+       aggregate), collected and broadcast via ``ray.put`` — the classic
+       small-side lookup, same shape as a dimension-table join;
+    2. per-batch (doc, term, tf) partials (exact: one doc is one row, never
+       split across batches), df lookup per DISTINCT term per batch, then a
+       vectorized lexsort top-k per doc.
+
+    score = tf * (N / df) — the log-free tf-idf variant, chosen because
+    every operation (int→double cast, one division, one multiply) is
+    IEEE-exact and therefore bit-reproducible by the SQL oracle;
+    ``ln`` implementations are not guaranteed to round identically across
+    engines.  Ties break by term ascending (total order, deterministic)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()  # parquet metadata count — no full read
+    df_tbl = pa.Table.from_pandas(
+        term_doc_freq(ds, text_col=text_col, id_col=id_col).to_pandas(),
+        preserve_index=False,
+    )
+    df_map_ref = ray.put(
+        dict(zip(df_tbl.column("term").to_pylist(),
+                 df_tbl.column("df").to_pylist()))
+    )
+    n_total = float(n_docs)
+
+    def per_doc_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        empty = pa.table(
+            {"doc_id": pa.array([], batch.column(id_col).type),
+             "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        if len(flat) == 0:
+            return empty
+        df_map = _ray.get(df_map_ref)
+        d = _dict_encode(flat)
+        ndict = len(d.dictionary)
+        key = doc_idx.astype(np.int64) * ndict + d.indices.to_numpy(
+            zero_copy_only=False
+        )
+        uniq, tf = np.unique(key, return_counts=True)
+        u_doc = uniq // ndict
+        u_code = uniq % ndict
+        # df per DISTINCT term of this batch only
+        dict_terms = d.dictionary.to_pylist()
+        df_by_code = np.array([df_map[t] for t in dict_terms], np.int64)
+        df = df_by_code[u_code]
+        score = tf.astype(np.float64) * (n_total / df.astype(np.float64))
+        # lexical rank of each dictionary code for the term-asc tie-break
+        lex = np.empty(ndict, np.int64)
+        lex[np.argsort(np.array(dict_terms, dtype=object))] = np.arange(ndict)
+        order = np.lexsort((lex[u_code], -score, u_doc))
+        sd = u_doc[order]
+        first = np.ones(len(sd), bool)
+        first[1:] = sd[1:] != sd[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(sd)))
+        rank = np.arange(len(sd)) - np.repeat(starts, runs) + 1
+        keep = order[rank <= k]
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(u_doc[keep])),
+                "term": d.dictionary.take(pa.array(u_code[keep])),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.float64()),
+                "rank": pa.array(rank[rank <= k], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_doc_topk, batch_format="pyarrow")
+
+
+def source_stats(ds, text_col: str = "text", strat_col: str = "source"):
+    """Per-source corpus rollup → (source, n_docs, n_tokens, n_chars,
+    mean_tokens) — the "how much of each source do I have, how long is it"
+    curation dashboard query.
+
+    Integer partials per batch (one row per source per batch), one
+    source-count-bounded groupby, then a single exact double division for
+    the mean — no float summation anywhere, so the oracle match is exact."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = _dict_encode(src)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nsrc = len(d.dictionary)
+        toks = pc.count_substring_regex(
+            batch.column(text_col), r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(batch.column(text_col)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": d.dictionary,
+                "n_docs": pa.array(np.bincount(idx, minlength=nsrc), pa.int64()),
+                "n_tokens": pa.array(
+                    np.bincount(idx, weights=toks, minlength=nsrc).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_chars": pa.array(
+                    np.bincount(idx, weights=chars, minlength=nsrc).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "mean_tokens",
+            pa.array(np.divide(nt, nd, out=np.zeros_like(nt), where=nd > 0),
+                     pa.float64()),
+        )
+
+    return agg.map_batches(add_mean, batch_format="pyarrow")

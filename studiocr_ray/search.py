@@ -187,22 +187,26 @@ def search_in_document(
     words = (query if case_sensitive else query.lower()).split()
     result: dict[int, list[dict]] = {}
     if words:
-        texts = blocks.column("text").to_pylist()
-        pages = blocks.column("page").to_pylist()
-        rows = None
-        for i, t in enumerate(texts):
-            hay = t if case_sensitive else t.lower()
-            matched = (
-                any(fuzzy_match(hay, w, tol) for w in words)
-                if fuzzy
-                else any(w in hay for w in words)
+        texts = blocks.column("text")
+        hay = texts if case_sensitive else pc.utf8_lower(texts)
+        if fuzzy:
+            # levenshtein predicate is inherently per-value; input is one
+            # document's blocks by contract, so the loop is bounded
+            matched = pa.array(
+                [any(fuzzy_match(h, w, tol) for w in words)
+                 for h in hay.to_pylist()],
+                pa.bool_(),
             )
-            if matched:
-                if rows is None:
-                    rows = blocks.to_pylist()
-                r = dict(rows[i])
-                r["bucket"] = conf_bucket(r["conf"])
-                result.setdefault(pages[i], []).append(r)
+        else:
+            matched = None
+            for w in words:
+                m = pc.match_substring(hay, w)
+                matched = m if matched is None else pc.or_(matched, m)
+        sub = blocks.filter(matched)
+        pages = sub.column("page").to_pylist()
+        for p, r in zip(pages, sub.to_pylist()):
+            r["bucket"] = conf_bucket(r["conf"])
+            result.setdefault(p, []).append(r)
     matched_pages = sorted(result)
     return {
         "pages": {p: result[p] for p in matched_pages},

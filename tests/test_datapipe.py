@@ -671,3 +671,153 @@ class TestWindows:
         best = full.sort_values(["cnt", "term"], ascending=[False, True]).head(5)
         assert top["term"].tolist() == best["term"].tolist()
         assert (top["cnt"].values == best["cnt"].values).all()
+
+
+class TestSignals:
+    """Repetition / contamination signals (datapipe/signals.py) and
+    deterministic stratified sampling (datapipe/sample.py)."""
+
+    def test_repetition_known_values(self):
+        from studiocr_ray.datapipe.signals import repetition_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["a a a b", "x y z w", ""], pa.string()
+                ),
+            }
+        )
+        got = repetition_stats(t).to_pandas().set_index("doc_id")
+        # "a a a b": top token a=3/4; bigrams (a a, a a, a b) top 2/3;
+        # trigrams (a a a, a a b) top 1/2
+        assert got.loc[0, "n_tokens"] == 4
+        assert got.loc[0, "top_token_frac"] == 3 / 4
+        assert got.loc[0, "top_bigram_frac"] == 2 / 3
+        assert got.loc[0, "top_trigram_frac"] == 1 / 2
+        # all-distinct doc: every frac is 1/positions
+        assert got.loc[1, "top_token_frac"] == 1 / 4
+        assert got.loc[1, "top_bigram_frac"] == 1 / 3
+        # empty doc: all zeros, no NaN
+        assert got.loc[2, "n_tokens"] == 0
+        assert got.loc[2, "top_token_frac"] == 0.0
+        assert got.loc[2, "top_trigram_frac"] == 0.0
+
+    def test_repetition_batch_boundary_independent(self):
+        """Per-doc metrics must not leak n-grams across doc boundaries."""
+        from studiocr_ray.datapipe.signals import repetition_stats
+
+        a = pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "text": pa.array(["p q"], pa.string())}
+        )
+        b = pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array(["q p"], pa.string())}
+        )
+        both = pa.concat_tables([a, b]).combine_chunks()
+        merged = repetition_stats(both).to_pandas()
+        solo = pd.concat(
+            [repetition_stats(a).to_pandas(), repetition_stats(b).to_pandas()],
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(merged, solo)
+
+    def test_contamination_flags_overlap(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.signals import contamination_check
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "the quick brown fox jumps",
+                            "totally unrelated words here",
+                            "brown fox jumps over things",
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        got = (
+            contamination_check(docs, ["quick brown fox jumps high"], n=3,
+                                concurrency=1)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(got.loc[0, "contaminated"])       # shares "quick brown fox"
+        assert not bool(got.loc[1, "contaminated"])
+        assert bool(got.loc[2, "contaminated"])       # shares "brown fox jumps"
+        # doc 0 distinct 3-grams: 3; overlapping: "quick brown fox",
+        # "brown fox jumps" = 2
+        assert got.loc[0, "n_ngrams"] == 3
+        assert got.loc[0, "n_overlap"] == 2
+
+    def test_stratified_sample_rates_and_determinism(self, docs_ds):
+        from studiocr_ray.datapipe.sample import splitmix64, stratified_sample
+
+        all_rows = stratified_sample(docs_ds, {}, 1.0).count()
+        assert all_rows == docs_ds.count()
+        none_rows = stratified_sample(docs_ds, {}, 0.0).count()
+        assert none_rows == 0
+        a = sorted(
+            stratified_sample(docs_ds, {"src0": 1.0}, 0.25)
+            .to_pandas()["doc_id"]
+        )
+        b = sorted(
+            stratified_sample(docs_ds, {"src0": 1.0}, 0.25)
+            .to_pandas()["doc_id"]
+        )
+        assert a == b and 0 < len(a) < docs_ds.count()
+        # the decision is the documented pure function of the row
+        h = splitmix64(np.array(a, np.int64))
+        src = dict(
+            zip(*[docs_ds.to_pandas()[c] for c in ("doc_id", "source")])
+        )
+        for d, hv in zip(a, h):
+            thr = 2**64 if src[d] == "src0" else int(0.25 * 2**64)
+            assert int(hv) < thr
+
+    def test_tfidf_topk_ordering(self, docs_ds):
+        from studiocr_ray.datapipe.relational import tfidf_topk
+
+        got = tfidf_topk(docs_ds, k=3).to_pandas()
+        assert set(got.columns) == {"doc_id", "term", "tf", "df", "score",
+                                    "rank"}
+        for _, g in got.groupby("doc_id"):
+            g = g.sort_values("rank")
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+            # scores non-increasing; ties broken by term asc
+            s = list(g["score"])
+            assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+            for i in range(len(g) - 1):
+                if s[i] == s[i + 1]:
+                    assert g["term"].iloc[i] < g["term"].iloc[i + 1]
+
+    def test_source_stats_vs_pandas(self, docs_ds):
+        from studiocr_ray.datapipe.relational import source_stats
+
+        got = (
+            source_stats(docs_ds).to_pandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        df = docs_ds.to_pandas()
+        df["n_tokens"] = df["text"].str.split().str.len()
+        want = (
+            df.groupby("source")
+            .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"),
+                 n_chars=("text", lambda s: s.str.len().sum()))
+            .reset_index()
+            .sort_values("source").reset_index(drop=True)
+        )
+        assert (got["n_docs"].values == want["n_docs"].values).all()
+        assert (got["n_tokens"].values == want["n_tokens"].values).all()
+        assert (got["n_chars"].values == want["n_chars"].values).all()
+        assert np.allclose(
+            got["mean_tokens"], want["n_tokens"] / want["n_docs"], rtol=0,
+            atol=0,
+        )
