@@ -396,6 +396,164 @@ def blocks_dataset(out_dir: str):
     return ds.map_batches(explode_blocks, batch_format="pyarrow")
 
 
+def _list_col(t: pa.Table, name: str) -> pa.ListArray:
+    c = t.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _list_lens(arr) -> "np.ndarray":
+    import numpy as np
+    import pyarrow.compute as pc
+
+    return (
+        pc.list_value_length(arr).fill_null(0)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def _concat_list_rows(la, va, lb, vb) -> pa.ListArray:
+    """Element-wise concat of two list columns given per-row lengths and
+    flattened values (null rows = empty).  One vectorized index build + one
+    take — Arrow has no list-concat kernel."""
+    import numpy as np
+
+    tot = la + lb
+    out_off = np.zeros(len(tot) + 1, np.int64)
+    np.cumsum(tot, out=out_off[1:])
+    r = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(out_off[:-1], tot)
+    la_rep = np.repeat(la, tot)
+    in_a = r < la_rep
+    a_start = np.cumsum(la) - la
+    b_start = np.cumsum(lb) - lb
+    src = np.where(
+        in_a,
+        np.repeat(a_start, tot) + r,
+        len(va) + np.repeat(b_start, tot) + (r - la_rep),
+    )
+    vals = pa.concat_arrays([va, vb]).take(pa.array(src, pa.int64()))
+    return pa.ListArray.from_arrays(
+        pa.array(out_off, pa.int32()), vals
+    )
+
+
+def _merge_matched(old_hit: pa.Table, new_hit: pa.Table) -> pa.Table:
+    """Vectorized merge of re-crawled docs onto their live rows (the hot
+    half of ``_merge_append_part``: every matched url on a full re-crawl).
+
+    Per matched url, one of three outcomes — old crawl errored (0 pages):
+    the new row REPLACES it (appending onto empty text would leave a phantom
+    leading "\\n" segment misaligning ``layout_pages``); new crawl errored:
+    the old row stays untouched; else pages/layout positions of the new
+    crawl append with ``page`` offset by the old ``n_pages`` and the
+    doc-level text/blocks/conf/boilerplate recompute.  All three paths are
+    Arrow/numpy kernels — no per-row Python, so a re-crawl touching every
+    url in a partition merges at memory bandwidth."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..schema import PAGE_STRUCT
+
+    n = old_hit.num_rows
+    # align new rows to old order (urls are unique per partition post-dedup)
+    align = pc.index_in(
+        old_hit.column("url").combine_chunks(),
+        value_set=new_hit.column("url").combine_chunks(),
+    )
+    new_a = new_hit.take(align)
+
+    off = old_hit.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+    nnp = new_a.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+    replace = off == 0
+    keep_old = (~replace) & (nnp == 0)
+    merge = (~replace) & (~keep_old)
+    mi = np.flatnonzero(merge)
+    m_old = old_hit.take(pa.array(mi))
+    m_new = new_a.take(pa.array(mi))
+    m_off = off[mi]
+    m_nnp = nnp[mi]
+
+    # --- merged-row columns (dense over merge rows) ---
+    ob = m_old.column("n_blocks").to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = m_new.column("n_blocks").to_numpy(zero_copy_only=False).astype(np.int64)
+    omc = m_old.column("mean_conf").to_numpy(zero_copy_only=False)
+    nmc = m_new.column("mean_conf").to_numpy(zero_copy_only=False)
+    conf_tot = np.rint(omc * ob) + np.rint(nmc * nb)
+    tb = (ob + nb).astype(np.float64)
+    mean_conf = np.divide(conf_tot, tb, out=np.zeros_like(tb), where=tb > 0)
+    obr = m_old.column("boilerplate_ratio").to_numpy(zero_copy_only=False)
+    nbr = m_new.column("boilerplate_ratio").to_numpy(zero_copy_only=False)
+    boiler = (obr * m_off + nbr * m_nnp) / (m_off + m_nnp)
+    text = pc.binary_join_element_wise(
+        m_old.column("extracted_text").combine_chunks(),
+        m_new.column("extracted_text").combine_chunks(),
+        "\n",
+    )
+    # layout positions of the new crawl shift by the old page count
+    lp_old = _list_col(m_old, "layout_pages")
+    lp_new = _list_col(m_new, "layout_pages")
+    lp_new_lens = _list_lens(lp_new)
+    lp_new_vals = pc.add(
+        lp_new.flatten(),
+        pa.array(np.repeat(m_off, lp_new_lens), pa.int32()),
+    )
+    layout_pages = _concat_list_rows(
+        _list_lens(lp_old), lp_old.flatten(), lp_new_lens, lp_new_vals
+    )
+    # stored (raster) pages: new crawl's page numbers shift likewise; the
+    # nested blocks/dropped children pass through untouched
+    pg_old = _list_col(m_old, "pages")
+    pg_new = _list_col(m_new, "pages")
+    pg_new_lens = _list_lens(pg_new)
+    pg_new_flat = pg_new.flatten()
+    pg_new_vals = pa.StructArray.from_arrays(
+        [
+            pc.add(
+                pg_new_flat.field("page"),
+                pa.array(np.repeat(m_off, pg_new_lens), pa.int32()),
+            ),
+            pg_new_flat.field("blocks"),
+            pg_new_flat.field("dropped"),
+        ],
+        fields=list(PAGE_STRUCT),
+    )
+    pages = _concat_list_rows(
+        _list_lens(pg_old), pg_old.flatten(), pg_new_lens, pg_new_vals
+    )
+    m_cols = {
+        "n_pages": pa.array(m_off + m_nnp, pa.int32()),
+        "n_blocks": pa.array(ob + nb, pa.int64()),
+        "mean_conf": pa.array(mean_conf, pa.float64()),
+        "boilerplate_ratio": pa.array(boiler, pa.float64()),
+        "extracted_text": text,
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "layout_pages": layout_pages,
+        "pages": pages,
+        "error": pa.array([None] * len(mi), pa.string()),
+    }
+
+    # --- assemble in old_hit order: pool = [old | new | merged], one take
+    # per column ---
+    dense = np.cumsum(merge) - 1
+    idx = np.where(keep_old, np.arange(n),
+                   np.where(replace, n + np.arange(n), 2 * n + dense))
+    take = pa.array(idx, pa.int64())
+    out = {}
+    for field in old_hit.schema:
+        name = field.name
+        oc = old_hit.column(name).combine_chunks()
+        nc = pc.cast(new_a.column(name).combine_chunks(), field.type)
+        mc = (
+            pc.cast(m_cols[name], field.type)
+            if name in m_cols
+            else oc.take(pa.array(mi))  # url/warc_ts/lang: old == merged
+        )
+        out[name] = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (oc, nc, mc)]
+        ).take(take)
+    return pa.table(out, schema=old_hit.schema)
+
+
 def _merge_append_part(out_dir: str, tmp_out: str, part: int,
                        new_duplicates: int, meta_identity: dict) -> dict:
     """Merge one partition's freshly-extracted append rows into the live
@@ -432,54 +590,7 @@ def _merge_append_part(out_dir: str, tmp_out: str, part: int,
         new_keep = new_t.filter(pc.invert(nmatch))
         appended = old_hit.num_rows
         if appended:
-            by_url = {r["url"]: r for r in new_hit.to_pylist()}
-            rows = []
-            for o in old_hit.to_pylist():
-                n = by_url[o["url"]]
-                off = int(o["n_pages"])
-                if off == 0:
-                    # old crawl errored (no pages): the re-crawl REPLACES it
-                    # — appending onto an empty text would leave a phantom
-                    # empty leading "\n" segment misaligning layout_pages
-                    rows.append(n)
-                    continue
-                if int(n["n_pages"]) == 0:
-                    # re-crawl errored: keep the good old doc untouched
-                    rows.append(o)
-                    continue
-                # stored pages are the RASTER pages only; layout pages stay
-                # implicit — their positions (old + offset new) are tracked
-                # in layout_pages so readers can regenerate them
-                pages = list(o["pages"])
-                for p in n["pages"]:
-                    pages.append({**p, "page": int(p["page"]) + off})
-                layout_pages = list(o.get("layout_pages") or []) + [
-                    int(x) + off for x in (n.get("layout_pages") or [])
-                ]
-                ob, nb = int(o["n_blocks"]), int(n["n_blocks"])
-                conf_tot = (round(o["mean_conf"] * ob) +
-                            round(n["mean_conf"] * nb))
-                text = o["extracted_text"] + "\n" + n["extracted_text"]
-                rows.append(
-                    {
-                        **o,
-                        "n_pages": off + int(n["n_pages"]),
-                        "n_blocks": ob + nb,
-                        "mean_conf": (conf_tot / (ob + nb)) if ob + nb else 0.0,
-                        # per-crawl HTML metric: page-count-weighted mean
-                        "boilerplate_ratio": (
-                            (o["boilerplate_ratio"] * off
-                             + n["boilerplate_ratio"] * int(n["n_pages"]))
-                            / (off + int(n["n_pages"]))
-                        ),
-                        "n_chars": len(text),
-                        "extracted_text": text,
-                        "layout_pages": layout_pages,
-                        "pages": pages,
-                        "error": None,
-                    }
-                )
-            merged_hit = pa.Table.from_pylist(rows, schema=old_t.schema)
+            merged_hit = _merge_matched(old_hit, new_hit)
             merged = pa.concat_tables([old_keep, merged_hit, new_keep])
         else:
             merged = pa.concat_tables([old_keep, new_keep])
