@@ -569,6 +569,56 @@ def _q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+# Line-dedup configuration shared verbatim with the SQL oracle: the
+# synthetic documents carry no newlines, so both sides reflow into
+# LINE_WORDS-token lines and drop lines occurring more than LINE_MAX times
+# corpus-wide (real corpora use words_per_line=None → literal '\n' lines).
+LINE_WORDS = 3
+LINE_MAX = 2
+
+
+def _q_line_dedup(sf_dir: str):
+    from studiocr_ray.datapipe.lines import line_dedup
+
+    return line_dedup(
+        _docs(sf_dir), words_per_line=LINE_WORDS, max_count=LINE_MAX
+    )
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII scrub over documents with deterministic doc_id-derived PII
+    injected (the synthetic corpus contains none) — the SQL oracle injects
+    the identical suffix, so redacted text and per-class counts compare
+    bit-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from studiocr_ray.datapipe.pii import pii_scrub
+
+    def inject(batch):
+        did = pc.cast(batch.column("doc_id"), pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.array([" Contact user"] * batch.num_rows),
+            did,
+            pa.array(["@mail.example or 192.168."] * batch.num_rows),
+            pc.cast(pc.bit_wise_and(batch.column("doc_id"), 255), pa.string()),
+            pa.array([".1 tel 555-123-4567"] * batch.num_rows),
+            "",
+        )
+        text = pc.binary_join_element_wise(
+            batch.column("text"), suffix, ""
+        )
+        return batch.set_column(
+            batch.column_names.index("text"), "text", text
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(pii_scrub, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (SURVEY §2.9 F-series + training-data ops)
@@ -624,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
         "source_stats": _q_source_stats,
+        "line_dedup": _q_line_dedup,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1364,6 +1416,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({toks.format(src='text')})) AS DOUBLE)
                      / count(*) AS mean_tokens
             FROM documents GROUP BY source
+        """,
+        # corpus line dedup: reflow into LINE_WORDS-token lines, drop lines
+        # with global count > LINE_MAX, reassemble survivors in order
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {toks.format(src='text')} AS tk FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+                     array_to_string(
+                       tk[(i*{LINE_WORDS}+1):(i*{LINE_WORDS}+{LINE_WORDS})],
+                       ' ') AS line
+              FROM toks,
+                   UNNEST(range(CAST(ceil(len(tk)/{LINE_WORDS}.0) AS BIGINT)))
+                     AS t(i)
+            ),
+            freq AS (
+              SELECT line FROM lines GROUP BY line
+              HAVING COUNT(*) > {LINE_MAX}
+            ),
+            kept AS (
+              SELECT l.doc_id, l.line_no, l.line
+              FROM lines l LEFT JOIN freq f USING (line)
+              WHERE f.line IS NULL
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no),
+                            '') AS text,
+                   CAST(count(k.line) AS BIGINT) AS n_lines_kept
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        # pii scrub over doc_id-injected PII; counts measured per class on
+        # the text as it stands at that replacement step (see datapipe/pii.py)
+        "pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example or 192.168.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.1 tel 555-123-4567' AS text
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'
+                     )) AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text
+              FROM inj
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                     )) AS BIGINT) AS n_ipv4,
+                     regexp_replace(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS text
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                                  '<PHONE>', 'g') AS text
+            FROM s2
         """,
     }
 

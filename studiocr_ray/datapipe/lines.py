@@ -1,0 +1,206 @@
+"""Corpus-level line deduplication (CCNet / RefinedWeb-style).
+
+Web corpora repeat whole lines across documents — navigation chrome,
+cookie banners, boilerplate footers — far more often than they repeat whole
+documents.  The classic curation step (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", 2020; Penedo et
+al., "The RefinedWeb Dataset for Falcon LLM", 2023 §3.3) counts every line
+across the corpus and strips the lines that occur more than *k* times.
+
+Shape at scale
+--------------
+Two passes over the corpus, ONE vocabulary-bounded shuffle, zero per-row
+Python:
+
+1. **Count** — per-batch partial counts keyed by the line string
+   (``pc.value_counts``), then a single ``groupby(line).sum`` whose input is
+   one row per *distinct* line per batch — the word_count/term_df shape
+   (relational.py) that moves counts, not occurrences.  Only lines with
+   global count > *k* survive the filter, and that set is small by
+   construction (it is the boilerplate vocabulary, not the corpus), so it
+   is collected and broadcast once via ``ray.put``.
+2. **Drop** — a stateless ``map_batches`` pass re-derives each document's
+   lines, marks frequent ones with one hashed ``pc.index_in`` probe against
+   the broadcast set, and reassembles the surviving lines in order with a
+   vectorized list rebuild + ``pc.binary_join`` — no shuffle at all: a
+   document never leaves its block.
+
+If a pathological corpus ever produced a frequent-line set too large to
+broadcast, the drop pass degrades to the engine's co-partitioned join shape
+(bucket lines and the frequent set by ``string_buckets``, cf.
+``dedup.copartition_verify``); with the default ``max_count`` the broadcast
+side is bounded by distinct-lines-repeated-k-times, which CCNet-scale runs
+measure in GB, not TB.
+
+The reference's analogue is keep-first page dedup
+(/root/reference/StudiOCR/db.py:49-57 unique OcrDocument names); this
+module generalizes it to sub-document granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+
+def _line_parts(batch: pa.Table, text_col: str, words_per_line: int | None):
+    """Vectorized split of each document into its dedup units.
+
+    With ``words_per_line=None`` (the web-corpus default) a unit is a
+    literal ``'\\n'``-delimited line with empty lines dropped.  With an
+    integer *w* the document is reflowed into fixed-width *w*-token lines
+    (ASCII-whitespace tokens, empties dropped) — the mode for corpora whose
+    text carries no newlines, bit-compatible with the DuckDB oracle's
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``.
+
+    Returns ``(line_str, n_lines_per_doc)`` where ``line_str`` is a flat
+    string array of every document's lines in order (documents contiguous).
+    """
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if words_per_line is None:
+        parts = pc.split_pattern(text, "\n")
+        flat = parts.values
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        off = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(nonempty, out=cs[1:])
+        nl = cs[off[1:]] - cs[off[:-1]]
+        return flat.filter(pa.array(nonempty)), nl
+    w = words_per_line
+    tokens = pc.utf8_split_whitespace(text)
+    flat = tokens.values
+    # leading/trailing whitespace yields empty tokens — drop them while
+    # keeping per-doc counts consistent (one cumsum, no per-row Python)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False
+    )
+    tok_off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.zeros(len(flat) + 1, np.int64)
+    np.cumsum(nonempty, out=cs[1:])
+    cnt = cs[tok_off[1:]] - cs[tok_off[:-1]]  # nonempty tokens per doc
+    flat_kept = flat.filter(pa.array(nonempty))
+
+    nl = -(-cnt // w)  # ceil-div: lines per doc
+    total = int(nl.sum())
+    doc_start = np.cumsum(cnt) - cnt
+    line_local = (
+        np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nl) - nl, nl)
+    )
+    starts = np.repeat(doc_start, nl) + line_local * w
+    # offsets share boundaries doc-to-doc (token runs are contiguous), so
+    # the line list is one ListArray over the kept-token values
+    offsets = np.append(starts, cs[-1])
+    lines_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), flat_kept
+    )
+    line_str = pc.binary_join(lines_list, " ")
+    return line_str, nl
+
+
+def frequent_lines(
+    ds, text_col: str = "text", words_per_line: int = 3, max_count: int = 2
+) -> pa.Table:
+    """Lines occurring more than ``max_count`` times corpus-wide →
+    ``(line, cnt)``.  One vocabulary-bounded shuffle (see module doc)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        line_str, _ = _line_parts(batch, text_col, words_per_line)
+        if len(line_str) == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(line_str)
+        return pa.table(
+            {"line": vc.field("values"),
+             "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    frequent = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("cnt"), max_count)),
+        batch_format="pyarrow",
+    )
+    parts = [
+        b for b in frequent.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        return pa.table({"line": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).combine_chunks()
+
+
+class _DropFrequentLines:
+    """Actor-pool drop pass: resolves the broadcast frequent-line set once
+    per actor in ``__init__`` (never re-shipped per batch)."""
+
+    def __init__(self, freq_ref, text_col: str, words_per_line: int,
+                 id_col: str):
+        freq = freq_ref if isinstance(freq_ref, pa.Array) else ray.get(freq_ref)
+        self.freq = freq
+        self.text_col = text_col
+        self.w = words_per_line
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        line_str, nl = _line_parts(batch, self.text_col, self.w)
+        if len(self.freq):
+            keep = pc.is_null(pc.index_in(line_str, value_set=self.freq))
+            keep_np = keep.to_numpy(zero_copy_only=False)
+        else:
+            keep_np = np.ones(len(line_str), dtype=bool)
+        # per-doc kept counts → offsets over the surviving lines, then one
+        # element-wise join rebuilds each document's text in line order
+        line_end = np.cumsum(nl)
+        cs = np.zeros(len(line_str) + 1, np.int64)
+        np.cumsum(keep_np, out=cs[1:])
+        kept_per_doc = cs[line_end] - cs[line_end - nl]
+        offsets = np.zeros(len(nl) + 1, np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_lines = line_str.filter(pa.array(keep_np))
+        doc_lines = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_lines
+        )
+        text = pc.binary_join(doc_lines, "\n")
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "text": text,
+                "n_lines_kept": pa.array(kept_per_doc, pa.int64()),
+            }
+        )
+
+
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 3,
+    max_count: int = 2,
+    concurrency=(1, 8),
+):
+    """Strip corpus-frequent lines from every document (module doc for the
+    two-pass shape).  ``ds`` is consumed twice — pass a materialized dataset
+    when the input is itself an expensive lineage.  Returns a Dataset of
+    ``(id_col, text, n_lines_kept)`` with surviving lines joined by
+    ``'\\n'`` in original order."""
+    freq = frequent_lines(
+        ds, text_col=text_col, words_per_line=words_per_line,
+        max_count=max_count,
+    )
+    freq_ref = ray.put(freq.column("line").combine_chunks())
+    return ds.map_batches(
+        _DropFrequentLines,
+        fn_constructor_args=(freq_ref, text_col, words_per_line, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -821,3 +821,90 @@ class TestSignals:
             got["mean_tokens"], want["n_tokens"] / want["n_docs"], rtol=0,
             atol=0,
         )
+
+
+class TestLineDedup:
+    """datapipe/lines.py: CCNet/RefinedWeb-style corpus line dedup."""
+
+    def _lined_docs(self, ray_session):
+        import ray
+
+        rows = [
+            {"doc_id": 1, "text": "unique alpha\nCOMMON FOOTER\nunique beta"},
+            {"doc_id": 2, "text": "COMMON FOOTER\n\nmiddle text\nCOMMON FOOTER"},
+            {"doc_id": 3, "text": "COMMON FOOTER\nanother doc"},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "only unique content here"},
+        ]
+        return ray.data.from_items(rows), rows
+
+    def test_newline_mode_drops_frequent_lines(self, ray_session):
+        from studiocr_ray.datapipe.lines import line_dedup
+
+        ds, _ = self._lined_docs(ray_session)
+        # COMMON FOOTER occurs 4x corpus-wide (> max_count=2) -> dropped;
+        # empty lines never count and never survive reassembly
+        got = (
+            line_dedup(ds, words_per_line=None, max_count=2)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert got.loc[1, "text"] == "unique alpha\nunique beta"
+        assert got.loc[2, "text"] == "middle text"
+        assert got.loc[3, "text"] == "another doc"
+        assert got.loc[4, "text"] == ""
+        assert got.loc[5, "text"] == "only unique content here"
+        assert list(got["n_lines_kept"]) == [2, 1, 1, 0, 1]
+
+    def test_below_threshold_kept(self, ray_session):
+        from studiocr_ray.datapipe.lines import line_dedup
+
+        ds, rows = self._lined_docs(ray_session)
+        got = (
+            line_dedup(ds, words_per_line=None, max_count=10)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # nothing frequent enough: every nonempty line survives in order
+        assert got.loc[2, "text"] == "COMMON FOOTER\nmiddle text\nCOMMON FOOTER"
+
+    def test_reflow_mode_matches_tokens(self, ray_session):
+        import ray
+
+        from studiocr_ray.datapipe.lines import frequent_lines, line_dedup
+
+        rows = [{"doc_id": i, "text": "a b c d e f g"} for i in range(4)]
+        rows.append({"doc_id": 99, "text": "x y z"})
+        ds = ray.data.from_items(rows)
+        freq = frequent_lines(ds, words_per_line=3, max_count=2)
+        assert set(freq.column("line").to_pylist()) == {"a b c", "d e f", "g"}
+        got = (
+            line_dedup(ds, words_per_line=3, max_count=2)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert got.loc[0, "text"] == ""  # every 3-token line was frequent
+        assert got.loc[99, "text"] == "x y z"
+
+
+class TestPiiScrub:
+    def test_classes_and_order(self, ray_session):
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.pii import pii_scrub
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "write bob.smith+x@foo-bar.co.uk or 10.0.0.1 tel 555-123-4567",
+                    # IPv4 inside an email host counts as email, not IP
+                    "bob@10.0.0.1.example stays one email",
+                    "no pii at all",
+                ],
+            }
+        )
+        got = pii_scrub(t).to_pylist()
+        assert got[0]["text"] == "write <EMAIL> or <IP> tel <PHONE>"
+        assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (1, 1, 1)
+        assert got[1]["text"] == "<EMAIL> stays one email"
+        assert got[1]["n_ipv4"] == 0
+        assert got[2] == {"doc_id": 3, "text": "no pii at all",
+                          "n_email": 0, "n_ipv4": 0, "n_phone": 0}
