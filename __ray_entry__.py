@@ -619,6 +619,19 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+# Sequence-packing configuration shared verbatim with the SQL oracle.
+PACK_SEQ_LEN = 128
+PACK_BUCKET_WIDTH = 64
+
+
+def _q_pack_sequences(sf_dir: str):
+    from studiocr_ray.datapipe.pack import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir), seq_len=PACK_SEQ_LEN, bucket_width=PACK_BUCKET_WIDTH
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (SURVEY §2.9 F-series + training-data ops)
@@ -676,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "line_dedup": _q_line_dedup,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1485,6 +1499,28 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
                                   '<PHONE>', 'g') AS text
             FROM s2
+        """,
+        # concat-and-chunk packing: global token prefix sum in doc_id order,
+        # first/last seq_len-token sequence each doc's tokens land in
+        "pack_sequences": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len({toks.format(src='text')}) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_token
+              FROM c
+            )
+            SELECT doc_id, n_tokens, start_token,
+                   start_token // {PACK_SEQ_LEN} AS seq_first,
+                   (start_token + greatest(n_tokens, 1) - 1)
+                     // {PACK_SEQ_LEN} AS seq_last
+            FROM s
         """,
     }
 

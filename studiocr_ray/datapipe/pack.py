@@ -1,0 +1,132 @@
+"""GPT-style sequence packing: global token offsets for concat-and-chunk.
+
+Training pipelines concatenate the curated corpus in a deterministic order
+(separator-joined) and slice it into fixed-length sequences (Brown et al.,
+"Language Models are Few-Shot Learners", 2020 §2.1 — documents are packed
+into 2048-token contexts; the T5/GPT "concat then chunk" recipe).  The
+distributed problem is the *global prefix sum*: every document needs the
+total token count of all documents before it, an inherently sequential
+quantity, computed here without ever sequencing the corpus through one
+process:
+
+1. **Bucket partials** — each doc belongs to range bucket
+   ``doc_id // bucket_width``; a stateless ``map_batches`` pass emits
+   per-batch ``(bucket, tok_sum)`` partials (vectorized regex token count +
+   ``np.bincount``), and one small ``groupby(bucket).sum`` reduces them.
+2. **Driver scan** — the bucket totals (corpus_size / bucket_width rows —
+   at 10^12 docs with bucket_width=2^20 that is ~10^6 rows of 16 B) are
+   cumsum-scanned on the driver and broadcast once via ``ray.put``.
+3. **Bucket fill-in** — ``groupby(bucket).map_groups`` brings each range
+   bucket's docs together (the ONE all-to-all, balanced by construction
+   when doc_ids are dense), sorts by doc_id, and adds the bucket's base
+   offset to a local vectorized cumsum.
+
+Output per doc: ``(doc_id, n_tokens, start_token, seq_first, seq_last)``
+where ``seq_first/seq_last`` are the first/last ``seq_len``-token training
+sequences the document's tokens land in (a zero-token document "lands" at
+its start offset).  Token counts are whitespace-run counts — the engine's
+standard, bit-compatible with the DuckDB
+``len(list_filter(regexp_split_to_array(...)))`` oracle.
+
+The reference's analogue is page-number assignment within a document
+(/root/reference/StudiOCR/OcrEngine.py:108-110 sequential page offsets);
+this operator is that idea at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+
+def _tok_counts(text) -> np.ndarray:
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return (
+        pc.count_substring_regex(text, r"\S+")
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def pack_sequences(
+    ds,
+    seq_len: int = 2048,
+    bucket_width: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Global concat-and-chunk offsets in ``id_col`` order (module doc).
+
+    ``ds`` is consumed twice (partials + fill-in); pass a materialized
+    dataset when the input is an expensive lineage."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column(id_col)
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        did = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _tok_counts(batch.column(text_col))
+        buckets = did // bucket_width
+        uniq, inv = np.unique(buckets, return_inverse=True)
+        sums = np.bincount(inv, weights=toks, minlength=len(uniq))
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "tok_sum": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("tok_sum", alias_name="tok_sum"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    base = {
+        int(b): int(o)
+        for b, o in zip(
+            totals["bucket"],
+            np.cumsum(totals["tok_sum"].to_numpy()) -
+            totals["tok_sum"].to_numpy(),
+        )
+    }
+    base_ref = ray.put(base)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        did = batch.column(id_col)
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        b = pc.divide(pc.cast(did, pa.int64()), bucket_width)
+        return batch.select([id_col, text_col]).append_column(
+            "bucket", pc.cast(b, pa.int64())
+        )
+
+    def fill_in(group: pa.Table) -> pa.Table:
+        offsets = ray.get(base_ref)  # plasma-cached per node after first get
+        did = group.column(id_col).combine_chunks()
+        dnp = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dnp, kind="stable")
+        toks = _tok_counts(group.column(text_col))[order]
+        bucket = int(dnp[order[0]] // bucket_width)
+        start = offsets[bucket] + np.cumsum(toks) - toks
+        seq_first = start // seq_len
+        seq_last = (start + np.maximum(toks, 1) - 1) // seq_len
+        return pa.table(
+            {
+                id_col: did.take(pa.array(order)),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "start_token": pa.array(start, pa.int64()),
+                "seq_first": pa.array(seq_first, pa.int64()),
+                "seq_last": pa.array(seq_last, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill_in, batch_format="pyarrow")
+    )

@@ -908,3 +908,46 @@ class TestPiiScrub:
         assert got[1]["n_ipv4"] == 0
         assert got[2] == {"doc_id": 3, "text": "no pii at all",
                           "n_email": 0, "n_ipv4": 0, "n_phone": 0}
+
+
+class TestPackSequences:
+    def test_global_offsets_and_spans(self, ray_session):
+        import ray
+
+        from studiocr_ray.datapipe.pack import pack_sequences
+
+        # sparse doc_ids across buckets (width 4), zero-token doc included
+        rows = [
+            {"doc_id": 0, "text": "a b c"},        # start 0,  seqs 0-0
+            {"doc_id": 3, "text": "d e f g h"},    # start 3,  seqs 0-0 (len8)
+            {"doc_id": 5, "text": ""},             # start 8,  zero tokens
+            {"doc_id": 9, "text": "i j k l"},      # start 8,  seqs 1-1
+            {"doc_id": 17, "text": "m n"},         # start 12, seqs 1-1
+        ]
+        got = (
+            pack_sequences(
+                ray.data.from_items(rows), seq_len=8, bucket_width=4
+            )
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert list(got["n_tokens"]) == [3, 5, 0, 4, 2]
+        assert list(got["start_token"]) == [0, 3, 8, 8, 12]
+        assert list(got["seq_first"]) == [0, 0, 1, 1, 1]
+        assert list(got["seq_last"]) == [0, 0, 1, 1, 1]
+
+    def test_doc_spanning_sequences(self, ray_session):
+        import ray
+
+        from studiocr_ray.datapipe.pack import pack_sequences
+
+        rows = [
+            {"doc_id": 1, "text": " ".join(["t"] * 20)},  # spans seqs 0..2
+            {"doc_id": 2, "text": "u v"},                 # start 20 -> seq 2
+        ]
+        got = (
+            pack_sequences(ray.data.from_items(rows), seq_len=8,
+                           bucket_width=1000)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert (got.loc[1, "seq_first"], got.loc[1, "seq_last"]) == (0, 2)
+        assert (got.loc[2, "seq_first"], got.loc[2, "seq_last"]) == (2, 2)
