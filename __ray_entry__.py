@@ -530,17 +530,15 @@ CONTAM_N = 3
 
 
 def _q_contamination(sf_dir: str):
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from studiocr_ray.datapipe.signals import contamination_check
 
     bench = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", CONTAM_BENCH_DOCS)],
     )
-    bench_texts = bench.filter(
-        pc.less(bench.column("doc_id"), CONTAM_BENCH_DOCS)
-    ).column("text").to_pylist()
+    bench_texts = bench.column("text").to_pylist()
     return contamination_check(_docs(sf_dir), bench_texts, n=CONTAM_N)
 
 
@@ -619,6 +617,53 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """contamination_check applied as a filter: docs sharing ANY word
+    CONTAM_N-gram with the benchmark (first CONTAM_BENCH_DOCS docs) are
+    dropped; survivors pass through with all columns."""
+    import pyarrow.parquet as pq
+
+    from studiocr_ray.datapipe.signals import decontaminate
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", CONTAM_BENCH_DOCS)],
+    )
+    return decontaminate(
+        _docs(sf_dir), bench.column("text").to_pylist(), n=CONTAM_N,
+        max_overlap=0,
+    )
+
+
+# The messy-text suffix injected (identically on both sides) to exercise
+# normalize_text: combining accent -> NFC, control char -> stripped,
+# tab/double-space -> collapsed, trailing space -> trimmed.
+NORM_SUFFIX = " Café  x\t\x01ok "
+
+
+def _q_normalize_text(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from studiocr_ray.datapipe.text import normalize_text
+
+    def inject(batch):
+        text = pc.binary_join_element_wise(
+            batch.column("text"),
+            pa.array([NORM_SUFFIX] * batch.num_rows),
+            "",
+        )
+        return batch.set_column(
+            batch.column_names.index("text"), "text", text
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(normalize_text, batch_format="pyarrow")
+    )
+
+
 # Sequence-packing configuration shared verbatim with the SQL oracle.
 PACK_SEQ_LEN = 128
 PACK_BUCKET_WIDTH = 64
@@ -690,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -1521,6 +1568,50 @@ def oracle_sql() -> dict[str, str]:
                    (start_token + greatest(n_tokens, 1) - 1)
                      // {PACK_SEQ_LEN} AS seq_last
             FROM s
+        """,
+        # decontamination = the contamination check applied as a filter:
+        # docs sharing ANY word CONTAM_N-gram with the benchmark relation
+        # (first CONTAM_BENCH_DOCS docs) are dropped, survivors keep all
+        # columns (max_overlap=0 in the Ray call)
+        "decontaminate": f"""
+            WITH tk AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            ng AS (SELECT DISTINCT doc_id, g FROM (
+                     SELECT doc_id,
+                            unnest([array_to_string(tk[i:i+{CONTAM_N - 1}], ' ')
+                                    for i in generate_series(1, len(tk) - {CONTAM_N - 1})]) g
+                     FROM tk)),
+            bench AS (SELECT DISTINCT g FROM ng
+                      WHERE doc_id < {CONTAM_BENCH_DOCS}),
+            ov AS (SELECT doc_id, count(*) n_overlap FROM ng
+                   WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN ov o USING (doc_id)
+            WHERE coalesce(o.n_overlap, 0) <= 0
+        """,
+        # C4-style normalization over the suffix-injected text: NFC, strip
+        # C0 controls (minus tab/newline) + DEL, collapse \\s+ runs, trim.
+        # Same RE2 engine both sides (Arrow and DuckDB), so bit-exact.
+        "normalize_text": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' Cafe' || chr(769) || '  x' || chr(9)
+                          || chr(1) || 'ok ' AS text,
+                     lang, source, n_chars
+              FROM documents
+            ),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                       '\\s+', ' ', 'g'), ' ') AS text,
+                     lang, source, n_chars
+              FROM inj
+            )
+            SELECT doc_id, text, lang, source, n_chars,
+                   CAST(length(text) AS BIGINT) AS n_chars_norm
+            FROM norm
         """,
     }
 

@@ -20,7 +20,6 @@ Only narrow (hash, id) rows ever move through the shuffle — never text.
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -216,36 +215,6 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table, max_bucket: int | None = None) -> pa.Table:
-    """Candidate pairs within one LSH bucket (single-bucket helper kept for
-    tests; the pipeline path is :func:`banded_candidate_pairs`, which scans
-    MANY buckets per group call).
-
-    ``max_bucket=None`` (default) emits ALL pairs — the exact-parity
-    contract the oracle-gated queries rely on (a silent cap would lose
-    candidate pairs on any corpus with a hot bucket and fail the all-pairs
-    SQL comparison).  Setting ``max_bucket`` truncates hot buckets (skew cap
-    for crawl-scale corpora, where a giant bucket is one near-identical
-    cluster and the kept-smallest survivors still chain it together);
-    truncation is logged and makes candidate recall corpus-dependent —
-    opt-in only."""
-    all_ids = sorted(set(group.column("doc_id").to_pylist()))
-    ids = all_ids if max_bucket is None else all_ids[:max_bucket]
-    if max_bucket is not None and len(all_ids) > max_bucket:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "LSH bucket truncated: %d ids > max_bucket=%d (kept smallest)",
-            len(all_ids), max_bucket,
-        )
-    a, b = [], []
-    for x, y in itertools.combinations(ids, 2):
-        a.append(x)
-        b.append(y)
-    id_type = group.column("doc_id").type
-    return pa.table({"id_a": pa.array(a, id_type), "id_b": pa.array(b, id_type)})
-
-
 def _add_band_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     """bucket = hash(band, band_hash) % B — so the candidate groupby has B
     groups (each holding MANY LSH buckets), not one Python call per distinct
@@ -286,24 +255,27 @@ def _band_bucket_pairs(group: pa.Table, max_bucket: int | None) -> pa.Table:
     change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
     starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
     ai, bi = [], []
-    log_trunc = None
+    n_trunc, max_trunc = 0, 0
     for s, e in zip(starts[:-1], starts[1:]):
         m = e - s
         if m < 2:
             continue
         if max_bucket is not None and m > max_bucket:
-            log_trunc = m
+            n_trunc += 1
+            max_trunc = max(max_trunc, m)
             e = s + max_bucket
             m = max_bucket
         i, j = np.triu_indices(m, 1)
         ai.append(i + s)
         bi.append(j + s)
-    if log_trunc is not None:
+    if n_trunc:
         import logging
 
         logging.getLogger(__name__).warning(
-            "LSH bucket truncated: %d ids > max_bucket=%d (kept smallest)",
-            log_trunc, max_bucket,
+            "LSH buckets truncated in this group: %d buckets exceeded "
+            "max_bucket=%d (largest %d ids; kept smallest per bucket) — "
+            "candidate recall is corpus-dependent under truncation",
+            n_trunc, max_bucket, max_trunc,
         )
     if not ai:
         return empty
@@ -347,55 +319,6 @@ def minhash_candidates(
         concurrency=concurrency,
     )
     return banded_candidate_pairs(banded, max_bucket=max_bucket)
-
-
-def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
-    """Dataset-side distinct over (id_a, id_b): bucket by a pair hash so the
-    group count is B (vectorized per-bucket sort + neighbor scan), never one
-    Python call per pair and never a driver-side ``to_pandas`` — pairs stay
-    in the object store at crawl-scale dup rates."""
-    from ..functions.arrowutil import first_of_run_mask, string_buckets
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        col = batch.column("id_a")
-        if pa.types.is_integer(col.type):
-            a = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = ((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(
-                num_buckets
-            )
-            b = h.astype(np.int32)
-        else:  # string ids (urls)
-            b = string_buckets(col, num_buckets)
-        return batch.append_column("pair_bucket", pa.array(b, pa.int32()))
-
-    def uniq(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
-        first = first_of_run_mask([t.column("id_a"), t.column("id_b")])
-        return t.filter(pa.array(first)).drop_columns(["pair_bucket"])
-
-    return pairs_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
-        "pair_bucket"
-    ).map_groups(uniq, batch_format="pyarrow")
-
-
-def verify_jaccard(
-    pairs: pa.Table, id_to_text: dict[int, str], shingle: str = "word", n: int = 3
-) -> pa.Table:
-    """Single-process exact-Jaccard verify (test/oracle helper; the pipeline
-    path is :class:`JaccardVerifier` inside ``map_batches``)."""
-    cache: dict[int, set] = {}
-
-    def sh(i: int) -> set:
-        if i not in cache:
-            cache[i] = _shingles(id_to_text[i], shingle, n)
-        return cache[i]
-
-    ja = []
-    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
-        sa, sb = sh(a), sh(b)
-        u = len(sa | sb)
-        ja.append((len(sa & sb) / u) if u else 1.0)
-    return pairs.append_column("jaccard", pa.array(ja, pa.float64()))
 
 
 # ---------------------------------------------------------------------------
@@ -844,6 +767,7 @@ def duplicate_clusters_ds(pairs_ds, num_buckets: int = 64,
              "changed": changed}
         )
 
+    converged = False
     for _ in range(max_rounds):
         lab_rows = labels.map_batches(label_rows, batch_format="pyarrow")
         labels = lab_rows.union(edges).groupby("jb").map_groups(
@@ -852,7 +776,18 @@ def duplicate_clusters_ds(pairs_ds, num_buckets: int = 64,
             take_min, batch_format="pyarrow"
         ).materialize()
         if not labels.sum("changed"):  # 0 or None (no pairs at all)
+            converged = True
             break
+    if not converged:
+        # min-label propagation converges in <= component-diameter rounds;
+        # falling through here would silently SPLIT one connected component
+        # into several cluster_reps and downstream dedup would keep dups
+        raise RuntimeError(
+            f"duplicate_clusters_ds did not converge in {max_rounds} rounds "
+            "(a pair component's diameter exceeds max_rounds); raise "
+            "max_rounds — chains this long usually mean the verify "
+            "threshold is admitting transitive near-dups"
+        )
     parts = [
         b.select(["node", "label"])
         for b in labels.iter_batches(batch_format="pyarrow") if b.num_rows

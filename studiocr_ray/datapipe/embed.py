@@ -397,13 +397,11 @@ def cosine_neardup_exact(ds, threshold: float = 0.95, concurrency=(1, 8)) -> pa.
 
 def cosine_neardup_lsh(
     ds, threshold: float = 0.95, num_planes: int = 16, bands: int = 4, seed: int = 0,
-    concurrency=(1, 8),
+    concurrency=(1, 8), max_bucket: int | None = None,
 ) -> pa.Table:
     """Scale path: random-hyperplane LSH (Charikar 2002) — signature bits
     grouped into bands; same-band vectors become candidates; exact cosine
     verify on the (small) candidate set."""
-    import itertools
-
     import ray
 
     rows_per_band = num_planes // bands
@@ -441,7 +439,8 @@ def cosine_neardup_lsh(
     from .dedup import _collect_pairs, banded_candidate_pairs, copartition_verify
 
     cands_ds = banded_candidate_pairs(
-        ds.map_batches(Sign, batch_format="pyarrow", concurrency=concurrency)
+        ds.map_batches(Sign, batch_format="pyarrow", concurrency=concurrency),
+        max_bucket=max_bucket,
     )
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

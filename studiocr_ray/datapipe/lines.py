@@ -105,7 +105,8 @@ def _line_parts(batch: pa.Table, text_col: str, words_per_line: int | None):
 
 
 def frequent_lines(
-    ds, text_col: str = "text", words_per_line: int = 3, max_count: int = 2
+    ds, text_col: str = "text", words_per_line: int | None = None,
+    max_count: int = 2,
 ) -> pa.Table:
     """Lines occurring more than ``max_count`` times corpus-wide →
     ``(line, cnt)``.  One vocabulary-bounded shuffle (see module doc)."""
@@ -184,7 +185,7 @@ def line_dedup(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
-    words_per_line: int = 3,
+    words_per_line: int | None = None,
     max_count: int = 2,
     concurrency=(1, 8),
 ):

@@ -100,9 +100,12 @@ def pack_sequences(
         did = batch.column(id_col)
         if isinstance(did, pa.ChunkedArray):
             did = did.combine_chunks()
-        b = pc.divide(pc.cast(did, pa.int64()), bucket_width)
+        # numpy floor division, matching partial() exactly — Arrow's divide
+        # truncates toward zero, which would split a negative-id bucket
+        # across two groups and corrupt the fill-in offsets
+        b = did.to_numpy(zero_copy_only=False).astype(np.int64) // bucket_width
         return batch.select([id_col, text_col]).append_column(
-            "bucket", pc.cast(b, pa.int64())
+            "bucket", pa.array(b, pa.int64())
         )
 
     def fill_in(group: pa.Table) -> pa.Table:

@@ -713,7 +713,10 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     import ray
 
     if n_docs is None:
-        n_docs = ds.count()  # parquet metadata count — no full read
+        # metadata-only for parquet-backed inputs; for an expensive lineage
+        # this is a THIRD full consumption of ds (count + df pass + topk
+        # pass) — pass n_docs explicitly or a materialized dataset
+        n_docs = ds.count()
     df_tbl = pa.Table.from_pandas(
         term_doc_freq(ds, text_col=text_col, id_col=id_col).to_pandas(),
         preserve_index=False,

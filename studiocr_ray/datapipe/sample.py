@@ -59,7 +59,7 @@ def stratified_sample(
     thresholds, default_thr = rate_thresholds(rates, default_rate)
 
     def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from .relational import _dict_encode
 
         h = splitmix64(
             batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -67,11 +67,7 @@ def stratified_sample(
         src = batch.column(strat_col)
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        d = pc.dictionary_encode(src)
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-            if isinstance(d, pa.ChunkedArray):
-                d = d.chunk(0)
+        d = _dict_encode(src)
         # distinct sources per batch only — the dict lookup is per STRATUM,
         # never per row; a threshold of exactly 2**64 (rate 1.0) is one past
         # uint64 range, so it becomes an unconditional-keep bit instead

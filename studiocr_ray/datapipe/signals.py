@@ -203,3 +203,30 @@ def contamination_check(ds, benchmark_texts, n: int = 3, concurrency: int = 4):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def decontaminate(ds, benchmark_texts, n: int = 3, max_overlap: int = 0):
+    """Drop documents sharing more than ``max_overlap`` distinct word
+    n-grams with the benchmark (the GPT-3 §4 decontamination step applied,
+    rather than just measured, cf. :func:`contamination_check`).
+
+    Same scale shape as the check: the benchmark n-gram set is broadcast
+    once via ``ray.put`` and probed per batch — computing the per-doc
+    overlap count and filtering in ONE pass, no shuffle, documents never
+    leave their block."""
+    import ray
+
+    bench_ref = ray.put(benchmark_ngrams(benchmark_texts, n))
+
+    class Filter(ContaminationCheck):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts = super().__call__(batch)  # row-aligned with batch
+            keep = pc.less_equal(counts.column("n_overlap"), max_overlap)
+            return batch.filter(keep)
+
+    return ds.map_batches(
+        Filter,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

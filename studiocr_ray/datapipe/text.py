@@ -176,3 +176,54 @@ def rolling_fingerprint(
         cols["doc_id"] = batch.column("doc_id")
     cols["fingerprint"] = pa.array(fps, pa.string())
     return pa.table(cols)
+
+
+# Control characters to strip during normalization: C0 controls except
+# tab/newline (which are whitespace, handled by the \s+ collapse) plus DEL.
+_CTRL_PATTERN = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization (the C4-style cleanup pass): Unicode
+    NFC, control characters stripped, whitespace runs collapsed to single
+    spaces, ends trimmed.  DuckDB reproduces it bit-exact
+    (``nfc_normalize`` + two ``regexp_replace`` + ``trim``).
+
+    NFC is the one step Arrow can't do here: this pyarrow build's
+    ``utf8_normalize`` leaves combining sequences UNcomposed (verified:
+    NFC('e'+U+0301) keeps two codepoints), so rows are split by a
+    vectorized ``string_is_ascii`` mask and only the non-ASCII minority
+    (rare in web text) goes through ``unicodedata.normalize``; everything
+    else — ctrl strip, whitespace collapse, trim — is Arrow kernels over
+    the whole column.
+
+    Run AFTER line-granular ops (``datapipe/lines.py``) — the whitespace
+    collapse erases newline structure by design (one doc, one line).
+    Returns all columns with ``text_col`` replaced and ``n_chars_norm``
+    appended."""
+    import unicodedata
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    non_ascii = np.flatnonzero(
+        pc.invert(pc.string_is_ascii(text)).to_numpy(zero_copy_only=False)
+    )
+    t = text
+    if non_ascii.size:
+        sub = pc.take(text, pa.array(non_ascii)).to_pylist()
+        norm = [unicodedata.normalize("NFC", s) for s in sub]
+        if norm != sub:  # rebuild only when NFC actually changed something
+            vals = text.to_numpy(zero_copy_only=False)
+            vals[non_ascii] = norm
+            t = pa.array(vals, pa.string())
+    t = pc.replace_substring_regex(t, _CTRL_PATTERN, "")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    out = batch.set_column(batch.column_names.index(text_col), text_col, t)
+    return out.append_column(
+        "n_chars_norm", pc.cast(pc.utf8_length(t), pa.int64())
+    )

@@ -4,7 +4,7 @@ The engine's distincts all follow one shape: add a bucket column (so the
 groupby has B groups, never one Python call per key), sort within the
 bucket, keep the first row of each equal-key run.  These two kernels are the
 shared subtleties (buffer-offset handling, chunk normalization, no per-row
-Python) used by ``exact_dedup``, ``distinct_pairs_ds`` and
+Python) used by ``exact_dedup``, the banded candidate scan and
 ``distinct_urls_ds``."""
 
 from __future__ import annotations

@@ -951,3 +951,23 @@ class TestPackSequences:
         )
         assert (got.loc[1, "seq_first"], got.loc[1, "seq_last"]) == (0, 2)
         assert (got.loc[2, "seq_first"], got.loc[2, "seq_last"]) == (2, 2)
+
+
+class TestClusterConvergence:
+    def test_nonconverged_raises_not_silently_splits(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray
+
+        from studiocr_ray.datapipe.dedup import duplicate_clusters_ds
+
+        # a 10-node chain has diameter 9: min-label propagation cannot
+        # finish in 3 rounds, and falling through would split the component
+        pairs = pa.table(
+            {"id_a": list(range(9)), "id_b": list(range(1, 10))}
+        )
+        ds = ray.data.from_arrow(pairs)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters_ds(ds, max_rounds=3)
+        got = duplicate_clusters_ds(ray.data.from_arrow(pairs), max_rounds=16)
+        assert set(got.column("cluster_rep").to_pylist()) == {0}
