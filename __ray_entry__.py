@@ -677,6 +677,89 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _linked_docs(sf_dir: str):
+    """documents with a deterministic html column: nav link, the doc text
+    as the article, an in-article absolute ref + a relative ref — hrefs
+    derived from doc_id so the SQL oracle reproduces the html byte-exact
+    (same construction trick as the pii_scrub / normalize_text oracles)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_html(batch):
+        import numpy as np
+
+        did = pc.cast(batch.column("doc_id"), pa.string())
+        dnp = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nav = pa.array((dnp % 5).astype(str), pa.string())
+        site = pa.array((dnp % 7).astype(str), pa.string())
+        n = batch.num_rows
+
+        def lit(s):
+            return pa.array([s] * n)
+
+        html = pc.binary_join_element_wise(
+            lit('<html><body><nav><a href="https://nav.example/'), nav,
+            lit('">home</a></nav><article><p>'), batch.column("text"),
+            lit('</p><a href="https://site'), site, lit(".example/p/"), did,
+            lit('">ref '), did, lit('</a> <a href="/rel/'), did,
+            lit('">local</a></article></body></html>'), lit(""),
+        )
+        return batch.select(["doc_id"]).append_column("html", html)
+
+    return _docs(sf_dir).map_batches(add_html, batch_format="pyarrow")
+
+
+def _q_extract_links(sf_dir: str):
+    from studiocr_ray.datapipe.web import extract_links
+
+    return extract_links(_linked_docs(sf_dir), html_col="html",
+                         id_col="doc_id")
+
+
+def _q_link_domains(sf_dir: str):
+    from studiocr_ray.datapipe.web import domain_counts, extract_links
+
+    return domain_counts(
+        extract_links(_linked_docs(sf_dir), html_col="html",
+                      id_col="doc_id"),
+        url_col="href",
+    )
+
+
+PERCENTILES = (25, 50, 75, 95, 99)
+
+# SQL twin of _linked_docs' html construction (byte-identical per doc_id).
+_LINKED_HTML_SQL = """
+    SELECT doc_id,
+           '<html><body><nav><a href="https://nav.example/'
+           || CAST(doc_id % 5 AS VARCHAR)
+           || '">home</a></nav><article><p>' || text
+           || '</p><a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR)
+           || '">ref ' || CAST(doc_id AS VARCHAR)
+           || '</a> <a href="/rel/' || CAST(doc_id AS VARCHAR)
+           || '">local</a></article></body></html>' AS html
+    FROM documents
+"""
+
+
+def _q_token_percentiles(sf_dir: str):
+    from studiocr_ray.datapipe.relational import token_length_percentiles
+
+    return token_length_percentiles(_docs(sf_dir), ps=PERCENTILES)
+
+
+def _q_json_props(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import json_field_stats
+
+    return json_field_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (SURVEY §2.9 F-series + training-data ops)
@@ -737,6 +820,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "normalize_text": _q_normalize_text,
+        # web-graph + structured-payload + distribution ops
+        "extract_links": _q_extract_links,
+        "link_domains": _q_link_domains,
+        "token_percentiles": _q_token_percentiles,
+        "json_props": _q_json_props,
     }
 
 
@@ -1563,10 +1651,11 @@ def oracle_sql() -> dict[str, str]:
                      ), 0) AS start_token
               FROM c
             )
-            SELECT doc_id, n_tokens, start_token,
-                   start_token // {PACK_SEQ_LEN} AS seq_first,
-                   (start_token + greatest(n_tokens, 1) - 1)
-                     // {PACK_SEQ_LEN} AS seq_last
+            SELECT doc_id, n_tokens,
+                   CAST(start_token AS BIGINT) AS start_token,
+                   CAST(start_token // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+                   CAST((start_token + greatest(n_tokens, 1) - 1)
+                     // {PACK_SEQ_LEN} AS BIGINT) AS seq_last
             FROM s
         """,
         # decontamination = the contamination check applied as a filter:
@@ -1612,6 +1701,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars,
                    CAST(length(text) AS BIGINT) AS n_chars_norm
             FROM norm
+        """,
+        # link/anchor extraction over the deterministically injected html
+        # (same construction both sides; parallel unnests zip in DuckDB)
+        "extract_links": f"""
+            WITH h AS ({_LINKED_HTML_SQL})
+            SELECT doc_id,
+                   unnest(regexp_extract_all(html,
+                     '<a\\s[^>]*href=["'']([^"'']*)["''][^>]*>(.*?)</a>', 1))
+                     AS href,
+                   unnest(regexp_extract_all(html,
+                     '<a\\s[^>]*href=["'']([^"'']*)["''][^>]*>(.*?)</a>', 2))
+                     AS anchor
+            FROM h
+        """,
+        "link_domains": f"""
+            WITH h AS ({_LINKED_HTML_SQL}),
+            l AS (SELECT unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href=["'']([^"'']*)["''][^>]*>(.*?)</a>', 1))
+                    AS href
+                  FROM h)
+            SELECT regexp_extract(lower(href),
+                     '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM l GROUP BY domain
+        """,
+        # exact distribution percentiles (quantile_disc = the same
+        # rank-ceil rule as token_length_percentiles)
+        "token_percentiles": f"""
+            WITH c AS (SELECT CAST(len({toks.format(src='text')}) AS BIGINT)
+                              AS n
+                       FROM documents),
+            q AS (SELECT quantile_disc(n,
+                    [{", ".join(str(p / 100.0) for p in PERCENTILES)}]) AS qs
+                  FROM c)
+            SELECT unnest(CAST([{", ".join(str(p) for p in PERCENTILES)}]
+                               AS BIGINT[])) AS p,
+                   unnest(qs) AS n_tokens
+            FROM q
+        """,
+        "json_props": """
+            WITH e AS (SELECT event_type,
+                              TRY_CAST(nullif(regexp_extract(props,
+                                '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   CASE WHEN count(k) > 0
+                        THEN CAST(sum(k) AS DOUBLE) / count(k)
+                        ELSE 0.0 END AS mean_k
+            FROM e GROUP BY event_type
         """,
     }
 

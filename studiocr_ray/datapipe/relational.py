@@ -841,3 +841,113 @@ def source_stats(ds, text_col: str = "text", strat_col: str = "source"):
         )
 
     return agg.map_batches(add_mean, batch_format="pyarrow")
+
+
+def token_length_percentiles(
+    ds, ps: tuple = (25, 50, 75, 95, 99), text_col: str = "text"
+):
+    """EXACT percentiles of the per-doc token-count distribution —
+    ``(p, n_tokens)`` — computed as a bounded histogram, never a global
+    sort.
+
+    Scale shape: a full-sort percentile is an all-to-all; but token counts
+    are small ints (distinct values ≤ max doc length, ~10^5 even for book
+    corpora), so the histogram ``(n_tokens, cnt)`` after per-batch
+    ``np.unique`` partials + one vocabulary-bounded groupby is tiny.  The
+    driver-side cumsum runs over that bounded table only — same contract as
+    ``word_count``'s vocabulary bound.
+
+    Percentile-disc semantics (match DuckDB ``percentile_disc``): the
+    value at 1-based rank ``ceil(p/100 * N)`` of the sorted counts."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ntok = (
+            pc.count_substring_regex(batch.column(text_col), r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals, cnts = np.unique(ntok, return_counts=True)
+        return pa.table(
+            {"n_tokens": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: one row per distinct token count
+        .sort_values("n_tokens")
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["n_tokens"].to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for p in ps:
+        k = max(1, math.ceil(p / 100.0 * n))
+        out.append(int(vals[np.searchsorted(cum, k)]) if n else None)
+    return pa.table(
+        {"p": pa.array(list(ps), pa.int64()),
+         "n_tokens": pa.array(out, pa.int64())}
+    )
+
+
+# The one JSON field the events fixture carries; a real pipeline would take
+# a field list.  Extraction is pc.extract_regex — VECTORIZED, no per-row
+# json.loads — valid because the field is a flat scalar (the pattern
+# anchors on the quoted key, tolerating whitespace).
+_PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+
+def json_field_stats(ds, props_col: str = "props", key_col: str = "event_type"):
+    """Per-``event_type`` stats of the integer JSON property ``k`` inside
+    the ``props`` string column → ``(event_type, n, sum_k, mean_k)``.
+
+    The parse is an Arrow regex kernel per batch (zero Python rows); the
+    rollup pre-aggregates per batch before one key-bounded groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(props_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(col, _PROPS_K_RE), "k"),
+            pa.int64(),
+        )
+        key = batch.column(key_col)
+        d = _dict_encode(key)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        kv = k.fill_null(0).to_numpy(zero_copy_only=False)
+        present = pc.is_valid(k).to_numpy(zero_copy_only=False).astype(np.int64)
+        nkey = len(d.dictionary)
+        return pa.table(
+            {
+                key_col: d.dictionary,
+                "n": pa.array(np.bincount(idx, weights=present,
+                                          minlength=nkey).astype(np.int64)),
+                "sum_k": pa.array(np.bincount(idx, weights=kv * present,
+                                              minlength=nkey).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("sum_k").to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "mean_k",
+            pa.array(np.divide(s, n, out=np.zeros_like(s), where=n > 0),
+                     pa.float64()),
+        )
+
+    return agg.map_batches(add_mean, batch_format="pyarrow")

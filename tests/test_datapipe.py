@@ -971,3 +971,155 @@ class TestClusterConvergence:
             duplicate_clusters_ds(ds, max_rounds=3)
         got = duplicate_clusters_ds(ray.data.from_arrow(pairs), max_rounds=16)
         assert set(got.column("cluster_rep").to_pylist()) == {0}
+
+
+class TestWeb:
+    HTML = [
+        '<html><body><a href="https://a.example/x">one</a>'
+        "<p>no link</p><a href='/rel/1'>two words</a></body></html>",
+        "<html><body>nothing here</body></html>",
+        '<a class="z" href="https://B.example/y?q=1#f">three</a>',
+    ]
+
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([0, 1, 2], pa.int64()),
+                 "html": pa.array([h.encode() for h in self.HTML],
+                                  pa.binary())}
+            )
+        )
+
+    def test_extract_links(self, ray_session):
+        from studiocr_ray.datapipe.web import extract_links
+
+        got = (
+            extract_links(self._ds(), html_col="html", id_col="doc_id")
+            .to_pandas()
+            .sort_values(["doc_id", "href"])
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [0, 0, 2]
+        assert got["href"].tolist() == [
+            "/rel/1", "https://a.example/x", "https://B.example/y?q=1#f"
+        ]
+        assert got["anchor"].tolist() == ["two words", "one", "three"]
+
+    def test_domain_counts(self, ray_session):
+        from studiocr_ray.datapipe.web import domain_counts, extract_links
+
+        got = (
+            domain_counts(
+                extract_links(self._ds(), html_col="html", id_col="doc_id")
+            )
+            .to_pandas()
+            .set_index("domain")["cnt"]
+            .to_dict()
+        )
+        # relative href under '', absolute hosts lowercased
+        assert got == {"": 1, "a.example": 1, "b.example": 1}
+
+
+class TestPercentiles:
+    def test_matches_duckdb_quantile_disc(self, docs_ds):
+        from studiocr_ray.datapipe.relational import token_length_percentiles
+
+        ps = (10, 25, 50, 75, 90, 99)
+        got = token_length_percentiles(docs_ds, ps=ps).to_pandas()
+        want = duckdb.sql(
+            f"""
+            WITH c AS (SELECT CAST(len(list_filter(
+                         regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS n
+                       FROM '{SF_DIR}/documents.parquet')
+            SELECT unnest(CAST([{", ".join(str(p) for p in ps)}] AS BIGINT[])) AS p,
+                   unnest(quantile_disc(n,
+                     [{", ".join(str(p / 100.0) for p in ps)}])) AS n_tokens
+            FROM c
+            """
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.sort_values("p").reset_index(drop=True),
+            want.sort_values("p").reset_index(drop=True),
+        )
+
+    def test_single_row(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import token_length_percentiles
+
+        ds = rd.from_arrow(pa.table({"text": ["a b c"]}))
+        got = token_length_percentiles(ds, ps=(1, 50, 100)).to_pandas()
+        assert got["n_tokens"].tolist() == [3, 3, 3]
+
+
+class TestJsonProps:
+    def test_matches_duckdb_json(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import json_field_stats
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "props"]
+        )
+        got = (
+            json_field_stats(ds).to_pandas()
+            .sort_values("event_type").reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+                   CAST(sum(k) AS DOUBLE) / count(k) AS mean_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM '{SF_DIR}/events.parquet')
+            GROUP BY event_type ORDER BY event_type
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_missing_key_rows(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import json_field_stats
+
+        ds = rd.from_arrow(
+            pa.table(
+                {"event_type": ["a", "a", "b"],
+                 "props": ['{"k": 3}', "{}", '{"j": 1}']}
+            )
+        )
+        got = (
+            json_field_stats(ds).to_pandas()
+            .set_index("event_type").sort_index()
+        )
+        assert got.loc["a", "n"] == 1 and got.loc["a", "sum_k"] == 3
+        assert got.loc["b", "n"] == 0 and got.loc["b", "mean_k"] == 0.0
+
+
+class TestNormalizeText:
+    def test_nfc_and_whitespace(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import normalize_text
+
+        raw = ["a  b\tc", " x\x01y ", "Café ok", "plain"]
+        ds = rd.from_arrow(pa.table({"text": raw}))
+        got = ds.map_batches(
+            normalize_text, batch_format="pyarrow"
+        ).to_pandas().sort_values("text")["text"].tolist()
+        assert got == sorted(["a b c", "xy", "Café ok", "plain"])
+
+    def test_ascii_fast_path_no_rebuild(self):
+        from studiocr_ray.datapipe.text import normalize_text
+
+        t = pa.table({"text": ["already clean", "two  spaces"]})
+        out = normalize_text(t)
+        assert out.column("text").to_pylist() == [
+            "already clean", "two spaces"
+        ]
+        assert out.column("n_chars_norm").to_pylist() == [13, 10]
