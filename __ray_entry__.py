@@ -749,6 +749,26 @@ def _q_token_percentiles(sf_dir: str):
     return token_length_percentiles(_docs(sf_dir), ps=PERCENTILES)
 
 
+PASSAGE_W = 8
+
+
+def _q_dup_passages(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import duplicate_passages
+
+    return duplicate_passages(_docs(sf_dir), w=PASSAGE_W)
+
+
+def _passage_acc_sql(w: int) -> str:
+    """SQL twin of the numpy uint64 rolling accumulator: acc = acc*B + th,
+    wrapped mod 2^64 at every step (HUGEINT intermediates stay < 2^84)."""
+    m = "18446744073709551616::HUGEINT"
+    expr = "hs[i]::HUGEINT"
+    for j in range(1, w):
+        expr = (f"((({expr}) * 1000003::HUGEINT) % {m}"
+                f" + hs[i+{j}]::HUGEINT) % {m}")
+    return expr
+
+
 def _q_json_props(sf_dir: str):
     import ray.data as rd
 
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_domains": _q_link_domains,
         "token_percentiles": _q_token_percentiles,
         "json_props": _q_json_props,
+        "dup_passages": _q_dup_passages,
     }
 
 
@@ -1739,6 +1760,28 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT[])) AS p,
                    unnest(qs) AS n_tokens
             FROM q
+        """,
+        # cross-doc duplicate W-token passages: same md5 token hashes +
+        # mod-2^64 polynomial as _window_hash_rows — bit-exact incl.
+        # collisions
+        "dup_passages": f"""
+            WITH tk AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            th AS (SELECT doc_id,
+                          [('0x' || substring(md5(t), 1, 16))::UBIGINT
+                           for t in tk] AS hs
+                   FROM tk),
+            w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         {_passage_acc_sql(PASSAGE_W)} AS h
+                  FROM th,
+                       UNNEST(generate_series(1, len(hs) - {PASSAGE_W - 1}))
+                         AS g(i))
+            SELECT doc_id, pos,
+                   lower(lpad(to_hex(CAST(h AS UBIGINT)), 16, '0'))
+                     AS gram_hash
+            FROM w
+            WHERE h IN (SELECT h FROM w GROUP BY h
+                        HAVING count(DISTINCT doc_id) >= 2)
         """,
         "json_props": """
             WITH e AS (SELECT event_type,

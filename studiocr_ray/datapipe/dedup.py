@@ -942,3 +942,119 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3) -> pa.Table:
     """Character n-gram Jaccard near-dup: minhash-LSH candidates over char
     shingles, exact n-gram Jaccard verify."""
     return minhash_dedup_pairs(ds, threshold=threshold, shingle="char", n=n)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate passages (fixed-width token windows)
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling base for window hashes, mod 2^64 (numpy uint64 wraps
+# natively; the SQL oracle reproduces the wrap with HUGEINT mulmods).
+_PASSAGE_BASE = np.uint64(1000003)
+
+
+def _window_hash_rows(
+    batch: pa.Table, w: int, text_col: str, id_col: str, num_buckets: int
+) -> pa.Table:
+    """(id, pos, h, wb) rows — one per W-token window (stride 1) of every
+    doc, h = polynomial hash of the window's md5-derived token hashes.
+
+    Vectorized: tokens come from ONE Arrow split, md5 runs once per
+    DISTINCT token in the batch (dictionary encode), and the rolling
+    accumulator is W vectorized uint64 passes over all windows at once —
+    never a per-window Python loop."""
+    from .relational import _dict_encode, _flat_tokens
+
+    id_arr = _flat_arr(batch.column(id_col))
+    empty = pa.table(
+        {id_col: pa.array([], id_arr.type),
+         "pos": pa.array([], pa.int64()),
+         "h": pa.array([], pa.uint64()),
+         "wb": pa.array([], pa.int32())}
+    )
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    if len(flat) == 0:
+        return empty
+    d = _dict_encode(flat)
+    vh = np.array(
+        [_stable64(t) for t in d.dictionary.to_pylist()], dtype=np.uint64
+    )
+    th = vh[d.indices.to_numpy(zero_copy_only=False)]
+    counts = np.bincount(doc_idx, minlength=batch.num_rows)
+    m = np.maximum(counts - w + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return empty
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    win_doc = np.repeat(np.arange(batch.num_rows), m)
+    cum_m = np.concatenate(([0], np.cumsum(m)))[:-1]
+    within = np.arange(total) - np.repeat(cum_m, m)
+    win_start = offsets[win_doc] + within
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(w):
+        acc = acc * _PASSAGE_BASE + th[win_start + j]
+    return pa.table(
+        {
+            id_col: id_arr.take(pa.array(win_doc)),
+            "pos": pa.array(within, pa.int64()),
+            "h": pa.array(acc, pa.uint64()),
+            "wb": pa.array((acc % np.uint64(num_buckets)).astype(np.int32),
+                           pa.int32()),
+        }
+    )
+
+
+def _crossdoc_windows(group: pa.Table, id_col: str) -> pa.Table:
+    """Within one hash bucket: keep windows whose hash occurs in ≥2
+    DISTINCT docs (cross-document duplication only — internal repetition
+    is repetition_stats' job).  Sort + run scan, no per-key Python."""
+    from ..functions.arrowutil import first_of_run_mask
+
+    t = group.sort_by([("h", "ascending"), (id_col, "ascending")])
+    h_col = _flat_arr(t.column("h"))
+    first = first_of_run_mask([h_col])
+    run_id = np.cumsum(first) - 1
+    from .relational import _dict_encode
+
+    codes = _dict_encode(_flat_arr(t.column(id_col))).indices.to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.flatnonzero(first)
+    ends = np.concatenate((starts[1:], [len(codes)])) - 1
+    keep_run = codes[starts] != codes[ends]  # sorted ⇒ distinct ≥ 2
+    kept = t.filter(pa.array(keep_run[run_id]))
+    hx = kept.column("h").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: kept.column(id_col),
+            "pos": kept.column("pos"),
+            "gram_hash": pa.array([f"{v:016x}" for v in hx], pa.string()),
+        }
+    )
+
+
+def duplicate_passages(
+    ds, w: int = 8, text_col: str = "text", id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Cross-document duplicate W-token passages (the fixed-width form of
+    Lee et al. 2022's exact-substring dedup, bounded to width W so it
+    distributes as hash partials instead of a suffix array) →
+    ``(id, pos, gram_hash)`` for every window whose hash appears in ≥2
+    distinct docs.
+
+    Scale shape: ONE all-to-all of narrow (id, pos, uint64) rows — the
+    window strings never move; md5 runs per distinct token per batch, the
+    rolling hash is W vectorized passes.  The oracle recomputes the exact
+    hashes in SQL (md5 token hashes + HUGEINT mod-2^64 polynomial), so the
+    match is bit-exact, collisions included."""
+    rows = ds.map_batches(
+        _window_hash_rows,
+        fn_kwargs={"w": w, "text_col": text_col, "id_col": id_col,
+                   "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    return rows.groupby("wb").map_groups(
+        _crossdoc_windows, fn_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+    )

@@ -1123,3 +1123,74 @@ class TestNormalizeText:
             "already clean", "two spaces"
         ]
         assert out.column("n_chars_norm").to_pylist() == [13, 10]
+
+
+class TestDuplicatePassages:
+    def _ref(self, rows, w):
+        """Pure-Python reference: per-doc rolling mod-2^64 polynomial over
+        md5 token hashes; keep windows whose hash spans >= 2 distinct docs."""
+        import hashlib
+
+        B = 1000003
+        M = 1 << 64
+        wins = []
+        for r in rows:
+            toks = r["text"].lower().split()
+            hs = [
+                int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big"
+                )
+                for t in toks
+            ]
+            for p in range(max(len(hs) - w + 1, 0)):
+                acc = 0
+                for j in range(w):
+                    acc = (acc * B + hs[p + j]) % M
+                wins.append((r["doc_id"], p, acc))
+        by_hash = {}
+        for d, p, h in wins:
+            by_hash.setdefault(h, set()).add(d)
+        return sorted(
+            (d, p, f"{h:016x}")
+            for d, p, h in wins
+            if len(by_hash[h]) >= 2
+        )
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import duplicate_passages
+
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            {"doc_id": 1, "text": f"intro words {shared} trailing tail"},
+            {"doc_id": 2, "text": f"{shared} other continuation here now"},
+            {"doc_id": 3, "text": "no overlap with anything else at all"},
+            {"doc_id": 4, "text": "short"},
+            {"doc_id": 5, "text": ""},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = duplicate_passages(ds, w=8).to_pandas()
+        got = sorted(
+            (int(r.doc_id), int(r.pos), r.gram_hash)
+            for r in out.itertuples()
+        )
+        want = self._ref(rows, 8)
+        assert got == want
+        # the shared 8-gram appears once per doc at the right offsets
+        assert len(got) == 2
+        assert {g[0] for g in got} == {1, 2}
+
+    def test_within_doc_repeat_not_flagged(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import duplicate_passages
+
+        rep = "one two three four"
+        rows = [
+            {"doc_id": 1, "text": f"{rep} {rep}"},  # internal repeat only
+            {"doc_id": 2, "text": "completely different body of words here"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = duplicate_passages(ds, w=4).to_pandas()
+        assert len(out) == 0
