@@ -758,6 +758,20 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), w=PASSAGE_W)
 
 
+def _q_unigram_logprob(sf_dir: str):
+    from studiocr_ray.datapipe.lm import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir), strategy="broadcast")
+
+
+def _q_unigram_logprob_shuffle(sf_dir: str):
+    """Same contract as unigram_logprob through the never-collect-the-
+    vocabulary co-partitioned path — bit-identical output, 100 TB shape."""
+    from studiocr_ray.datapipe.lm import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir), strategy="shuffle")
+
+
 def _passage_acc_sql(w: int) -> str:
     """SQL twin of the numpy uint64 rolling accumulator: acc = acc*B + th,
     wrapped mod 2^64 at every step (HUGEINT intermediates stay < 2^84)."""
@@ -846,7 +860,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "json_props": _q_json_props,
         "dup_passages": _q_dup_passages,
+        "unigram_logprob": _q_unigram_logprob,
+        "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
     }
+
+
+_UNIGRAM_SQL = """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM tk),
+    per AS (
+      SELECT tk.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS logprob_u
+      FROM tk JOIN cnts USING (tok)
+      GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.logprob_u, 0) AS BIGINT) AS logprob_u,
+           CASE WHEN coalesce(per.n_tokens, 0) > 0
+                THEN CAST(per.logprob_u AS DOUBLE) / per.n_tokens / 1000000.0
+                     - ln(CAST((SELECT n FROM tot) AS DOUBLE))
+                ELSE 0.0 END AS mean_logprob
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1783,6 +1827,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE h IN (SELECT h FROM w GROUP BY h
                         HAVING count(DISTINCT doc_id) >= 2)
         """,
+        # corpus-unigram LM scoring: per-token log-counts quantized to int64
+        # micro-nats (floor(ln(cnt)*1e6)) so sums are integer-exact; DuckDB's
+        # ln is libm log, bit-identical to the engine's math.log
+        "unigram_logprob": _UNIGRAM_SQL,
+        "unigram_logprob_shuffle": _UNIGRAM_SQL,
         "json_props": """
             WITH e AS (SELECT event_type,
                               TRY_CAST(nullif(regexp_extract(props,

@@ -1,0 +1,277 @@
+"""Corpus-language-model scoring: per-document unigram log-probability.
+
+The classic corpus-curation quality signal (a cheap stand-in for the
+KenLM-perplexity filters of CCNet/RefinedWeb): score each document by the
+mean log-probability of its tokens under the corpus's OWN unigram
+distribution.  Rare-token-heavy documents (boilerplate, gibberish, OCR
+noise) score low and can be filtered.
+
+Exact-parity design: per-token log-counts are quantized to int64
+micro-nats ``floor(ln(cnt) * 1e6)`` so every aggregation is integer math
+— bit-exact against a DuckDB oracle (DuckDB's ``ln`` is libm ``log``,
+identical to ``math.log``; numpy's SIMD ``np.log`` is NOT, so logs are
+taken with ``math.log`` once per DISTINCT corpus count, never per token).
+The one float column (``mean_logprob``) is a single identically-shaped
+expression over those ints on both sides.
+
+Two interchangeable distribution strategies, same output bit-for-bit:
+
+- ``broadcast`` (default): the vocabulary-bounded (term, cnt) table is
+  collected once and ``ray.put`` — each scoring task reads the shared
+  object, never re-ships it per batch.  Right whenever the vocabulary
+  fits a worker heap (true for natural-language corpora after token
+  normalization; ~10-100M terms).
+- ``shuffle``: never collects the vocabulary — (doc_id, term, tf) token
+  partials co-partition with the (term, cnt) table by term-hash bucket,
+  scores merge per bucket via a sorted ``searchsorted`` join, and a
+  second small groupby re-assembles per-document sums.  The 100 TB path
+  for open-vocabulary corpora (urls / code / typos make distinct-term
+  counts corpus-scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from .relational import _dict_encode, _flat_tokens, word_count
+
+_SCALE = 1_000_000.0
+
+
+def _log_micronats(counts: np.ndarray) -> np.ndarray:
+    """floor(ln(cnt) * 1e6) per count, int64 — ``math.log`` per DISTINCT
+    count value (bounded by the number of distinct frequencies, tiny), then
+    a vectorized gather."""
+    uniq, inv = np.unique(counts, return_inverse=True)
+    lp = np.array(
+        [math.floor(math.log(float(c)) * _SCALE) for c in uniq],
+        dtype=np.int64,
+    )
+    return lp[inv]
+
+
+def _mean_expr(lp_u: np.ndarray, n_tok: np.ndarray, total: int) -> np.ndarray:
+    """``CAST(lp AS DOUBLE) / n_tokens / 1e6 - ln(total)`` — mirrored
+    exactly by the SQL oracle (same op sequence ⇒ same IEEE doubles);
+    0.0 for empty documents."""
+    ln_n = math.log(float(total)) if total > 0 else 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = lp_u.astype(np.float64) / n_tok.astype(np.float64) / _SCALE - ln_n
+    return np.where(n_tok > 0, mean, 0.0)
+
+
+def _result_table(ids, n_tok, lp_u, total: int) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "logprob_u": pa.array(lp_u, pa.int64()),
+            "mean_logprob": pa.array(
+                _mean_expr(np.asarray(lp_u), np.asarray(n_tok), total),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+class _BroadcastScorer:
+    """Actor-pool scoring stage: resolves the shared vocabulary object ONCE
+    in ``__init__`` and builds a term→micro-nat dict; per batch, only the
+    batch's DISTINCT terms hit the dict (dictionary encode first)."""
+
+    def __init__(self, counts_ref, total: int):
+        tbl = ray.get(counts_ref) if not isinstance(counts_ref, pa.Table) else counts_ref
+        terms = tbl.column("term").to_pylist()
+        lp = _log_micronats(
+            tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        self.lp = dict(zip(terms, lp.tolist()))
+        self.total = total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        flat, doc_idx = _flat_tokens(batch, "text")
+        if len(flat) == 0:
+            zeros = np.zeros(n, np.int64)
+            return _result_table(ids, zeros, zeros, self.total)
+        d = _dict_encode(flat)
+        # one dict lookup per DISTINCT term in the batch
+        dict_lp = np.array(
+            [self.lp[t] for t in d.dictionary.to_pylist()], dtype=np.int64
+        )
+        tok_lp = dict_lp[d.indices.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        lp_u = np.bincount(doc_idx, weights=tok_lp, minlength=n).astype(np.int64)
+        return _result_table(ids, n_tok, lp_u, self.total)
+
+
+def _token_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """(doc_id, term, tf) rows — one per distinct (doc, term), the same
+    composite-key np.unique partial as term_doc_freq."""
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    if len(flat) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    d = _dict_encode(flat)
+    ndict = len(d.dictionary)
+    key = doc_idx.astype(np.int64) * ndict + d.indices.to_numpy(
+        zero_copy_only=False
+    )
+    uniq, counts = np.unique(key, return_counts=True)
+    ids = batch.column("doc_id")
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(uniq // ndict)).cast(pa.int64()),
+            "term": d.dictionary.take(pa.array(uniq % ndict)),
+            "tf": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def _bucket_merge(group: pa.Table) -> pa.Table:
+    """Within one term-hash bucket: join token rows (role=0) to count rows
+    (role=1) by term via ONE sort + searchsorted — no per-term Python."""
+    toks = group.filter(pc.equal(group.column("role"), 0))
+    cnts = group.filter(pc.equal(group.column("role"), 1))
+    if toks.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "lp_part": pa.array([], pa.int64()),
+             "n_part": pa.array([], pa.int64())}
+        )
+    cnts = cnts.sort_by("term")
+    lp = _log_micronats(
+        cnts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    cterm = cnts.column("term")
+    if isinstance(cterm, pa.ChunkedArray):
+        cterm = cterm.combine_chunks()
+    idx = pc.index_in(toks.column("term"), value_set=cterm)
+    pos = idx.to_numpy(zero_copy_only=False)  # counts cover every token term
+    tf = toks.column("tf").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": toks.column("doc_id"),
+            "lp_part": pa.array(lp[pos] * tf, pa.int64()),
+            "n_part": pa.array(tf, pa.int64()),
+        }
+    )
+
+
+def unigram_logprob(
+    ds,
+    text_col: str = "text",
+    strategy: str = "broadcast",
+    num_buckets: int = 64,
+    concurrency: int = 4,
+):
+    """Per-document unigram log-probability under the corpus's own token
+    distribution → ``(doc_id, n_tokens, logprob_u, mean_logprob)``.
+
+    ``logprob_u`` = Σ_tokens floor(ln(corpus_cnt) * 1e6) (int64 micro-nats,
+    exact); ``mean_logprob`` = logprob_u / n_tokens / 1e6 − ln(total_tokens)
+    (mean per-token log-prob in nats).  See module docstring for the
+    broadcast-vs-shuffle scale trade."""
+    counts = word_count(ds, text_col=text_col)
+    if strategy == "broadcast":
+        parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+        tbl = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"term": pa.array([], pa.string()),
+                           "cnt": pa.array([], pa.int64())})
+        )
+        total = int(pc.sum(tbl.column("cnt")).as_py() or 0)
+        ref = ray.put(tbl)
+        return ds.map_batches(
+            _BroadcastScorer,
+            fn_constructor_args=(ref, total),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    total = int(
+        sum(
+            b.column("cnt").to_numpy(zero_copy_only=False).sum()
+            for b in counts.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        )
+    )
+
+    def add_bucket(batch: pa.Table, role: int) -> pa.Table:
+        from ..functions.arrowutil import string_buckets
+
+        wb = string_buckets(batch.column("term"), num_buckets)
+        out = batch.append_column("wb", pa.array(wb, pa.int32()))
+        return out.append_column(
+            "role", pa.array(np.full(batch.num_rows, role, np.int8))
+        )
+
+    tok_rows = ds.map_batches(
+        _token_partials, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+    ).map_batches(add_bucket, fn_kwargs={"role": 0}, batch_format="pyarrow")
+    cnt_rows = counts.map_batches(
+        lambda b: b.append_column(
+            "doc_id", pa.array(np.zeros(b.num_rows, np.int64))
+        ).append_column("tf", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    ).map_batches(add_bucket, fn_kwargs={"role": 1}, batch_format="pyarrow")
+    cols = ["doc_id", "term", "tf", "cnt", "wb", "role"]
+    tok_rows = tok_rows.map_batches(
+        lambda b: b.append_column(
+            "cnt", pa.array(np.zeros(b.num_rows, np.int64))
+        ).select(cols),
+        batch_format="pyarrow",
+    )
+    cnt_rows = cnt_rows.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow"
+    )
+    merged = tok_rows.union(cnt_rows).groupby("wb").map_groups(
+        _bucket_merge, batch_format="pyarrow"
+    )
+    sums = merged.groupby("doc_id").aggregate(
+        Sum("lp_part", alias_name="logprob_u"),
+        Sum("n_part", alias_name="n_tokens"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return _result_table(
+            batch.column("doc_id"),
+            batch.column("n_tokens").to_numpy(zero_copy_only=False),
+            batch.column("logprob_u").to_numpy(zero_copy_only=False),
+            total,
+        )
+
+    scored = sums.map_batches(finalize, batch_format="pyarrow")
+
+    # documents with zero tokens never produced a partial — re-attach them
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        _, doc_idx = _flat_tokens(batch, text_col)
+        has = np.zeros(batch.num_rows, bool)
+        has[np.unique(doc_idx)] = True
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = np.flatnonzero(~has)
+        zeros = np.zeros(len(keep), np.int64)
+        return _result_table(ids.take(pa.array(keep)), zeros, zeros, total)
+
+    empties = ds.map_batches(zero_rows, batch_format="pyarrow")
+    return scored.union(empties)

@@ -1194,3 +1194,57 @@ class TestDuplicatePassages:
         ds = rd.from_arrow(pa.Table.from_pylist(rows))
         out = duplicate_passages(ds, w=4).to_pandas()
         assert len(out) == 0
+
+
+class TestUnigramLogprob:
+    def _docs(self):
+        return [
+            {"doc_id": 1, "text": "the cat sat on the mat"},
+            {"doc_id": 2, "text": "the dog sat"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "zzz_rare_token"},
+        ]
+
+    def _ref(self, rows):
+        import math
+        from collections import Counter
+
+        toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+        cnt = Counter(t for ts in toks.values() for t in ts)
+        total = sum(cnt.values())
+        out = {}
+        for d, ts in toks.items():
+            lp = sum(
+                math.floor(math.log(cnt[t]) * 1e6) for t in ts
+            )
+            n = len(ts)
+            mean = lp / n / 1e6 - math.log(total) if n else 0.0
+            out[d] = (n, lp, mean)
+        return out
+
+    def test_both_strategies_match_reference(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import unigram_logprob
+
+        rows = self._docs()
+        want = self._ref(rows)
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        for strat in ("broadcast", "shuffle"):
+            got = unigram_logprob(ds, strategy=strat).to_pandas()
+            assert len(got) == len(rows), strat
+            for r in got.itertuples():
+                n, lp, mean = want[int(r.doc_id)]
+                assert int(r.n_tokens) == n, strat
+                assert int(r.logprob_u) == lp, strat
+                assert r.mean_logprob == mean, (strat, r.doc_id)
+
+    def test_rare_tokens_score_lower(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import unigram_logprob
+
+        ds = rd.from_arrow(pa.Table.from_pylist(self._docs()))
+        got = unigram_logprob(ds).to_pandas().set_index("doc_id")
+        # doc 4 is all-rare; doc 1 reuses 'the' twice
+        assert got.loc[4, "mean_logprob"] < got.loc[1, "mean_logprob"]
