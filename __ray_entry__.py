@@ -758,6 +758,15 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), w=PASSAGE_W)
 
 
+SOURCE_CAP_K = 5
+
+
+def _q_source_cap(sf_dir: str):
+    from studiocr_ray.datapipe.sample import source_cap
+
+    return source_cap(_docs(sf_dir), k=SOURCE_CAP_K)
+
+
 def _q_unigram_logprob(sf_dir: str):
     from studiocr_ray.datapipe.lm import unigram_logprob
 
@@ -860,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "json_props": _q_json_props,
         "dup_passages": _q_dup_passages,
+        "source_cap": _q_source_cap,
         "unigram_logprob": _q_unigram_logprob,
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
     }
@@ -1832,6 +1842,17 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # per-source quota: top-K by (n_chars DESC, doc_id ASC) per source
+        "source_cap": f"""
+            SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rank
+              FROM documents
+            ) WHERE rank <= {SOURCE_CAP_K}
+        """,
         "json_props": """
             WITH e AS (SELECT event_type,
                               TRY_CAST(nullif(regexp_extract(props,

@@ -83,3 +83,86 @@ def stratified_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _topk_per_source(
+    batch: pa.Table,
+    k: int,
+    id_col: str,
+    strat_col: str,
+    order_col: str,
+    emit_rank: bool,
+) -> pa.Table:
+    """Vectorized keep-top-K-per-source over one table: lexsort by
+    (source, order DESC, id ASC), run-rank, filter.  Used both as the
+    per-batch combiner and as the per-bucket finalizer."""
+    from ..functions.arrowutil import first_of_run_mask
+    from .relational import _dict_encode
+
+    if batch.num_rows == 0:
+        out = batch.select([id_col, strat_col, order_col])
+        if emit_rank:
+            out = out.append_column("rank", pa.array([], pa.int64()))
+        return out
+    src = batch.column(strat_col)
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    codes = _dict_encode(src).indices.to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    order = batch.column(order_col).to_numpy(zero_copy_only=False)
+    perm = np.lexsort((ids, -order, codes))
+    t = batch.take(pa.array(perm))
+    first = first_of_run_mask([t.column(strat_col)])
+    starts = np.flatnonzero(first)
+    runlen = np.diff(np.concatenate((starts, [len(perm)])))
+    rank = np.arange(len(perm)) - np.repeat(starts, runlen) + 1
+    keep = rank <= k
+    out = t.filter(pa.array(keep)).select([id_col, strat_col, order_col])
+    if emit_rank:
+        out = out.append_column("rank", pa.array(rank[keep], pa.int64()))
+    return out
+
+
+def source_cap(
+    ds,
+    k: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    order_col: str = "n_chars",
+    num_buckets: int = 32,
+):
+    """Per-source document quota: keep the top-``k`` rows of every source
+    ordered by (``order_col`` DESC, ``id_col`` ASC) →
+    ``(id, source, order, rank)``.
+
+    The domain-cap step of web-corpus curation (bound any one domain's
+    share of the training mix).  Scale shape: the per-batch combiner keeps
+    ≤ k rows per source per batch BEFORE the exchange — the groupby moves
+    O(k · sources · batches) narrow rows, never the corpus; hot domains
+    cost k rows per batch, not their full row count.  Final ranking is a
+    per-bucket vectorized lexsort + run scan (B groups, not per-source
+    Python)."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import string_buckets
+
+        out = _topk_per_source(
+            batch, k, id_col, strat_col, order_col, emit_rank=False
+        )
+        wb = (
+            string_buckets(out.column(strat_col), num_buckets)
+            if out.num_rows
+            else np.zeros(0, np.int32)
+        )
+        return out.append_column("wb", pa.array(wb, pa.int32()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _topk_per_source(
+            group, k, id_col, strat_col, order_col, emit_rank=True
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

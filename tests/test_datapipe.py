@@ -1248,3 +1248,52 @@ class TestUnigramLogprob:
         got = unigram_logprob(ds).to_pandas().set_index("doc_id")
         # doc 4 is all-rare; doc 1 reuses 'the' twice
         assert got.loc[4, "mean_logprob"] < got.loc[1, "mean_logprob"]
+
+
+class TestSourceCap:
+    def test_matches_window_reference_across_batches(self, ray_session):
+        import ray.data as rd
+
+        # 3 sources with interleaved sizes; small override blocks force the
+        # combiner to prune per batch before the exchange
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}", "n_chars": (i * 37) % 101}
+            for i in range(60)
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+        from studiocr_ray.datapipe.sample import source_cap
+
+        got = source_cap(
+            ds, k=4, order_col="n_chars"
+        ).to_pandas().sort_values(["source", "rank"]).reset_index(drop=True)
+
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        df["rank"] = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("source")
+            .cumcount()
+            + 1
+        )
+        want = (
+            df[df["rank"] <= 4]
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)[["doc_id", "source", "n_chars", "rank"]]
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["rank"].tolist() == want["rank"].tolist()
+
+    def test_cap_larger_than_group_keeps_all(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import source_cap
+
+        rows = [
+            {"doc_id": 1, "source": "a", "n_chars": 10},
+            {"doc_id": 2, "source": "a", "n_chars": 20},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = source_cap(ds, k=99).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [1, 2]
+        assert sorted(got["rank"].tolist()) == [1, 2]
