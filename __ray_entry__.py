@@ -759,6 +759,13 @@ def _q_dup_passages(sf_dir: str):
 
 
 SOURCE_CAP_K = 5
+BIGRAM_K = 20
+
+
+def _q_topk_bigrams(sf_dir: str):
+    from studiocr_ray.datapipe.relational import topk_bigrams
+
+    return topk_bigrams(_docs(sf_dir), k=BIGRAM_K)
 
 
 def _q_source_cap(sf_dir: str):
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "dup_passages": _q_dup_passages,
         "source_cap": _q_source_cap,
+        "topk_bigrams": _q_topk_bigrams,
         "unigram_logprob": _q_unigram_logprob,
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
     }
@@ -1842,6 +1850,20 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        "topk_bigrams": f"""
+            WITH tk AS (SELECT doc_id,
+                               {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+                   FROM tk,
+                        UNNEST(generate_series(1, len(tk) - 1)) AS g(i)),
+            c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+            SELECT bigram, cnt FROM (
+              SELECT bigram, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, bigram) AS rk
+              FROM c
+            ) WHERE rk <= {BIGRAM_K}
+        """,
         # per-source quota: top-K by (n_chars DESC, doc_id ASC) per source
         "source_cap": f"""
             SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank

@@ -951,3 +951,48 @@ def json_field_stats(ds, props_col: str = "props", key_col: str = "event_type"):
         )
 
     return agg.map_batches(add_mean, batch_format="pyarrow")
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """Corpus bigram frequencies over lowered whitespace tokens →
+    (bigram, cnt), bigram = "tokᵢ tokᵢ₊₁" within one document.
+
+    Vectorized: one Arrow split per batch, adjacency by doc-index equality,
+    pair strings via ``binary_join_element_wise`` (no per-row Python),
+    dictionary-encode + bincount partial — the exchange is
+    bigram-vocabulary-bounded per batch, never one row per token."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        adj = doc_idx[:-1] == doc_idx[1:]
+        if not adj.any():
+            return empty
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        ).filter(pa.array(adj))
+        d = _dict_encode(pairs)
+        counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
+        return pa.table(
+            {"bigram": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def topk_bigrams(ds, k: int = 20, text_col: str = "text"):
+    """Top-k bigrams (cnt desc, bigram asc tiebreak) — same
+    vocabulary-bounded driver top-k as :func:`topk_terms`."""
+    t = bigram_counts(ds, text_col=text_col).to_pandas()
+    t = t.sort_values(["cnt", "bigram"], ascending=[False, True],
+                      kind="mergesort")
+    return pa.Table.from_pandas(t.head(k).reset_index(drop=True))

@@ -1297,3 +1297,33 @@ class TestSourceCap:
         got = source_cap(ds, k=99).to_pandas()
         assert sorted(got["doc_id"].tolist()) == [1, 2]
         assert sorted(got["rank"].tolist()) == [1, 2]
+
+
+class TestBigrams:
+    def test_counts_match_reference_and_partitioning_invariant(
+        self, ray_session
+    ):
+        import ray.data as rd
+        from collections import Counter
+
+        from studiocr_ray.datapipe.relational import bigram_counts
+
+        rows = [
+            {"doc_id": 1, "text": "a b c a b"},
+            {"doc_id": 2, "text": "a b"},
+            {"doc_id": 3, "text": "single"},
+            {"doc_id": 4, "text": ""},
+        ]
+        want = Counter()
+        for r in rows:
+            ts = r["text"].lower().split()
+            want.update(f"{x} {y}" for x, y in zip(ts, ts[1:]))
+        for parts in (1, 4):
+            ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            got = dict(
+                zip(*[
+                    bigram_counts(ds).to_pandas()[c]
+                    for c in ("bigram", "cnt")
+                ])
+            )
+            assert got == dict(want), parts
