@@ -466,6 +466,20 @@ def _q_dup_clusters(sf_dir: str):
     return duplicate_clusters(pairs)
 
 
+def _q_cluster_best(sf_dir: str):
+    """Near-dup dedup keeping the BEST copy per cluster (n_chars DESC,
+    doc_id ASC) instead of the min-id copy."""
+    from studiocr_ray.datapipe.dedup import (
+        dedup_keep_best,
+        duplicate_clusters,
+        minhash_dedup_pairs,
+    )
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, num_perm=64, bands=32)
+    return dedup_keep_best(docs, duplicate_clusters(pairs))
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed training-data cleaning pipeline (lang filter → quality
     filter → exact dedup → minhash near-dup dedup) — every stage's formula
@@ -859,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "cosine_lsh": _q_cosine_lsh,
         "dup_clusters": _q_dup_clusters,
+        "cluster_best": _q_cluster_best,
         # corpus-quality signals + sampling (round-3 additions)
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
@@ -1407,6 +1422,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
             )
             SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+        """,
+        "cluster_best": f"""
+            WITH RECURSIVE {word_jaccard_cte},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            clus AS (SELECT id AS doc_id, min(r) AS rep
+                     FROM reach GROUP BY id),
+            j AS (SELECT d.doc_id,
+                         coalesce(c.rep, d.doc_id) AS cluster_rep,
+                         d.n_chars
+                  FROM documents d LEFT JOIN clus c USING (doc_id)),
+            rk AS (SELECT *, row_number() OVER (
+                              PARTITION BY cluster_rep
+                              ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM j)
+            SELECT doc_id, cluster_rep, n_chars FROM rk WHERE rn = 1
         """,
         "rolling_fingerprint": f"""
             WITH pos AS (

@@ -1058,3 +1058,114 @@ def duplicate_passages(
         _crossdoc_windows, fn_kwargs={"id_col": id_col},
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection: dedup that keeps the BEST doc per cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(
+    ds,
+    clusters,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Near-dup dedup that keeps the highest-quality member of each
+    duplicate cluster (order DESC, id ASC tiebreak) instead of the min-id —
+    the "keep the best copy" policy of web-corpus curation.  →
+    ``(doc_id, cluster_rep, <order_col>)``, one row per KEPT document;
+    unclustered documents are their own singleton cluster.
+
+    ``clusters`` is the (doc_id, cluster_rep) output of
+    :func:`duplicate_clusters` / :func:`duplicate_clusters_ds` (table or
+    Dataset).  Scale shape: cluster labels attach to docs by a
+    co-partitioned id-hash merge (clusters never become a driver dict);
+    the per-cluster argmax is one vectorized lexsort + run scan per
+    bucket — the same shape as ``source_cap`` with k=1."""
+    import ray.data as rd
+
+    from ..functions.arrowutil import id_buckets
+
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        return pa.table(
+            {
+                "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+                "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+                id_col: ids,
+                "rep": ids,  # placeholder, type-stable; attach() overrides
+                order_col: batch.column(order_col),
+            }
+        )
+
+    def clus_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+                "role": pa.array(np.ones(batch.num_rows, np.int8)),
+                id_col: ids,
+                "rep": batch.column("cluster_rep"),
+                order_col: pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        """ib bucket: label each doc row with its cluster_rep (own id when
+        unclustered) via one index_in lookup."""
+        import pyarrow.compute as pc
+
+        docs = group.filter(pc.equal(group.column("role"), 0))
+        clus = group.filter(pc.equal(group.column("role"), 1))
+        ids = _flat_arr(docs.column(id_col))
+        idx = pc.index_in(ids, value_set=_flat_arr(clus.column(id_col)))
+        rep = _flat_arr(clus.column("rep")).take(idx)
+        rep = pc.coalesce(rep, ids)
+        return pa.table(
+            {
+                "rb": pa.array(id_buckets(rep, num_buckets), pa.int32()),
+                id_col: ids,
+                "cluster_rep": rep,
+                order_col: docs.column(order_col),
+            }
+        )
+
+    def best_per_cluster(group: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import first_of_run_mask
+
+        reps = _flat_arr(group.column("cluster_rep"))
+        order = group.column(order_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        codes = _dict_encode_local(reps)
+        perm = np.lexsort((ids, -order, codes))
+        t = group.take(pa.array(perm))
+        first = first_of_run_mask([t.column("cluster_rep")])
+        return t.filter(pa.array(first)).select(
+            [id_col, "cluster_rep", order_col]
+        )
+
+    slim = ds.select_columns([id_col, order_col]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    crows = clusters.map_batches(clus_rows, batch_format="pyarrow")
+    labeled = slim.union(crows).groupby("ib").map_groups(
+        attach, batch_format="pyarrow"
+    )
+    return labeled.groupby("rb").map_groups(
+        best_per_cluster, batch_format="pyarrow"
+    )
+
+
+def _dict_encode_local(arr) -> np.ndarray:
+    """Dictionary codes of an Arrow array as a numpy int array (sort key
+    for lexsort over arbitrary id types)."""
+    from .relational import _dict_encode
+
+    return _dict_encode(arr).indices.to_numpy(zero_copy_only=False)

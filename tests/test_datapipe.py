@@ -1327,3 +1327,27 @@ class TestBigrams:
                 ])
             )
             assert got == dict(want), parts
+
+
+class TestDedupKeepBest:
+    def test_best_copy_kept_per_cluster(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import dedup_keep_best
+
+        docs = [
+            {"doc_id": 1, "n_chars": 10},
+            {"doc_id": 2, "n_chars": 50},   # best of cluster {1,2,3}
+            {"doc_id": 3, "n_chars": 50},   # tie -> min doc_id wins (2)
+            {"doc_id": 7, "n_chars": 5},    # unclustered singleton
+            {"doc_id": 8, "n_chars": 9},    # cluster {8,9}, best=9
+            {"doc_id": 9, "n_chars": 11},
+        ]
+        clusters = pa.table(
+            {"doc_id": pa.array([1, 2, 3, 8, 9], pa.int64()),
+             "cluster_rep": pa.array([1, 1, 1, 8, 8], pa.int64())}
+        )
+        ds = rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3)
+        got = dedup_keep_best(ds, clusters).to_pandas()
+        kept = dict(zip(got["doc_id"], got["cluster_rep"]))
+        assert kept == {2: 1, 7: 7, 9: 8}
