@@ -788,6 +788,43 @@ def _q_source_cap(sf_dir: str):
     return source_cap(_docs(sf_dir), k=SOURCE_CAP_K)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Incremental-recrawl diff over two snapshots synthesized
+    deterministically from documents: old = doc_id%7≠0 (original text),
+    new = doc_id%5≠0 with text||' v2' where doc_id%3=0."""
+    from studiocr_ray.datapipe.snapshot import snapshot_diff
+
+    def _mod_ne(col, m):
+        import numpy as np
+        import pyarrow as pa
+
+        v = col.to_numpy(zero_copy_only=False)
+        return pa.array(v % m != 0)
+
+    docs = _docs(sf_dir)
+    old_ds = docs.map_batches(
+        lambda b: b.filter(_mod_ne(b.column("doc_id"), 7)).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def new_rows(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc2
+
+        t = b.filter(_mod_ne(b.column("doc_id"), 5))
+        upd = t.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0
+        texts = t.column("text")
+        bumped = pc2.binary_join_element_wise(texts, " v2", "")
+        mixed = pc2.if_else(pa.array(upd), bumped, texts)
+        return pa.table({"doc_id": t.column("doc_id"), "text": mixed})
+
+    new_ds = docs.map_batches(new_rows, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds)
+
+
 def _q_unigram_logprob(sf_dir: str):
     from studiocr_ray.datapipe.lm import unigram_logprob
 
@@ -895,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_bigrams": _q_topk_bigrams,
         "unigram_logprob": _q_unigram_logprob,
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -1888,6 +1926,22 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # recrawl diff: old = doc_id%7<>0, new = doc_id%5<>0 with ' v2'
+        # appended where doc_id%3=0 — same synthesis as _q_snapshot_diff
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 7 <> 0),
+            new AS (SELECT doc_id,
+                           CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                                ELSE text END AS text
+                    FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
         "topk_bigrams": f"""
             WITH tk AS (SELECT doc_id,
                                {toks.format(src='lower(text)')} AS tk

@@ -1,0 +1,111 @@
+"""Snapshot diffing: classify every document across two crawl snapshots.
+
+The incremental-recrawl primitive: given the previous snapshot and the new
+crawl, label each key ``added`` / ``removed`` / ``changed`` / ``unchanged``
+so downstream stages (re-extract, re-index, re-embed) touch ONLY the
+changed slice instead of the full 100 TB corpus.
+
+Scale shape: each side reduces to narrow ``(id, content_md5, side)`` rows
+inside stateless ``map_batches`` (text never leaves its scan); both sides
+co-partition by id-hash bucket (ONE all-to-all of 24-byte rows); the
+per-bucket merge is two vectorized ``index_in`` lookups — no driver
+collection, no per-row Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def _hash_rows(
+    batch: pa.Table, side: int, id_col: str, content_col: str,
+    num_buckets: int,
+) -> pa.Table:
+    from ..functions.arrowutil import id_buckets
+
+    ids = batch.column(id_col)
+    digests = [
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch.column(content_col).to_pylist()
+    ]
+    return pa.table(
+        {
+            "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+            "side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            id_col: ids,
+            "h": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def _diff_bucket(group: pa.Table, id_col: str) -> pa.Table:
+    from .dedup import _flat_arr
+
+    old = group.filter(pc.equal(group.column("side"), 0))
+    new = group.filter(pc.equal(group.column("side"), 1))
+    old_ids = _flat_arr(old.column(id_col))
+    new_ids = _flat_arr(new.column(id_col))
+    new_in_old = pc.index_in(new_ids, value_set=old_ids)
+    old_in_new = pc.index_in(old_ids, value_set=new_ids)
+
+    matched = ~pc.is_null(new_in_old).to_numpy(zero_copy_only=False)
+    old_h = _flat_arr(old.column("h"))
+    new_h = _flat_arr(new.column("h"))
+    matched_old_h = old_h.take(new_in_old)
+    same = pc.equal(new_h, matched_old_h).fill_null(False).to_numpy(
+        zero_copy_only=False
+    )
+
+    status_new = np.where(
+        matched, np.where(same, "unchanged", "changed"), "added"
+    )
+    removed_mask = pc.is_null(old_in_new).to_numpy(zero_copy_only=False)
+    parts = [
+        pa.table(
+            {
+                id_col: new_ids,
+                "status": pa.array(status_new, pa.string()),
+            }
+        ),
+        pa.table(
+            {
+                id_col: old_ids.filter(pa.array(removed_mask)),
+                "status": pa.array(
+                    np.full(int(removed_mask.sum()), "removed"), pa.string()
+                ),
+            }
+        ),
+    ]
+    return pa.concat_tables(parts)
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_buckets: int = 64,
+):
+    """→ ``(id, status)`` with one row per key present in either snapshot;
+    status ∈ {added, removed, changed, unchanged} (content compared by
+    md5)."""
+    old_rows = old_ds.map_batches(
+        _hash_rows,
+        fn_kwargs={"side": 0, "id_col": id_col, "content_col": content_col,
+                   "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    new_rows = new_ds.map_batches(
+        _hash_rows,
+        fn_kwargs={"side": 1, "id_col": id_col, "content_col": content_col,
+                   "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    return old_rows.union(new_rows).groupby("ib").map_groups(
+        _diff_bucket, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    )

@@ -1351,3 +1351,29 @@ class TestDedupKeepBest:
         got = dedup_keep_best(ds, clusters).to_pandas()
         kept = dict(zip(got["doc_id"], got["cluster_rep"]))
         assert kept == {2: 1, 7: 7, 9: 8}
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import snapshot_diff
+
+        old = [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "will change"},
+            {"doc_id": 3, "text": "will vanish"},
+        ]
+        new = [
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "changed!"},
+            {"doc_id": 4, "text": "brand new"},
+        ]
+        got = snapshot_diff(
+            rd.from_arrow(pa.Table.from_pylist(old)).repartition(2),
+            rd.from_arrow(pa.Table.from_pylist(new)).repartition(2),
+        ).to_pandas()
+        status = dict(zip(got["doc_id"], got["status"]))
+        assert status == {
+            1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+        }
