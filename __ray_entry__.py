@@ -788,6 +788,42 @@ def _q_source_cap(sf_dir: str):
     return source_cap(_docs(sf_dir), k=SOURCE_CAP_K)
 
 
+def _q_url_canonicalize(sf_dir: str):
+    """Canonicalize deterministically-synthesized messy urls (4 mess
+    classes by doc_id%4: upper-case host + default port + fragment + utm
+    params; trailing slash; duplicated slashes + unsorted params; :443 +
+    utm + repeated keys) — the SQL oracle regenerates and re-normalizes the
+    same urls."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from studiocr_ray.datapipe.web import canonicalize_urls
+
+    def gen(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ds_ = pc.cast(pa.array(d), pa.string())
+        h = pc.cast(pa.array(d % 10), pa.string())
+        j = pc.binary_join_element_wise
+        u0 = j("HTTP://WWW.Example", h, ".COM:80/Path/", ds_,
+               "/?utm_source=x&id=", ds_, "#frag", "")
+        u1 = j("https://example", h, ".com/path/", ds_, "/", "")
+        u2 = j("http://example", h, ".com//a//b/c?b=2&a=1", "")
+        u3 = j("https://Example", h, ".com:443/x?a=1&utm_campaign=z&a=0", "")
+        m = d % 4
+        url = pc.if_else(
+            pa.array(m == 0), u0,
+            pc.if_else(pa.array(m == 1), u1,
+                       pc.if_else(pa.array(m == 2), u2, u3)),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "url": url})
+
+    urls = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    return canonicalize_urls(urls)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Incremental-recrawl diff over two snapshots synthesized
     deterministically from documents: old = doc_id%7≠0 (original text),
@@ -933,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
         "snapshot_diff": _q_snapshot_diff,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -1926,6 +1963,54 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # url canonicalization over the same synthesized messy urls as
+        # _q_url_canonicalize (scheme/host lower, default ports, fragment,
+        # utm_* drop, param sort, slash collapse)
+        "url_canonicalize": r"""
+            WITH gen AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 10 AS VARCHAR)
+                              || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+                              || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                              || '#frag'
+                  WHEN 1 THEN 'https://example' || CAST(doc_id % 10 AS VARCHAR)
+                              || '.com/path/' || CAST(doc_id AS VARCHAR) || '/'
+                  WHEN 2 THEN 'http://example' || CAST(doc_id % 10 AS VARCHAR)
+                              || '.com//a//b/c?b=2&a=1'
+                  ELSE 'https://Example' || CAST(doc_id % 10 AS VARCHAR)
+                              || '.com:443/x?a=1&utm_campaign=z&a=0'
+                END AS url
+              FROM documents),
+            pre AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(
+                lower(regexp_extract(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')),
+                '^(http://[^:/?#]+):80$', '\1'),
+                '^(https://[^:/?#]+):443$', '\1') AS pre,
+              regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([\s\S]*)$', 1),
+                  '#[\s\S]*$', '') AS rest
+              FROM gen),
+            pq AS (SELECT doc_id, url, pre,
+              regexp_extract(rest, '^([^?]*)', 1) AS path0,
+              CASE WHEN contains(rest, '?')
+                   THEN regexp_extract(rest, '\?([\s\S]*)$', 1)
+                   ELSE '' END AS q
+              FROM pre),
+            pp AS (SELECT doc_id, url, pre,
+              CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+              array_to_string(list_sort(list_filter(string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS qs
+              FROM (SELECT *, regexp_replace(regexp_replace(path0,
+                       '/{2,}', '/', 'g'), '^([\s\S]*[^/])/+$', '\1') AS p2
+                    FROM pq))
+            SELECT doc_id, url,
+                   pre || path ||
+                   CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                     AS canonical_url
+            FROM pp
+        """,
         # recrawl diff: old = doc_id%7<>0, new = doc_id%5<>0 with ' v2'
         # appended where doc_id%3=0 — same synthesis as _q_snapshot_diff
         "snapshot_diff": """

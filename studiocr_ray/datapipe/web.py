@@ -109,3 +109,104 @@ def domain_counts(ds, url_col: str = "href"):
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "domain"
     ).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_PRE_RE = r"^(?P<pre>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(?P<rest>[\s\S]*)$"
+
+
+def canonical_urls(url_arr) -> pa.Array:
+    """Canonical form of absolute http(s) urls, the crawl-frontier /
+    dedup-key normalization:
+
+    1. scheme + host lowered (path/query case preserved)
+    2. default ports stripped (``:80`` http, ``:443`` https)
+    3. fragment dropped
+    4. ``utm_*`` query params dropped; remaining params sorted bytewise
+    5. repeated ``//`` in the path collapsed; trailing slashes stripped;
+       empty path → ``/``
+
+    Non-absolute inputs (no ``scheme://``) pass through unchanged.  All
+    Arrow kernels; the within-url param sort is ONE Arrow table sort over
+    (row, param) — no per-row Python."""
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    ex = pc.extract_regex(url_arr, _PRE_RE)
+    pre = pc.struct_field(ex, "pre")
+    rest = pc.struct_field(ex, "rest")
+    absolute = pc.is_valid(pre)
+
+    pre_l = pc.utf8_lower(pre.fill_null(""))
+    pre_l = pc.replace_substring_regex(
+        pre_l, r"^(http://[^:/?#]+):80$", r"\1"
+    )
+    pre_l = pc.replace_substring_regex(
+        pre_l, r"^(https://[^:/?#]+):443$", r"\1"
+    )
+
+    rest = pc.replace_substring_regex(rest.fill_null(""), r"#[\s\S]*$", "")
+    ex2 = pc.extract_regex(rest, r"^(?P<path>[^?]*)(?:\?(?P<q>[\s\S]*))?$")
+    path = pc.struct_field(ex2, "path").fill_null("")
+    q = pc.struct_field(ex2, "q").fill_null("")
+
+    path = pc.replace_substring_regex(path, r"/{2,}", "/")
+    path = pc.replace_substring_regex(path, r"^([\s\S]*[^/])/+$", r"\1")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+
+    # query params: split → drop '' and utm_* → per-row bytewise sort →
+    # rejoin.  The sort is one Arrow sort_by over (row_idx, param).
+    parts = pc.split_pattern(q, "&")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = parts.flatten()
+    row_idx = np.repeat(np.arange(len(url_arr), dtype=np.int64), lens)
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, r"^utm_")),
+    ).to_numpy(zero_copy_only=False)
+    kidx = np.flatnonzero(keep)
+    flat = flat.take(pa.array(kidx))
+    row_idx = row_idx[keep]
+    srt = pa.table(
+        {"r": pa.array(row_idx), "p": flat}
+    ).sort_by([("r", "ascending"), ("p", "ascending")])
+    counts = np.bincount(
+        srt.column("r").to_numpy(zero_copy_only=False),
+        minlength=len(url_arr),
+    ) if srt.num_rows else np.zeros(len(url_arr), np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    from .dedup import _flat_arr
+
+    qlist = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), _flat_arr(srt.column("p"))
+    )
+    qs = pc.binary_join(qlist, "&")
+    canon = pc.binary_join_element_wise(
+        pre_l,
+        path,
+        pc.if_else(
+            pc.not_equal(qs, ""),
+            pc.binary_join_element_wise("?", qs, ""),
+            pa.scalar(""),
+        ),
+        "",
+    )
+    return pc.if_else(absolute, canon, url_arr)
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Stateless map_batches wrapper: append ``out_col`` with the canonical
+    form of ``url_col``.  No shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, canonical_urls(batch.column(url_col))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

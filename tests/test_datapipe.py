@@ -1377,3 +1377,23 @@ class TestSnapshotDiff:
         assert status == {
             1: "unchanged", 2: "changed", 3: "removed", 4: "added"
         }
+
+
+class TestUrlCanonicalize:
+    def test_rules(self):
+        from studiocr_ray.datapipe.web import canonical_urls
+
+        cases = {
+            "HTTP://WWW.Ex.COM:80/Path/3/?utm_source=x&id=3#frag":
+                "http://www.ex.com/Path/3?id=3",
+            "https://Ex.com:443/x?b=2&a=1&utm_campaign=z":
+                "https://ex.com/x?a=1&b=2",
+            "http://ex.com//a//b/c": "http://ex.com/a/b/c",
+            "http://host": "http://host/",
+            "https://h.com/?": "https://h.com/",
+            "relative/path": "relative/path",
+            "http://h.com:8080/p": "http://h.com:8080/p",  # non-default kept
+            "https://h.com:80/p": "https://h.com:80/p",    # wrong-scheme port kept
+        }
+        got = canonical_urls(pa.array(list(cases))).to_pylist()
+        assert got == list(cases.values())
