@@ -788,6 +788,18 @@ def _q_source_cap(sf_dir: str):
     return source_cap(_docs(sf_dir), k=SOURCE_CAP_K)
 
 
+CHUNK_W = 64
+CHUNK_OVERLAP = 16
+
+
+def _q_chunk_documents(sf_dir: str):
+    from studiocr_ray.datapipe.pack import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir), chunk_tokens=CHUNK_W, overlap=CHUNK_OVERLAP
+    )
+
+
 def _q_url_canonicalize(sf_dir: str):
     """Canonicalize deterministically-synthesized messy urls (4 mess
     classes by doc_id%4: upper-case host + default port + fragment + utm
@@ -970,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
         "snapshot_diff": _q_snapshot_diff,
         "url_canonicalize": _q_url_canonicalize,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -1963,6 +1976,28 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # RAG chunker: W-token chunks, O-token overlap, step s = W-O;
+        # chunks-per-doc = (greatest(n-O,1) + s-1) // s, final chunk short
+        "chunk_documents": f"""
+            WITH tk AS (SELECT doc_id,
+                               {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            n AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+            c AS (SELECT doc_id, tk, n, CAST(i AS BIGINT) AS chunk_id
+                  FROM n, UNNEST(generate_series(0,
+                       (greatest(n - {CHUNK_OVERLAP}, 1)
+                        + {CHUNK_W - CHUNK_OVERLAP} - 1)
+                       // {CHUNK_W - CHUNK_OVERLAP} - 1)) AS g(i))
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                     tk[(chunk_id * {CHUNK_W - CHUNK_OVERLAP} + 1):
+                        (chunk_id * {CHUNK_W - CHUNK_OVERLAP}
+                         + least(n - chunk_id * {CHUNK_W - CHUNK_OVERLAP},
+                                 {CHUNK_W}))], ' ') AS chunk_text,
+                   CAST(least(n - chunk_id * {CHUNK_W - CHUNK_OVERLAP},
+                              {CHUNK_W}) AS BIGINT) AS n_tokens
+            FROM c
+        """,
         # url canonicalization over the same synthesized messy urls as
         # _q_url_canonicalize (scheme/host lower, default ports, fragment,
         # utm_* drop, param sort, slash collapse)

@@ -133,3 +133,88 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(fill_in, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token chunking (RAG / context-window slicing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    ds,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Slice every document into ``chunk_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the retrieval/embedding chunker.  → ``(id, chunk_id, chunk_text,
+    n_tokens)``; chunk starts step by ``chunk_tokens − overlap``; the final
+    chunk may be short; empty documents emit nothing.
+
+    Scale shape: stateless ``map_batches`` — chunks stay in the task that
+    read the document, no shuffle, no per-row Python: ONE Arrow whitespace
+    split per batch, chunk gather indices built with numpy repeats, chunk
+    text re-joined with ``pc.binary_join`` over a rebuilt ListArray."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .relational import _flat_tokens
+
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table(
+            {id_col: pa.array([], ids.type),
+             "chunk_id": pa.array([], pa.int64()),
+             "chunk_text": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64())}
+        )
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        if len(flat) == 0:
+            return empty
+        counts = np.bincount(doc_idx, minlength=batch.num_rows)
+        # chunks per doc: ceil((n - overlap) / step) for n > 0 — equivalently
+        # the number of starts {0, step, 2*step, ...} strictly below n that
+        # begin a non-fully-overlapped chunk
+        m = np.where(counts > 0, (np.maximum(counts - overlap, 1) + step - 1) // step, 0)
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        doc_of_chunk = np.repeat(np.arange(batch.num_rows), m)
+        cum_m = np.concatenate(([0], np.cumsum(m)))[:-1]
+        chunk_no = np.arange(total) - cum_m[doc_of_chunk]
+        starts_in_doc = chunk_no * step
+        doc_offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        chunk_len = np.minimum(
+            counts[doc_of_chunk] - starts_in_doc, chunk_tokens
+        )
+        # gather indices: for chunk c, tokens [start, start+len)
+        tok_total = int(chunk_len.sum())
+        chunk_off = np.concatenate(([0], np.cumsum(chunk_len)))
+        within = np.arange(tok_total) - np.repeat(chunk_off[:-1], chunk_len)
+        gather = (
+            doc_offsets[doc_of_chunk].repeat(chunk_len)
+            + starts_in_doc.repeat(chunk_len)
+            + within
+        )
+        toks = flat.take(pa.array(gather))
+        lst = pa.ListArray.from_arrays(
+            pa.array(chunk_off, pa.int32()), toks
+        )
+        text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_chunk)),
+                "chunk_id": pa.array(chunk_no, pa.int64()),
+                "chunk_text": text,
+                "n_tokens": pa.array(chunk_len, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

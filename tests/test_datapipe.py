@@ -1397,3 +1397,37 @@ class TestUrlCanonicalize:
         }
         got = canonical_urls(pa.array(list(cases))).to_pylist()
         assert got == list(cases.values())
+
+
+class TestChunkDocuments:
+    def test_overlap_and_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.pack import chunk_documents
+
+        rows = [
+            {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+            {"doc_id": 2, "text": "a b c"},
+            {"doc_id": 3, "text": ""},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = chunk_documents(ds, chunk_tokens=4, overlap=1).to_pandas()
+        d1 = got[got.doc_id == 1].sort_values("chunk_id")
+        # step 3: starts 0,3,6,9 -> [0:4],[3:7],[6:10],[9:10]
+        assert d1["chunk_text"].tolist() == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"
+        ]
+        assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+        d2 = got[got.doc_id == 2]
+        assert d2["chunk_text"].tolist() == ["a b c"]
+        assert (got.doc_id != 3).all()
+
+    def test_zero_overlap_partitions_exactly(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.pack import chunk_documents
+
+        rows = [{"doc_id": 1, "text": " ".join("x" * 1 for _ in range(9))}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = chunk_documents(ds, chunk_tokens=3, overlap=0).to_pandas()
+        assert got["n_tokens"].tolist() == [3, 3, 3]
