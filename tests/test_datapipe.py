@@ -1413,11 +1413,12 @@ class TestChunkDocuments:
         ds = rd.from_arrow(pa.Table.from_pylist(rows))
         got = chunk_documents(ds, chunk_tokens=4, overlap=1).to_pandas()
         d1 = got[got.doc_id == 1].sort_values("chunk_id")
-        # step 3: starts 0,3,6,9 -> [0:4],[3:7],[6:10],[9:10]
+        # step 3, n=10: ceil((10-1)/3)=3 chunks -> [0:4],[3:7],[6:10];
+        # a 4th start at 9 would add no tokens beyond the overlap
         assert d1["chunk_text"].tolist() == [
-            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"
         ]
-        assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+        assert d1["n_tokens"].tolist() == [4, 4, 4]
         d2 = got[got.doc_id == 2]
         assert d2["chunk_text"].tolist() == ["a b c"]
         assert (got.doc_id != 3).all()
