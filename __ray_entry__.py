@@ -790,6 +790,74 @@ def _q_source_cap(sf_dir: str):
 
 CHUNK_W = 64
 CHUNK_OVERLAP = 16
+PAGERANK_ITERS = 5
+
+
+def _q_pagerank(sf_dir: str):
+    """Integer-micro-unit PageRank over a deterministic synthetic webgraph:
+    nodes = doc_ids (contiguous 0..N-1 in the testdata), each node links to
+    (3v+1)%N, (7v+2)%N, (v+1)%N (self-loops dropped, per-node targets
+    deduped) — the oracle regenerates the same graph and unrolls the same
+    K integer damping steps."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import pagerank_int
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d * 3 + 1) % n, (d * 7 + 2) % n, (d + 1) % n], axis=1
+        ).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        key = src * np.int64(n) + dst
+        uniq = np.unique(key)  # src rows live in one batch ⇒ globally distinct
+        return pa.table(
+            {"src": pa.array(uniq // n, pa.int64()),
+             "dst": pa.array(uniq % n, pa.int64())}
+        )
+
+    edges_ds = docs.map_batches(edges, batch_format="pyarrow")
+    nodes_ds = docs.map_batches(
+        lambda b: pa.table({"v": b.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    return pagerank_int(edges_ds, nodes_ds, iters=PAGERANK_ITERS)
+
+
+def _pagerank_sql(iters: int) -> str:
+    base = 150000
+    ctes = ["""nodes AS (SELECT doc_id AS v FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        e0 AS (
+          SELECT v AS src, (v*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+          UNION SELECT v, (v*7+2) % (SELECT n FROM nn) FROM nodes
+          UNION SELECT v, (v+1) % (SELECT n FROM nn) FROM nodes),
+        e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        p0 AS (SELECT v, CAST(1000000 AS BIGINT) AS p FROM nodes)"""]
+    prev = "p0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""p{i} AS (
+          SELECT nodes.v,
+                 CAST({base} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS p
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS v, sum({prev}.p // deg.d) AS s
+            FROM e JOIN deg ON deg.src = e.src
+                   JOIN {prev} ON {prev}.v = e.src
+            GROUP BY e.dst
+          ) s ON s.v = nodes.v
+        )""")
+        prev = f"p{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS doc_id, p AS rank_u FROM p{iters}"
+    )
 
 
 def _q_chunk_documents(sf_dir: str):
@@ -983,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "url_canonicalize": _q_url_canonicalize,
         "chunk_documents": _q_chunk_documents,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -1976,6 +2045,8 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # integer PageRank, K unrolled damping steps over the synthetic graph
+        "pagerank": _pagerank_sql(PAGERANK_ITERS),
         # RAG chunker: W-token chunks, O-token overlap, step s = W-O;
         # chunks-per-doc = (greatest(n-O,1) + s-1) // s, final chunk short
         "chunk_documents": f"""

@@ -1,0 +1,152 @@
+"""Webgraph link analysis: distributed integer PageRank.
+
+PageRank is the canonical crawl-prioritization / page-quality prior
+(Page et al. 1999).  This variant keeps every score an int64 in
+micro-units (1.0 → 1_000_000) and replaces the float damping update with
+
+    p'(v) = (unit * (100 - d)) // 100  +  (d * Σ_{u→v} p(u) // out(u)) // 100
+
+— all integer ``//`` / ``+`` arithmetic, so K iterations are
+bit-reproducible across batch sizes, partitionings and cluster shapes, and
+a SQL oracle can unroll the exact same K steps.  (Float PageRank sums are
+addition-order-dependent — the same reason the repo's other scores use
+integer quantization.)
+
+Scale shape — ONE all-to-all per iteration: because the damp key
+``hash(dst)`` of round t equals the contribute key ``hash(src)`` of round
+t+1, both halves fuse into a single ``groupby(bucket).map_groups`` step:
+each bucket damps its nodes' incoming contributions, immediately emits the
+next round's outgoing contributions (out-degrees are recomputed in-bucket
+— every edge of a src lives in src's bucket), and passes its edge rows
+through unchanged.  Rows are narrow (int8 role + 3 int64s); node scores
+never touch the driver.  The K rounds build one fixed-depth lazy lineage
+executed in a single streaming run (no per-round materialize — there is no
+convergence check, unlike dedup.duplicate_clusters_ds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ib(col, num_buckets: int) -> pa.Array:
+    from ..functions.arrowutil import id_buckets
+
+    return pa.array(id_buckets(col, num_buckets), pa.int32())
+
+
+def _damp_bucket(group: pa.Table, base: int, damping_pct: int):
+    """Contribution rows (a=dst, val=c) of one bucket → (v, p) via sorted
+    run int64 sums (``np.add.reduceat`` — bincount's float weights would
+    cap exactness at 2^53)."""
+    from ..functions.arrowutil import first_of_run_mask
+    from .dedup import _flat_arr
+
+    t = group.sort_by([("a", "ascending")])
+    first = first_of_run_mask([t.column("a")])
+    c = t.column("val").to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(c, np.flatnonzero(first))
+    v = _flat_arr(t.column("a")).filter(pa.array(first))
+    p = base + (damping_pct * sums) // 100
+    return v, p
+
+
+def pagerank_int(
+    edges_ds,
+    nodes_ds,
+    iters: int = 5,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    num_buckets: int = 32,
+):
+    """→ ``(doc_id, rank_u)`` — integer-micro-unit PageRank after ``iters``
+    synchronous iterations over ``edges_ds`` (src, dst) and ``nodes_ds``
+    (v).  Self-loops and duplicate edges must already be removed (the
+    degree and contribution math assumes a simple graph).  Every node is
+    assumed to have out-degree ≥ 1 (no dangling-mass redistribution)."""
+    base = (unit * (100 - damping_pct)) // 100
+
+    # Unified row schema for the per-round union:
+    #   role 0 (contribution): b = hash(dst),  a = dst,  val = c
+    #   role 1 (edge):         b = hash(src),  a = src,  dst, val unused
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("v")
+        return pa.table(
+            {
+                "b": _ib(v, num_buckets),
+                "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+                "a": v,
+                "dst": v,
+                # damp(seed=unit) = base + (d*unit)//100 = unit exactly for
+                # unit divisible by 100 ⇒ round 1 reproduces p0 = unit
+                "val": pa.array(np.full(batch.num_rows, unit, np.int64)),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        return pa.table(
+            {
+                "b": _ib(src, num_buckets),
+                "role": pa.array(np.ones(batch.num_rows, np.int8)),
+                "a": src,
+                "dst": batch.column("dst"),
+                "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    def fused_step(group: pa.Table) -> pa.Table:
+        """damp(contributions) → emit next contributions + zero rows, pass
+        edges through.  One vectorized pass, no per-node Python."""
+        from .dedup import _flat_arr
+        from .relational import _dict_encode
+
+        contrib = group.filter(pc.equal(group.column("role"), 0))
+        edges = group.filter(pc.equal(group.column("role"), 1))
+        v, p = _damp_bucket(contrib, base, damping_pct)
+
+        # next round's zero rows keep every node present in its bucket
+        zero = pa.table(
+            {
+                "b": _ib(v, num_buckets),
+                "role": pa.array(np.zeros(len(v), np.int8)),
+                "a": v,
+                "dst": v,
+                "val": pa.array(np.zeros(len(v), np.int64)),
+            }
+        )
+        if edges.num_rows == 0:
+            return zero
+        src = _flat_arr(edges.column("a"))
+        d = _dict_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        deg = np.bincount(codes, minlength=len(d.dictionary))[codes]
+        idx = pc.index_in(src, value_set=v)
+        p_src = pa.array(p, pa.int64()).take(idx).to_numpy(
+            zero_copy_only=False
+        )
+        out = pa.table(
+            {
+                "b": _ib(edges.column("dst"), num_buckets),
+                "role": pa.array(np.zeros(edges.num_rows, np.int8)),
+                "a": edges.column("dst"),
+                "dst": edges.column("dst"),
+                "val": pa.array(p_src // deg, pa.int64()),
+            }
+        )
+        return pa.concat_tables([zero, out, edges])
+
+    def final_damp(group: pa.Table) -> pa.Table:
+        contrib = group.filter(pc.equal(group.column("role"), 0))
+        v, p = _damp_bucket(contrib, base, damping_pct)
+        return pa.table({"doc_id": v, "rank_u": pa.array(p, pa.int64())})
+
+    rows = nodes_ds.map_batches(seed_rows, batch_format="pyarrow").union(
+        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    for _ in range(iters):
+        rows = rows.groupby("b").map_groups(
+            fused_step, batch_format="pyarrow"
+        )
+    return rows.groupby("b").map_groups(final_damp, batch_format="pyarrow")

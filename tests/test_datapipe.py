@@ -1432,3 +1432,34 @@ class TestChunkDocuments:
         ds = rd.from_arrow(pa.Table.from_pylist(rows))
         got = chunk_documents(ds, chunk_tokens=3, overlap=0).to_pandas()
         assert got["n_tokens"].tolist() == [3, 3, 3]
+
+
+class TestPagerank:
+    def test_matches_integer_reference(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import pagerank_int
+
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 2)]
+        nodes = [0, 1, 2, 3]
+        K, unit, d = 4, 1_000_000, 85
+        base = (unit * (100 - d)) // 100
+        p = {v: unit for v in nodes}
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        for _ in range(K):
+            inc = {v: 0 for v in nodes}
+            for s, t in edges:
+                inc[t] += p[s] // outdeg[s]
+            p = {v: base + (d * inc[v]) // 100 for v in nodes}
+
+        e_ds = rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        })).repartition(3)
+        n_ds = rd.from_arrow(pa.table({"v": pa.array(nodes, pa.int64())}))
+        got = pagerank_int(e_ds, n_ds, iters=K).to_pandas()
+        assert dict(zip(got["doc_id"], got["rank_u"])) == p
+        # mass sanity: total stays near N*unit (integer floors lose a little)
+        assert 0.99 * len(nodes) * unit < got["rank_u"].sum() <= len(nodes) * unit
