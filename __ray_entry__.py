@@ -480,6 +480,25 @@ def _q_cluster_best(sf_dir: str):
     return dedup_keep_best(docs, duplicate_clusters(pairs))
 
 
+CLUSTER_SPLIT_VAL_FRAC = 0.25  # 2^62 threshold — exact in both int spaces
+
+
+def _q_cluster_split(sf_dir: str):
+    """Leakage-free train/val split: near-dup clusters stay whole on one
+    side, side = splitmix64(cluster_rep) < 0.25 * 2^64."""
+    from studiocr_ray.datapipe.dedup import (
+        duplicate_clusters,
+        minhash_dedup_pairs,
+    )
+    from studiocr_ray.datapipe.sample import cluster_split
+
+    docs = _docs(sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, num_perm=64, bands=32)
+    return cluster_split(
+        docs, duplicate_clusters(pairs), val_frac=CLUSTER_SPLIT_VAL_FRAC
+    )
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed training-data cleaning pipeline (lang filter → quality
     filter → exact dedup → minhash near-dup dedup) — every stage's formula
@@ -1027,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_lsh": _q_cosine_lsh,
         "dup_clusters": _q_dup_clusters,
         "cluster_best": _q_cluster_best,
+        "cluster_split": _q_cluster_split,
         # corpus-quality signals + sampling (round-3 additions)
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
@@ -1603,6 +1623,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM j)
             SELECT doc_id, cluster_rep, n_chars FROM rk WHERE rn = 1
         """,
+        "cluster_split": f"""
+            WITH RECURSIVE {word_jaccard_cte},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            clus AS (SELECT id AS doc_id, min(r) AS rep
+                     FROM reach GROUP BY id)
+            {_cluster_split_oracle(CLUSTER_SPLIT_VAL_FRAC)}
+        """,
         "rolling_fingerprint": f"""
             WITH pos AS (
               SELECT doc_id, text,
@@ -2172,6 +2207,44 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY event_type
         """,
     }
+
+
+def _cluster_split_oracle(val_frac: float) -> str:
+    """Recursive-CTE clusters (same graph as dup_clusters) + splitmix64 of
+    cluster_rep in HUGEINT arithmetic — bit-exact vs sample.splitmix64."""
+    thr = min(int(val_frac * 2**64), 2**64 - 1)
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    return f"""
+        , j AS (SELECT d.doc_id,
+                       coalesce(c.rep, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN clus c USING (doc_id)),
+        s1 AS (SELECT doc_id, cluster_rep,
+                      (cluster_rep::HUGEINT
+                       + 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT AS z
+               FROM j),
+        s2 AS (SELECT doc_id, cluster_rep,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                          13787848793156543929)} AS z
+               FROM s1),
+        s3 AS (SELECT doc_id, cluster_rep,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                          10723151780598845931)} AS z
+               FROM s2)
+        SELECT doc_id, cluster_rep,
+               CASE WHEN xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT
+                         < {thr}::HUGEINT
+                    THEN 'val' ELSE 'train' END AS split
+        FROM s3
+    """
 
 
 def _stratified_sample_oracle() -> str:

@@ -1065,6 +1065,83 @@ def duplicate_passages(
 # ---------------------------------------------------------------------------
 
 
+def attach_cluster_labels(
+    ds,
+    clusters,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    num_buckets: int = 32,
+):
+    """Attach each document's duplicate-cluster label → lazy Dataset
+    ``(rb, id, cluster_rep, *carry_cols)``; unclustered docs get their own
+    id as a singleton label, ``rb`` is the cluster_rep hash bucket ready
+    for per-cluster grouping.
+
+    ``clusters`` is the (doc_id, cluster_rep) output of
+    :func:`duplicate_clusters` / :func:`duplicate_clusters_ds` (table or
+    Dataset).  Scale shape: a co-partitioned id-hash merge — cluster labels
+    never become a driver dict, docs move only their id + carry columns."""
+    import ray.data as rd
+
+    from ..functions.arrowutil import id_buckets
+
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+    carry = list(carry_cols)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        cols = {
+            "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+            "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+            id_col: ids,
+            "rep": ids,  # placeholder, type-stable; attach() overrides
+        }
+        for c in carry:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def clus_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        cols = {
+            "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+            "role": pa.array(np.ones(batch.num_rows, np.int8)),
+            id_col: ids,
+            "rep": batch.column("cluster_rep"),
+        }
+        for c in carry:
+            cols[c] = pa.array(np.zeros(batch.num_rows, np.int64))
+        return pa.table(cols)
+
+    def attach(group: pa.Table) -> pa.Table:
+        """ib bucket: label each doc row with its cluster_rep (own id when
+        unclustered) via one index_in lookup."""
+        import pyarrow.compute as pc
+
+        docs = group.filter(pc.equal(group.column("role"), 0))
+        clus = group.filter(pc.equal(group.column("role"), 1))
+        ids = _flat_arr(docs.column(id_col))
+        idx = pc.index_in(ids, value_set=_flat_arr(clus.column(id_col)))
+        rep = _flat_arr(clus.column("rep")).take(idx)
+        rep = pc.coalesce(rep, ids)
+        cols = {
+            "rb": pa.array(id_buckets(rep, num_buckets), pa.int32()),
+            id_col: ids,
+            "cluster_rep": rep,
+        }
+        for c in carry:
+            cols[c] = docs.column(c)
+        return pa.table(cols)
+
+    slim = ds.select_columns([id_col, *carry]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    crows = clusters.map_batches(clus_rows, batch_format="pyarrow")
+    return slim.union(crows).groupby("ib").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+
 def dedup_keep_best(
     ds,
     clusters,
@@ -1078,64 +1155,9 @@ def dedup_keep_best(
     ``(doc_id, cluster_rep, <order_col>)``, one row per KEPT document;
     unclustered documents are their own singleton cluster.
 
-    ``clusters`` is the (doc_id, cluster_rep) output of
-    :func:`duplicate_clusters` / :func:`duplicate_clusters_ds` (table or
-    Dataset).  Scale shape: cluster labels attach to docs by a
-    co-partitioned id-hash merge (clusters never become a driver dict);
-    the per-cluster argmax is one vectorized lexsort + run scan per
-    bucket — the same shape as ``source_cap`` with k=1."""
-    import ray.data as rd
-
-    from ..functions.arrowutil import id_buckets
-
-    if isinstance(clusters, pa.Table):
-        clusters = rd.from_arrow(clusters)
-
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        return pa.table(
-            {
-                "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
-                "role": pa.array(np.zeros(batch.num_rows, np.int8)),
-                id_col: ids,
-                "rep": ids,  # placeholder, type-stable; attach() overrides
-                order_col: batch.column(order_col),
-            }
-        )
-
-    def clus_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        return pa.table(
-            {
-                "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
-                "role": pa.array(np.ones(batch.num_rows, np.int8)),
-                id_col: ids,
-                "rep": batch.column("cluster_rep"),
-                order_col: pa.array(
-                    np.zeros(batch.num_rows, np.int64), pa.int64()
-                ),
-            }
-        )
-
-    def attach(group: pa.Table) -> pa.Table:
-        """ib bucket: label each doc row with its cluster_rep (own id when
-        unclustered) via one index_in lookup."""
-        import pyarrow.compute as pc
-
-        docs = group.filter(pc.equal(group.column("role"), 0))
-        clus = group.filter(pc.equal(group.column("role"), 1))
-        ids = _flat_arr(docs.column(id_col))
-        idx = pc.index_in(ids, value_set=_flat_arr(clus.column(id_col)))
-        rep = _flat_arr(clus.column("rep")).take(idx)
-        rep = pc.coalesce(rep, ids)
-        return pa.table(
-            {
-                "rb": pa.array(id_buckets(rep, num_buckets), pa.int32()),
-                id_col: ids,
-                "cluster_rep": rep,
-                order_col: docs.column(order_col),
-            }
-        )
+    Labels attach via :func:`attach_cluster_labels`; the per-cluster argmax
+    is one vectorized lexsort + run scan per bucket — the same shape as
+    ``source_cap`` with k=1."""
 
     def best_per_cluster(group: pa.Table) -> pa.Table:
         from ..functions.arrowutil import first_of_run_mask
@@ -1151,12 +1173,9 @@ def dedup_keep_best(
             [id_col, "cluster_rep", order_col]
         )
 
-    slim = ds.select_columns([id_col, order_col]).map_batches(
-        doc_rows, batch_format="pyarrow"
-    )
-    crows = clusters.map_batches(clus_rows, batch_format="pyarrow")
-    labeled = slim.union(crows).groupby("ib").map_groups(
-        attach, batch_format="pyarrow"
+    labeled = attach_cluster_labels(
+        ds, clusters, id_col=id_col, carry_cols=(order_col,),
+        num_buckets=num_buckets,
     )
     return labeled.groupby("rb").map_groups(
         best_per_cluster, batch_format="pyarrow"

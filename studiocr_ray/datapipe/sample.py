@@ -166,3 +166,46 @@ def source_cap(
         .groupby("wb")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def cluster_split(
+    ds,
+    clusters,
+    val_frac: float = 0.2,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Leakage-free train/validation split: every member of a duplicate
+    cluster lands on the SAME side, decided by
+    ``splitmix64(cluster_rep) < val_frac * 2**64`` → ``(id, cluster_rep,
+    split)`` with split ∈ {'train', 'val'}.
+
+    The standard fix for near-dup train/val contamination (a val doc whose
+    near-duplicate sits in train leaks the answer).  Deterministic pure
+    function of the cluster label — re-runs, resumes, and N- vs 4N-node
+    clusters produce the identical split with zero coordination.  Labels
+    attach via the co-partitioned merge of
+    :func:`~studiocr_ray.datapipe.dedup.attach_cluster_labels`; the split
+    itself is one stateless vectorized filter, no extra shuffle."""
+    from .dedup import attach_cluster_labels
+
+    thr = min(int(val_frac * 2**64), 2**64 - 1)
+    labeled = attach_cluster_labels(
+        ds, clusters, id_col=id_col, num_buckets=num_buckets
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rep = batch.column("cluster_rep")
+        if isinstance(rep, pa.ChunkedArray):
+            rep = rep.combine_chunks()
+        h = splitmix64(rep.to_numpy(zero_copy_only=False))
+        side = np.where(h < np.uint64(thr), "val", "train")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster_rep": rep,
+                "split": pa.array(side, pa.string()),
+            }
+        )
+
+    return labeled.map_batches(tag, batch_format="pyarrow")

@@ -1463,3 +1463,30 @@ class TestPagerank:
         assert dict(zip(got["doc_id"], got["rank_u"])) == p
         # mass sanity: total stays near N*unit (integer floors lose a little)
         assert 0.99 * len(nodes) * unit < got["rank_u"].sum() <= len(nodes) * unit
+
+
+class TestClusterSplit:
+    def test_clusters_stay_whole_and_split_is_deterministic(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import cluster_split, splitmix64
+
+        docs = [{"doc_id": i} for i in range(40)]
+        # clusters: {0..3} -> 0, {10,11} -> 10
+        clusters = pa.table(
+            {"doc_id": pa.array([0, 1, 2, 3, 10, 11], pa.int64()),
+             "cluster_rep": pa.array([0, 0, 0, 0, 10, 10], pa.int64())}
+        )
+        ds = rd.from_arrow(pa.Table.from_pylist(docs)).repartition(4)
+        got = cluster_split(ds, clusters, val_frac=0.25).to_pandas()
+        assert len(got) == 40
+        side = dict(zip(got["doc_id"], got["split"]))
+        assert len({side[i] for i in (0, 1, 2, 3)}) == 1  # whole cluster
+        assert len({side[i] for i in (10, 11)}) == 1
+        # unclustered docs follow splitmix64(own id)
+        h = splitmix64(np.arange(40, dtype=np.int64))
+        for i in range(12, 40):
+            want = "val" if h[i] < np.uint64(2**62) else "train"
+            assert side[i] == want
