@@ -776,6 +776,15 @@ _LINKED_HTML_SQL = """
 """
 
 
+def _q_anchor_texts(sf_dir: str):
+    from studiocr_ray.datapipe.web import anchor_texts, extract_links
+
+    return anchor_texts(
+        extract_links(_linked_docs(sf_dir), html_col="html",
+                      id_col="doc_id")
+    )
+
+
 def _q_token_percentiles(sf_dir: str):
     from studiocr_ray.datapipe.relational import token_length_percentiles
 
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _q_url_canonicalize,
         "chunk_documents": _q_chunk_documents,
         "pagerank": _q_pagerank,
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -2038,6 +2048,21 @@ def oracle_sql() -> dict[str, str]:
                      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM l GROUP BY domain
+        """,
+        # per-target anchor rollup: bytewise-sorted anchors joined by ' | '
+        "anchor_texts": f"""
+            WITH h AS ({_LINKED_HTML_SQL}),
+            l AS (SELECT unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href=["'']([^"'']*)["''][^>]*>(.*?)</a>', 1))
+                    AS href,
+                  unnest(regexp_extract_all(html,
+                    '<a\\s[^>]*href=["'']([^"'']*)["''][^>]*>(.*?)</a>', 2))
+                    AS anchor
+                  FROM h)
+            SELECT href,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   string_agg(anchor, ' | ' ORDER BY anchor) AS anchors
+            FROM l GROUP BY href
         """,
         # exact distribution percentiles (quantile_disc = the same
         # rank-ceil rule as token_length_percentiles)

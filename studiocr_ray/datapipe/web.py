@@ -210,3 +210,58 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def anchor_texts(
+    links_ds,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    num_buckets: int = 32,
+    sep: str = " | ",
+):
+    """Per-target anchor-text rollup → ``(href, n_links, anchors)`` with
+    ``anchors`` = bytewise-sorted anchor texts joined by ``sep`` — the
+    incoming-anchor-text document enrichment of web search indexing
+    (anchors describe the TARGET page better than its own body).
+
+    Scale shape: href-hash bucketed (B groups, not per-target Python); the
+    per-bucket rollup is ONE Arrow sort + run scan, and the string concat
+    is a rebuilt ListArray + ``pc.binary_join`` — no per-row Python.  Rows
+    moved are (href, anchor) pairs only."""
+    from ..functions.arrowutil import first_of_run_mask, string_buckets
+    from .dedup import _flat_arr
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        wb = string_buckets(batch.column(href_col), num_buckets)
+        return pa.table(
+            {
+                "wb": pa.array(wb, pa.int32()),
+                href_col: batch.column(href_col),
+                anchor_col: batch.column(anchor_col),
+            }
+        )
+
+    def rollup(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [(href_col, "ascending"), (anchor_col, "ascending")]
+        )
+        first = first_of_run_mask([t.column(href_col)])
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [t.num_rows]))
+        offsets = np.concatenate((starts, [t.num_rows]))
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), _flat_arr(t.column(anchor_col))
+        )
+        return pa.table(
+            {
+                href_col: _flat_arr(t.column(href_col)).take(
+                    pa.array(starts)
+                ),
+                "n_links": pa.array(ends - starts, pa.int64()),
+                "anchors": pc.binary_join(lst, sep),
+            }
+        )
+
+    return links_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "wb"
+    ).map_groups(rollup, batch_format="pyarrow")

@@ -1490,3 +1490,22 @@ class TestClusterSplit:
         for i in range(12, 40):
             want = "val" if h[i] < np.uint64(2**62) else "train"
             assert side[i] == want
+
+
+class TestAnchorTexts:
+    def test_rollup_sorted_and_counted(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.web import anchor_texts
+
+        links = [
+            {"href": "https://a.com/x", "anchor": "zebra"},
+            {"href": "https://a.com/x", "anchor": "apple"},
+            {"href": "https://b.com/y", "anchor": "only"},
+            {"href": "https://a.com/x", "anchor": "mid"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(links)).repartition(2)
+        got = anchor_texts(ds).to_pandas().set_index("href")
+        assert got.loc["https://a.com/x", "n_links"] == 3
+        assert got.loc["https://a.com/x", "anchors"] == "apple | mid | zebra"
+        assert got.loc["https://b.com/y", "anchors"] == "only"
