@@ -148,6 +148,71 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ann_topk_brute(emb, qv, k=10)
     timings["ann_topk"] = time.perf_counter() - t0
 
+    # round-3 ops at corpus scale: the 1.2M-doc EXTRACTED corpus (not the
+    # 5k-row documents table) so the timings measure real data volume
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.dedup import duplicate_passages
+    from studiocr_ray.datapipe.graph import pagerank_int
+    from studiocr_ray.datapipe.lm import unigram_logprob
+    from studiocr_ray.pipelines.extract_pipeline import docs_dataset
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("url"),
+             "text": batch.column("extracted_text")}
+        )
+
+    corpus = lambda: docs_dataset(out).map_batches(  # noqa: E731
+        as_docs, batch_format="pyarrow"
+    )
+    t0 = time.perf_counter()
+    duplicate_passages(corpus(), w=16).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["dup_passages"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    unigram_logprob(corpus(), strategy="broadcast").map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["unigram_logprob"] = time.perf_counter() - t0
+
+    # integer PageRank on a synthetic graph the size of the corpus
+    n_nodes = max(summary["docs"], 1)
+
+    def pr_edges(batch: pa.Table) -> pa.Table:
+        v = batch.column("id").to_numpy(zero_copy_only=False)
+        src = np.repeat(v, 3)
+        dst = np.stack(
+            [(v * 3 + 1) % n_nodes, (v * 7 + 2) % n_nodes,
+             (v + 1) % n_nodes], axis=1
+        ).ravel()
+        keep = src != dst
+        key = np.unique(src[keep] * np.int64(n_nodes) + dst[keep])
+        return pa.table(
+            {"src": pa.array(key // n_nodes, pa.int64()),
+             "dst": pa.array(key % n_nodes, pa.int64())}
+        )
+
+    ids = rd.range(n_nodes)
+    t0 = time.perf_counter()
+    pagerank_int(
+        ids.map_batches(pr_edges, batch_format="pyarrow"),
+        ids.map_batches(
+            lambda b: pa.table({"v": b.column("id")}),
+            batch_format="pyarrow",
+        ),
+        iters=5,
+        num_buckets=max(64, num_cpus * 2),
+    ).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["pagerank_5it"] = time.perf_counter() - t0
+
     docs = summary["docs"]
     shutil.rmtree(out, ignore_errors=True)
     return {
