@@ -932,6 +932,19 @@ def _q_url_canonicalize(sf_dir: str):
     return canonicalize_urls(urls)
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"
+Q3_K = 10
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    from studiocr_ray.datapipe.relational import top_revenue_orders
+
+    return top_revenue_orders(
+        sf_dir, segment=Q3_SEGMENT, cutoff=Q3_CUTOFF, k=Q3_K
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Incremental-recrawl diff over two snapshots synthesized
     deterministically from documents: old = doc_id%7≠0 (original text),
@@ -1082,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pagerank": _q_pagerank,
         "anchor_texts": _q_anchor_texts,
+        "top_revenue_orders": _q_top_revenue_orders,
     }
 
 
@@ -2176,6 +2190,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
                      AS canonical_url
             FROM pp
+        """,
+        # TPC-H Q3 with exact integer-1e-4 revenue (floor(p*100+0.5) cents ×
+        # floor((1-d)*100+0.5)); ties broken by orderkey
+        "top_revenue_orders": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_e4,
+                   CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue
+            FROM (
+              SELECT l_orderkey,
+                     o_orderdate,
+                     o_orderpriority,
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)
+                              * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS revenue_e4
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = '{Q3_SEGMENT}'
+                AND c_custkey = o_custkey
+                AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+                AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT {Q3_K}
         """,
         # recrawl diff: old = doc_id%7<>0, new = doc_id%5<>0 with ' v2'
         # appended where doc_id%3=0 — same synthesis as _q_snapshot_diff

@@ -996,3 +996,209 @@ def topk_bigrams(ds, k: int = 20, text_col: str = "text"):
     t = t.sort_values(["cnt", "bigram"], ascending=[False, True],
                       kind="mergesort")
     return pa.Table.from_pandas(t.head(k).reset_index(drop=True))
+
+
+def top_revenue_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_buckets: int = 32,
+):
+    """TPC-H-Q3-style: top-k unshipped orders of one market segment by
+    revenue → ``(l_orderkey, o_orderdate, o_orderpriority, revenue_e4,
+    revenue)``.
+
+    Revenue is summed in integer 1e-4 units
+    (``floor(price·100+0.5) · floor((1−disc)·100+0.5)``) so the aggregate
+    is exact — float revenue sums are addition-order-dependent and would
+    never hash-match an oracle; the double ``revenue`` column is one final
+    expression over the exact int.
+
+    Scale shape (customer is NOT broadcastable at TPC-H scale, cf.
+    orders_per_nation): (1) orders semi-join the segment's custkeys by
+    custkey-hash co-partition; (2) lineitem pre-aggregates revenue per
+    orderkey per batch (integer partials), then joins the surviving orders
+    by orderkey-hash co-partition; (3) per-bucket top-k then a tiny driver
+    merge of B·k rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.arrowutil import id_buckets
+    from .dedup import _flat_arr
+
+    cut = np.datetime64(cutoff)
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("c_mktsegment"), segment))
+        n = t.num_rows
+        return pa.table(
+            {
+                "kb": pa.array(
+                    id_buckets(t.column("c_custkey"), num_buckets), pa.int32()
+                ),
+                "role": pa.array(np.ones(n, np.int8)),
+                "custkey": t.column("c_custkey"),
+                "orderkey": pa.array(np.zeros(n, np.int64)),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+            }
+        )
+
+    custkeys = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        dates = b.column("o_orderdate")
+        if isinstance(dates, pa.ChunkedArray):
+            dates = dates.combine_chunks()
+        keep = pc.less(dates, pa.scalar(cut.astype("datetime64[us]")))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "kb": pa.array(
+                    id_buckets(t.column("o_custkey"), num_buckets), pa.int32()
+                ),
+                "role": pa.array(np.zeros(t.num_rows, np.int8)),
+                "custkey": t.column("o_custkey"),
+                "orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def semi_join(group: pa.Table) -> pa.Table:
+        o = group.filter(pc.equal(group.column("role"), 0))
+        c = group.filter(pc.equal(group.column("role"), 1))
+        idx = pc.index_in(
+            _flat_arr(o.column("custkey")),
+            value_set=_flat_arr(c.column("custkey")),
+        )
+        keep = pc.is_valid(idx)
+        t = o.filter(keep)
+        return pa.table(
+            {
+                "ob": pa.array(
+                    id_buckets(t.column("orderkey"), num_buckets), pa.int32()
+                ),
+                "role": pa.array(np.zeros(t.num_rows, np.int8)),
+                "orderkey": t.column("orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "rev": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    qualified = (
+        orders.union(custkeys).groupby("kb").map_groups(
+            semi_join, batch_format="pyarrow"
+        )
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        t = b.filter(pc.greater(ship, pa.scalar(cut.astype("datetime64[us]"))))
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (
+            np.floor(price * 100.0 + 0.5).astype(np.int64)
+            * np.floor((1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=rev).astype(np.int64)
+        # exactness: per-batch revenues stay far below 2^53 (bincount
+        # weights are float64), and the cross-batch reduce below is int64
+        return pa.table(
+            {
+                "ob": pa.array(
+                    id_buckets(pa.array(uniq, pa.int64()), num_buckets),
+                    pa.int32(),
+                ),
+                "role": pa.array(np.ones(len(uniq), np.int8)),
+                "orderkey": pa.array(uniq, pa.int64()),
+                "o_orderdate": pa.nulls(len(uniq), pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(len(uniq), pa.string()),
+                "rev": pa.array(sums, pa.int64()),
+            }
+        )
+
+    revs = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev_partial, batch_format="pyarrow")
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import first_of_run_mask
+
+        o = group.filter(pc.equal(group.column("role"), 0))
+        r = group.filter(pc.equal(group.column("role"), 1))
+        if o.num_rows == 0 or r.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "o_orderpriority": pa.array([], pa.string()),
+                 "revenue_e4": pa.array([], pa.int64())}
+            )
+        r = r.sort_by([("orderkey", "ascending")])
+        rk = _flat_arr(r.column("orderkey"))
+        first = first_of_run_mask([rk])
+        sums = np.add.reduceat(
+            r.column("rev").to_numpy(zero_copy_only=False),
+            np.flatnonzero(first),
+        )
+        rkeys = rk.filter(pa.array(first))
+        idx = pc.index_in(_flat_arr(o.column("orderkey")), value_set=rkeys)
+        pos = idx.to_numpy(zero_copy_only=False)
+        valid = ~pc.is_null(idx).to_numpy(zero_copy_only=False)
+        o = o.filter(pa.array(valid))
+        rev = sums[pos[valid].astype(np.int64)]
+        order = np.lexsort(
+            (o.column("orderkey").to_numpy(zero_copy_only=False), -rev)
+        )[:k]
+        t = o.take(pa.array(order))
+        return pa.table(
+            {
+                "l_orderkey": t.column("orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pa.array(rev[order], pa.int64()),
+            }
+        )
+
+    parts = [
+        b
+        for b in qualified.union(revs).groupby("ob").map_groups(
+            join_topk, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_orderpriority": pa.array([], pa.string()),
+             "revenue_e4": pa.array([], pa.int64()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    allp = pa.concat_tables(parts)
+    rev = allp.column("revenue_e4").to_numpy(zero_copy_only=False)
+    keys = allp.column("l_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys, -rev))[:k]
+    t = allp.take(pa.array(order))
+    return t.append_column(
+        "revenue",
+        pa.array(
+            t.column("revenue_e4").to_numpy(zero_copy_only=False)
+            .astype(np.float64) / 10000.0,
+            pa.float64(),
+        ),
+    )

@@ -1509,3 +1509,37 @@ class TestAnchorTexts:
         assert got.loc["https://a.com/x", "n_links"] == 3
         assert got.loc["https://a.com/x", "anchors"] == "apple | mid | zebra"
         assert got.loc["https://b.com/y", "anchors"] == "only"
+
+
+class TestTopRevenueOrders:
+    def test_matches_duckdb_q3(self, ray_session):
+        import duckdb
+
+        from studiocr_ray.datapipe.relational import top_revenue_orders
+
+        sf = "/root/testdata/sf0.001"
+        got = top_revenue_orders(sf, segment="BUILDING",
+                                 cutoff="1998-01-01", k=10).to_pandas()
+        want = duckdb.sql(f"""
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT)
+                            * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM read_parquet('{sf}/customer.parquet') c,
+                 read_parquet('{sf}/orders.parquet') o,
+                 read_parquet('{sf}/lineitem.parquet') l
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
+        """).df()
+        assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+        assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+        # the float column is one expression over the exact int
+        assert (got["revenue"] * 10000.0).round().astype("int64").tolist() \
+            == got["revenue_e4"].tolist()
