@@ -888,6 +888,93 @@ def _pagerank_sql(iters: int) -> str:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed integer Lloyd's k-means over the embeddings table —
+    broadcast centroids, per-batch scatter-add partials, zero shuffles;
+    the oracle unrolls the same integer iterations in SQL."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.embed import kmeans_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_embeddings(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int, iters: int, d: int) -> str:
+    """Unrolled integer Lloyd's: quantize -> (assign, floor-div update) x
+    iters -> final assign.  Floor division is spelled with a positive-mod
+    correction because DuckDB's BIGINT % follows the dividend's sign."""
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT p.vec_id, c.cid,
+                     CAST(list_sum(list_transform(range(1, {d + 1}),
+                          i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i])))
+                          AS BIGINT) AS dist
+              FROM pts p CROSS JOIN {cent} c
+            )
+          ) WHERE rn = 1
+        )"""
+
+    def update_cte(sname: str, cname: str, aname: str, prev: str) -> str:
+        return f"""
+        {sname} AS (
+          SELECT a.cid, t.i, CAST(sum(p.q[t.i]) AS BIGINT) AS s,
+                 count(*) AS cnt
+          FROM {aname} a
+          JOIN pts p USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) t
+          GROUP BY a.cid, t.i
+        ),
+        {cname} AS (
+          SELECT cid, list(v ORDER BY i) AS q FROM (
+            SELECT c.cid, t.i,
+                   coalesce(
+                     CAST((u.s - ((u.s % u.cnt) + u.cnt) % u.cnt) / u.cnt
+                          AS BIGINT),
+                     c.q[t.i]) AS v
+            FROM {prev} c
+            CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) t
+            LEFT JOIN {sname} u ON u.cid = c.cid AND u.i = t.i
+          ) GROUP BY cid
+        )"""
+
+    ctes = [f"""pts AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cid, q
+          FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k})
+        )"""]
+    for i in range(iters):
+        ctes.append(assign_cte(f"a{i}", f"c{i}"))
+        ctes.append(update_cte(f"s{i}", f"c{i + 1}", f"a{i}", f"c{i}"))
+    ctes.append(assign_cte("afinal", f"c{iters}"))
+    return (
+        "WITH " + ",".join(ctes)
+        + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster,"
+          " dist AS dist2_q FROM afinal"
+    )
+
+
 def _q_chunk_documents(sf_dir: str):
     from studiocr_ray.datapipe.pack import chunk_documents
 
@@ -1096,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "anchor_texts": _q_anchor_texts,
         "top_revenue_orders": _q_top_revenue_orders,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 
@@ -2121,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
         # integer PageRank, K unrolled damping steps over the synthetic graph
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
+        "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),
         # RAG chunker: W-token chunks, O-token overlap, step s = W-O;
         # chunks-per-doc = (greatest(n-O,1) + s-1) // s, final chunk short
         "chunk_documents": f"""

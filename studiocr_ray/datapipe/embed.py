@@ -462,3 +462,157 @@ def cosine_neardup_lsh(
         batch_format="pyarrow",
     )
     return _collect_pairs(out, empty)
+
+
+# ---------------------------------------------------------------------------
+# Distributed integer Lloyd's k-means: the cluster-scale upgrade of
+# train_ivf_centroids' driver-sample k-means.  Embeddings quantize to int64
+# micro-units (floor(x*1e6+0.5)) so assignments, per-cluster sums and the
+# floor-division centroid update are bit-reproducible at ANY batch split or
+# cluster shape — and reproducible in unrolled SQL.  Each iteration is one
+# streaming pass: centroids broadcast via ray.put (k*d*8 bytes), per-batch
+# scatter-add partials (<= k rows per batch), a tiny driver reduce.  No
+# all-to-all exchange anywhere.
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000.0
+
+
+def _quantize_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.floor(
+        _batch_matrix(batch, col) * KMEANS_SCALE + 0.5
+    ).astype(np.int64)
+
+
+def _kmeans_assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Exact int64 squared-L2 argmin; ties break to the lowest cluster id.
+
+    Decomposed as ||q||^2 + ||c||^2 - 2 q.c so the (n,k) distance matrix
+    is one int64 matmul, not an (n,k,d) broadcast temp."""
+    qq = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", cent, cent)
+    d2 = qq[:, None] + cc[None, :] - 2 * (q @ cent.T)
+    return d2, np.argmin(d2, axis=1)
+
+
+class _KMeansPartial:
+    """Per-batch partial sums for one Lloyd iteration: rows (cluster,
+    count, comp_sums list<int64>) — at most k rows per batch regardless of
+    batch size, so the driver reduce is k*num_batches rows."""
+
+    def __init__(self, cent_ref):
+        import ray
+
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k, d = self.cent.shape
+        q = _quantize_matrix(batch)
+        _, a = _kmeans_assign(q, self.cent)
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, a, q)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        present = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster": pa.array(present.astype(np.int32), pa.int32()),
+                "count": pa.array(counts[present], pa.int64()),
+                "comp_sums": pa.array(
+                    list(sums[present]), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+class _KMeansFinal:
+    def __init__(self, cent_ref):
+        import ray
+
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _quantize_matrix(batch)
+        d2, a = _kmeans_assign(q, self.cent)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int32), pa.int32()),
+                "dist2_q": pa.array(
+                    d2[np.arange(len(a)), a], pa.int64()
+                ),
+            }
+        )
+
+
+def kmeans_embeddings(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """Distributed Lloyd's k-means over an embedding column; returns the
+    final assignment Dataset ``(vec_id, cluster, dist2_q)``.
+
+    Init = the k vectors with the smallest ids (deterministic, no RNG);
+    ``iters`` assign+update rounds, then one labeling pass under the final
+    centroids.  Update is elementwise ``floor(sum/count)``; empty clusters
+    keep their previous centroid.  iters+1 streaming passes over the input,
+    zero shuffles — the only cross-node traffic is the k*d-int broadcast
+    down and <=k partial rows per batch up."""
+    import ray
+
+    def init_partial(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(ids, kind="stable")[:k]))
+
+    seed = pa.concat_tables(
+        p for p in ds.map_batches(
+            init_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    order = np.argsort(
+        seed.column(id_col).to_numpy(zero_copy_only=False), kind="stable"
+    )[:k]
+    cent = _quantize_matrix(seed.take(pa.array(order)), col)
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+        sums = np.zeros((k, d), np.int64)
+        counts = np.zeros(k, np.int64)
+        partials = ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs={"cent_ref": cref},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            # one iter batch can hold rows from several input batches, so
+            # the same cluster id may repeat — scatter-ADD, never sums[cl] +=
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            np.add.at(
+                counts, cl, b.column("count").to_numpy(zero_copy_only=False)
+            )
+            comp = (
+                b.column("comp_sums").combine_chunks()
+                if isinstance(b.column("comp_sums"), pa.ChunkedArray)
+                else b.column("comp_sums")
+            )
+            flat = comp.flatten().to_numpy(zero_copy_only=False)
+            np.add.at(sums, cl, flat.reshape(len(cl), d))
+        nonempty = counts > 0
+        cent = np.where(
+            nonempty[:, None],
+            np.floor_divide(sums, np.maximum(counts, 1)[:, None]),
+            cent,
+        )
+
+    return ds.map_batches(
+        _KMeansFinal,
+        fn_constructor_kwargs={"cent_ref": ray.put(cent)},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

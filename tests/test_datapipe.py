@@ -1543,3 +1543,53 @@ class TestTopRevenueOrders:
         # the float column is one expression over the exact int
         assert (got["revenue"] * 10000.0).round().astype("int64").tolist() \
             == got["revenue_e4"].tolist()
+
+
+class TestKMeansEmbeddings:
+    def _numpy_reference(self, sf, k=8, iters=3):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        m = (t.column("embedding").combine_chunks().flatten()
+             .to_numpy(zero_copy_only=False).astype(np.float64)
+             .reshape(len(ids), -1))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        q, ids = q[order], ids[order]
+        cent = q[:k].copy()
+
+        def assign(q, cent):
+            qq = np.einsum("ij,ij->i", q, q)
+            cc = np.einsum("ij,ij->i", cent, cent)
+            d2 = qq[:, None] + cc[None, :] - 2 * (q @ cent.T)
+            return d2, np.argmin(d2, axis=1)
+
+        for _ in range(iters):
+            _, a = assign(q, cent)
+            sums = np.zeros((k, q.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            cent = np.where((cnt > 0)[:, None],
+                            np.floor_divide(sums, np.maximum(cnt, 1)[:, None]),
+                            cent)
+        d2, a = assign(q, cent)
+        return ids, a, d2[np.arange(len(a)), a]
+
+    def test_matches_reference_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import kmeans_embeddings
+
+        sf = "/root/testdata/sf0.001"
+        ids, want_a, want_d = self._numpy_reference(sf)
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        for reps in (None, 7):
+            d = ds.repartition(reps) if reps else ds
+            got = kmeans_embeddings(d, k=8, iters=3).to_pandas() \
+                .sort_values("vec_id").reset_index(drop=True)
+            assert got["vec_id"].tolist() == list(ids)
+            assert got["cluster"].tolist() == list(want_a)
+            assert got["dist2_q"].tolist() == list(want_d)
