@@ -907,10 +907,11 @@ def _q_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _kmeans_sql(k: int, iters: int, d: int) -> str:
-    """Unrolled integer Lloyd's: quantize -> (assign, floor-div update) x
-    iters -> final assign.  Floor division is spelled with a positive-mod
-    correction because DuckDB's BIGINT % follows the dividend's sign."""
+def _kmeans_ctes(k: int, iters: int, d: int, src: str = "embeddings") -> str:
+    """Shared CTE chain for the unrolled integer Lloyd's oracle: quantize
+    -> (assign, floor-div update) x iters -> final assign (``afinal``).
+    Floor division is spelled with a positive-mod correction because
+    DuckDB's BIGINT % follows the dividend's sign."""
 
     def assign_cte(name: str, cent: str) -> str:
         return f"""
@@ -957,7 +958,7 @@ def _kmeans_sql(k: int, iters: int, d: int) -> str:
                  list_transform(embedding,
                    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
                              AS BIGINT)) AS q
-          FROM embeddings
+          FROM {src}
         ),
         c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -968,11 +969,94 @@ def _kmeans_sql(k: int, iters: int, d: int) -> str:
         ctes.append(assign_cte(f"a{i}", f"c{i}"))
         ctes.append(update_cte(f"s{i}", f"c{i + 1}", f"a{i}", f"c{i}"))
     ctes.append(assign_cte("afinal", f"c{iters}"))
+    return "WITH " + ",".join(ctes)
+
+
+def _kmeans_sql(k: int, iters: int, d: int) -> str:
     return (
-        "WITH " + ",".join(ctes)
+        _kmeans_ctes(k, iters, d)
         + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster,"
           " dist AS dist2_q FROM afinal"
     )
+
+
+def _semdedup_sql(k: int, iters: int, d: int, threshold: float) -> str:
+    """SemDedup oracle: planted near-dups (vec_id%5==0 -> id+1000000,
+    vector scaled by 0.999 in float64 — the same synthesis as
+    _q_semdedup) + k-means CTEs + within-cluster cosine prune.  The
+    cosine is the int64 dot over quantized vectors divided by float64
+    sqrt-norms — the identical single-rounding IEEE expression the engine
+    computes, so the >= threshold decision is bit-exact."""
+    kmeans = _kmeans_ctes(k, iters, d, src="emb2")
+    assert kmeans.startswith("WITH ")
+    return (
+        "WITH emb2 AS (\n"
+        "  SELECT vec_id, list_transform(embedding,\n"
+        "           e -> CAST(e AS DOUBLE)) AS embedding\n"
+        "  FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, list_transform(embedding,\n"
+        "           e -> CAST(e AS DOUBLE) * 0.999)\n"
+        "  FROM embeddings WHERE vec_id % 5 = 0\n"
+        "),"
+        + kmeans[len("WITH "):]
+        + f""",
+        labeled AS (
+          SELECT a.vec_id, a.cid, p.q,
+                 sqrt(list_dot_product(p.q, p.q)) AS nrm
+          FROM afinal a JOIN pts p USING (vec_id)
+        )
+        SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
+        FROM labeled a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM labeled b
+          WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+            AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm)
+                >= {threshold!r}
+        )"""
+    )
+
+
+SEMDEDUP_T = 0.95
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDedup over embeddings with planted near-dups: every vec_id%5==0
+    vector gains a copy at id+1000000 scaled by 0.999 (same direction —
+    cosine ~1 after quantization), so the prune has real work to do.  The
+    oracle regenerates the same rows in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.embed import semdedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        m = (emb.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(n, -1))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = ids % 5 == 0
+        allm = np.concatenate([m, m[mask] * 0.999])
+        allids = np.concatenate([ids, ids[mask] + 1000000])
+        d = m.shape[1]
+        offsets = pa.array(
+            np.arange(len(allids) + 1, dtype=np.int32) * d, pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(
+            offsets, pa.array(allm.ravel(), pa.float64())
+        )
+        return pa.table(
+            {"vec_id": pa.array(allids, pa.int64()), "embedding": lists}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return semdedup(ds, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T)
 
 
 def _q_chunk_documents(sf_dir: str):
@@ -1184,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "top_revenue_orders": _q_top_revenue_orders,
         "kmeans_embeddings": _q_kmeans,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -2210,6 +2295,9 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank, K unrolled damping steps over the synthetic graph
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
         "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),
+        "semdedup": _semdedup_sql(
+            KMEANS_K, KMEANS_ITERS, KMEANS_DIM, SEMDEDUP_T
+        ),
         # RAG chunker: W-token chunks, O-token overlap, step s = W-O;
         # chunks-per-doc = (greatest(n-O,1) + s-1) // s, final chunk short
         "chunk_documents": f"""

@@ -544,23 +544,22 @@ class _KMeansFinal:
         )
 
 
-def kmeans_embeddings(
+def kmeans_centroids(
     ds,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     col: str = "embedding",
     concurrency=(1, 8),
-):
-    """Distributed Lloyd's k-means over an embedding column; returns the
-    final assignment Dataset ``(vec_id, cluster, dist2_q)``.
+) -> np.ndarray:
+    """Train the final int64 centroid matrix (see kmeans_embeddings).
 
     Init = the k vectors with the smallest ids (deterministic, no RNG);
-    ``iters`` assign+update rounds, then one labeling pass under the final
-    centroids.  Update is elementwise ``floor(sum/count)``; empty clusters
-    keep their previous centroid.  iters+1 streaming passes over the input,
-    zero shuffles — the only cross-node traffic is the k*d-int broadcast
-    down and <=k partial rows per batch up."""
+    ``iters`` assign+update rounds.  Update is elementwise
+    ``floor(sum/count)``; empty clusters keep their previous centroid.
+    ``iters`` streaming passes over the input, zero shuffles — the only
+    cross-node traffic is the k*d-int broadcast down and <=k partial rows
+    per batch up."""
     import ray
 
     def init_partial(b: pa.Table) -> pa.Table:
@@ -609,10 +608,114 @@ def kmeans_embeddings(
             np.floor_divide(sums, np.maximum(counts, 1)[:, None]),
             cent,
         )
+    return cent
 
+
+def kmeans_embeddings(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """Distributed Lloyd's k-means over an embedding column; returns the
+    final assignment Dataset ``(vec_id, cluster, dist2_q)`` — centroid
+    training (kmeans_centroids) plus one labeling pass."""
+    import ray
+
+    cent = kmeans_centroids(
+        ds, k=k, iters=iters, id_col=id_col, col=col, concurrency=concurrency
+    )
     return ds.map_batches(
         _KMeansFinal,
         fn_constructor_kwargs={"cent_ref": ray.put(cent)},
         batch_format="pyarrow",
         concurrency=concurrency,
+    )
+
+
+class _SemdedupGroup:
+    """Within one k-means cluster: drop every vector that has a smaller-id
+    neighbor with cosine >= threshold (SemDedup keep-min-id rule).
+
+    Exactness contract with the SQL oracle: cosine is the int64 dot of the
+    quantized vectors divided by float64 sqrt-norms — every float op is a
+    single correctly-rounded IEEE step, so numpy and DuckDB produce the
+    same bits.  O(n_c^2) per cluster: SemDedup's own assumption is that k
+    is sized so clusters stay small (paper uses k ~ sqrt(N))."""
+
+    def __init__(self, threshold: float):
+        self.t = threshold
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        q = _quantize_matrix(group)
+        n = len(q)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        q, ids = q[order], ids[order]
+        dots = q @ q.T
+        norms = np.sqrt(np.einsum("ij,ij->i", q, q).astype(np.float64))
+        cos = dots.astype(np.float64) / (norms[:, None] * norms[None, :])
+        dup = np.tril(cos >= self.t, k=-1).any(axis=1)
+        keep = np.flatnonzero(~dup)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cluster": group.column("cluster").take(
+                    pa.array(order[keep])
+                ),
+            }
+        )
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning; keeps the smallest
+    id of every near-duplicate pair.  Returns the kept ``(vec_id,
+    cluster)`` Dataset.
+
+    Scale shape: the pairwise step is confined to clusters (ONE groupby
+    exchange of narrow id+vector rows); cluster size is controlled by k,
+    so no stage ever sees the corpus-wide pair matrix."""
+    import ray
+
+    cent = kmeans_centroids(
+        ds, k=k, iters=iters, id_col=id_col, col=col, concurrency=concurrency
+    )
+
+    class _Label:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _quantize_matrix(batch)
+            _, a = _kmeans_assign(q, self.cent)
+            return pa.table(
+                {
+                    "vec_id": batch.column(id_col),
+                    "cluster": pa.array(a.astype(np.int32), pa.int32()),
+                    col: batch.column(col),
+                }
+            )
+
+    cref = ray.put(cent)
+    labeled = ds.map_batches(
+        _Label, batch_format="pyarrow", concurrency=concurrency
+    )
+    pruner = _SemdedupGroup(threshold)
+
+    def prune_group(group: pa.Table) -> pa.Table:
+        return pruner(group)
+
+    return labeled.groupby("cluster").map_groups(
+        prune_group, batch_format="pyarrow"
     )

@@ -1593,3 +1593,26 @@ class TestKMeansEmbeddings:
             assert got["vec_id"].tolist() == list(ids)
             assert got["cluster"].tolist() == list(want_a)
             assert got["dist2_q"].tolist() == list(want_d)
+
+
+class TestSemDedup:
+    def test_keep_min_id_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import semdedup
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(6, 16).astype(np.float64)
+        # ids 10..15; 12 is a scaled copy of 10, 15 a scaled copy of 11 —
+        # same direction => cosine ~1; keep-min-id drops 12 and 15
+        base[2] = base[0] * 0.999
+        base[5] = base[1] * 0.999
+        rows = [
+            {"vec_id": 10 + i, "embedding": list(base[i])} for i in range(6)
+        ]
+        t = pa.Table.from_pylist(rows)
+        for reps in (1, 3):
+            ds = rd.from_arrow(t).repartition(reps)
+            got = semdedup(ds, k=2, iters=2, threshold=0.95).to_pandas()
+            kept = sorted(got["vec_id"].tolist())
+            assert kept == [10, 11, 13, 14]
