@@ -588,6 +588,16 @@ def _q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "source"])
 
 
+MIX_WEIGHTS = {"src0": 3.0, "src1": 2.5, "src2": 0.75, "src3": 0.0}
+MIX_DEFAULT_WEIGHT = 1.25
+
+
+def _q_mix_sources(sf_dir: str):
+    from studiocr_ray.datapipe.sample import mix_sources
+
+    return mix_sources(_docs(sf_dir), MIX_WEIGHTS, MIX_DEFAULT_WEIGHT)
+
+
 def _q_tfidf_topk(sf_dir: str):
     from studiocr_ray.datapipe.relational import tfidf_topk
 
@@ -1244,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "source_stats": _q_source_stats,
         "line_dedup": _q_line_dedup,
@@ -2050,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov o USING (doc_id)
         """,
         "stratified_sample": _stratified_sample_oracle(),
+        "mix_sources": _mix_sources_oracle(),
         # log-free tf-idf (score = tf * N/df — IEEE-exact both sides), top-5
         # per doc, ties broken by term asc
         "tfidf_topk": f"""
@@ -2530,4 +2542,62 @@ def _stratified_sample_oracle() -> str:
                      xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT AS hv
               FROM s3)
         SELECT doc_id, source FROM h WHERE hv < {case}
+    """
+
+
+def _mix_sources_oracle() -> str:
+    """Source-mixing oracle: the same splitmix64-in-HUGEINT hash as the
+    sample oracle; whole copies and the fractional-keep threshold are the
+    SAME precomputed integers mix_parts gives the Ray path, and the row
+    expansion is unnest(range(0, n))."""
+    from studiocr_ray.datapipe.sample import mix_parts
+
+    parts, (dbase, dthr) = mix_parts(MIX_WEIGHTS, MIX_DEFAULT_WEIGHT)
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    base_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{s}' THEN {b}::BIGINT"
+            for s, (b, _) in sorted(parts.items())
+        )
+        + f" ELSE {dbase}::BIGINT END"
+    )
+    thr_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{s}' THEN {t}::HUGEINT"
+            for s, (_, t) in sorted(parts.items())
+        )
+        + f" ELSE {dthr}::HUGEINT END"
+    )
+    return f"""
+        WITH s1 AS (SELECT doc_id, source,
+                           (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+                             % 18446744073709551616::HUGEINT AS z
+                    FROM documents),
+        s2 AS (SELECT doc_id, source,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                          13787848793156543929)} AS z
+               FROM s1),
+        s3 AS (SELECT doc_id, source,
+                      {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                          10723151780598845931)} AS z
+               FROM s2),
+        h AS (SELECT doc_id, source,
+                     xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT AS hv
+              FROM s3),
+        n AS (SELECT doc_id, source,
+                     {base_case}
+                       + CASE WHEN hv < {thr_case} THEN 1 ELSE 0 END AS cnt
+              FROM h)
+        SELECT doc_id, source, unnest(range(0, cnt)) AS copy
+        FROM n WHERE cnt > 0
     """

@@ -19,6 +19,8 @@ as a plain dict (a handful of sources — configuration, not data).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -209,3 +211,67 @@ def cluster_split(
         )
 
     return labeled.map_batches(tag, batch_format="pyarrow")
+
+
+def mix_parts(
+    weights: dict[str, float], default_weight: float
+) -> tuple[dict[str, tuple[int, int]], tuple[int, int]]:
+    """Split each mixing weight into (whole_copies, frac_threshold) with
+    ``frac_threshold = floor(frac * 2**64)`` — computed ONCE and shared
+    verbatim with the SQL oracle (cf. rate_thresholds)."""
+
+    def part(w: float) -> tuple[int, int]:
+        base = int(math.floor(w))
+        return base, min(int((w - base) * 2**64), 2**64)
+
+    return {s: part(w) for s, w in weights.items()}, part(default_weight)
+
+
+def mix_sources(
+    ds,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+):
+    """Epoch-weighted source mixing (the training-mixture resampling step):
+    a row with weight w is emitted ``floor(w)`` times, plus one more iff
+    ``splitmix64(id) < frac(w) * 2**64`` → ``(id, source, copy)`` rows with
+    copy = 0..n-1.
+
+    Like stratified_sample this is a pure function of the row — shuffle-free,
+    resumable, identical output at any cluster shape; expected output size
+    is w * strata size without any coordination.  Upsampled copies carry an
+    explicit copy index so downstream epoch shuffles can treat them as
+    distinct rows."""
+    parts, dflt = mix_parts(weights, default_weight)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        from .relational import _dict_encode
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids)
+        src = batch.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = _dict_encode(src)
+        by_code = [
+            parts.get(s, dflt) for s in d.dictionary.to_pylist()
+        ]
+        base_by_code = np.array([b for b, _ in by_code], dtype=np.int64)
+        thr_by_code = np.array(
+            [min(t, 2**64 - 1) for _, t in by_code], dtype=np.uint64
+        )
+        all_by_code = np.array([t >= 2**64 for _, t in by_code], dtype=bool)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        copies = base_by_code[idx] + (
+            (h < thr_by_code[idx]) | all_by_code[idx]
+        ).astype(np.int64)
+        total = int(copies.sum())
+        row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        starts = np.concatenate(([0], np.cumsum(copies)[:-1]))
+        copy = np.arange(total, dtype=np.int64) - np.repeat(starts, copies)
+        taken = batch.select([id_col, strat_col]).take(pa.array(row_idx))
+        return taken.append_column("copy", pa.array(copy, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

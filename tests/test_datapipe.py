@@ -1616,3 +1616,37 @@ class TestSemDedup:
             got = semdedup(ds, k=2, iters=2, threshold=0.95).to_pandas()
             kept = sorted(got["vec_id"].tolist())
             assert kept == [10, 11, 13, 14]
+
+
+class TestMixSources:
+    def test_copy_counts_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import mix_parts, mix_sources, \
+            splitmix64
+
+        rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(90)]
+        t = pa.Table.from_pylist(rows)
+        weights = {"s0": 2.0, "s1": 0.5, "s2": 0.0}
+        parts, dflt = mix_parts(weights, 1.0)
+        ids = np.arange(90, dtype=np.int64)
+        h = splitmix64(ids)
+
+        def want_copies(i):
+            base, thr = parts[f"s{i % 3}"]
+            return base + (1 if int(h[i]) < thr else 0)
+
+        expect = {i: want_copies(i) for i in range(90)}
+        for reps in (1, 4):
+            ds = rd.from_arrow(t).repartition(reps)
+            out = mix_sources(ds, weights, 1.0).to_pandas()
+            got = out.groupby("doc_id")["copy"].agg(["count", "max"])
+            for i in range(90):
+                n = expect[i]
+                if n == 0:
+                    assert i not in got.index
+                else:
+                    assert got.loc[i, "count"] == n
+                    assert got.loc[i, "max"] == n - 1
+        # s2 weight 0 drops everything from that stratum
+        assert not (out["source"] == "s2").any()
