@@ -21,6 +21,9 @@ from collections.abc import Callable
 from typing import Any
 
 SEARCH_WORDS = ["table", "window"]
+HLL_P = 12
+BLOOM_K = 2
+BLOOM_M = 1 << 18
 FUZZY_WORD = "tabl"
 ANN_NUM_QUERIES = 3
 ANN_K = 10
@@ -1199,6 +1202,60 @@ def _q_json_props(sf_dir: str):
     )
 
 
+def _q_hll_users(sf_dir: str):
+    """HyperLogLog distinct users per event type (p=12): register partials
+    per batch, ONE small register merge — raw user ids never shuffled."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sketch import hll_distinct
+
+    return hll_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id", p=HLL_P,
+    )
+
+
+def _q_bloom_blocklist(sf_dir: str):
+    """Bloom-filter blocklist drop: the probe side (docs with
+    doc_id % 17 == 0) folds to an m-bit array (never a driver set of raw
+    texts), documents whose text probably matches are dropped.  The oracle
+    reproduces the exact bit array in SQL, false positives included."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sketch import bloom_filter, build_bloom
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    def probe_rows(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 17 == 0)).select(["text"])
+
+    probe = docs.map_batches(probe_rows, batch_format="pyarrow")
+    ref = build_bloom(probe, "text", k=BLOOM_K, m_bits=BLOOM_M)
+    kept = bloom_filter(docs, ref, "text", k=BLOOM_K, m_bits=BLOOM_M)
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def _q_nb_quality(sf_dir: str):
+    """Self-trained Naive-Bayes quality classifier (the fastText-filter
+    shape): token log-odds trained on lang=='en' labels, every doc scored;
+    integer micro-nat weights make it oracle-exact."""
+    import numpy as np
+
+    from studiocr_ray.datapipe.classify import nb_quality_score
+
+    return nb_quality_score(
+        _docs(sf_dir),
+        lambda b: np.asarray(b.column("lang").to_pylist(), dtype=object) == "en",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # text analysis (SURVEY §2.9 F-series + training-data ops)
@@ -1280,6 +1337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "kmeans_embeddings": _q_kmeans,
         "semdedup": _q_semdedup,
+        # sketches + trained scoring (round-3 session additions)
+        "hll_users": _q_hll_users,
+        "bloom_blocklist": _q_bloom_blocklist,
+        "nb_quality": _q_nb_quality,
     }
 
 
@@ -2304,6 +2365,124 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # HyperLogLog registers recomputed exactly in SQL: md5-prefix hash,
+        # bin() bit lengths, HUGEINT register sums; ONE shared float
+        # expression for the estimate (linear counting / raw HLL)
+        "hll_users": f"""
+            WITH h AS (
+              SELECT event_type,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16))::UBIGINT AS hv
+              FROM events
+            ),
+            reg AS (
+              SELECT event_type,
+                     CAST(hv >> {64 - HLL_P} AS BIGINT) AS idx,
+                     MAX(CASE WHEN (hv & ((1::UBIGINT<<{64 - HLL_P})-1)) = 0
+                              THEN {64 - HLL_P + 1}
+                              ELSE {64 - HLL_P}
+                                   - length(bin(hv & ((1::UBIGINT<<{64 - HLL_P})-1)))
+                                   + 1 END) AS rho
+              FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                     count(*) AS n_registers,
+                     {1 << HLL_P} - count(*) AS zero_registers,
+                     sum((1::HUGEINT) << ({64 - HLL_P + 1} - rho))
+                     + CAST({1 << HLL_P} - count(*) AS HUGEINT)
+                       * ((1::HUGEINT)<<{64 - HLL_P + 1}) AS s
+              FROM reg GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n_registers AS BIGINT) AS n_registers,
+                   CAST(zero_registers AS BIGINT) AS zero_registers,
+                   CASE WHEN zero_registers > 0
+                        THEN {float(1 << HLL_P)} * ln({float(1 << HLL_P)}
+                             / CAST(zero_registers AS DOUBLE))
+                        ELSE 0.7213 / (1.0 + 1.079 / {float(1 << HLL_P)})
+                             * {float(1 << HLL_P)} * {float(1 << HLL_P)}
+                             * power(2.0, {float(64 - HLL_P + 1)})
+                             / CAST(s AS DOUBLE)
+                   END AS estimate
+            FROM agg
+        """,
+        # Bloom membership reproduced exactly: Kirsch-Mitzenmacher positions
+        # pos_i = (h>>32) + i*(h&0xffffffff) mod m (no uint64 wrap possible
+        # for k<=2: operands < 2^33), bit set iff ANY probe emits it
+        "bloom_blocklist": f"""
+            WITH ph AS (
+              SELECT ('0x'||substr(md5(text),1,16))::UBIGINT AS hv
+              FROM documents WHERE doc_id % 17 = 0
+            ),
+            pbits AS (
+              SELECT DISTINCT CAST(((hv >> 32) + 1*(hv & 4294967295))
+                                   % {BLOOM_M} AS BIGINT) AS bit FROM ph
+              UNION
+              SELECT DISTINCT CAST(((hv >> 32) + 2*(hv & 4294967295))
+                                   % {BLOOM_M} AS BIGINT) AS bit FROM ph
+            ),
+            cand AS (
+              SELECT doc_id, n_chars,
+                     ('0x'||substr(md5(text),1,16))::UBIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id, n_chars
+            FROM cand
+            WHERE NOT (
+              CAST(((hv >> 32) + 1*(hv & 4294967295)) % {BLOOM_M} AS BIGINT)
+                IN (SELECT bit FROM pbits)
+              AND CAST(((hv >> 32) + 2*(hv & 4294967295)) % {BLOOM_M} AS BIGINT)
+                IN (SELECT bit FROM pbits)
+            )
+        """,
+        # NB quality classifier: per-token class log-odds in integer
+        # micro-nats (the unigram-LM quantization), one shared float expr
+        "nb_quality": r"""
+            WITH tk AS (
+              SELECT doc_id, lang = 'en' AS pos,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            cnt AS (
+              SELECT tok,
+                     count(*) FILTER (pos) AS cp,
+                     count(*) FILTER (NOT pos) AS cn
+              FROM tk GROUP BY tok
+            ),
+            tot AS (
+              SELECT CAST(sum(cp) AS BIGINT) AS np,
+                     CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v
+              FROM cnt
+            ),
+            w AS (
+              SELECT tok,
+                     CAST(floor(ln(CAST(cp + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+                     - CAST(floor(ln(CAST(cn + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_u
+              FROM cnt
+            ),
+            per AS (
+              SELECT tk.doc_id, count(*) AS n_tokens,
+                     CAST(sum(w_u) AS BIGINT) AS score_u
+              FROM tk JOIN w USING (tok) GROUP BY tk.doc_id
+            ),
+            base AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(per.score_u, 0) AS BIGINT) AS score_u,
+                     CASE WHEN coalesce(per.n_tokens, 0) > 0
+                          THEN CAST(per.score_u AS DOUBLE) / per.n_tokens / 1000000.0
+                               - (ln(CAST((SELECT np FROM tot)
+                                          + (SELECT v FROM tot) AS DOUBLE))
+                                  - ln(CAST((SELECT nn FROM tot)
+                                            + (SELECT v FROM tot) AS DOUBLE)))
+                          ELSE 0.0 END AS mean_score
+              FROM documents d LEFT JOIN per USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, score_u, mean_score,
+                   CAST(mean_score > 0.0 AS BIGINT) AS pred_pos
+            FROM base
+        """,
         # integer PageRank, K unrolled damping steps over the synthetic graph
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
         "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),

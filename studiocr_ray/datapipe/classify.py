@@ -1,0 +1,175 @@
+"""Trained corpus quality classifier: Naive-Bayes token log-odds.
+
+The fastText-style quality-filter shape used by GPT-3 / CCNet-descended
+curation (Brown et al. 2020 §A; Wenzek et al. 2020): TRAIN a token model
+from a labeled subset of the corpus itself, then SCORE every document and
+keep the high scorers.  Here the model is multinomial Naive Bayes with
+add-one smoothing over lowered whitespace tokens — linear in token
+log-odds, which is exactly what a trained fastText classifier reduces to
+at inference.
+
+Exact-parity design (the ``unigram_logprob`` pattern, lm.py): per-token
+class log-counts quantize to int64 micro-nats ``floor(ln(c+1) * 1e6)``
+(``math.log`` ≡ DuckDB ``ln`` bit-for-bit), so a document's score
+``score_u = Σ_tok (lp_pos_u − lp_neg_u)`` aggregates as integers; the one
+float column is a single identically-shaped expression over those ints on
+both sides:
+
+    mean_score = score_u / n_tokens / 1e6 − (ln(Npos+V) − ln(Nneg+V))
+
+which is the true per-token NB log-odds mean (the smoothing denominators
+fold into the per-token constant).
+
+Scale shape: ONE pass builds the per-class token counts (vectorized
+dictionary+bincount partials → one vocabulary-bounded groupby — the
+word_count shape, relational.py:56-80), the count table broadcasts once
+via ``ray.put``, and scoring is a stateless actor-pool ``map_batches``.
+For open vocabularies where the count table outgrows a worker heap, the
+co-partitioned strategy of ``lm.unigram_logprob(strategy="shuffle")`` is
+the drop-in upgrade (token partials meet counts by term-hash bucket).
+
+No counterpart in the reference (its quality signal is per-page OCR
+confidence, /root/reference/StudiOCR/OcrEngine.py:146-160); this is the
+model-scoring extension SURVEY §2.10 calls for.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from .lm import _log_micronats
+from .relational import _dict_encode, _flat_tokens
+
+_SCALE = 1_000_000.0
+
+
+def class_token_counts(ds, text_col: str = "text", label_expr=None):
+    """Per-term per-class counts → Dataset ``(term, c_pos, c_neg)``.
+
+    ``label_expr(batch) -> np.ndarray[bool]`` marks positive rows.  One
+    vectorized partial per batch (composite term×class bincount), one
+    vocabulary-bounded groupby-sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "c_pos": pa.array([], pa.int64()),
+                 "c_neg": pa.array([], pa.int64())}
+            )
+        pos = np.asarray(label_expr(batch), dtype=bool)
+        d = _dict_encode(flat)
+        ndict = len(d.dictionary)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_pos = pos[doc_idx]
+        cp = np.bincount(codes[tok_pos], minlength=ndict)
+        cn = np.bincount(codes[~tok_pos], minlength=ndict)
+        return pa.table(
+            {
+                "term": d.dictionary,
+                "c_pos": pa.array(cp, pa.int64()),
+                "c_neg": pa.array(cn, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "term"
+    ).aggregate(
+        Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg")
+    )
+
+
+class _NBScorer:
+    """Actor-pool scoring stage: resolves the broadcast weight table once
+    per actor into a term→weight dict; per batch only the batch's DISTINCT
+    terms hit the dict."""
+
+    def __init__(self, weights_ref, const: float):
+        tbl = ray.get(weights_ref) if not isinstance(weights_ref, pa.Table) else weights_ref
+        self.w = dict(
+            zip(tbl.column("term").to_pylist(),
+                tbl.column("w_u").to_numpy(zero_copy_only=False).tolist())
+        )
+        self.const = const
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        flat, doc_idx = _flat_tokens(batch, "text")
+        if len(flat) == 0:
+            zeros = np.zeros(n, np.int64)
+            return self._result(ids, zeros, zeros)
+        d = _dict_encode(flat)
+        dict_w = np.array(
+            [self.w[t] for t in d.dictionary.to_pylist()], dtype=np.int64
+        )
+        tok_w = dict_w[d.indices.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        score_u = np.bincount(doc_idx, weights=tok_w, minlength=n).astype(np.int64)
+        return self._result(ids, n_tok, score_u)
+
+    def _result(self, ids, n_tok, score_u) -> pa.Table:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = (score_u.astype(np.float64) / n_tok.astype(np.float64)
+                    / _SCALE - self.const)
+        mean = np.where(n_tok > 0, mean, 0.0)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "score_u": pa.array(score_u, pa.int64()),
+                "mean_score": pa.array(mean, pa.float64()),
+                "pred_pos": pa.array((mean > 0.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def nb_quality_score(
+    ds,
+    label_expr,
+    text_col: str = "text",
+    concurrency=(1, 8),
+):
+    """Train-and-score Naive-Bayes quality classifier →
+    ``(doc_id, n_tokens, score_u, mean_score, pred_pos)``.
+
+    ``label_expr(batch) -> bool ndarray`` labels the training rows
+    (positive class).  The model trains on ``ds`` itself and scores every
+    row of ``ds`` — the self-trained corpus-filter loop.  ``score_u`` is
+    the exact integer Σ(lp_pos_u − lp_neg_u) over the document's tokens;
+    ``mean_score`` > 0 ⇔ the smoothed NB posterior favors the positive
+    class under equal priors."""
+    counts = class_token_counts(ds, text_col=text_col, label_expr=label_expr)
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+    tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"term": pa.array([], pa.string()),
+                       "c_pos": pa.array([], pa.int64()),
+                       "c_neg": pa.array([], pa.int64())})
+    )
+    cp = tbl.column("c_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = tbl.column("c_neg").to_numpy(zero_copy_only=False).astype(np.int64)
+    w_u = _log_micronats(cp + 1) - _log_micronats(cn + 1)
+    vocab = len(cp)
+    n_pos, n_neg = int(cp.sum()), int(cn.sum())
+    const = (math.log(float(n_pos + vocab)) - math.log(float(n_neg + vocab))
+             if vocab else 0.0)
+    weights = pa.table(
+        {"term": tbl.column("term"), "w_u": pa.array(w_u, pa.int64())}
+    )
+    ref = ray.put(weights)
+    return ds.map_batches(
+        _NBScorer,
+        fn_constructor_args=(ref, const),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -177,7 +177,7 @@ def unigram_logprob(
     text_col: str = "text",
     strategy: str = "broadcast",
     num_buckets: int = 64,
-    concurrency: int = 4,
+    concurrency=(1, 8),
 ):
     """Per-document unigram log-probability under the corpus's own token
     distribution → ``(doc_id, n_tokens, logprob_u, mean_logprob)``.

@@ -1,0 +1,373 @@
+"""Distributed probabilistic sketches: HyperLogLog cardinality and Bloom
+membership.
+
+The two sketch shapes a 100 TB corpus run needs constantly:
+
+- **HyperLogLog** (Flajolet et al. 2007) — distinct counts per group
+  without shuffling raw values: each batch folds into at most
+  ``groups x m`` register rows (a max-partial), ONE small all-to-all
+  merges registers, and the estimate is a per-group fold over <= m rows.
+  Exact distinct (``ds.unique`` / ``groupby.count``) moves every value
+  through the exchange; HLL moves a bounded register table.
+
+- **Bloom filter** (Bloom 1970) — set membership against a large probe
+  set without broadcasting the raw set: the probe side folds into an
+  m-bit array (OR-partials, one small word-level groupby), the bit array
+  (m/8 bytes, e.g. 32 KiB for m=2^18) is ``ray.put`` once, and the
+  filter stage tests k bit positions per row vectorized.  The classic
+  scale path for blocklists / decontamination probes whose *raw* value
+  set would not fit a worker heap.
+
+Exact-parity design (both sketches are deterministic functions of their
+input, so a SQL oracle can reproduce them bit-for-bit, false positives
+included):
+
+- the 64-bit value hash is the repo-standard md5 prefix
+  (``_stable64``), which DuckDB computes as
+  ``('0x' || substr(md5(v), 1, 16))::UBIGINT``;
+- HLL registers are integers; the register sum ``S = sum 2^(Rmax-M_j)``
+  is an exact (Python / HUGEINT) integer; the float estimate is ONE
+  identically-shaped expression over (m, V, S) on both sides;
+- Bloom bit positions use the Kirsch-Mitzenmacher double-hash
+  ``pos_i = (h_hi + i * h_lo) mod m``, reproduced in SQL with the same
+  UBIGINT arithmetic (mod-2^64 wrap included).
+
+No counterpart in the reference (its dedup is exact-key only,
+/root/reference/StudiOCR/OcrEngine.py:112-118); these are the
+training-data-pipeline extensions SURVEY §2.10 calls for.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .dedup import _flat_arr, _stable64
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hash64_strings(arr: pa.Array, cache: dict | None = None) -> np.ndarray:
+    """md5-prefix 64-bit hash per element (as string), one md5 per DISTINCT
+    value in the array (dictionary encode first)."""
+    d = pc.dictionary_encode(arr)
+    dvals = d.dictionary.to_pylist()
+    if cache is None:
+        hv = np.fromiter(
+            (_stable64(s) for s in dvals), dtype=np.uint64, count=len(dvals)
+        )
+    else:
+        out = np.empty(len(dvals), np.uint64)
+        for i, s in enumerate(dvals):
+            v = cache.get(s)
+            if v is None:
+                v = _stable64(s)
+                if len(cache) > 2_000_000:
+                    cache.clear()
+                cache[s] = v
+            out[i] = v
+        hv = out
+    return hv[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def _as_strings(col) -> pa.Array:
+    arr = _flat_arr(col)
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return arr
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact bit length per uint64 via byte-matrix unpack (no float log)."""
+    if len(w) == 0:
+        return np.zeros(0, np.int64)
+    bits = np.unpackbits(w.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    lead = np.argmax(bits, axis=1)
+    bl = 64 - lead
+    return np.where(w == 0, 0, bl).astype(np.int64)
+
+
+class _HLLPartial:
+    """Per-batch HLL register partial: (group, register idx, max rho) rows —
+    at most ``groups_in_batch x m`` rows out per batch regardless of batch
+    size.  The value→hash cache is per-actor warm state."""
+
+    def __init__(self, group_col: str, value_col: str, p: int):
+        self.group_col = group_col
+        self.value_col = value_col
+        self.p = p
+        self.q = 64 - p
+        self.m = 1 << p
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"grp": pa.array([], pa.string()),
+             "idx": pa.array([], pa.int32()),
+             "rho": pa.array([], pa.int32())}
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        grp = _as_strings(batch.column(self.group_col))
+        gd = pc.dictionary_encode(grp)
+        gcodes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ngroups = len(gd.dictionary)
+        hv = _hash64_strings(
+            _as_strings(batch.column(self.value_col)), self._cache
+        )
+        idx = (hv >> np.uint64(self.q)).astype(np.int64)
+        w = hv & np.uint64((1 << self.q) - 1)
+        rho = np.where(w == 0, self.q + 1, self.q - _bit_length_u64(w) + 1)
+        regs = np.zeros(ngroups * self.m, np.int64)
+        np.maximum.at(regs, gcodes * self.m + idx, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "grp": gd.dictionary.take(pa.array(nz // self.m)),
+                "idx": pa.array((nz % self.m).astype(np.int32), pa.int32()),
+                "rho": pa.array(regs[nz].astype(np.int32), pa.int32()),
+            }
+        )
+
+
+def _reg_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    from ..functions.arrowutil import string_buckets
+
+    gb = string_buckets(batch.column("grp"), num_buckets)
+    idx = batch.column("idx").to_numpy(zero_copy_only=False)
+    rb = ((gb.astype(np.int64) * 8191 + idx) % num_buckets).astype(np.int32)
+    return batch.append_column("rb", pa.array(rb, pa.int32()))
+
+
+def _reg_merge(group: pa.Table) -> pa.Table:
+    """One register bucket: max rho per (grp, idx) — sort + run scan."""
+    from ..functions.arrowutil import first_of_run_mask
+
+    t = group.sort_by(
+        [("grp", "ascending"), ("idx", "ascending"), ("rho", "descending")]
+    )
+    first = first_of_run_mask([t.column("grp"), t.column("idx")])
+    t = t.filter(pa.array(first))
+    from ..functions.arrowutil import string_buckets
+
+    gb = string_buckets(t.column("grp"), 1 << 16)
+    return pa.table(
+        {
+            "gb": pa.array((gb % 64).astype(np.int32), pa.int32()),
+            "grp": t.column("grp"),
+            "idx": t.column("idx"),
+            "rho": t.column("rho"),
+        }
+    )
+
+
+def _hll_estimate_expr(m: int, rmax: int, v: int, s: int) -> float:
+    """The ONE estimate expression, mirrored token-for-token in SQL:
+    linear counting while any register is empty, raw HLL otherwise."""
+    if v > 0:
+        return float(m) * math.log(float(m) / float(v))
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    return alpha * float(m) * float(m) * (2.0 ** rmax) / float(s)
+
+
+def _hll_finalize(group: pa.Table, p: int) -> pa.Table:
+    """One group-hash bucket: fold each group's <= m register rows into
+    (n_registers, zero_registers, estimate).  S is an exact Python int
+    (register terms can exceed int64; HUGEINT on the oracle side)."""
+    m = 1 << p
+    rmax = 64 - p + 1
+    t = group.sort_by([("grp", "ascending")])
+    grp = _flat_arr(t.column("grp"))
+    from ..functions.arrowutil import first_of_run_mask
+
+    first = first_of_run_mask([grp])
+    starts = np.flatnonzero(first)
+    ends = np.concatenate((starts[1:], [t.num_rows]))
+    rho = t.column("rho").to_numpy(zero_copy_only=False)
+    names, nreg, zreg, est = [], [], [], []
+    for s_i, e_i in zip(starts, ends):
+        r = rho[s_i:e_i]
+        present = len(r)
+        v = m - present
+        s_int = sum(1 << (rmax - int(x)) for x in r) + v * (1 << rmax)
+        names.append(grp[s_i].as_py())
+        nreg.append(present)
+        zreg.append(v)
+        est.append(_hll_estimate_expr(m, rmax, v, s_int))
+    return pa.table(
+        {
+            "grp": pa.array(names, pa.string()),
+            "n_registers": pa.array(nreg, pa.int64()),
+            "zero_registers": pa.array(zreg, pa.int64()),
+            "estimate": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def hll_distinct(
+    ds,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+):
+    """Approximate distinct ``value_col`` per ``group_col`` via HyperLogLog
+    with 2^p registers → ``(grp, n_registers, zero_registers, estimate)``.
+
+    Scale shape: batches fold to register partials (<= groups x 2^p rows
+    each) in an actor pool, ONE bucketed groupby merges registers
+    (max-combinable, so re-bucketing at any cluster shape gives identical
+    registers), and the per-group fold touches <= 2^p rows.  Raw values
+    never enter the exchange — the classic count-distinct at scale.
+
+    Deterministic: md5-derived hashes, integer registers, one shared float
+    expression — bit-reproducible at any batch split and oracle-exact in
+    SQL (HUGEINT register sums, ``bin()`` bit lengths)."""
+    partials = ds.map_batches(
+        _HLLPartial,
+        fn_constructor_args=(group_col, value_col, p),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = partials.map_batches(
+        _reg_bucket, fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+    ).groupby("rb").map_groups(_reg_merge, batch_format="pyarrow")
+    out = merged.groupby("gb").map_groups(
+        _hll_finalize, fn_kwargs={"p": p}, batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [group_col, "n_registers", "zero_registers", "estimate"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(hv: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h_hi + i * h_lo) mod m (uint64 wrap, then mod m — the SQL
+    twin reproduces the same wrap with UBIGINT arithmetic)."""
+    h_hi = hv >> np.uint64(32)
+    h_lo = hv & np.uint64(0xFFFFFFFF)
+    i = np.arange(1, k + 1, dtype=np.uint64)
+    pos = (h_hi[:, None] + i[None, :] * h_lo[:, None]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
+
+
+def _bloom_word_partial(batch: pa.Table, value_col: str, k: int,
+                        m_bits: int, num_buckets: int) -> pa.Table:
+    """Probe batch → nonzero 64-bit words of its bit-array partial:
+    (wb, word_idx, word) rows, at most k x rows (deduped) per batch."""
+    empty = pa.table(
+        {"wb": pa.array([], pa.int32()),
+         "word_idx": pa.array([], pa.int64()),
+         "word": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    hv = _hash64_strings(_as_strings(batch.column(value_col)))
+    pos = _bloom_positions(hv, k, m_bits).reshape(-1)
+    words = np.zeros(m_bits // 64, np.uint64)
+    np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+    nz = np.flatnonzero(words)
+    return pa.table(
+        {
+            "wb": pa.array((nz % num_buckets).astype(np.int32), pa.int32()),
+            "word_idx": pa.array(nz, pa.int64()),
+            "word": pa.array(words[nz].view(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bloom_word_merge(group: pa.Table) -> pa.Table:
+    """One word bucket: OR all partial words per word_idx (sort + reduce)."""
+    t = group.sort_by([("word_idx", "ascending")])
+    wi = t.column("word_idx").to_numpy(zero_copy_only=False)
+    w = t.column("word").to_numpy(zero_copy_only=False).view(np.uint64)
+    uniq, inv = np.unique(wi, return_inverse=True)
+    out = np.zeros(len(uniq), np.uint64)
+    np.bitwise_or.at(out, inv, w)
+    return pa.table(
+        {"word_idx": pa.array(uniq, pa.int64()),
+         "word": pa.array(out.view(np.int64), pa.int64())}
+    )
+
+
+def build_bloom(probe_ds, value_col: str, k: int = 2, m_bits: int = 1 << 18,
+                num_buckets: int = 16):
+    """Fold a probe Dataset's values into an m-bit Bloom array →
+    ``ray.ObjectRef`` of a packed ``np.uint64[m/64]`` word array.
+
+    The probe set streams through OR-partials (each batch contributes only
+    its NONZERO words), one small word-level groupby merges them, and only
+    the m/8-byte array is collected — the raw probe values never land on
+    the driver.  OR-combinable ⇒ identical bits at any batch split."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    merged = probe_ds.map_batches(
+        _bloom_word_partial,
+        fn_kwargs={"value_col": value_col, "k": k, "m_bits": m_bits,
+                   "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    ).groupby("wb").map_groups(_bloom_word_merge, batch_format="pyarrow")
+    words = np.zeros(m_bits // 64, np.uint64)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            wi = b.column("word_idx").to_numpy(zero_copy_only=False)
+            words[wi] |= b.column("word").to_numpy(zero_copy_only=False).view(np.uint64)
+    return ray.put(words)
+
+
+class _BloomTest:
+    """Actor-pool membership test: resolves the shared bit array once per
+    actor, then tests k positions per row vectorized."""
+
+    def __init__(self, words_ref, value_col: str, k: int, m_bits: int,
+                 keep_hits: bool):
+        self.words = ray.get(words_ref) if not isinstance(words_ref, np.ndarray) else words_ref
+        self.value_col = value_col
+        self.k = k
+        self.m_bits = m_bits
+        self.keep_hits = keep_hits
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hv = _hash64_strings(_as_strings(batch.column(self.value_col)),
+                             self._cache)
+        pos = _bloom_positions(hv, self.k, self.m_bits)
+        bit = (self.words[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        hit = bit.astype(bool).all(axis=1)
+        return batch.filter(pa.array(hit if self.keep_hits else ~hit))
+
+
+def bloom_filter(ds, words_ref, value_col: str, k: int = 2,
+                 m_bits: int = 1 << 18, keep_hits: bool = False,
+                 concurrency=(1, 8)):
+    """Filter ``ds`` by Bloom membership of ``value_col`` against a filter
+    built with :func:`build_bloom` (same k / m_bits).  ``keep_hits=False``
+    (default) drops probable members — the blocklist/decontamination
+    direction, where false positives only over-drop (safe); ``True`` keeps
+    them — the candidate-prefilter direction, where downstream exact
+    verification removes false positives."""
+    return ds.map_batches(
+        _BloomTest,
+        fn_constructor_args=(words_ref, value_col, k, m_bits, keep_hits),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1650,3 +1650,161 @@ class TestMixSources:
                     assert got.loc[i, "max"] == n - 1
         # s2 weight 0 drops everything from that stratum
         assert not (out["source"] == "s2").any()
+
+
+class TestSketches:
+    def test_hll_tracks_exact_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import hll_distinct
+
+        # 3 groups with known distinct counts (values repeat heavily)
+        rows = []
+        for g, n_distinct in (("a", 50), ("b", 700), ("c", 3)):
+            for i in range(n_distinct * 4):
+                rows.append({"grp": g, "val": f"{g}-{i % n_distinct}"})
+        t = pa.Table.from_pylist(rows)
+        outs = []
+        for reps in (1, 5):
+            ds = rd.from_arrow(t).repartition(reps)
+            df = (
+                hll_distinct(ds, "grp", "val", p=12)
+                .to_pandas()
+                .sort_values("grp")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        # identical registers/estimates at any batch split (max-combinable)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        est = dict(zip(outs[0]["grp"], outs[0]["estimate"]))
+        for g, n in (("a", 50), ("b", 700), ("c", 3)):
+            assert abs(est[g] - n) / n < 0.1, (g, est[g])
+
+    def test_hll_partial_register_parity(self, ray_session):
+        # the distributed register table equals a single-process fold
+        from studiocr_ray.datapipe.dedup import _stable64
+        from studiocr_ray.datapipe.sketch import _bit_length_u64, _HLLPartial
+
+        vals = [f"v{i}" for i in range(500)]
+        t = pa.table({"g": pa.array(["x"] * 500), "v": pa.array(vals)})
+        part = _HLLPartial("g", "v", 12)(t)
+        regs = dict(
+            zip(part.column("idx").to_pylist(), part.column("rho").to_pylist())
+        )
+        expect: dict[int, int] = {}
+        for v in vals:
+            h = _stable64(v)
+            idx = h >> 52
+            w = h & ((1 << 52) - 1)
+            rho = 53 if w == 0 else 52 - w.bit_length() + 1
+            expect[idx] = max(expect.get(idx, 0), rho)
+        assert regs == expect
+        # exact bit-length helper vs python int.bit_length
+        ws = np.array(
+            [0, 1, 2, 3, (1 << 52) - 1, 1 << 51, 12345678901234],
+            dtype=np.uint64,
+        )
+        got = _bit_length_u64(ws)
+        assert got.tolist() == [int(x).bit_length() for x in ws.tolist()]
+
+    def test_bloom_no_false_negatives_and_directions(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import bloom_filter, build_bloom
+
+        members = [f"member-{i}" for i in range(300)]
+        others = [f"other-{i}" for i in range(700)]
+        probe = rd.from_arrow(pa.table({"val": pa.array(members)}))
+        all_ds = rd.from_arrow(
+            pa.table({"val": pa.array(members + others)})
+        ).repartition(3)
+        ref = build_bloom(probe, "val", k=2, m_bits=1 << 18)
+        kept = bloom_filter(all_ds, ref, "val", k=2, m_bits=1 << 18,
+                            keep_hits=True).to_pandas()
+        dropped = bloom_filter(all_ds, ref, "val", k=2, m_bits=1 << 18,
+                               keep_hits=False).to_pandas()
+        hits = set(kept["val"])
+        # no false negatives: every member hits
+        assert set(members) <= hits
+        # the two directions partition the input
+        assert len(kept) + len(dropped) == 1000
+        # false-positive rate at this fill (~600/262144 bits) is tiny
+        assert len(hits - set(members)) <= 5
+
+    def test_bloom_build_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import build_bloom
+
+        t = pa.table({"val": pa.array([f"x{i}" for i in range(1000)])})
+        import ray as _ray
+
+        w1 = _ray.get(build_bloom(rd.from_arrow(t), "val"))
+        w2 = _ray.get(build_bloom(rd.from_arrow(t).repartition(7), "val"))
+        assert (w1 == w2).all()
+
+
+class TestNBQuality:
+    def test_learns_separable_tokens(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.classify import nb_quality_score
+
+        rows = []
+        for i in range(40):
+            rows.append({"doc_id": i, "lang": "en",
+                         "text": "good clean prose words"})
+        for i in range(40, 80):
+            rows.append({"doc_id": i, "lang": "xx",
+                         "text": "spam junk noise tokens"})
+        # held-out-ish rows: same tokens, opposite labels — prediction
+        # should follow the TOKENS, not the label
+        rows.append({"doc_id": 100, "lang": "xx",
+                     "text": "good clean prose words"})
+        rows.append({"doc_id": 101, "lang": "en",
+                     "text": "spam junk noise tokens"})
+        rows.append({"doc_id": 102, "lang": "en", "text": ""})
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = (
+            nb_quality_score(
+                ds,
+                lambda b: np.asarray(
+                    b.column("lang").to_pylist(), dtype=object
+                ) == "en",
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[100, "pred_pos"] == 1
+        assert got.loc[101, "pred_pos"] == 0
+        assert got.loc[102, "n_tokens"] == 0
+        assert got.loc[102, "mean_score"] == 0.0
+        assert (got.loc[:79].groupby(got.loc[:79].index < 40)["pred_pos"]
+                .mean().tolist() == [0.0, 1.0])
+
+    def test_score_integer_exactness_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.classify import nb_quality_score
+
+        rows = [
+            {"doc_id": i, "lang": "en" if i % 2 else "de",
+             "text": f"tok{i % 7} tok{i % 3} shared"}
+            for i in range(60)
+        ]
+        t = pa.Table.from_pylist(rows)
+        outs = []
+        for reps in (1, 6):
+            ds = rd.from_arrow(t).repartition(reps)
+            outs.append(
+                nb_quality_score(
+                    ds,
+                    lambda b: np.asarray(
+                        b.column("lang").to_pylist(), dtype=object
+                    ) == "en",
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
