@@ -1202,6 +1202,75 @@ def _q_json_props(sf_dir: str):
     )
 
 
+def _update_index_corpus(sf_dir: str) -> str:
+    """Cached corpus for the incremental-index query: base extraction over
+    2/3 of the documents, then an append of the remaining 1/3 (new urls)
+    plus a re-crawl of every 31st base doc (pages appended, text doubled),
+    followed by update_index — NOT a full rebuild."""
+    import pyarrow.parquet as pq
+
+    from studiocr_ray.fixtures import pages_from_documents
+    from studiocr_ray.pipelines.extract_pipeline import (
+        append_extract,
+        run_extract,
+    )
+    from studiocr_ray.pipelines.index_pipeline import update_index
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|updateindex-v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(_CACHE_ROOT, key)
+    out = os.path.join(root, "out")
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        # a partial build would re-append on retry (doubling pages) — the
+        # append makes this cache non-resumable, so restart it from scratch
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = pages_from_documents(sf_dir)
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in t.column("url").to_pylist()]
+        base_idx = [i for i, d in enumerate(doc_ids) if d % 3 != 0]
+        new_idx = [i for i, d in enumerate(doc_ids) if d % 3 == 0]
+        recrawl_idx = [
+            i for i, d in enumerate(doc_ids) if d % 3 != 0 and d % 31 == 0
+        ]
+        base_dir = os.path.join(root, "base_pages")
+        crawl2_dir = os.path.join(root, "crawl2")
+        os.makedirs(base_dir, exist_ok=True)
+        os.makedirs(crawl2_dir, exist_ok=True)
+        pq.write_table(t.take(base_idx), os.path.join(base_dir, "p.parquet"))
+        pq.write_table(
+            t.take(new_idx + recrawl_idx),
+            os.path.join(crawl2_dir, "p.parquet"),
+        )
+        run_extract(base_dir, out, num_partitions=16)
+        from studiocr_ray.pipelines.index_pipeline import run_index
+
+        run_index(out)
+        s = append_extract(crawl2_dir, out)
+        res = update_index(out, s["parts"])
+        assert res["mode"] == "incremental", res
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(out, "index")
+
+
+def _q_update_index(sf_dir: str):
+    """Incremental index refresh after an append (new docs + re-crawled
+    docs whose pages double): update_index rebuilds ONLY the url shards the
+    appended partitions map to; the oracle recomputes term df/tf over the
+    post-append corpus text in SQL."""
+    from ray.data.aggregate import Sum
+
+    from studiocr_ray.pipelines.index_pipeline import index_dataset
+
+    idx = _update_index_corpus(sf_dir)
+    return index_dataset(idx, columns=["term", "df", "tf"]).groupby(
+        "term"
+    ).aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+
+
 def _q_hll_users(sf_dir: str):
     """HyperLogLog distinct users per event type (p=12): register partials
     per batch, ONE small register merge — raw user ids never shuffled."""
@@ -1337,7 +1406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "kmeans_embeddings": _q_kmeans,
         "semdedup": _q_semdedup,
-        # sketches + trained scoring (round-3 session additions)
+        # sketches + trained scoring + incremental index (round-3 session)
+        "update_index": _q_update_index,
         "hll_users": _q_hll_users,
         "bloom_blocklist": _q_bloom_blocklist,
         "nb_quality": _q_nb_quality,
@@ -2365,6 +2435,17 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # incremental index refresh: term df/tf over the post-append corpus
+        # (every 31st non-appended doc was re-crawled, so its text doubles)
+        "update_index": f"""
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (
+              SELECT doc_id,
+                     unnest({toks.format(
+                         src="lower(CASE WHEN doc_id % 3 <> 0 AND doc_id % 31 = 0 "
+                             "THEN text || ' ' || text ELSE text END)")}) AS term
+              FROM documents
+            ) GROUP BY term
+        """,
         # HyperLogLog registers recomputed exactly in SQL: md5-prefix hash,
         # bin() bit lengths, HUGEINT register sums; ONE shared float
         # expression for the estimate (linear counting / raw HLL)

@@ -726,6 +726,7 @@ def append_extract(
         shutil.rmtree(tmp_out, ignore_errors=True)
     return {
         "parts_touched": len(results),
+        "parts": sorted(r["part"] for r in results),
         "parts_untouched": num_partitions - len(results),
         "docs_appended_to": sum(r["appended"] for r in results),
         "docs_new": sum(r["new"] for r in results),

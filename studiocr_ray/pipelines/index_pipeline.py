@@ -502,6 +502,7 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
         # index rows are (term, url-shard); a term can span shards, so the
         # row count is reported as term_rows, not distinct terms
         n_rows = sum(int(r["terms"]) for r in summaries)
+        _write_index_meta(staging, num_buckets, max_postings)
         if os.path.isdir(index_dir):
             shutil.rmtree(index_dir)
         os.replace(staging, index_dir)
@@ -512,7 +513,272 @@ def run_index(out_dir: str, index_dir: str | None = None, max_postings: int | No
             "elapsed_sec": time.perf_counter() - t0}
 
 
+_INDEX_META = "_index_meta.json"
+
+
+def _write_index_meta(d: str, num_buckets: int, max_postings: int | None) -> None:
+    """Build parameters an incremental update must reuse: term buckets and
+    the truncation limit must match or updated files would key the same
+    term differently than untouched ones."""
+    import json
+
+    with open(os.path.join(d, _INDEX_META), "w") as f:
+        json.dump({"num_buckets": num_buckets, "url_shards": URL_SHARDS,
+                   "max_postings": max_postings}, f)
+
+
+def _load_index_meta(index_dir: str) -> dict:
+    import json
+    import re
+
+    try:
+        with open(os.path.join(index_dir, _INDEX_META)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        # pre-meta index dir: recover the bucket count from the file names
+        # (bucket numbering only affects file keying; the max seen + 1 is
+        # exact unless the top buckets happened to be empty)
+        b = -1
+        for name in os.listdir(index_dir):
+            m = re.match(r"bucket-(\d+)-\d+\.parquet$", name)
+            if m:
+                b = max(b, int(m.group(1)))
+        return {"num_buckets": b + 1, "url_shards": URL_SHARDS,
+                "max_postings": None}
+
+
 def index_dataset(index_dir: str, columns: list[str] | None = None):
     import ray.data as rd
 
     return rd.read_parquet(index_dir, columns=columns)
+
+
+def _old_rows_to_partials(batch: pa.Table, ushard: int, part_set: frozenset,
+                          num_partitions: int) -> pa.Table:
+    """Merged index rows → partial-shaped rows with every posting belonging
+    to an affected extract partition REMOVED (those urls' new content
+    re-enters through the delta partials; disjointness keeps df/tf exact).
+
+    Vectorized: one crc32 per DISTINCT url in the batch decides keep/drop;
+    rows whose url lists survive intact pass through untouched (the common
+    case — appends touch few partitions); dropped urls trigger one
+    offset-arithmetic rebuild of the batch's posting lists."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {"term": pa.array([], pa.string()),
+         "ushard": pa.array([], pa.int32()),
+         "urls": pa.array([], pa.list_(pa.string())),
+         "postings": pa.array([], POSTINGS_LIST),
+         "tf": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+
+    def partial_of(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "ushard": pa.array(np.full(n, ushard, np.int32), pa.int32()),
+                "urls": t.column("urls"),
+                "postings": t.column("postings"),
+                "tf": t.column("tf"),
+            }
+        )
+
+    urls_list = batch.column("urls").combine_chunks()
+    u_flat = urls_list.flatten()
+    u_d = pc.dictionary_encode(u_flat)
+    keep_dict = np.fromiter(
+        (zlib.crc32(s.encode()) % num_partitions not in part_set
+         for s in u_d.dictionary.to_pylist()),
+        dtype=bool,
+        count=len(u_d.dictionary),
+    )
+    keep_u = keep_dict[u_d.indices.to_numpy(zero_copy_only=False)]
+    if keep_u.all():
+        return partial_of(batch)
+
+    u_off = urls_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    u_off = u_off - u_off[0]
+    # exclusive prefix of kept urls: new local index + per-row kept counts
+    pref = np.concatenate(([0], np.cumsum(keep_u)))
+    posts_list = batch.column("postings").combine_chunks()
+    p_counts = pc.list_value_length(posts_list).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    struct = posts_list.flatten()
+    rep = np.repeat(np.arange(batch.num_rows), p_counts)
+    g = u_off[rep] + struct.field("url_idx").to_numpy(zero_copy_only=False)
+    keep_p = keep_u[g]
+    new_url_idx = (pref[g] - pref[u_off[rep]]).astype(np.int32)
+    kept_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(new_url_idx[keep_p], pa.int32()),
+            struct.field("page").filter(pa.array(keep_p)),
+            struct.field("block").filter(pa.array(keep_p)),
+            struct.field("conf").filter(pa.array(keep_p)),
+        ],
+        names=["url_idx", "page", "block", "conf"],
+    )
+    # per-row kept posting counts via reduceat-free prefix diffs
+    ppref = np.concatenate(([0], np.cumsum(keep_p)))
+    p_off = np.concatenate(([0], np.cumsum(p_counts))).astype(np.int64)
+    new_tf = (ppref[p_off[1:]] - ppref[p_off[:-1]]).astype(np.int64)
+    new_ucnt = pref[u_off[1:]] - pref[u_off[:-1]]
+    new_urls = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(new_ucnt))).astype(np.int32),
+                 pa.int32()),
+        u_flat.filter(pa.array(keep_u)),
+    )
+    new_posts = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(new_tf))).astype(np.int32),
+                 pa.int32()),
+        kept_struct,
+    )
+    out = pa.table(
+        {
+            "term": batch.column("term"),
+            "ushard": pa.array(
+                np.full(batch.num_rows, ushard, np.int32), pa.int32()
+            ),
+            "urls": new_urls,
+            "postings": new_posts.cast(POSTINGS_LIST),
+            "tf": pa.array(new_tf, pa.int64()),
+        }
+    )
+    nz = new_tf > 0
+    return out if nz.all() else out.filter(pa.array(nz))
+
+
+def update_index(out_dir: str, parts: list[int],
+                 index_dir: str | None = None) -> dict:
+    """Incrementally refresh the index after ``append_extract`` touched
+    ``parts`` (its returned ``"parts"`` list) — the index-side half of the
+    reference's add-document flow (/root/reference/StudiOCR/OcrEngine.py:
+    108-110 adds pages; ListDocuments search sees them immediately).
+
+    Because extract partitions are ``crc32(url) % P`` and index files are
+    sharded by ``crc32(url) % URL_SHARDS`` with ``URL_SHARDS | P``, an
+    appended partition maps to exactly ONE url shard: only that shard's
+    ``bucket-*-SS`` files are rebuilt (old rows minus affected-url postings,
+    plus delta partials from ONLY the affected partitions), and the merge
+    is deterministic, so the result is file-identical to a full
+    ``run_index`` — at the cost of |affected shards|/URL_SHARDS of the
+    index plus the delta, not the whole corpus.  Untouched files carry over
+    as hard links into a staged dir swapped atomically (same crash contract
+    as run_index).  Falls back to a full rebuild when URL_SHARDS does not
+    divide P or the index predates sharded meta."""
+    import functools
+    import shutil
+    import time
+
+    import ray.data as rd
+
+    from ..state.manifest import load_meta
+    from .extract_pipeline import part_dir
+
+    t0 = time.perf_counter()
+    index_dir = index_dir or os.path.join(out_dir, "index")
+    meta = load_meta(out_dir)
+    if not meta:
+        raise ValueError(f"{out_dir} has no _meta.json — run run_extract first")
+    num_partitions = int(meta["num_partitions"])
+    imeta = _load_index_meta(index_dir) if os.path.isdir(index_dir) else {}
+    num_buckets = int(imeta.get("num_buckets") or 0)
+    if (
+        not os.path.isdir(index_dir)
+        or num_buckets <= 0
+        or num_partitions % URL_SHARDS != 0
+        or imeta.get("url_shards") != URL_SHARDS
+    ):
+        res = run_index(out_dir, index_dir=index_dir,
+                        max_postings=imeta.get("max_postings"))
+        res["mode"] = "full_rebuild"
+        return res
+
+    part_set = frozenset(int(p) for p in parts)
+    if not part_set:
+        return {"index_dir": index_dir, "mode": "noop", "files_rebuilt": 0,
+                "elapsed_sec": time.perf_counter() - t0}
+    shards = sorted({p % URL_SHARDS for p in part_set})
+    max_postings = imeta.get("max_postings")
+
+    old_files = [
+        n for n in sorted(os.listdir(index_dir))
+        if n.startswith("bucket-") and n.endswith(".parquet")
+    ]
+    affected = [
+        n for n in old_files
+        if int(n[:-8].rsplit("-", 1)[1]) in shards
+    ]
+
+    staging = f"{index_dir}.update-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    try:
+        partial_sets = []
+        for s in shards:
+            files = [os.path.join(index_dir, n) for n in affected
+                     if int(n[:-8].rsplit("-", 1)[1]) == s]
+            if files:
+                partial_sets.append(
+                    rd.read_parquet(files).map_batches(
+                        _old_rows_to_partials,
+                        fn_kwargs={"ushard": s, "part_set": part_set,
+                                   "num_partitions": num_partitions},
+                        batch_format="pyarrow",
+                    ).map_batches(
+                        _add_term_bucket,
+                        fn_kwargs={"num_buckets": num_buckets},
+                        batch_format="pyarrow",
+                    )
+                )
+        # read_parquet with an explicit path list wants files, not dirs
+        delta_files = [
+            os.path.join(d, f)
+            for p in sorted(part_set)
+            if os.path.isdir(d := part_dir(out_dir, p))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        if delta_files:
+            delta = rd.read_parquet(
+                delta_files,
+                columns=["url", "extracted_text", "layout_pages", "pages"],
+            )
+            partial_sets.append(_bucketed_partials(delta, num_buckets))
+        if not partial_sets:
+            return {"index_dir": index_dir, "mode": "noop",
+                    "files_rebuilt": 0,
+                    "elapsed_sec": time.perf_counter() - t0}
+        partials = partial_sets[0]
+        for extra in partial_sets[1:]:
+            partials = partials.union(extra)
+        write_fn = functools.partial(
+            _merge_write_bucket_group, staging_dir=staging,
+            max_postings=max_postings,
+        )
+        summaries = partials.groupby(["bucket", "ushard"]).map_groups(
+            write_fn, batch_format="pyarrow"
+        ).take_all()
+        # untouched shards carry over as hard links; the swap is the same
+        # rmtree+replace as run_index
+        for n in old_files:
+            if n not in affected:
+                os.link(os.path.join(index_dir, n), os.path.join(staging, n))
+        _write_index_meta(staging, num_buckets, max_postings)
+        shutil.rmtree(index_dir)
+        os.replace(staging, index_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "index_dir": index_dir,
+        "mode": "incremental",
+        "shards": shards,
+        "files_rebuilt": len(summaries),
+        "files_linked": len(old_files) - len(affected),
+        "elapsed_sec": time.perf_counter() - t0,
+    }

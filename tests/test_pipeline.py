@@ -471,3 +471,119 @@ class TestDedupModes:
         db = _sorted_pdf(docs_dataset(b), ["url"])
         pd.testing.assert_frame_equal(da, db)
         assert corpus_metrics(a)["blocks"] == corpus_metrics(b)["blocks"]
+
+
+class TestUpdateIndex:
+    def test_incremental_equals_full_rebuild(
+        self, ray_session, pages_dir, pages_table, tmp_path
+    ):
+        """update_index after an append must be file-identical to a full
+        run_index of the post-append corpus: the appended partitions map to
+        one url shard (8 | P), only that shard's files rebuild, and the
+        deterministic merge makes the rebuilt files byte-comparable."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.pipelines.extract_pipeline import (
+            append_extract,
+            run_extract,
+        )
+        from studiocr_ray.pipelines.index_pipeline import (
+            index_dataset,
+            run_index,
+            update_index,
+        )
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=8)
+        run_index(out)
+        idx = os.path.join(out, "index")
+        files_before = {
+            n: os.path.getmtime(os.path.join(idx, n))
+            for n in os.listdir(idx)
+            if n.endswith(".parquet")
+        }
+
+        rows, seen = [], set()
+        for r in pages_table.to_pylist():
+            if r["url"] not in seen and len(seen) < 2:
+                seen.add(r["url"])
+                rows.append(r)
+        rows.append({**rows[0], "url": "https://appended.example/new"})
+        crawl2 = str(tmp_path / "crawl2")
+        os.makedirs(crawl2)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pages_table.schema),
+            os.path.join(crawl2, "p.parquet"),
+        )
+        s = append_extract(crawl2, out)
+        res = update_index(out, s["parts"])
+        assert res["mode"] == "incremental"
+        assert res["files_rebuilt"] >= 1
+
+        # untouched shards carried over (hard links preserve mtime)
+        shards = set(res["shards"])
+        for n, mt in files_before.items():
+            if int(n[:-8].rsplit("-", 1)[1]) not in shards:
+                assert os.path.getmtime(os.path.join(idx, n)) == mt, n
+
+        # full rebuild on a copy of the corpus → identical index content
+        idx_full = str(tmp_path / "index_full")
+        run_index(out, index_dir=idx_full)
+
+        def canon(d):
+            df = index_dataset(d).to_pandas()
+            df["urls"] = df["urls"].map(tuple)
+            df["postings"] = df["postings"].map(
+                lambda ps: tuple(sorted(
+                    (p["url_idx"], p["page"], p["block"], p["conf"])
+                    for p in ps
+                ))
+            )
+            return df.sort_values(["term", "urls"]).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(idx), canon(idx_full))
+
+        # the incrementally-updated index actually serves the new doc
+        from studiocr_ray.search import search_corpus_indexed
+
+        new_doc = [
+            r for r in docs_dataset(out).take_all()
+            if r["url"] == "https://appended.example/new"
+        ][0]
+        probe_tok = new_doc["extracted_text"].split()[0].lower()
+        hits = {
+            r["url"]
+            for r in search_corpus_indexed(idx, probe_tok).take_all()
+        }
+        assert "https://appended.example/new" in hits
+
+    def test_update_index_noop_and_full_fallback(
+        self, ray_session, pages_dir, tmp_path
+    ):
+        import os
+
+        from studiocr_ray.pipelines.extract_pipeline import run_extract
+        from studiocr_ray.pipelines.index_pipeline import (
+            run_index,
+            update_index,
+        )
+
+        # P not a multiple of URL_SHARDS → documented full-rebuild fallback
+        out = str(tmp_path / "out12")
+        run_extract(pages_dir, out, num_partitions=12)
+        run_index(out)
+        res = update_index(out, [3])
+        assert res["mode"] == "full_rebuild"
+
+        out8 = str(tmp_path / "out8")
+        run_extract(pages_dir, out8, num_partitions=8)
+        run_index(out8)
+        assert update_index(out8, [])["mode"] == "noop"
+        # missing index dir → builds from scratch
+        idx2 = str(tmp_path / "fresh_index")
+        res = update_index(out8, [1], index_dir=idx2)
+        assert res["mode"] == "full_rebuild"
+        assert os.path.isdir(idx2)
