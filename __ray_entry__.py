@@ -24,6 +24,9 @@ SEARCH_WORDS = ["table", "window"]
 HLL_P = 12
 BLOOM_K = 2
 BLOOM_M = 1 << 18
+CM_DEPTH = 4
+CM_WIDTH = 1 << 10  # small width so collisions are exercised (and oracled)
+CM_PROBES = ["table", "window", "corn", "zyzzyva-absent"]
 FUZZY_WORD = "tabl"
 ANN_NUM_QUERIES = 3
 ANN_K = 10
@@ -627,6 +630,14 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(
         _docs(sf_dir), words_per_line=LINE_WORDS, max_count=LINE_MAX
     )
+
+
+def _q_line_dedup_within(sf_dir: str):
+    """Within-document repeated-line removal (first occurrence wins):
+    shuffle-free, a document never leaves its batch."""
+    from studiocr_ray.datapipe.lines import dedup_lines_within_doc
+
+    return dedup_lines_within_doc(_docs(sf_dir), words_per_line=LINE_WORDS)
 
 
 def _q_pii_scrub(sf_dir: str):
@@ -1311,6 +1322,21 @@ def _q_bloom_blocklist(sf_dir: str):
     )
 
 
+def _q_cm_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed probe list: the
+    sketch builds from sum-combinable cell partials (one small groupby —
+    raw tokens never shuffle); estimates read only the probed cells.  The
+    oracle recomputes every cell sum in SQL, collisions included."""
+    from studiocr_ray.datapipe.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    sketch = count_min_build(_docs(sf_dir), depth=CM_DEPTH, width=CM_WIDTH)
+    return count_min_estimate(sketch, CM_PROBES, depth=CM_DEPTH,
+                              width=CM_WIDTH)
+
+
 def _q_nb_quality(sf_dir: str):
     """Self-trained Naive-Bayes quality classifier (the fastText-filter
     shape): token log-odds trained on lang=='en' labels, every doc scored;
@@ -1384,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "source_stats": _q_source_stats,
         "line_dedup": _q_line_dedup,
+        "line_dedup_within": _q_line_dedup_within,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
@@ -1410,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_index": _q_update_index,
         "hll_users": _q_hll_users,
         "bloom_blocklist": _q_bloom_blocklist,
+        "cm_counts": _q_cm_counts,
         "nb_quality": _q_nb_quality,
     }
 
@@ -2250,6 +2278,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
         """,
+        # within-doc repeated-line removal: first occurrence per
+        # (doc, line) wins, original line order preserved
+        "line_dedup_within": f"""
+            WITH toks AS (
+              SELECT doc_id, {toks.format(src='text')} AS tk FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+                     array_to_string(
+                       tk[(i*{LINE_WORDS}+1):(i*{LINE_WORDS}+{LINE_WORDS})],
+                       ' ') AS line
+              FROM toks,
+                   UNNEST(range(CAST(ceil(len(tk)/{LINE_WORDS}.0) AS BIGINT)))
+                     AS t(i)
+            ),
+            ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                                        ORDER BY line_no) AS rn
+              FROM lines
+            ),
+            kept AS (SELECT doc_id, line_no, line FROM ranked WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.line_no),
+                            '') AS text,
+                   CAST(count(k.line) AS BIGINT) AS n_lines_kept
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
+        """,
         # pii scrub over doc_id-injected PII; counts measured per class on
         # the text as it stands at that replacement step (see datapipe/pii.py)
         "pii_scrub": """
@@ -2486,6 +2543,42 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(s AS DOUBLE)
                    END AS estimate
             FROM agg
+        """,
+        # Count-Min cells recomputed exactly: same md5 hash, same
+        # (h_hi + i*h_lo) mod W positions (no wrap possible: operands <
+        # 5*2^32), min over depth rows — collisions included
+        "cm_counts": f"""
+            WITH tk AS (
+              SELECT unnest({toks.format(src='lower(text)')}) AS tok
+              FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            h AS (
+              SELECT c, ('0x'||substr(md5(tok),1,16))::UBIGINT AS hv FROM cnt
+            ),
+            cells AS (
+              SELECT i,
+                     CAST(((hv >> 32) + (i + 1) * (hv & 4294967295))
+                          % {CM_WIDTH} AS BIGINT) AS cell,
+                     sum(c) AS s
+              FROM h, UNNEST(generate_series(0, {CM_DEPTH - 1})) AS g(i)
+              GROUP BY 1, 2
+            ),
+            probes(term) AS (VALUES {", ".join(f"('{p}')" for p in CM_PROBES)}),
+            ph AS (
+              SELECT term,
+                     ('0x'||substr(md5(term),1,16))::UBIGINT AS hv
+              FROM probes
+            ),
+            pcells AS (
+              SELECT term, i,
+                     CAST(((hv >> 32) + (i + 1) * (hv & 4294967295))
+                          % {CM_WIDTH} AS BIGINT) AS cell
+              FROM ph, UNNEST(generate_series(0, {CM_DEPTH - 1})) AS g(i)
+            )
+            SELECT term, CAST(min(coalesce(s, 0)) AS BIGINT) AS est
+            FROM pcells LEFT JOIN cells USING (i, cell)
+            GROUP BY term
         """,
         # Bloom membership reproduced exactly: Kirsch-Mitzenmacher positions
         # pos_i = (h>>32) + i*(h&0xffffffff) mod m (no uint64 wrap possible

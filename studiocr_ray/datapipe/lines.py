@@ -205,3 +205,54 @@ def line_dedup(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def dedup_lines_within_doc(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int | None = None,
+):
+    """Keep only the FIRST occurrence of each distinct line WITHIN every
+    document → ``(id_col, text, n_lines_kept)`` — the intra-document half
+    of repetition trimming (Gopher/Rae et al. 2021 repetition filters
+    measure it; this op removes it).  Complements :func:`line_dedup`,
+    which strips corpus-frequent lines across documents.
+
+    Shuffle-free: a document's lines never leave its batch, so the pass is
+    one stateless ``map_batches`` — a pure function of the row, identical
+    at any cluster shape.  Vectorized: one dictionary encode per batch +
+    one ``np.unique`` over composite (doc, line) keys finds every first
+    occurrence; the survivors rebuild with the same list-offset join as
+    the corpus-level drop pass."""
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        line_str, nl = _line_parts(batch, text_col, words_per_line)
+        d = pc.dictionary_encode(line_str)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndict = max(len(d.dictionary), 1)
+        doc_idx = np.repeat(np.arange(len(nl)), nl)
+        key = doc_idx * ndict + codes
+        _, first_pos = np.unique(key, return_index=True)
+        keep_np = np.zeros(len(codes), dtype=bool)
+        keep_np[first_pos] = True
+        line_end = np.cumsum(nl)
+        cs = np.zeros(len(codes) + 1, np.int64)
+        np.cumsum(keep_np, out=cs[1:])
+        kept_per_doc = cs[line_end] - cs[line_end - nl]
+        offsets = np.zeros(len(nl) + 1, np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        doc_lines = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), line_str.filter(pa.array(keep_np))
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text": pc.binary_join(doc_lines, "\n"),
+                "n_lines_kept": pa.array(kept_per_doc, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(drop_dups, batch_format="pyarrow")

@@ -371,3 +371,103 @@ def bloom_filter(ds, words_ref, value_col: str, k: int = 2,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_partial(batch: pa.Table, text_col: str, depth: int, width: int,
+                num_buckets: int) -> pa.Table:
+    """Token batch → per-cell count partials (cellkey = i*width + cell, c):
+    one md5 per DISTINCT token, depth positions per token, at most
+    depth x distinct-tokens rows out per batch.  Sum-combinable, so the
+    ONE cell groupby reproduces the exact sketch at any batch split."""
+    import numpy as np
+
+    from .relational import _dict_encode, _flat_tokens
+
+    empty = pa.table(
+        {"cb": pa.array([], pa.int32()),
+         "cellkey": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())}
+    )
+    flat, _ = _flat_tokens(batch, text_col)
+    if len(flat) == 0:
+        return empty
+    d = _dict_encode(flat)
+    counts = np.bincount(
+        d.indices.to_numpy(zero_copy_only=False), minlength=len(d.dictionary)
+    ).astype(np.int64)
+    hv = np.fromiter(
+        (_stable64(t) for t in d.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(d.dictionary),
+    )
+    pos = _bloom_positions(hv, depth, width)  # (ndistinct, depth)
+    rows = np.arange(depth, dtype=np.int64)[None, :] * width + pos
+    cellkey = rows.reshape(-1)
+    c = np.repeat(counts, depth)
+    # combine within the batch (tokens can collide into one cell)
+    uniq, inv = np.unique(cellkey, return_inverse=True)
+    csum = np.zeros(len(uniq), np.int64)
+    np.add.at(csum, inv, c)
+    return pa.table(
+        {
+            "cb": pa.array((uniq % num_buckets).astype(np.int32), pa.int32()),
+            "cellkey": pa.array(uniq, pa.int64()),
+            "c": pa.array(csum, pa.int64()),
+        }
+    )
+
+
+def count_min_build(ds, text_col: str = "text", depth: int = 4,
+                    width: int = 1 << 16, num_buckets: int = 32):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the corpus token
+    frequencies → Dataset ``(cellkey, c)``, cellkey = row*width + cell.
+
+    Scale shape: counters are SUMS, so per-batch partials (bounded by
+    depth x distinct tokens) meet in one bucketed groupby over at most
+    depth x width cells — raw tokens never shuffle, and the sketch is
+    identical at any batch split or cluster shape."""
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(
+        _cm_partial,
+        fn_kwargs={"text_col": text_col, "depth": depth, "width": width,
+                   "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    ).groupby("cellkey").aggregate(Sum("c", alias_name="c"))
+
+
+def count_min_estimate(sketch_ds, probes: list[str], depth: int = 4,
+                       width: int = 1 << 16) -> pa.Table:
+    """Point-frequency estimates for ``probes`` from a built sketch →
+    ``(term, est)`` with ``est = min_i cells[i][pos_i(term)]`` (>= true
+    count; equality unless a collision inflates every row).
+
+    Only the depth x len(probes) needed cells are collected — the sketch
+    Dataset itself is filtered, never materialized to the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    hv = np.fromiter(
+        (_stable64(t) for t in probes), dtype=np.uint64, count=len(probes)
+    )
+    pos = _bloom_positions(hv, depth, width)
+    keys = (np.arange(depth, dtype=np.int64)[None, :] * width + pos)
+    need = pa.array(np.unique(keys.reshape(-1)))
+    got = {}
+    filtered = sketch_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("cellkey"), value_set=need)),
+        batch_format="pyarrow",
+    )
+    for b in filtered.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column("cellkey").to_pylist(),
+                        b.column("c").to_pylist()):
+            got[k] = v
+    est = [int(min(got.get(int(k), 0) for k in keys[i])) for i in range(len(probes))]
+    return pa.table(
+        {"term": pa.array(probes, pa.string()),
+         "est": pa.array(est, pa.int64())}
+    )

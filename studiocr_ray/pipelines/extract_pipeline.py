@@ -902,3 +902,15 @@ def corpus_metrics(out_dir: str) -> dict:
         # (dropped before the metrics point) or dedup=False.
         "duplicates": sum(m["metrics"].get("duplicates", 0) for m in ms),
     }
+
+
+def export_corpus_jsonl(out_dir: str, dest_dir: str) -> str:
+    """Export the extracted corpus as JSONL shards — the
+    training-consumption format most LLM data loaders read directly.
+
+    Streams ``docs_dataset`` (derived columns only, no nested payload)
+    through Ray's distributed JSON writer: one shard per block, no driver
+    materialization.  The inverse of the JSONL pages source
+    (sources/pages.py ``file_format="jsonl"``)."""
+    docs_dataset(out_dir).write_json(dest_dir)
+    return dest_dir

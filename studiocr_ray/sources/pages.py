@@ -64,15 +64,33 @@ def read_pages(
     input_path: str,
     quarantine_dir: str | None = None,
     override_num_blocks: int | None = None,
+    file_format: str | None = None,
 ):
     """Validated pages dataset. Malformed rows are written to
     ``quarantine_dir`` (one parquet per offending batch, keyed by
     task/batch uuid — append-only, never read back by the pipeline) and
-    dropped from the returned stream."""
+    dropped from the returned stream.
+
+    ``file_format``: "parquet" (default; columns prune AT the read — the
+    scale path), "jsonl" or "csv" (row formats: whole rows parse, then
+    ``conform_pages`` casts to the canonical schema and prunes).  Detected
+    from file extensions when not given."""
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
-    ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS, **kw)
+    fmt = file_format or detect_format(input_path)
+    if fmt == "parquet":
+        ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS, **kw)
+    elif fmt == "jsonl":
+        ds = rd.read_json(input_path, **kw).map_batches(
+            conform_pages, batch_format="pyarrow"
+        )
+    elif fmt == "csv":
+        ds = rd.read_csv(input_path, **kw).map_batches(
+            conform_pages, batch_format="pyarrow"
+        )
+    else:
+        raise ValueError(f"unknown pages format: {fmt!r}")
 
     if quarantine_dir is None:
         return ds.map_batches(
@@ -96,3 +114,60 @@ def read_pages(
         return good
 
     return ds.map_batches(validate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format input (JSONL / CSV crawls) + JSONL corpus export
+# ---------------------------------------------------------------------------
+
+_FORMAT_EXTS = {
+    ".parquet": "parquet",
+    ".jsonl": "jsonl",
+    ".json": "jsonl",
+    ".csv": "csv",
+}
+
+
+def detect_format(input_path: str) -> str:
+    """File format of a pages_in directory/file by extension (majority
+    wins; parquet when ambiguous).  Parquet is the scale path — columnar
+    pruning at the read; JSONL/CSV parse whole rows and prune after."""
+    paths = []
+    if os.path.isdir(input_path):
+        for root, _, files in os.walk(input_path):
+            paths += [f for f in files if not f.startswith((".", "_"))]
+    else:
+        paths = [input_path]
+    counts: dict[str, int] = {}
+    for p in paths:
+        ext = os.path.splitext(p)[1].lower()
+        fmt = _FORMAT_EXTS.get(ext)
+        if fmt:
+            counts[fmt] = counts.get(fmt, 0) + 1
+    if not counts:
+        return "parquet"
+    return max(counts, key=lambda k: (counts[k], k == "parquet"))
+
+
+def conform_pages(batch: pa.Table) -> pa.Table:
+    """Row-format batch (JSONL/CSV parse output) → the canonical pages
+    schema: url string, warc_ts timestamp[us] (ISO strings accepted, 'T'
+    or space separator), html binary (utf-8 strings accepted), lang
+    string.  Missing lang becomes null (the extractor treats it as
+    unknown)."""
+    n = batch.num_rows
+    cols = {}
+    cols["url"] = pc.cast(batch.column("url"), pa.string())
+    ts = batch.column("warc_ts")
+    if pa.types.is_timestamp(ts.type):
+        cols["warc_ts"] = pc.cast(ts, pa.timestamp("us"))
+    else:
+        s = pc.replace_substring(pc.cast(ts, pa.string()), "T", " ")
+        cols["warc_ts"] = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us")
+    # utf-8 string html casts to its bytes; binary passes through
+    cols["html"] = pc.cast(batch.column("html"), pa.binary())
+    if "lang" in batch.column_names:
+        cols["lang"] = pc.cast(batch.column("lang"), pa.string())
+    else:
+        cols["lang"] = pa.nulls(n, pa.string())
+    return pa.table(cols)

@@ -1808,3 +1808,62 @@ class TestNBQuality:
                 .reset_index(drop=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestCountMin:
+    def test_estimates_upper_bound_truth_and_partition_invariant(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        rows = []
+        for i in range(200):
+            rows.append(
+                {"doc_id": i,
+                 "text": f"alpha beta w{i % 40}" + (" hot" if i % 2 else "")}
+            )
+        t = pa.Table.from_pylist(rows)
+        probes = ["alpha", "hot", "w7", "never-seen"]
+        truth = {"alpha": 200, "hot": 100, "w7": 5, "never-seen": 0}
+        outs = []
+        for reps in (1, 6):
+            sketch = count_min_build(
+                rd.from_arrow(t).repartition(reps), width=1 << 14
+            )
+            df = count_min_estimate(
+                sketch, probes, width=1 << 14
+            ).to_pandas().set_index("term")["est"]
+            outs.append(df)
+            for p in probes:
+                assert df[p] >= truth[p], p  # CM never under-counts
+        pd.testing.assert_series_equal(outs[0], outs[1])
+        # at this width/vocab, collisions are overwhelmingly unlikely
+        assert sum(outs[0][p] - truth[p] for p in probes) == 0
+
+
+class TestLineDedupWithinDoc:
+    def test_first_occurrence_wins_order_preserved(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lines import dedup_lines_within_doc
+
+        rows = [
+            {"doc_id": 1, "text": "a\nb\na\nc\nb\nd"},
+            {"doc_id": 2, "text": "x\nx\nx"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "unique\nlines\nonly"},
+        ]
+        for reps in (1, 2):
+            ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(reps)
+            got = dedup_lines_within_doc(ds).to_pandas().set_index("doc_id")
+            assert got.loc[1, "text"] == "a\nb\nc\nd"
+            assert got.loc[1, "n_lines_kept"] == 4
+            assert got.loc[2, "text"] == "x"
+            assert got.loc[3, "text"] == ""
+            assert got.loc[3, "n_lines_kept"] == 0
+            assert got.loc[4, "text"] == "unique\nlines\nonly"

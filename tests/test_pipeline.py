@@ -587,3 +587,87 @@ class TestUpdateIndex:
         res = update_index(out8, [1], index_dir=idx2)
         assert res["mode"] == "full_rebuild"
         assert os.path.isdir(idx2)
+
+
+class TestSourceFormats:
+    def test_jsonl_and_csv_inputs_match_parquet(
+        self, ray_session, pages_dir, pages_table, tmp_path
+    ):
+        """The same crawl via JSONL or CSV pages_in extracts byte-identical
+        text to the parquet path (conform_pages casts the row formats to
+        the canonical schema)."""
+        import json
+        import os
+
+        from studiocr_ray.pipelines.extract_pipeline import run_extract
+
+        rows = pages_table.to_pylist()[:40]
+
+        jl_dir = str(tmp_path / "in_jsonl")
+        os.makedirs(jl_dir)
+        with open(os.path.join(jl_dir, "pages.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({
+                    "url": r["url"],
+                    "warc_ts": r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                    "html": r["html"].decode("utf-8"),
+                    "lang": r["lang"],
+                }) + "\n")
+
+        csv_dir = str(tmp_path / "in_csv")
+        os.makedirs(csv_dir)
+        import csv as csv_mod
+
+        with open(os.path.join(csv_dir, "pages.csv"), "w", newline="") as f:
+            wr = csv_mod.writer(f)
+            wr.writerow(["url", "warc_ts", "html", "lang"])
+            for r in rows:
+                wr.writerow([
+                    r["url"],
+                    r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    r["html"].decode("utf-8"),
+                    r["lang"],
+                ])
+
+        pq_dir = str(tmp_path / "in_pq")
+        os.makedirs(pq_dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pages_table.schema),
+            os.path.join(pq_dir, "p.parquet"),
+        )
+
+        texts = {}
+        for name, d in (("pq", pq_dir), ("jsonl", jl_dir), ("csv", csv_dir)):
+            out = str(tmp_path / f"out_{name}")
+            run_extract(d, out, num_partitions=4)
+            texts[name] = {
+                r["url"]: r["extracted_text"]
+                for r in docs_dataset(out).take_all()
+            }
+        assert texts["jsonl"] == texts["pq"]
+        assert texts["csv"] == texts["pq"]
+
+    def test_jsonl_export_roundtrip(self, ray_session, pages_dir, tmp_path):
+        import ray.data as rd
+
+        from studiocr_ray.pipelines.extract_pipeline import (
+            export_corpus_jsonl,
+            run_extract,
+        )
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=8)
+        dest = str(tmp_path / "corpus_jsonl")
+        export_corpus_jsonl(out, dest)
+        back = {
+            r["url"]: r["extracted_text"]
+            for r in rd.read_json(dest).take_all()
+        }
+        want = {
+            r["url"]: r["extracted_text"]
+            for r in docs_dataset(out).take_all()
+        }
+        assert back == want
