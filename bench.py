@@ -180,6 +180,40 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["unigram_logprob"] = time.perf_counter() - t0
 
+    # trained NB classifier over the extracted corpus (train + score = two
+    # token passes; label is a cheap deterministic split)
+    from studiocr_ray.datapipe.classify import nb_quality_score
+
+    def label(b: pa.Table):
+        import pyarrow.compute as pc2
+
+        ln = pc2.binary_length(
+            pc2.cast(b.column("doc_id"), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        return ln % 2 == 0
+
+    t0 = time.perf_counter()
+    nb_quality_score(corpus(), label).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["nb_quality"] = time.perf_counter() - t0
+
+    # HLL distinct-doc count over the corpus (raw-HLL regime: docs >> 2^p)
+    from studiocr_ray.datapipe.sketch import hll_distinct
+
+    def with_group(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(["all"] * b.num_rows, pa.string())
+        )
+
+    t0 = time.perf_counter()
+    hll_distinct(
+        corpus().map_batches(with_group, batch_format="pyarrow"),
+        "g", "doc_id",
+    ).materialize()
+    timings["hll_distinct"] = time.perf_counter() - t0
+
     # integer PageRank on a synthetic graph the size of the corpus
     n_nodes = max(summary["docs"], 1)
 

@@ -671,3 +671,67 @@ class TestSourceFormats:
             for r in docs_dataset(out).take_all()
         }
         assert back == want
+
+
+class TestUpdateIndexAfterDelete:
+    def test_delete_then_update_equals_full_rebuild(
+        self, ray_session, pages_dir, tmp_path
+    ):
+        """update_index composes with delete_docs: the shard rebuild drops
+        the deleted urls' old postings and the delta re-read of the
+        partition no longer contains them — no tombstones needed."""
+        import os
+
+        from studiocr_ray.pipelines.extract_pipeline import (
+            delete_docs,
+            run_extract,
+        )
+        from studiocr_ray.pipelines.index_pipeline import (
+            index_dataset,
+            run_index,
+            update_index,
+        )
+        from studiocr_ray.search import search_corpus_indexed
+        from studiocr_ray.stages.extract import url_part
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=8)
+        run_index(out)
+        idx = os.path.join(out, "index")
+
+        victims = sorted(
+            r["url"] for r in docs_dataset(out).take_all()
+        )[:3]
+        victim_doc = [
+            r for r in docs_dataset(out).take_all() if r["url"] == victims[0]
+        ][0]
+        probe_tok = victim_doc["extracted_text"].split()[0].lower()
+        assert victims[0] in {
+            r["url"] for r in search_corpus_indexed(idx, probe_tok).take_all()
+        }
+
+        n = delete_docs(out, victims)
+        assert n == len(victims)
+        parts = sorted({url_part(u, 8) for u in victims})
+        res = update_index(out, parts)
+        assert res["mode"] == "incremental"
+
+        # deleted docs are gone from search; index equals a full rebuild
+        assert victims[0] not in {
+            r["url"] for r in search_corpus_indexed(idx, probe_tok).take_all()
+        }
+        idx_full = str(tmp_path / "index_full")
+        run_index(out, index_dir=idx_full)
+
+        def canon(d):
+            df = index_dataset(d).to_pandas()
+            df["urls"] = df["urls"].map(tuple)
+            df["postings"] = df["postings"].map(
+                lambda ps: tuple(sorted(
+                    (p["url_idx"], p["page"], p["block"], p["conf"])
+                    for p in ps
+                ))
+            )
+            return df.sort_values(["term", "urls"]).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(idx), canon(idx_full))
