@@ -75,7 +75,17 @@ def main(argv: list[str] | None = None) -> int:
         )
     print(json.dumps({"extract": summary}))
     if args.index:
-        print(json.dumps({"index": run_index(args.out)}))
+        if args.append:
+            # incremental refresh: rebuild only the url shards the appended
+            # partitions map to (falls back to a full build when no index
+            # exists yet or the partition modulus doesn't shard-align)
+            from studiocr_ray.pipelines.index_pipeline import update_index
+
+            print(json.dumps(
+                {"index": update_index(args.out, summary.get("parts", []))}
+            ))
+        else:
+            print(json.dumps({"index": run_index(args.out)}))
     ray.shutdown()
     return 0
 
