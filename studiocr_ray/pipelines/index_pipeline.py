@@ -670,7 +670,9 @@ def update_index(out_dir: str, parts: list[int],
     index plus the delta, not the whole corpus.  Untouched files carry over
     as hard links into a staged dir swapped atomically (same crash contract
     as run_index).  Falls back to a full rebuild when URL_SHARDS does not
-    divide P or the index predates sharded meta."""
+    divide P, the index predates sharded meta, or the index was built with
+    ``max_postings`` truncation (truncated postings are lossy — a re-merge
+    from them would under-count df/tf)."""
     import functools
     import shutil
     import time
@@ -693,6 +695,9 @@ def update_index(out_dir: str, parts: list[int],
         or num_buckets <= 0
         or num_partitions % URL_SHARDS != 0
         or imeta.get("url_shards") != URL_SHARDS
+        # truncated indexes are lossy: stored postings can't re-derive the
+        # exact df/tf a re-merge needs, so incremental would shrink them
+        or imeta.get("max_postings") is not None
     ):
         res = run_index(out_dir, index_dir=index_dir,
                         max_postings=imeta.get("max_postings"))

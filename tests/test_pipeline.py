@@ -735,3 +735,23 @@ class TestUpdateIndexAfterDelete:
             return df.sort_values(["term", "urls"]).reset_index(drop=True)
 
         pd.testing.assert_frame_equal(canon(idx), canon(idx_full))
+
+
+class TestUpdateIndexTruncationGuard:
+    def test_truncated_index_falls_back_to_full(
+        self, ray_session, pages_dir, tmp_path
+    ):
+        """A max_postings-truncated index is lossy — stored postings can't
+        re-derive exact df/tf — so update_index must refuse the incremental
+        path and rebuild."""
+        from studiocr_ray.pipelines.extract_pipeline import run_extract
+        from studiocr_ray.pipelines.index_pipeline import (
+            run_index,
+            update_index,
+        )
+
+        out = str(tmp_path / "out")
+        run_extract(pages_dir, out, num_partitions=8)
+        run_index(out, max_postings=2)
+        res = update_index(out, [1])
+        assert res["mode"] == "full_rebuild"
