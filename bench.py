@@ -199,17 +199,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["nb_quality"] = time.perf_counter() - t0
 
-    # HLL distinct-doc count over the corpus (raw-HLL regime: docs >> 2^p)
+    # HLL distinct-doc count over the corpus (raw-HLL regime: docs >> 2^p).
+    # Column-pruned read: distinct-count needs only the url column.
     from studiocr_ray.datapipe.sketch import hll_distinct
+    from studiocr_ray.pipelines.extract_pipeline import read_extracted
 
     def with_group(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "g", pa.array(["all"] * b.num_rows, pa.string())
+        return pa.table(
+            {"g": pa.array(["all"] * b.num_rows, pa.string()),
+             "doc_id": b.column("url")}
         )
 
     t0 = time.perf_counter()
     hll_distinct(
-        corpus().map_batches(with_group, batch_format="pyarrow"),
+        read_extracted(out, columns=["url"]).map_batches(
+            with_group, batch_format="pyarrow"
+        ),
         "g", "doc_id",
     ).materialize()
     timings["hll_distinct"] = time.perf_counter() - t0
