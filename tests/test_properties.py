@@ -105,3 +105,95 @@ class TestKernels:
             if any(fuzzy_match(p, e, tol) for p in predicted)
         )
         assert zero_one_hits(expected, predicted, tol) == naive
+
+
+class TestSketchKernels:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=50))
+    def test_bit_length_matches_python(self, vals):
+        from studiocr_ray.datapipe.sketch import _bit_length_u64
+
+        w = np.array(vals, dtype=np.uint64)
+        assert _bit_length_u64(w).tolist() == [v.bit_length() for v in vals]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=60), st.integers(0, 5))
+    def test_hll_partial_split_invariant(self, vals, cut):
+        """Register partials are max-combinable: folding any split of the
+        value list equals folding the whole — the property the distributed
+        merge rests on."""
+        from studiocr_ray.datapipe.sketch import _HLLPartial
+
+        def regs_of(tables):
+            out: dict[int, int] = {}
+            for t in tables:
+                part = _HLLPartial("g", "v", 12)(t)
+                for i, r in zip(part.column("idx").to_pylist(),
+                                part.column("rho").to_pylist()):
+                    out[i] = max(out.get(i, 0), r)
+            return out
+
+        whole = pa.table({"g": pa.array(["x"] * len(vals)),
+                          "v": pa.array(vals)})
+        k = min(cut, len(vals))
+        a = pa.table({"g": pa.array(["x"] * k), "v": pa.array(vals[:k])})
+        b = pa.table({"g": pa.array(["x"] * (len(vals) - k)),
+                      "v": pa.array(vals[k:])})
+        assert regs_of([whole]) == regs_of([a, b])
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=40),
+           st.lists(token, min_size=1, max_size=10))
+    def test_cm_partial_never_undercounts(self, corpus_toks, probes):
+        """Summing CM cell partials and taking the min over rows is >= the
+        true count for every probe (the Count-Min guarantee, exercised at
+        a tiny width where collisions are common)."""
+        from collections import Counter
+
+        from studiocr_ray.datapipe.dedup import _stable64
+        from studiocr_ray.datapipe.sketch import _bloom_positions, _cm_partial
+
+        width, depth = 32, 3
+        t = pa.table(
+            {"doc_id": pa.array(list(range(1)), pa.int64()),
+             "text": pa.array([" ".join(corpus_toks)])}
+        )
+        part = _cm_partial(t, "text", depth, width, 8)
+        cells = dict(zip(part.column("cellkey").to_pylist(),
+                         part.column("c").to_pylist()))
+        # the sketch counts lowered whitespace tokens (the corpus-standard
+        # tokenization its SQL oracle mirrors) — compare in that domain
+        true = Counter(tok.lower() for tok in corpus_toks)
+        probes = [p.lower() for p in probes]
+        for p in probes:
+            hv = np.array([_stable64(p)], dtype=np.uint64)
+            pos = _bloom_positions(hv, depth, width)[0]
+            est = min(
+                cells.get(i * width + int(pos[i]), 0) for i in range(depth)
+            )
+            assert est >= true[p]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=50), st.integers(1, 4))
+    def test_bloom_or_partials_split_invariant(self, vals, pieces):
+        """Bloom word partials OR to the same bit array however the probe
+        set is split across batches."""
+        from studiocr_ray.datapipe.sketch import _bloom_word_partial
+
+        m = 1 << 12
+
+        def words_of(tables):
+            acc: dict[int, int] = {}
+            for t in tables:
+                part = _bloom_word_partial(t, "v", 2, m, 4)
+                for i, w in zip(part.column("word_idx").to_pylist(),
+                                part.column("word").to_pylist()):
+                    acc[i] = acc.get(i, 0) | (w & 0xFFFFFFFFFFFFFFFF)
+            return acc
+
+        whole = pa.table({"v": pa.array(vals, pa.string())})
+        chunks = [
+            pa.table({"v": pa.array(vals[i::pieces], pa.string())})
+            for i in range(pieces)
+        ]
+        assert words_of([whole]) == words_of(chunks)
