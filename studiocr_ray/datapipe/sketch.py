@@ -56,6 +56,12 @@ from .dedup import _flat_arr, _stable64
 def _hash64_strings(arr: pa.Array, cache: dict | None = None) -> np.ndarray:
     """md5-prefix 64-bit hash per element (as string), one md5 per DISTINCT
     value in the array (dictionary encode first)."""
+    if arr.null_count:
+        # a null has no hash; silently skipping would make sketch contents
+        # depend on which batch the null landed in
+        raise ValueError(
+            "sketch inputs must be null-free; filter or fill nulls first"
+        )
     d = pc.dictionary_encode(arr)
     dvals = d.dictionary.to_pylist()
     if cache is None:
