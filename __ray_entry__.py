@@ -435,6 +435,28 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5, num_perm=64, bands=32)
 
 
+def _q_cross_dedup(sf_dir: str):
+    """Incremental-crawl dedup: near-dup pairs between a 'new crawl' (odd
+    doc ids) and the live 'corpus' (even ids) — only cross-side pairs are
+    generated and verified, never corpus-internal ones."""
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.dedup import minhash_cross_pairs
+
+    def side(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == par))
+
+        return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    return minhash_cross_pairs(
+        side(0), side(1), threshold=0.5, num_perm=64, bands=32
+    )
+
+
 def _q_simhash(sf_dir: str):
     from studiocr_ray.datapipe.dedup import simhash_signatures
 
@@ -1392,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "minhash_pairs": _q_minhash_pairs,
+        "cross_dedup": _q_cross_dedup,
         "simhash": _q_simhash,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "media_features": _q_media_features,
@@ -1921,6 +1944,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sval, b.sval)) <= 3
         """,
         "minhash_pairs": f"WITH {word_jaccard_cte} SELECT id_a, id_b, jaccard FROM vpairs",
+        # cross-side near-dup only: new crawl (odd ids) vs corpus (even ids)
+        "cross_dedup": f"""WITH {word_jaccard_cte}
+            SELECT id_a, id_b, jaccard FROM vpairs
+            WHERE (id_a % 2) <> (id_b % 2)""",
         "curate_corpus": f"""
             WITH RECURSIVE {lang_cte},
             {quality_cte},

@@ -233,11 +233,17 @@ def _add_band_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bb", pa.array(bb, pa.int32()))
 
 
-def _band_bucket_pairs(group: pa.Table, max_bucket: int | None) -> pa.Table:
+def _band_bucket_pairs(group: pa.Table, max_bucket: int | None,
+                       cross_only: bool = False) -> pa.Table:
     """All candidate pairs of one band-bucket group: sort by
     (band, band_hash, doc_id), find equal-key runs with numpy, emit each
     run's pairs — per-run work only for runs of size ≥ 2 (actual LSH
-    collisions), never a Python call per singleton bucket."""
+    collisions), never a Python call per singleton bucket.
+
+    With ``cross_only`` the rows carry a ``side`` column (0 = corpus,
+    1 = new) and only pairs whose members differ in side are emitted —
+    the incremental-crawl dedup shape (new docs vs the live corpus,
+    never corpus-internal pairs)."""
     t = group.sort_by(
         [("band", "ascending"), ("band_hash", "ascending"),
          ("doc_id", "ascending")]
@@ -252,6 +258,10 @@ def _band_bucket_pairs(group: pa.Table, max_bucket: int | None) -> pa.Table:
     band = t.column("band").combine_chunks().to_numpy(zero_copy_only=False)
     bh = t.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
     ids = _flat_arr(t.column("doc_id"))
+    sides = (
+        t.column("side").combine_chunks().to_numpy(zero_copy_only=False)
+        if cross_only else None
+    )
     change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
     starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
     ai, bi = [], []
@@ -266,6 +276,11 @@ def _band_bucket_pairs(group: pa.Table, max_bucket: int | None) -> pa.Table:
             e = s + max_bucket
             m = max_bucket
         i, j = np.triu_indices(m, 1)
+        if sides is not None:
+            keep = sides[i + s] != sides[j + s]
+            i, j = i[keep], j[keep]
+            if len(i) == 0:
+                continue
         ai.append(i + s)
         bi.append(j + s)
     if n_trunc:
@@ -1188,3 +1203,74 @@ def _dict_encode_local(arr) -> np.ndarray:
     from .relational import _dict_encode
 
     return _dict_encode(arr).indices.to_numpy(zero_copy_only=False)
+
+
+def minhash_cross_pairs(
+    corpus_ds,
+    new_ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: str = "word",
+    n: int = 3,
+    max_bucket: int | None = None,
+    as_dataset: bool = False,
+):
+    """Near-duplicate pairs BETWEEN a new crawl and the live corpus —
+    incremental-crawl dedup: candidate generation and exact-Jaccard verify
+    run only on cross-side pairs, never re-discovering corpus-internal
+    duplicates.  Doc ids must be distinct across the two datasets.
+
+    Same scale shape as :func:`minhash_dedup_pairs` (fused signature →
+    band → bucketed pair scan → co-partitioned verify); the side tag rides
+    the narrow band rows, and the pair scan's side mask drops same-side
+    pairs before they exist — the candidate volume is |new ∩ corpus
+    collisions|, not |corpus|².  Returns distinct (id_a, id_b, jaccard)
+    rows with jaccard ≥ threshold."""
+    import pyarrow.compute as pc
+
+    def banded(ds, side: int):
+        b = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle,
+                                   "n": n, "bands": bands},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        return b.map_batches(
+            lambda t: t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+
+    band_rows = banded(corpus_ds, 0).union(banded(new_ds, 1))
+    cand = band_rows.map_batches(
+        _add_band_bucket, fn_kwargs={"num_buckets": 64},
+        batch_format="pyarrow",
+    ).groupby("bb").map_groups(
+        _band_bucket_pairs,
+        fn_kwargs={"max_bucket": max_bucket, "cross_only": True},
+        batch_format="pyarrow",
+    )
+    id_type = _id_type_of(corpus_ds, "doc_id")
+    side_rows = corpus_ds.union(new_ds).map_batches(
+        lambda b: b.select(["doc_id", "text"]).rename_columns(
+            ["doc_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    verified = copartition_verify(
+        cand, side_rows, _JaccardMetric(shingle, n), "jaccard",
+        id_type=id_type, value_type=pa.string(),
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("jaccard"), threshold)),
+        batch_format="pyarrow",
+    )
+    if as_dataset:
+        return verified
+    empty = pa.table(
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    return _collect_pairs(verified, empty)

@@ -1867,3 +1867,42 @@ class TestLineDedupWithinDoc:
             assert got.loc[3, "text"] == ""
             assert got.loc[3, "n_lines_kept"] == 0
             assert got.loc[4, "text"] == "unique\nlines\nonly"
+
+
+class TestCrossDedup:
+    def test_only_cross_side_pairs(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import (
+            minhash_cross_pairs,
+            minhash_dedup_pairs,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the quiet green forest tonight")
+        rows = [
+            {"doc_id": 0, "text": base},                      # corpus
+            {"doc_id": 2, "text": base + " extra"},           # corpus dup of 0
+            {"doc_id": 4, "text": "completely different words here now"},
+            {"doc_id": 1, "text": base + " indeed"},          # new dup of 0/2
+            {"doc_id": 3, "text": "unrelated novel content entirely"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        corpus = rd.from_arrow(t).filter(lambda r: r["doc_id"] % 2 == 0)
+        new = rd.from_arrow(t).filter(lambda r: r["doc_id"] % 2 == 1)
+        got = minhash_cross_pairs(corpus, new, threshold=0.5, bands=32)
+        pairs = set(zip(got.column("id_a").to_pylist(),
+                        got.column("id_b").to_pylist()))
+        # cross dups found, corpus-internal (0,2) NOT emitted
+        assert (0, 1) in pairs and (1, 2) in pairs
+        assert (0, 2) not in pairs
+        assert all((a % 2) != (b % 2) for a, b in pairs)
+        # sanity: the all-pairs variant DOES find the corpus-internal dup
+        allp = minhash_dedup_pairs(
+            rd.from_arrow(t), threshold=0.5, bands=32
+        )
+        all_pairs = set(zip(allp.column("id_a").to_pylist(),
+                            allp.column("id_b").to_pylist()))
+        assert (0, 2) in all_pairs
+        # cross pairs are exactly the all-pairs result restricted cross-side
+        assert pairs == {p for p in all_pairs if (p[0] % 2) != (p[1] % 2)}
