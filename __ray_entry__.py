@@ -846,6 +846,15 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), w=PASSAGE_W)
 
 
+def _q_dup_passage_stats(sf_dir: str):
+    """Per-doc duplicated-passage fraction (the RefinedWeb-style filter
+    signal over dup_passages): dup rows fold to per-batch partials, totals
+    come from a token-count pass, ONE id-bucketed merge."""
+    from studiocr_ray.datapipe.dedup import dup_passage_stats
+
+    return dup_passage_stats(_docs(sf_dir), w=PASSAGE_W)
+
+
 SOURCE_CAP_K = 5
 BIGRAM_K = 20
 
@@ -1444,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "json_props": _q_json_props,
         "dup_passages": _q_dup_passages,
+        "dup_passage_stats": _q_dup_passage_stats,
         "source_cap": _q_source_cap,
         "topk_bigrams": _q_topk_bigrams,
         "unigram_logprob": _q_unigram_logprob,
@@ -2513,6 +2523,38 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE h IN (SELECT h FROM w GROUP BY h
                         HAVING count(DISTINCT doc_id) >= 2)
+        """,
+        # per-doc duplicated-window fraction over the same window hashes
+        "dup_passage_stats": f"""
+            WITH tk AS (SELECT doc_id, {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            th AS (SELECT doc_id,
+                          [('0x' || substring(md5(t), 1, 16))::UBIGINT
+                           for t in tk] AS hs
+                   FROM tk),
+            w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         {_passage_acc_sql(PASSAGE_W)} AS h
+                  FROM th,
+                       UNNEST(generate_series(1, len(hs) - {PASSAGE_W - 1}))
+                         AS g(i)),
+            tot AS (SELECT doc_id,
+                           greatest(len(hs) - {PASSAGE_W - 1}, 0) AS n_windows
+                    FROM th),
+            dup AS (
+              SELECT doc_id, count(*) AS dup_windows
+              FROM w
+              WHERE h IN (SELECT h FROM w GROUP BY h
+                          HAVING count(DISTINCT doc_id) >= 2)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CASE WHEN n_windows > 0
+                        THEN CAST(coalesce(dup_windows, 0) AS DOUBLE)
+                             / n_windows
+                        ELSE 0.0 END AS dup_fraction
+            FROM tot t LEFT JOIN dup USING (doc_id)
         """,
         # corpus-unigram LM scoring: per-token log-counts quantized to int64
         # micro-nats (floor(ln(cnt)*1e6)) so sums are integer-exact; DuckDB's

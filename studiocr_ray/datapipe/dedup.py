@@ -1274,3 +1274,89 @@ def minhash_cross_pairs(
          "jaccard": pa.array([], pa.float64())}
     )
     return _collect_pairs(verified, empty)
+
+
+def dup_passage_stats(
+    ds, w: int = 8, text_col: str = "text", id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Per-document duplicated-passage fraction → ``(doc_id, n_windows,
+    dup_windows, dup_fraction)`` — the filter signal built on
+    :func:`duplicate_passages` (drop documents mostly made of passages
+    that also appear elsewhere; RefinedWeb §3.3 applies exactly this).
+
+    Scale shape: the dup rows fold to per-batch (id, count) partials
+    before any exchange; window totals come from a stateless token-count
+    pass; the two meet in ONE id-hash-bucketed groupby (narrow int rows
+    only).  ``dup_fraction`` is a single shared float expression —
+    oracle-exact."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+    from .relational import _flat_tokens
+
+    dups = duplicate_passages(
+        ds, w=w, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+    )
+
+    def total_rows(batch: pa.Table) -> pa.Table:
+        _, doc_idx = _flat_tokens(batch, text_col)
+        counts = np.bincount(doc_idx, minlength=batch.num_rows)
+        nw = np.maximum(counts - w + 1, 0).astype(np.int64)
+        ids = _flat_arr(batch.column(id_col))
+        return pa.table(
+            {
+                "ib": pa.array(id_buckets(ids, num_buckets), pa.int32()),
+                "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+                id_col: ids,
+                "cnt": pa.array(nw, pa.int64()),
+            }
+        )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        ids = _flat_arr(batch.column(id_col))
+        d = pc.dictionary_encode(ids)
+        counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ib": pa.array(id_buckets(d.dictionary, num_buckets),
+                               pa.int32()),
+                "role": pa.array(np.ones(len(counts), np.int8)),
+                id_col: d.dictionary,
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        tot = group.filter(pc.equal(group.column("role"), 0))
+        dup = group.filter(pc.equal(group.column("role"), 1))
+        tot_ids = _flat_arr(tot.column(id_col))
+        nw = tot.column("cnt").to_numpy(zero_copy_only=False)
+        dup_cnt = np.zeros(len(nw), np.int64)
+        if dup.num_rows:
+            idx = pc.index_in(dup.column(id_col), value_set=tot_ids)
+            np.add.at(
+                dup_cnt,
+                idx.to_numpy(zero_copy_only=False),
+                dup.column("cnt").to_numpy(zero_copy_only=False),
+            )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = dup_cnt.astype(np.float64) / nw.astype(np.float64)
+        frac = np.where(nw > 0, frac, 0.0)
+        return pa.table(
+            {
+                id_col: tot_ids,
+                "n_windows": pa.array(nw, pa.int64()),
+                "dup_windows": pa.array(dup_cnt, pa.int64()),
+                "dup_fraction": pa.array(frac, pa.float64()),
+            }
+        )
+
+    totals = ds.map_batches(total_rows, batch_format="pyarrow")
+    parts = dups.map_batches(dup_partial, batch_format="pyarrow")
+    return totals.union(parts).groupby("ib").map_groups(
+        merge, batch_format="pyarrow"
+    )

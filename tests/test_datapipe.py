@@ -1906,3 +1906,30 @@ class TestCrossDedup:
         assert (0, 2) in all_pairs
         # cross pairs are exactly the all-pairs result restricted cross-side
         assert pairs == {p for p in all_pairs if (p[0] % 2) != (p[1] % 2)}
+
+
+class TestDupPassageStats:
+    def test_fraction_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import dup_passage_stats
+
+        shared = "one two three four five six seven eight"
+        rows = [
+            {"doc_id": 1, "text": shared + " tail a b c"},
+            {"doc_id": 2, "text": "prefix words here " + shared},
+            {"doc_id": 3, "text": "no overlap with anything else at all"},
+            {"doc_id": 4, "text": "short"},
+        ]
+        for reps in (1, 3):
+            ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(reps)
+            got = dup_passage_stats(ds, w=8).to_pandas().set_index("doc_id")
+            # doc 1: 12 tokens → 5 windows, window at pos 0 == doc 2's last
+            assert got.loc[1, "n_windows"] == 5
+            assert got.loc[1, "dup_windows"] == 1
+            assert got.loc[1, "dup_fraction"] == 0.2
+            assert got.loc[2, "dup_windows"] == 1
+            assert got.loc[3, "dup_windows"] == 0
+            # doc 4: fewer tokens than w → zero windows, fraction 0.0
+            assert got.loc[4, "n_windows"] == 0
+            assert got.loc[4, "dup_fraction"] == 0.0
