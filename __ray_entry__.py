@@ -457,6 +457,44 @@ def _q_cross_dedup(sf_dir: str):
     )
 
 
+def _q_cross_dedup_stored(sf_dir: str):
+    """Same contract as cross_dedup through the persisted signature store:
+    corpus band rows are written once (parquet, ~bands x 12 B/doc) and the
+    recurring crawl dedups against them without recomputing corpus
+    signatures."""
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.dedup import (
+        minhash_cross_pairs_stored,
+        write_band_rows,
+    )
+
+    def side(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == par))
+
+        return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|sigstore-v1".encode()
+    ).hexdigest()[:16]
+    sig_dir = os.path.join(_CACHE_ROOT, key, "sigs")
+    marker = os.path.join(_CACHE_ROOT, key, "_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(os.path.dirname(sig_dir), ignore_errors=True)
+        os.makedirs(os.path.dirname(sig_dir), exist_ok=True)
+        write_band_rows(side(0), sig_dir, num_perm=64, bands=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return minhash_cross_pairs_stored(sig_dir, side(0), side(1),
+                                      threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from studiocr_ray.datapipe.dedup import simhash_signatures
 
@@ -1424,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "minhash_pairs": _q_minhash_pairs,
         "cross_dedup": _q_cross_dedup,
+        "cross_dedup_stored": _q_cross_dedup_stored,
         "simhash": _q_simhash,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "media_features": _q_media_features,
@@ -1956,6 +1995,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": f"WITH {word_jaccard_cte} SELECT id_a, id_b, jaccard FROM vpairs",
         # cross-side near-dup only: new crawl (odd ids) vs corpus (even ids)
         "cross_dedup": f"""WITH {word_jaccard_cte}
+            SELECT id_a, id_b, jaccard FROM vpairs
+            WHERE (id_a % 2) <> (id_b % 2)""",
+        # identical semantics via the persisted signature store
+        "cross_dedup_stored": f"""WITH {word_jaccard_cte}
             SELECT id_a, id_b, jaccard FROM vpairs
             WHERE (id_a % 2) <> (id_b % 2)""",
         "curate_corpus": f"""

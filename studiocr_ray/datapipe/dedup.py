@@ -1215,6 +1215,7 @@ def minhash_cross_pairs(
     n: int = 3,
     max_bucket: int | None = None,
     as_dataset: bool = False,
+    corpus_band_rows=None,
 ):
     """Near-duplicate pairs BETWEEN a new crawl and the live corpus —
     incremental-crawl dedup: candidate generation and exact-Jaccard verify
@@ -1226,8 +1227,22 @@ def minhash_cross_pairs(
     the narrow band rows, and the pair scan's side mask drops same-side
     pairs before they exist — the candidate volume is |new ∩ corpus
     collisions|, not |corpus|².  Returns distinct (id_a, id_b, jaccard)
-    rows with jaccard ≥ threshold."""
+    rows with jaccard ≥ threshold.
+
+    ``corpus_band_rows``: precomputed corpus band rows (from
+    :func:`write_band_rows` — ~bands × 12 B/doc stored once at curation
+    time), so a recurring crawl never recomputes corpus signatures; the
+    corpus dataset is then consumed only by the verify side (text of
+    candidate-involved docs)."""
     import pyarrow.compute as pc
+
+    def tag(b_ds, side: int):
+        return b_ds.map_batches(
+            lambda t: t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8))
+            ),
+            batch_format="pyarrow",
+        )
 
     def banded(ds, side: int):
         b = ds.map_batches(
@@ -1237,14 +1252,13 @@ def minhash_cross_pairs(
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
-        return b.map_batches(
-            lambda t: t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int8))
-            ),
-            batch_format="pyarrow",
-        )
+        return tag(b, side)
 
-    band_rows = banded(corpus_ds, 0).union(banded(new_ds, 1))
+    corpus_banded = (
+        tag(corpus_band_rows, 0)
+        if corpus_band_rows is not None else banded(corpus_ds, 0)
+    )
+    band_rows = corpus_banded.union(banded(new_ds, 1))
     cand = band_rows.map_batches(
         _add_band_bucket, fn_kwargs={"num_buckets": 64},
         batch_format="pyarrow",
@@ -1359,4 +1373,68 @@ def dup_passage_stats(
     parts = dups.map_batches(dup_partial, batch_format="pyarrow")
     return totals.union(parts).groupby("ib").map_groups(
         merge, batch_format="pyarrow"
+    )
+
+
+def write_band_rows(
+    ds,
+    sig_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: str = "word",
+    n: int = 3,
+):
+    """Persist the corpus' LSH band rows (band, band_hash, doc_id) as
+    parquet — the signature store a recurring crawl dedups against without
+    recomputing corpus signatures (~bands × 12 B per doc; at 10^12 docs and
+    16 bands that is ~200 GB, i.e. ~0.2% of a 100 TB corpus).
+
+    The store is parameter-bound: (num_perm, bands, shingle, n, and the
+    MinHasher seed) must match at read time or candidates are garbage —
+    a `_sig_meta.json` records them and
+    :func:`minhash_cross_pairs_stored` refuses a mismatch."""
+    import json
+    import os
+
+    banded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle,
+                               "n": n, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    banded.write_parquet(sig_dir)
+    with open(os.path.join(sig_dir, "_sig_meta.json"), "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle": shingle, "n": n, "seed": 7}, f)
+    return sig_dir
+
+
+def minhash_cross_pairs_stored(
+    sig_dir: str,
+    corpus_ds,
+    new_ds,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+    as_dataset: bool = False,
+):
+    """:func:`minhash_cross_pairs` against a persisted signature store
+    (:func:`write_band_rows`): the new crawl's signatures compute fresh,
+    the corpus side streams its stored band rows, and ``corpus_ds`` is
+    consumed only by the exact-verify join (text of candidate-involved
+    docs).  Identical output to the recompute path."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(sig_dir, "_sig_meta.json")) as f:
+        meta = json.load(f)
+    return minhash_cross_pairs(
+        corpus_ds, new_ds,
+        threshold=threshold,
+        num_perm=meta["num_perm"], bands=meta["bands"],
+        shingle=meta["shingle"], n=meta["n"],
+        max_bucket=max_bucket, as_dataset=as_dataset,
+        corpus_band_rows=rd.read_parquet(sig_dir),
     )

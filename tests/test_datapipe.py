@@ -1933,3 +1933,37 @@ class TestDupPassageStats:
             # doc 4: fewer tokens than w → zero windows, fraction 0.0
             assert got.loc[4, "n_windows"] == 0
             assert got.loc[4, "dup_fraction"] == 0.0
+
+
+class TestSignatureStore:
+    def test_stored_band_rows_match_recompute(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import (
+            minhash_cross_pairs,
+            minhash_cross_pairs_stored,
+            write_band_rows,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 2, "text": "totally different corpus doc here"},
+            {"doc_id": 1, "text": base + " phi"},
+            {"doc_id": 3, "text": "novel new crawl content"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        corpus = rd.from_arrow(t).filter(lambda r: r["doc_id"] % 2 == 0)
+        new = rd.from_arrow(t).filter(lambda r: r["doc_id"] % 2 == 1)
+        sig_dir = str(tmp_path / "sigs")
+        write_band_rows(corpus, sig_dir, bands=32)
+
+        got = minhash_cross_pairs_stored(
+            sig_dir, corpus, new, threshold=0.5
+        ).to_pandas()
+        want = minhash_cross_pairs(
+            corpus, new, threshold=0.5, bands=32
+        ).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
