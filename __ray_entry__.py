@@ -1246,6 +1246,14 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old_ds, new_ds)
 
 
+def _q_quality_tiers(sf_dir: str):
+    """Global quality tiers (quartiles of the unigram-LM milli-nat score)
+    from a bounded histogram — no global sort."""
+    from studiocr_ray.datapipe.lm import quality_tiers
+
+    return quality_tiers(_docs(sf_dir), k=4)
+
+
 def _q_unigram_logprob(sf_dir: str):
     from studiocr_ray.datapipe.lm import unigram_logprob
 
@@ -1496,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "topk_bigrams": _q_topk_bigrams,
         "unigram_logprob": _q_unigram_logprob,
+        "quality_tiers": _q_quality_tiers,
         "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
         "snapshot_diff": _q_snapshot_diff,
         "url_canonicalize": _q_url_canonicalize,
@@ -2604,6 +2613,23 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # quartile tiers over the integer milli-nat unigram score;
+        # quantile_disc matches the engine's ceil-rank histogram boundaries
+        "quality_tiers": f"""
+            WITH per AS ({_UNIGRAM_SQL}),
+            sc AS (SELECT doc_id,
+                          CASE WHEN n_tokens > 0
+                               THEN (logprob_u // n_tokens) // 1000
+                               ELSE 0 END AS score_m
+                   FROM per),
+            q AS (SELECT quantile_disc(score_m, [0.25, 0.5, 0.75]) AS b
+                  FROM sc)
+            SELECT doc_id, CAST(score_m AS BIGINT) AS score_m,
+                   CAST(CAST(score_m > b[1] AS INT)
+                        + CAST(score_m > b[2] AS INT)
+                        + CAST(score_m > b[3] AS INT) AS BIGINT) AS tier
+            FROM sc, q
+        """,
         # incremental index refresh: term df/tf over the post-append corpus
         # (every 31st non-appended doc was re-crawled, so its text doubles)
         "update_index": f"""

@@ -275,3 +275,69 @@ def unigram_logprob(
 
     empties = ds.map_batches(zero_rows, batch_format="pyarrow")
     return scored.union(empties)
+
+
+def quality_tiers(ds, k: int = 4, text_col: str = "text"):
+    """Bucket every document into k global quality tiers by its unigram-LM
+    score — the distribution-aware curation step (keep the top tier, mix
+    tiers at different rates) — WITHOUT a global sort →
+    ``(doc_id, score_m, tier)``.
+
+    ``score_m = logprob_u // (n_tokens * 1000)`` (integer milli-nats per
+    token, 0 for empty docs): integer floor-division keeps it exact AND
+    bounds its distinct values (~tens of thousands), so the tier
+    boundaries come from a bounded histogram (np.unique partials + one
+    small groupby + a driver cumsum) — the token_length_percentiles shape,
+    never an all-to-all sort.  Boundaries use quantile_disc semantics
+    (value at 1-based rank ceil(q·N)); ``tier = Σ_i [score_m > b_i]`` with
+    b_i at i/k — identical expressions on the oracle side."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    scored = unigram_logprob(ds, text_col=text_col,
+                             strategy="broadcast").materialize()
+
+    def add_score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        lp = batch.column("logprob_u").to_numpy(zero_copy_only=False)
+        score = np.where(n > 0, lp // np.maximum(n, 1) // 1000, 0)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "score_m": pa.array(score.astype(np.int64), pa.int64())}
+        )
+
+    with_score = scored.map_batches(add_score, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column("score_m").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"score_m": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hist = (
+        with_score.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("score_m")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: one row per distinct milli-nat score
+        .sort_values("score_m")
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["score_m"].to_numpy()
+    n_total = int(cum[-1]) if len(cum) else 0
+    bounds = []
+    for i in range(1, k):
+        r = max(1, math.ceil(i / k * n_total))
+        bounds.append(int(vals[np.searchsorted(cum, r)]) if n_total else 0)
+    b = np.array(bounds, np.int64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch.column("score_m").to_numpy(zero_copy_only=False)
+        tier = (s[:, None] > b[None, :]).sum(axis=1).astype(np.int64)
+        return batch.append_column("tier", pa.array(tier, pa.int64()))
+
+    return with_score.map_batches(tag, batch_format="pyarrow")

@@ -1967,3 +1967,31 @@ class TestSignatureStore:
         ).to_pandas()
         pd.testing.assert_frame_equal(got, want)
         assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
+
+
+class TestQualityTiers:
+    def test_tiers_partition_invariant_and_balanced(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import quality_tiers
+
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(["common"] * (10 - i % 5) + [f"rare{i}"] * (i % 5))}
+            for i in range(80)
+        ]
+        t = pa.Table.from_pylist(rows)
+        outs = []
+        for reps in (1, 4):
+            ds = rd.from_arrow(t).repartition(reps)
+            df = quality_tiers(ds, k=4).to_pandas().sort_values(
+                "doc_id"
+            ).reset_index(drop=True)
+            outs.append(df)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        df = outs[0]
+        assert set(df["tier"]) == {0, 1, 2, 3}
+        # rare-heavy docs score lower → land in lower tiers
+        rare_heavy = df[df["doc_id"] % 5 == 4]["tier"]
+        common_only = df[df["doc_id"] % 5 == 0]["tier"]
+        assert rare_heavy.max() < common_only.min()
