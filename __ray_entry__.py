@@ -1429,64 +1429,22 @@ def _q_nb_quality(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Query registry, ordered deliberately.
+
+    The correctness driver verifies a 50-entry PREFIX of this dict against
+    the DuckDB oracles in :func:`oracle_sql`.  Round-3 additions (positions
+    50-80 back then) never received a hard-signal driver row, so round 4
+    moves those 31 queries into the prefix.  The remaining 19 prefix slots
+    hold veterans whose code paths change this round (extract/index/search
+    hot paths, char_histogram partial, stored-signature seed propagation)
+    so any regression shows up as a driver row, not just a pytest failure.
+    The 31 long-green veterans rotated past position 50 carry two rounds of
+    green CORRECTNESS history (r2+r3) plus same-oracle pytest coverage in
+    tests/test_datapipe.py.
+    """
     return {
-        # text analysis (SURVEY §2.9 F-series + training-data ops)
-        "token_stats": _q_token_stats,
-        "quality_features": _q_quality_features,
-        "word_count": _q_word_count,
-        "char_histogram": _q_char_histogram,
-        "exact_dedup": _q_exact_dedup,
-        "fingerprint_md5": _q_fingerprint_md5,
-        "search_substring": _q_search_substring,
-        "search_fuzzy": _q_search_fuzzy,
-        "conf_buckets": _q_conf_buckets,
-        "term_df": _q_term_df,
-        # embeddings
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
-        "ann_ivf_disk": _q_ann_ivf_disk,
-        "cosine_neardup": _q_cosine_neardup,
-        # relational / windows
-        "pricing_summary": _q_pricing_summary,
-        "orders_by_priority": _q_orders_by_priority,
-        "orders_per_nation": _q_orders_per_nation,
-        "events_daily": _q_events_daily,
-        "topk_terms": _q_topk_terms,
-        "sessionize": _q_sessionize,
-        "asof_match": _q_asof_match,
-        "hopping_counts": _q_hopping_counts,
-        "range_count": _q_range_count,
-        # the flagship extraction pipeline (SURVEY §3.1) + index + search
-        "extract_docs": _q_extract_docs,
-        "extract_index": _q_extract_index,
-        "extract_search": _q_extract_search,
-        "extract_page_stats": _q_extract_page_stats,
-        "extract_metrics": _q_extract_metrics,
-        "config_sweep": _q_config_sweep,
-        "curate_corpus": _q_curate_corpus,
-        # rows-only ops
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "minhash_pairs": _q_minhash_pairs,
-        "cross_dedup": _q_cross_dedup,
-        "cross_dedup_stored": _q_cross_dedup_stored,
-        "simhash": _q_simhash,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "media_features": _q_media_features,
-        # near-dup family (LSH candidates, exact verify / union-find)
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_neardup": _q_simhash_neardup,
-        "cosine_lsh": _q_cosine_lsh,
-        "dup_clusters": _q_dup_clusters,
-        "cluster_best": _q_cluster_best,
-        "cluster_split": _q_cluster_split,
-        # corpus-quality signals + sampling (round-3 additions)
-        "repetition_stats": _q_repetition_stats,
-        "contamination": _q_contamination,
-        "stratified_sample": _q_stratified_sample,
-        "mix_sources": _q_mix_sources,
-        "tfidf_topk": _q_tfidf_topk,
+        # --- driver-checked prefix, part 1: the 31 round-3 queries that
+        # --- never had a driver CORRECTNESS row (VERDICT r3, item 1)
         "source_stats": _q_source_stats,
         "line_dedup": _q_line_dedup,
         "line_dedup_within": _q_line_dedup_within,
@@ -1494,7 +1452,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "normalize_text": _q_normalize_text,
-        # web-graph + structured-payload + distribution ops
         "extract_links": _q_extract_links,
         "link_domains": _q_link_domains,
         "token_percentiles": _q_token_percentiles,
@@ -1514,12 +1471,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "kmeans_embeddings": _q_kmeans,
         "semdedup": _q_semdedup,
-        # sketches + trained scoring + incremental index (round-3 session)
         "update_index": _q_update_index,
         "hll_users": _q_hll_users,
         "bloom_blocklist": _q_bloom_blocklist,
         "cm_counts": _q_cm_counts,
         "nb_quality": _q_nb_quality,
+        # --- driver-checked prefix, part 2: 19 veterans whose code paths
+        # --- are touched this round (extract hot path, search scan,
+        # --- char_histogram partial, stored-seed propagation)
+        "extract_docs": _q_extract_docs,
+        "extract_index": _q_extract_index,
+        "extract_search": _q_extract_search,
+        "extract_page_stats": _q_extract_page_stats,
+        "extract_metrics": _q_extract_metrics,
+        "config_sweep": _q_config_sweep,
+        "curate_corpus": _q_curate_corpus,
+        "char_histogram": _q_char_histogram,
+        "word_count": _q_word_count,
+        "term_df": _q_term_df,
+        "search_substring": _q_search_substring,
+        "search_fuzzy": _q_search_fuzzy,
+        "conf_buckets": _q_conf_buckets,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "cross_dedup": _q_cross_dedup,
+        "cross_dedup_stored": _q_cross_dedup_stored,
+        "dup_clusters": _q_dup_clusters,
+        "cluster_best": _q_cluster_best,
+        # --- past the driver's 50-entry check window: long-green veterans
+        # --- (green driver rows in r2 AND r3, oracle pytest coverage)
+        "token_stats": _q_token_stats,
+        "quality_features": _q_quality_features,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
+        "ann_ivf_disk": _q_ann_ivf_disk,
+        "cosine_neardup": _q_cosine_neardup,
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_priority": _q_orders_by_priority,
+        "orders_per_nation": _q_orders_per_nation,
+        "events_daily": _q_events_daily,
+        "topk_terms": _q_topk_terms,
+        "sessionize": _q_sessionize,
+        "asof_match": _q_asof_match,
+        "hopping_counts": _q_hopping_counts,
+        "range_count": _q_range_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "simhash": _q_simhash,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "media_features": _q_media_features,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_neardup": _q_simhash_neardup,
+        "cosine_lsh": _q_cosine_lsh,
+        "cluster_split": _q_cluster_split,
+        "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "mix_sources": _q_mix_sources,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
