@@ -1216,6 +1216,7 @@ def minhash_cross_pairs(
     max_bucket: int | None = None,
     as_dataset: bool = False,
     corpus_band_rows=None,
+    seed: int = 7,
 ):
     """Near-duplicate pairs BETWEEN a new crawl and the live corpus —
     incremental-crawl dedup: candidate generation and exact-Jaccard verify
@@ -1248,7 +1249,7 @@ def minhash_cross_pairs(
         b = ds.map_batches(
             MinHasher,
             fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle,
-                                   "n": n, "bands": bands},
+                                   "n": n, "bands": bands, "seed": seed},
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
@@ -1383,6 +1384,7 @@ def write_band_rows(
     bands: int = 16,
     shingle: str = "word",
     n: int = 3,
+    seed: int = 7,
 ):
     """Persist the corpus' LSH band rows (band, band_hash, doc_id) as
     parquet — the signature store a recurring crawl dedups against without
@@ -1399,14 +1401,14 @@ def write_band_rows(
     banded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle": shingle,
-                               "n": n, "bands": bands},
+                               "n": n, "bands": bands, "seed": seed},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
     banded.write_parquet(sig_dir)
     with open(os.path.join(sig_dir, "_sig_meta.json"), "w") as f:
         json.dump({"num_perm": num_perm, "bands": bands,
-                   "shingle": shingle, "n": n, "seed": 7}, f)
+                   "shingle": shingle, "n": n, "seed": seed}, f)
     return sig_dir
 
 
@@ -1430,11 +1432,22 @@ def minhash_cross_pairs_stored(
 
     with open(os.path.join(sig_dir, "_sig_meta.json")) as f:
         meta = json.load(f)
+    # the stored band rows are a pure function of EVERY one of these
+    # parameters — an unknown key means the store was written by a newer
+    # writer with a parameter this reader would silently ignore
+    known = {"num_perm", "bands", "shingle", "n", "seed"}
+    unknown = set(meta) - known
+    if unknown:
+        raise ValueError(
+            f"{sig_dir}/_sig_meta.json has unknown signature parameters "
+            f"{sorted(unknown)}; refusing to use a store whose parameters "
+            "this reader cannot reproduce"
+        )
     return minhash_cross_pairs(
         corpus_ds, new_ds,
         threshold=threshold,
         num_perm=meta["num_perm"], bands=meta["bands"],
-        shingle=meta["shingle"], n=meta["n"],
+        shingle=meta["shingle"], n=meta["n"], seed=meta["seed"],
         max_bucket=max_bucket, as_dataset=as_dataset,
         corpus_band_rows=rd.read_parquet(sig_dir),
     )

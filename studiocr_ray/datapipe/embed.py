@@ -349,13 +349,26 @@ class _CosineMetric:
         mb = _normalize(_batch_matrix(pa.table({"embedding": vb})))
         return pa.array(np.einsum("ij,ij->i", ma, mb), pa.float64())
 
-def cosine_neardup_exact(ds, threshold: float = 0.95, concurrency=(1, 8)) -> pa.Table:
+def cosine_neardup_exact(
+    ds, threshold: float = 0.95, concurrency=(1, 8),
+    max_vectors: int = 1_000_000,
+) -> pa.Table:
     """Exact pairwise cosine ≥ threshold (id_a < id_b). Blocked matmul of
     each batch against the broadcast full matrix — O(n²) compute but
-    streaming memory; the corpus-side matrix must fit a worker (use the LSH
-    variant beyond ~10^6 vectors)."""
+    streaming memory; the corpus-side matrix must fit a worker.  This is the
+    small-scale oracle/debug twin of :func:`cosine_neardup_lsh`; the
+    ``max_vectors`` guard ENFORCES that contract (raise, don't let an
+    accidental 10^9-vector call take_all the corpus onto the driver)."""
     import ray
 
+    n_vec = ds.count()
+    if n_vec > max_vectors:
+        raise ValueError(
+            f"cosine_neardup_exact is the small-scale oracle path; got "
+            f"{n_vec} vectors > max_vectors={max_vectors}. Use "
+            "cosine_neardup_lsh (same threshold semantics, banded "
+            "candidates + co-partitioned verify) at this scale."
+        )
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     mat = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))

@@ -151,10 +151,16 @@ def detect_format(input_path: str) -> str:
 
 def conform_pages(batch: pa.Table) -> pa.Table:
     """Row-format batch (JSONL/CSV parse output) → the canonical pages
-    schema: url string, warc_ts timestamp[us] (ISO strings accepted, 'T'
-    or space separator), html binary (utf-8 strings accepted), lang
-    string.  Missing lang becomes null (the extractor treats it as
-    unknown)."""
+    schema: url string, warc_ts timestamp[us] (ISO strings accepted: 'T'
+    or space separator, optional fractional seconds — truncated — and an
+    optional UTC designator 'Z'/'+00:00'), html binary (utf-8 strings
+    accepted), lang string.  Missing lang becomes null (the extractor
+    treats it as unknown).
+
+    Unparseable timestamps — including non-UTC zone offsets, which cannot
+    be conformed without silently shifting the instant — become NULL here
+    rather than failing the batch, so read_pages' per-row validate stage
+    quarantines exactly the offending rows (reason ``null_warc_ts``)."""
     n = batch.num_rows
     cols = {}
     cols["url"] = pc.cast(batch.column("url"), pa.string())
@@ -163,7 +169,29 @@ def conform_pages(batch: pa.Table) -> pa.Table:
         cols["warc_ts"] = pc.cast(ts, pa.timestamp("us"))
     else:
         s = pc.replace_substring(pc.cast(ts, pa.string()), "T", " ")
-        cols["warc_ts"] = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us")
+        parsed = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us",
+                             error_is_null=True)
+        if parsed.null_count > pc.count(s, mode="only_null").as_py():
+            # slow path only when the fast format missed: split off
+            # fractional seconds and a UTC designator, retry the base,
+            # then add the fraction back at us precision (warc_ts is the
+            # dedup tiebreak-of-record — sub-second bits decide ties);
+            # anything else (e.g. a non-UTC offset) stays null
+            s2 = pc.replace_substring_regex(
+                s, r"(\.\d+)?\s*(Z|z|\+00:?00|UTC)?$", ""
+            )
+            retry = pc.strptime(s2, format="%Y-%m-%d %H:%M:%S", unit="us",
+                                error_is_null=True)
+            frac = pc.struct_field(
+                pc.extract_regex(s, r"\.(?P<f>\d{1,6})"), "f"
+            )
+            us = pc.cast(
+                pc.fill_null(pc.ascii_rpad(frac, width=6, padding="0"), "0"),
+                pa.int64(),
+            )
+            retry = pc.add(retry, pc.cast(us, pa.duration("us")))
+            parsed = pc.coalesce(parsed, retry)
+        cols["warc_ts"] = parsed
     # utf-8 string html casts to its bytes; binary passes through
     cols["html"] = pc.cast(batch.column("html"), pa.binary())
     if "lang" in batch.column_names:
