@@ -126,10 +126,22 @@ def char_histogram(ds, text_col: str = "text"):
     bytes are ≥ 0x80."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(128, dtype=np.int64)
-        for t in batch.column(text_col).to_pylist():
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            acc += np.bincount(b, minlength=256)[:128]
+        # one bincount over the column's utf-8 value buffer — string arrays
+        # store all values contiguously, so offsets[0]:offsets[-1] IS the
+        # batch's byte stream (drop_null first rebuilds a compact buffer)
+        arr = batch.column(text_col).combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        if len(arr):
+            width = (np.int64 if pa.types.is_large_string(arr.type)
+                     else np.int32)
+            off = np.frombuffer(arr.buffers()[1], width,
+                                count=arr.offset + len(arr) + 1)
+            lo, hi = off[arr.offset], off[arr.offset + len(arr)]
+            data = np.frombuffer(arr.buffers()[2], np.uint8)[lo:hi]
+            acc = np.bincount(data, minlength=256)[:128].astype(np.int64)
+        else:
+            acc = np.zeros(128, dtype=np.int64)
         codes = np.arange(32, 127)
         return pa.table(
             {

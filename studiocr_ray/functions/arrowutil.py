@@ -64,6 +64,47 @@ def string_buckets(arr, num_buckets: int) -> np.ndarray:
     return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def crc32_rows(arr) -> np.ndarray:
+    """Per-row ``zlib.crc32(utf-8 bytes)`` of a string/binary column as
+    uint32, slicing one shared memoryview of the value buffer per row — no
+    per-row ``str``/``bytes`` objects (to_pylist()+encode allocates two
+    objects per row and measures ~2× slower on url-length strings).
+
+    This is the DURABLE partition hash (part = crc32(url) % P decides the
+    on-disk layout, index url shards and oracle parity), so unlike
+    string_hash64 it cannot be swapped for a cheaper fold."""
+    import zlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    if arr.null_count:
+        raise ValueError("crc32_rows requires a null-free column")
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_width = np.int64
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        off_width = np.int32
+    else:
+        raise TypeError(f"crc32_rows got non-string column: {arr.type}")
+    off = np.frombuffer(arr.buffers()[1], off_width, count=arr.offset + n + 1)
+    o = arr.offset
+    mv = memoryview(arr.buffers()[2])
+    crc = zlib.crc32
+    return np.fromiter(
+        (crc(mv[off[o + i]:off[o + i + 1]]) for i in range(n)),
+        dtype=np.uint32,
+        count=n,
+    )
+
+
+def crc32_buckets(arr, num_buckets: int) -> np.ndarray:
+    """``crc32(value) % num_buckets`` as int32 — the durable partition-id
+    form (extract parts, index url shards)."""
+    return (crc32_rows(arr) % np.uint32(num_buckets)).astype(np.int32)
+
+
 def id_hash64(col) -> np.ndarray:
     """64-bit hash of an id column — int64 surrogate keys (golden-ratio
     multiply) and url strings (FNV suffix fold) both supported, so every

@@ -30,10 +30,10 @@ search (/root/reference/StudiOCR/DocWindow.py:357-360).
 from __future__ import annotations
 
 import os
-import zlib
 
 import pyarrow as pa
 
+from ..functions.arrowutil import crc32_buckets
 from ..schema import POSTING_STRUCT
 
 POSTINGS_LIST = pa.list_(POSTING_STRUCT)
@@ -173,11 +173,7 @@ def partial_postings(batch: pa.Table) -> pa.Table:
     codes_arr = pc.dictionary_encode(flat.column("term")).combine_chunks()
     codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     u_d = pc.dictionary_encode(flat.column("url")).combine_chunks()
-    shard_of = np.fromiter(
-        (zlib.crc32(s.encode()) % URL_SHARDS for s in u_d.dictionary.to_pylist()),
-        dtype=np.int64,
-        count=len(u_d.dictionary),
-    )
+    shard_of = crc32_buckets(u_d.dictionary, URL_SHARDS).astype(np.int64)
     ushard = shard_of[u_d.indices.to_numpy(zero_copy_only=False)]
     key = codes * URL_SHARDS + ushard
     order = np.argsort(key, kind="stable")
@@ -247,16 +243,7 @@ def _add_term_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     """bucket = crc32(term) % B. Bucketing the merge keeps the group count at
     B (a handful of vectorized per-bucket calls) instead of one Python call
     per distinct term — same trick as the extract stage's part-grouped dedup."""
-    import zlib
-
-    import numpy as np
-
-    b = np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) % num_buckets
-         for t in batch.column("term").to_pylist()),
-        dtype=np.int32,
-        count=batch.num_rows,
-    )
+    b = crc32_buckets(batch.column("term"), num_buckets)
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 
@@ -529,22 +516,18 @@ def _write_index_meta(d: str, num_buckets: int, max_postings: int | None) -> Non
 
 def _load_index_meta(index_dir: str) -> dict:
     import json
-    import re
 
     try:
         with open(os.path.join(index_dir, _INDEX_META)) as f:
             return json.load(f)
     except (OSError, ValueError):
-        # pre-meta index dir: recover the bucket count from the file names
-        # (bucket numbering only affects file keying; the max seen + 1 is
-        # exact unless the top buckets happened to be empty)
-        b = -1
-        for name in os.listdir(index_dir):
-            m = re.match(r"bucket-(\d+)-\d+\.parquet$", name)
-            if m:
-                b = max(b, int(m.group(1)))
-        return {"num_buckets": b + 1, "url_shards": URL_SHARDS,
-                "max_postings": None}
+        # pre-meta index dir: the build parameters are unknowable — in
+        # particular whether max_postings truncation was applied, and a
+        # re-merge of truncated postings silently under-counts df/tf.
+        # num_buckets=0 forces update_index's full_rebuild branch, which is
+        # the contract its docstring promises for legacy indexes.
+        return {"num_buckets": 0, "url_shards": URL_SHARDS,
+                "max_postings": None, "meta_missing": True}
 
 
 def index_dataset(index_dir: str, columns: list[str] | None = None):
@@ -591,11 +574,9 @@ def _old_rows_to_partials(batch: pa.Table, ushard: int, part_set: frozenset,
     urls_list = batch.column("urls").combine_chunks()
     u_flat = urls_list.flatten()
     u_d = pc.dictionary_encode(u_flat)
-    keep_dict = np.fromiter(
-        (zlib.crc32(s.encode()) % num_partitions not in part_set
-         for s in u_d.dictionary.to_pylist()),
-        dtype=bool,
-        count=len(u_d.dictionary),
+    keep_dict = ~np.isin(
+        crc32_buckets(u_d.dictionary, num_partitions),
+        np.fromiter(part_set, np.int32, count=len(part_set)),
     )
     keep_u = keep_dict[u_d.indices.to_numpy(zero_copy_only=False)]
     if keep_u.all():

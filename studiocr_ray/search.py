@@ -190,12 +190,23 @@ def search_in_document(
         texts = blocks.column("text")
         hay = texts if case_sensitive else pc.utf8_lower(texts)
         if fuzzy:
-            # levenshtein predicate is inherently per-value; input is one
-            # document's blocks by contract, so the loop is bounded
+            # levenshtein predicate is inherently per-value; evaluate it once
+            # per DISTINCT block text (dictionary encode) — input is one
+            # document's blocks by contract, so even the distinct set is small
+            import numpy as np
+
+            d = pc.dictionary_encode(
+                hay.combine_chunks() if isinstance(hay, pa.ChunkedArray)
+                else hay
+            )
+            hit = np.fromiter(
+                (any(fuzzy_match(v, w, tol) for w in words)
+                 for v in d.dictionary.to_pylist()),
+                dtype=bool,
+                count=len(d.dictionary),
+            )
             matched = pa.array(
-                [any(fuzzy_match(h, w, tol) for w in words)
-                 for h in hay.to_pylist()],
-                pa.bool_(),
+                hit[d.indices.to_numpy(zero_copy_only=False)], pa.bool_()
             )
         else:
             matched = None

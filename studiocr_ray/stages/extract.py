@@ -17,6 +17,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrowutil import crc32_buckets
 from ..functions.document import ExtractConfig, extract_document  # noqa: F401 — oracle parity reference
 from ..functions.html_extract import extract_content, layout_tokens
 from ..functions.raster import make_engine
@@ -31,11 +32,7 @@ def url_part(url: str, num_partitions: int) -> int:
 
 
 def add_part_column(batch: pa.Table, num_partitions: int) -> pa.Table:
-    parts = np.fromiter(
-        (url_part(u, num_partitions) for u in batch.column("url").to_pylist()),
-        dtype=np.int32,
-        count=batch.num_rows,
-    )
+    parts = crc32_buckets(batch.column("url"), num_partitions)
     return batch.append_column("part", pa.array(parts, pa.int32()))
 
 
@@ -390,8 +387,7 @@ class ExtractAssemble:
             part_col = batch.column("part")
         else:
             part_col = pa.array(
-                [url_part(u, self.num_partitions)
-                 for u in batch.column("url").to_pylist()],
+                crc32_buckets(batch.column("url"), self.num_partitions),
                 pa.int32(),
             )
         cols: dict = {
