@@ -180,6 +180,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["unigram_logprob"] = time.perf_counter() - t0
 
+    # the open-vocabulary shuffle strategy — the 100 TB path (token partials
+    # co-partition with counts by term hash; the vocabulary never collects)
+    t0 = time.perf_counter()
+    unigram_logprob(corpus(), strategy="shuffle").map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["unigram_logprob_shuffle"] = time.perf_counter() - t0
+
+    # global quality tiers: bounded-histogram percentiles over the corpus
+    from studiocr_ray.datapipe.lm import quality_tiers
+
+    t0 = time.perf_counter()
+    quality_tiers(corpus(), k=4).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["quality_tiers"] = time.perf_counter() - t0
+
     # trained NB classifier over the extracted corpus (train + score = two
     # token passes; label is a cheap deterministic split)
     from studiocr_ray.datapipe.classify import nb_quality_score
