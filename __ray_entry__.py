@@ -1268,6 +1268,31 @@ def _q_unigram_logprob_shuffle(sf_dir: str):
     return unigram_logprob(_docs(sf_dir), strategy="shuffle")
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Per-doc bigram-LM fluency score (mean ln p(t_i|t_{i-1}), exact
+    micro-nat ints) — broadcast bigram table."""
+    from studiocr_ray.datapipe.lm import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir), strategy="broadcast")
+
+
+def _q_bigram_logprob_shuffle(sf_dir: str):
+    """bigram_logprob through the open-vocabulary path: two bucket-merge
+    exchanges, vocabulary never collects — bit-identical output."""
+    from studiocr_ray.datapipe.lm import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir), strategy="shuffle")
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance score of every document against the target
+    'source == web' over 1024 hashed unigram features."""
+    from studiocr_ray.datapipe.dsir import dsir_score
+
+    return dsir_score(_docs(sf_dir), target_col="source",
+                      target_value="web", num_features=1024)
+
+
 def _passage_acc_sql(w: int) -> str:
     """SQL twin of the numpy uint64 rolling accumulator: acc = acc*B + th,
     wrapped mod 2^64 at every step (HUGEINT intermediates stay < 2^84)."""
@@ -1531,6 +1556,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
+        # round-4 additions (oracle-checked in pytest; rotate into the
+        # prefix next round for driver rows)
+        "bigram_logprob": _q_bigram_logprob,
+        "bigram_logprob_shuffle": _q_bigram_logprob_shuffle,
+        "dsir_select": _q_dsir_select,
     }
 
 
@@ -1557,6 +1587,45 @@ _UNIGRAM_SQL = """
            CASE WHEN coalesce(per.n_tokens, 0) > 0
                 THEN CAST(per.logprob_u AS DOUBLE) / per.n_tokens / 1000000.0
                      - ln(CAST((SELECT n FROM tot) AS DOUBLE))
+                ELSE 0.0 END AS mean_logprob
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+_BIGRAM_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks)+1)) AS pos
+      FROM base
+    ),
+    pairs AS (
+      SELECT doc_id,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+             tok AS t2
+      FROM tk QUALIFY t1 IS NOT NULL
+    ),
+    bc AS (SELECT t1, t2, count(*) AS c FROM pairs GROUP BY t1, t2),
+    uc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    per AS (
+      SELECT p.doc_id, count(*) AS n,
+             sum(CAST(floor(ln(CAST(bc.c AS DOUBLE))*1000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST(uc.c AS DOUBLE))*1000000.0) AS BIGINT))
+               AS lp
+      FROM pairs p JOIN bc ON p.t1 = bc.t1 AND p.t2 = bc.t2
+                   JOIN uc ON p.t1 = uc.tok
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n,0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(per.lp,0) AS BIGINT) AS logprob_u,
+           CASE WHEN coalesce(per.n,0) > 0
+                THEN CAST(per.lp AS DOUBLE)/per.n/1000000.0
                 ELSE 0.0 END AS mean_logprob
     FROM documents d LEFT JOIN per USING (doc_id)
 """
@@ -2624,6 +2693,57 @@ def oracle_sql() -> dict[str, str]:
         # ln is libm log, bit-identical to the engine's math.log
         "unigram_logprob": _UNIGRAM_SQL,
         "unigram_logprob_shuffle": _UNIGRAM_SQL,
+        # bigram LM: mean ln p(t_i|t_{i-1}) = ln c(bigram) - ln c(context
+        # token, full corpus count — documented MLE simplification); same
+        # micro-nat int trick as the unigram oracle
+        "bigram_logprob": _BIGRAM_SQL,
+        "bigram_logprob_shuffle": _BIGRAM_SQL,
+        # DSIR: hashed-feature (md5-hash64 % F) importance log-ratio,
+        # add-one smoothed, micro-nat ints; the normalization constant is
+        # the identical ln((tgt_total+F)/(raw_total+F)) expression
+        "dsir_select": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                                                              '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            ft AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 16))::UBIGINT
+                          % 1024 AS BIGINT) AS f
+              FROM tk
+            ),
+            rawc AS (SELECT f, count(*) AS c FROM ft GROUP BY f),
+            tgtc AS (
+              SELECT f, count(*) AS c FROM ft JOIN documents d USING (doc_id)
+              WHERE d.source = 'web' GROUP BY f
+            ),
+            w AS (
+              SELECT r.f,
+                     CAST(floor(ln(CAST(coalesce(t.c,0)+1 AS DOUBLE))
+                                * 1000000.0) AS BIGINT)
+                   - CAST(floor(ln(CAST(r.c+1 AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS wu
+              FROM rawc r LEFT JOIN tgtc t USING (f)
+            ),
+            tot AS (SELECT (SELECT coalesce(sum(c),0) FROM rawc) AS r0,
+                           (SELECT coalesce(sum(c),0) FROM tgtc) AS t0),
+            per AS (
+              SELECT ft.doc_id, count(*) AS n, sum(wu) AS lr
+              FROM ft JOIN w USING (f) GROUP BY ft.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n,0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(per.lr,0) AS BIGINT) AS logratio_u,
+                   CASE WHEN coalesce(per.n,0) > 0
+                        THEN CAST(per.lr AS DOUBLE)/per.n/1000000.0
+                             - (ln(CAST((SELECT t0 FROM tot)+1024 AS DOUBLE))
+                              - ln(CAST((SELECT r0 FROM tot)+1024 AS DOUBLE)))
+                        ELSE 0.0 END AS mean_logratio
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         # quartile tiers over the integer milli-nat unigram score;
         # quantile_disc matches the engine's ceil-rank histogram boundaries
         "quality_tiers": f"""

@@ -277,6 +277,280 @@ def unigram_logprob(
     return scored.union(empties)
 
 
+def _flat_bigrams(batch: pa.Table, text_col: str):
+    """Adjacent within-document token pairs of a batch, vectorized:
+    returns ``(pair_codes, t1_codes, doc_index, pair_dict, tok_dict)`` where
+    ``pair_dict[pair_codes[i]]`` is the i-th bigram as a space-joined
+    string and ``tok_dict[t1_codes[i]]`` its left (context) token.  One
+    dictionary encode + one np.unique per batch — no per-pair Python."""
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64), pa.array([], pa.string()),
+             pa.array([], pa.string()))
+    if len(flat) < 2:
+        return empty
+    d = _dict_encode(flat)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    same = doc_idx[1:] == doc_idx[:-1]
+    if not same.any():
+        return empty
+    left = codes[:-1][same]
+    right = codes[1:][same]
+    dix = doc_idx[1:][same].astype(np.int64)
+    ndict = len(d.dictionary)
+    key = left * ndict + right
+    uk, pair_codes = np.unique(key, return_inverse=True)
+    pair_dict = pc.binary_join_element_wise(
+        d.dictionary.take(pa.array(uk // ndict)),
+        d.dictionary.take(pa.array(uk % ndict)),
+        " ",
+    )
+    return pair_codes, left, dix, pair_dict, d.dictionary
+
+
+def bigram_logprob(
+    ds,
+    text_col: str = "text",
+    strategy: str = "broadcast",
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+):
+    """Per-document bigram LM score: mean conditional log-probability
+    ``ln p(t_i | t_{i-1}) = ln c(t_{i-1}, t_i) − ln c(t_{i-1})`` under the
+    corpus's own MLE bigram model → ``(doc_id, n_pairs, logprob_u,
+    mean_logprob)``.  A sharper fluency signal than unigram_logprob
+    (repetitive/gibberish text has common tokens in UNcommon orders); same
+    int64 micro-nat exactness (per-pair term = floor(ln c_bi·1e6) −
+    floor(ln c_uni·1e6); the context denominator is the token's FULL
+    corpus unigram count, a documented MLE simplification that keeps the
+    oracle a plain two-join SQL).  Documents with < 2 tokens score
+    (0, 0, 0.0).
+
+    ``broadcast`` collects the (bigram, cnt) table — right while distinct
+    bigrams fit a worker (~5× unigram vocabulary on natural text).
+    ``shuffle`` is the open-vocabulary 100 TB path: TWO bucket-merge
+    exchanges (pair partials join bigram counts; context partials join
+    unigram counts, negated) reusing unigram_logprob's `_bucket_merge`,
+    then one per-doc sum — the vocabulary never collects."""
+    uni = word_count(ds, text_col=text_col)
+
+    def bigram_count_partial(batch: pa.Table) -> pa.Table:
+        pair_codes, _, _, pair_dict, _ = _flat_bigrams(batch, text_col)
+        if len(pair_codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnts = np.bincount(pair_codes, minlength=len(pair_dict))
+        return pa.table(
+            {"term": pair_dict, "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    bi = ds.map_batches(
+        bigram_count_partial, batch_format="pyarrow"
+    ).groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+
+    if strategy == "broadcast":
+        def collect(counts) -> pa.Table:
+            parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+            return (
+                pa.concat_tables(parts)
+                if parts
+                else pa.table({"term": pa.array([], pa.string()),
+                               "cnt": pa.array([], pa.int64())})
+            )
+
+        bi_ref = ray.put(collect(bi))
+        uni_ref = ray.put(collect(uni))
+
+        class Scorer:
+            def __init__(self):
+                def as_lp(tbl: pa.Table) -> dict:
+                    lp = _log_micronats(
+                        tbl.column("cnt").to_numpy(
+                            zero_copy_only=False
+                        ).astype(np.int64)
+                    )
+                    return dict(zip(tbl.column("term").to_pylist(),
+                                    lp.tolist()))
+
+                self.bi = as_lp(ray.get(bi_ref))
+                self.uni = as_lp(ray.get(uni_ref))
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id")
+                if isinstance(ids, pa.ChunkedArray):
+                    ids = ids.combine_chunks()
+                n = batch.num_rows
+                pair_codes, t1, dix, pair_dict, tok_dict = _flat_bigrams(
+                    batch, text_col
+                )
+                if len(pair_codes) == 0:
+                    zeros = np.zeros(n, np.int64)
+                    return _pair_result(ids, zeros, zeros)
+                # one dict lookup per DISTINCT bigram / context token
+                bi_lp = np.array(
+                    [self.bi[t] for t in pair_dict.to_pylist()], np.int64
+                )[pair_codes]
+                uni_lp = np.array(
+                    [self.uni[t] for t in tok_dict.to_pylist()], np.int64
+                )[t1]
+                n_pairs = np.bincount(dix, minlength=n).astype(np.int64)
+                lp = np.bincount(
+                    dix, weights=bi_lp - uni_lp, minlength=n
+                ).astype(np.int64)
+                return _pair_result(ids, n_pairs, lp)
+
+        return ds.map_batches(
+            Scorer, batch_format="pyarrow", concurrency=concurrency
+        )
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        """(doc_id, term=bigram, tf) rows."""
+        pair_codes, _, dix, pair_dict, _ = _flat_bigrams(batch, text_col)
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(pair_codes) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        key = dix * len(pair_dict) + pair_codes
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": ids.take(
+                    pa.array(uniq // len(pair_dict))
+                ).cast(pa.int64()),
+                "term": pair_dict.take(pa.array(uniq % len(pair_dict))),
+                "tf": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def ctx_partials(batch: pa.Table) -> pa.Table:
+        """(doc_id, term=context token, tf=times it opens a pair) rows."""
+        _, t1, dix, _, tok_dict = _flat_bigrams(batch, text_col)
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(t1) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        key = dix * len(tok_dict) + t1
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": ids.take(
+                    pa.array(uniq // len(tok_dict))
+                ).cast(pa.int64()),
+                "term": tok_dict.take(pa.array(uniq % len(tok_dict))),
+                "tf": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table, role: int) -> pa.Table:
+        from ..functions.arrowutil import string_buckets
+
+        wb = string_buckets(batch.column("term"), num_buckets)
+        out = batch.append_column("wb", pa.array(wb, pa.int32()))
+        return out.append_column(
+            "role", pa.array(np.full(batch.num_rows, role, np.int8))
+        )
+
+    cols = ["doc_id", "term", "tf", "cnt", "wb", "role"]
+
+    def tok_stream(partial_fn):
+        return ds.map_batches(partial_fn, batch_format="pyarrow").map_batches(
+            add_bucket, fn_kwargs={"role": 0}, batch_format="pyarrow"
+        ).map_batches(
+            lambda b: b.append_column(
+                "cnt", pa.array(np.zeros(b.num_rows, np.int64))
+            ).select(cols),
+            batch_format="pyarrow",
+        )
+
+    def cnt_stream(counts):
+        return counts.map_batches(
+            lambda b: b.append_column(
+                "doc_id", pa.array(np.zeros(b.num_rows, np.int64))
+            ).append_column("tf", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ).map_batches(
+            add_bucket, fn_kwargs={"role": 1}, batch_format="pyarrow"
+        ).map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+
+    def negate(batch: pa.Table) -> pa.Table:
+        lp = batch.column("lp_part").to_numpy(zero_copy_only=False)
+        np_ = batch.column("n_part").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lp_part": pa.array(-lp, pa.int64()),
+                # pairs are counted once, on the bigram side
+                "n_part": pa.array(np.zeros_like(np_), pa.int64()),
+            }
+        )
+
+    merged_bi = tok_stream(pair_partials).union(cnt_stream(bi)).groupby(
+        "wb"
+    ).map_groups(_bucket_merge, batch_format="pyarrow")
+    merged_uni = tok_stream(ctx_partials).union(cnt_stream(uni)).groupby(
+        "wb"
+    ).map_groups(_bucket_merge, batch_format="pyarrow").map_batches(
+        negate, batch_format="pyarrow"
+    )
+    sums = merged_bi.union(merged_uni).groupby("doc_id").aggregate(
+        Sum("lp_part", alias_name="logprob_u"),
+        Sum("n_part", alias_name="n_pairs"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return _pair_result(
+            batch.column("doc_id"),
+            batch.column("n_pairs").to_numpy(zero_copy_only=False),
+            batch.column("logprob_u").to_numpy(zero_copy_only=False),
+        )
+
+    scored = sums.map_batches(finalize, batch_format="pyarrow")
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        _, _, dix, _, _ = _flat_bigrams(batch, text_col)
+        has = np.zeros(batch.num_rows, bool)
+        if len(dix):
+            has[np.unique(dix)] = True
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = np.flatnonzero(~has)
+        zeros = np.zeros(len(keep), np.int64)
+        return _pair_result(ids.take(pa.array(keep)), zeros, zeros)
+
+    empties = ds.map_batches(zero_rows, batch_format="pyarrow")
+    return scored.union(empties)
+
+
+def _pair_result(ids, n_pairs, lp_u) -> pa.Table:
+    n_pairs = np.asarray(n_pairs)
+    lp_u = np.asarray(lp_u)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = lp_u.astype(np.float64) / n_pairs.astype(np.float64) / _SCALE
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_pairs": pa.array(n_pairs.astype(np.int64), pa.int64()),
+            "logprob_u": pa.array(lp_u.astype(np.int64), pa.int64()),
+            "mean_logprob": pa.array(
+                np.where(n_pairs > 0, mean, 0.0), pa.float64()
+            ),
+        }
+    )
+
+
 def quality_tiers(ds, k: int = 4, text_col: str = "text"):
     """Bucket every document into k global quality tiers by its unigram-LM
     score — the distribution-aware curation step (keep the top tier, mix

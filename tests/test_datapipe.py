@@ -1250,6 +1250,136 @@ class TestUnigramLogprob:
         assert got.loc[4, "mean_logprob"] < got.loc[1, "mean_logprob"]
 
 
+class TestBigramLogprob:
+    def _docs(self):
+        return [
+            {"doc_id": 1, "text": "the cat sat on the mat"},
+            {"doc_id": 2, "text": "the cat ran"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "single"},  # 1 token → 0 pairs
+            {"doc_id": 5, "text": "the cat sat"},
+        ]
+
+    def _ref(self, rows):
+        import math
+        from collections import Counter
+
+        toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+        uni = Counter(t for ts in toks.values() for t in ts)
+        bi = Counter(
+            (ts[i - 1], ts[i])
+            for ts in toks.values()
+            for i in range(1, len(ts))
+        )
+        out = {}
+        for d, ts in toks.items():
+            pairs = [(ts[i - 1], ts[i]) for i in range(1, len(ts))]
+            lp = sum(
+                math.floor(math.log(bi[p]) * 1e6)
+                - math.floor(math.log(uni[p[0]]) * 1e6)
+                for p in pairs
+            )
+            n = len(pairs)
+            out[d] = (n, lp, lp / n / 1e6 if n else 0.0)
+        return out
+
+    def test_both_strategies_match_reference(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import bigram_logprob
+
+        rows = self._docs()
+        want = self._ref(rows)
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        for strat in ("broadcast", "shuffle"):
+            got = bigram_logprob(ds, strategy=strat).to_pandas()
+            assert len(got) == len(rows), strat
+            for r in got.itertuples():
+                n, lp, mean = want[int(r.doc_id)]
+                assert int(r.n_pairs) == n, (strat, r.doc_id)
+                assert int(r.logprob_u) == lp, (strat, r.doc_id)
+                assert r.mean_logprob == mean, (strat, r.doc_id)
+
+    def test_common_order_scores_higher(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import bigram_logprob
+
+        # 'the cat' occurs 3×; docs 1/2/5 share it, doc 6 uses the same
+        # tokens in a never-seen-before order
+        rows = self._docs() + [{"doc_id": 6, "text": "cat the"}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = bigram_logprob(ds).to_pandas().set_index("doc_id")
+        assert got.loc[6, "mean_logprob"] < got.loc[2, "mean_logprob"]
+
+
+class TestDsirScore:
+    def _docs(self):
+        return [
+            {"doc_id": 1, "text": "alpha beta alpha", "source": "web"},
+            {"doc_id": 2, "text": "alpha beta gamma", "source": "web"},
+            {"doc_id": 3, "text": "delta delta epsilon", "source": "books"},
+            {"doc_id": 4, "text": "alpha delta", "source": "books"},
+            {"doc_id": 5, "text": "", "source": "web"},
+        ]
+
+    def test_matches_python_reference(self, ray_session):
+        import hashlib
+        import math
+        from collections import Counter
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dsir import dsir_score
+
+        rows = self._docs()
+        F = 64
+
+        def feat(t):
+            return int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big"
+            ) % F
+
+        raw = Counter(
+            feat(t) for r in rows for t in r["text"].lower().split()
+        )
+        tgt = Counter(
+            feat(t) for r in rows if r["source"] == "web"
+            for t in r["text"].lower().split()
+        )
+        w = {
+            f: math.floor(math.log(tgt.get(f, 0) + 1) * 1e6)
+            - math.floor(math.log(c + 1) * 1e6)
+            for f, c in raw.items()
+        }
+        norm = math.log(sum(tgt.values()) + F) - math.log(
+            sum(raw.values()) + F
+        )
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        got = dsir_score(
+            ds, target_col="source", target_value="web", num_features=F
+        ).to_pandas().set_index("doc_id")
+        for r in rows:
+            ts = r["text"].lower().split()
+            lr = sum(w[feat(t)] for t in ts)
+            assert int(got.loc[r["doc_id"], "n_tokens"]) == len(ts)
+            assert int(got.loc[r["doc_id"], "logratio_u"]) == lr
+            want_mean = lr / len(ts) / 1e6 - norm if ts else 0.0
+            assert got.loc[r["doc_id"], "mean_logratio"] == want_mean
+
+    def test_target_like_docs_score_higher(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dsir import dsir_score
+
+        # 'web' docs share vocabulary; doc 3 is pure books vocabulary
+        ds = rd.from_arrow(pa.Table.from_pylist(self._docs()))
+        got = dsir_score(
+            ds, target_col="source", target_value="web", num_features=64
+        ).to_pandas().set_index("doc_id")
+        assert got.loc[1, "mean_logratio"] > got.loc[3, "mean_logratio"]
+
+
 class TestSourceCap:
     def test_matches_window_reference_across_batches(self, ray_session):
         import ray.data as rd
