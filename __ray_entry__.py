@@ -210,6 +210,37 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN oracled as its recall property (the
+    ann_ivf pattern): per query, |pq_topk ∩ brute_topk| / k ≥ 0.5 and a
+    full result list — the SQL oracle asserts the same constants, so a
+    recall or result-count regression flips the row."""
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.embed import ann_topk_brute, ann_topk_pq
+
+    queries = _ann_queries(sf_dir)
+    pq_res = ann_topk_pq(_emb(sf_dir), queries, k=ANN_K, m=16, ksub=64)
+    brute = ann_topk_brute(_emb(sf_dir), queries, k=ANN_K)
+    by_q: dict[int, set] = {}
+    for r in brute.to_pylist():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got: dict[int, set] = {q: set() for q in range(ANN_NUM_QUERIES)}
+    for r in pq_res.to_pylist():
+        got[r["query_id"]].add(r["vec_id"])
+    qids = sorted(got)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_results": pa.array([len(got[q]) for q in qids], pa.int64()),
+            "recall_ok": pa.array(
+                [len(got[q] & by_q.get(q, set())) / ANN_K >= 0.5 for q in qids],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
 def _q_ann_ivf_fullprobe(sf_dir: str):
     """IVF with nprobe == nlist probes every cluster, so the result is EXACT
     top-k — the same SQL oracle as ann_topk checks the whole IVF machinery
@@ -1561,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "bigram_logprob_shuffle": _q_bigram_logprob_shuffle,
         "dsir_select": _q_dsir_select,
+        "ann_pq": _q_ann_pq,
     }
 
 
@@ -1992,6 +2024,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE {any_word}
         """,
         "ann_ivf": f"""
+            SELECT unnest(generate_series(0, {ANN_NUM_QUERIES - 1})) AS query_id,
+                   CAST({ANN_K} AS BIGINT) AS n_results,
+                   true AS recall_ok
+        """,
+        "ann_pq": f"""
             SELECT unnest(generate_series(0, {ANN_NUM_QUERIES - 1})) AS query_id,
                    CAST({ANN_K} AS BIGINT) AS n_results,
                    true AS recall_ok

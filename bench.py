@@ -199,6 +199,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["quality_tiers"] = time.perf_counter() - t0
 
+    # DSIR importance scoring: two token passes + a broadcast weight
+    # vector (the target label is a cheap deterministic url-length split)
+    from studiocr_ray.datapipe.dsir import dsir_score
+
+    def with_src(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        ln = pc2.binary_length(
+            pc2.cast(b.column("doc_id"), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        src = np.where(ln % 2 == 0, "web", "books")
+        return b.append_column("source", pa.array(src, pa.string()))
+
+    t0 = time.perf_counter()
+    dsir_score(
+        corpus().map_batches(with_src, batch_format="pyarrow"),
+        target_col="source", target_value="web", num_features=4096,
+    ).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["dsir_score"] = time.perf_counter() - t0
+
     # trained NB classifier over the extracted corpus (train + score = two
     # token passes; label is a cheap deterministic split)
     from studiocr_ray.datapipe.classify import nb_quality_score

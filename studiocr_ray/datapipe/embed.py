@@ -337,6 +337,195 @@ def ann_topk_ivf_indexed(
 # Cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# PQ: product quantization (Jégou et al. 2011, public method) — the
+# memory-bandwidth scale path: codes are m bytes per vector instead of 8·D,
+# and the ADC scan gathers from a tiny per-query LUT instead of re-reading
+# float vectors.  At 100 TB the encoded corpus is ~1-2% of the raw
+# embedding bytes, which is what makes exhaustive re-ranking candidates or
+# full scans affordable at all.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    ds, m: int = 8, ksub: int = 16, sample_rows: int = 4096,
+    iters: int = 10, seed: int = 0,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks ``(m, ksub, dsub)`` trained on a
+    driver-side sample of NORMALIZED vectors — deterministic (seeded init,
+    Lloyd's, argmin lowest-index tie-break).  When the sample has fewer
+    than ksub points the spare rows repeat centroid 0 (argmin prefers the
+    lower index, so padding is never selected)."""
+    sample = ds.random_sample(1.0, seed=seed).limit(sample_rows).take_all()
+    mat = _normalize(
+        np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    )
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub), np.float64)
+    for s in range(m):
+        x = mat[:, s * dsub:(s + 1) * dsub]
+        # init from DISTINCT subvectors: duplicate inits would collapse two
+        # clusters onto one value and Lloyd's never re-splits an empty one
+        # (also makes ksub ≥ |distinct| quantization exactly lossless)
+        ux = np.unique(x, axis=0)
+        k_eff = min(ksub, len(ux))
+        cent = ux[rng.choice(len(ux), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                -2.0 * (x @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                pts = x[a == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[s, :k_eff] = cent
+        if k_eff < ksub:
+            books[s, k_eff:] = cent[0]
+    return books
+
+
+def _codes_matrix(batch: pa.Table) -> np.ndarray:
+    arr = batch.column("codes")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
+class _PqEncode:
+    """Streaming encoder: per subspace, nearest-codebook-centroid id →
+    m uint8 codes per vector.  Codebooks resolved once per actor."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = ray.get(books_ref)
+        # ||c||² per (subspace, centroid), reused every batch
+        self.c2 = (self.books * self.books).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "codes": pa.array([], pa.list_(pa.uint8()))}
+            )
+        mat = _normalize(_batch_matrix(batch))
+        m, ksub, dsub = self.books.shape
+        codes = np.empty((len(mat), m), np.uint8)
+        for s in range(m):
+            x = mat[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * (x @ self.books[s].T) + self.c2[s][None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        off = np.arange(0, (len(mat) + 1) * m, m, dtype=np.int32)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "codes": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()),
+                    pa.array(codes.ravel(), pa.uint8()),
+                ),
+            }
+        )
+
+
+def pq_encode(ds, books: np.ndarray, concurrency=(1, 8)):
+    """Encode every vector to m uint8 codes → (vec_id, codes).  This is
+    the persistable form: ``write_parquet`` it next to the codebooks and
+    every later query scans codes only (the raw embedding column never
+    re-reads)."""
+    import ray
+
+    bref = ray.put(np.asarray(books, dtype=np.float64))
+    return ds.map_batches(
+        _PqEncode,
+        fn_constructor_kwargs={"books_ref": bref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class _PqScan:
+    """ADC (asymmetric distance computation) top-k over encoded rows: the
+    per-query LUT ``lut[q, s, c] = q_sub_s · codebook[s][c]`` is built once
+    per actor; scoring a batch is m gathers + adds, no float vectors."""
+
+    def __init__(self, books_ref, queries_ref, k: int):
+        import ray
+
+        books = ray.get(books_ref)
+        q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        m, ksub, dsub = books.shape
+        self.m = m
+        self.lut = np.empty((len(q), m, ksub), np.float64)
+        for s in range(m):
+            self.lut[:, s, :] = q[:, s * dsub:(s + 1) * dsub] @ books[s].T
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PARTIAL
+        codes = _codes_matrix(batch)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        nq = self.lut.shape[0]
+        scores = np.zeros((nq, len(codes)), np.float64)
+        for s in range(self.m):
+            scores += self.lut[:, s, codes[:, s]]
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        qi, vi, sc = [], [], []
+        for qidx in range(nq):
+            for j in top[qidx]:
+                qi.append(qidx)
+                vi.append(int(ids[j]))
+                sc.append(float(scores[qidx, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "vec_id": pa.array(vi, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+
+def ann_topk_pq(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Approximate cosine top-k via product quantization: train codebooks
+    on a sample, encode the corpus streaming, ADC-scan the codes, merge
+    per-batch partials driver-side (same merge as ann_topk_brute).  Scores
+    are the quantized inner products — approximate by construction; with
+    ksub ≥ distinct per-subspace values the quantization is lossless and
+    the result equals the brute path (asserted by tests)."""
+    import ray
+
+    books = train_pq_codebooks(
+        ds, m=m, ksub=ksub, sample_rows=sample_rows, iters=iters, seed=seed
+    )
+    bref = ray.put(books)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = pq_encode(ds, books, concurrency=concurrency).map_batches(
+        _PqScan,
+        fn_constructor_kwargs={"books_ref": bref, "queries_ref": qref,
+                               "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(partials, k)
+
+
 class _CosineMetric:
     """Row-wise cosine between aligned list<float64> value columns
     (normalized per pair bucket — vectorized matmul-free dot)."""

@@ -363,6 +363,64 @@ class TestEmbeddings:
             recalls.append(len(set(grp["vec_id"]) & set(want[qi])) / 5)
         assert np.mean(recalls) >= 0.5  # approximate, but must be useful
 
+    def test_pq_lossless_when_codebook_covers_values(self, ray_session):
+        """Each subspace draws from exactly ksub distinct subvectors and the
+        training sample sees them all, so quantization reconstructs every
+        vector exactly and the PQ result must equal brute force."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import ann_topk_pq
+
+        rng = np.random.RandomState(3)
+        m, ksub, dsub = 4, 4, 2
+        # unit-norm subvector vocabularies → every combination has the same
+        # full-vector norm, so cosine normalization rescales uniformly and
+        # each subspace still has exactly ksub distinct values
+        vals = rng.randn(m, ksub, dsub)
+        vals /= np.linalg.norm(vals, axis=2, keepdims=True)
+        picks = rng.randint(0, ksub, size=(64, m))
+        mat = np.concatenate(
+            [vals[s][picks[:, s]] for s in range(m)], axis=1
+        )
+        rows = [
+            {"vec_id": i, "embedding": mat[i].tolist()} for i in range(64)
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        queries = mat[:3] + 0.01 * rng.rand(3, m * dsub)
+        got = ann_topk_pq(
+            ds, queries, k=5, m=m, ksub=ksub, sample_rows=64, iters=20
+        ).to_pandas()
+        want = self._brute(ds, queries, 5)
+        for qi, grp in got.groupby("query_id"):
+            assert grp.sort_values("rank")["vec_id"].tolist() == want[qi]
+
+    def test_pq_recall_and_determinism(self, emb_ds):
+        from studiocr_ray.datapipe.embed import ann_topk_pq
+
+        qrows = emb_ds.take(3)
+        queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        got = ann_topk_pq(emb_ds, queries, k=5, m=16, ksub=64).to_pandas()
+        want = self._brute(emb_ds, queries, 5)
+        recalls = []
+        for qi, grp in got.groupby("query_id"):
+            recalls.append(len(set(grp["vec_id"]) & set(want[qi])) / 5)
+        assert np.mean(recalls) >= 0.5
+        # block layout must not change the answer
+        again = ann_topk_pq(
+            emb_ds.repartition(7), queries, k=5, m=16, ksub=64
+        ).to_pandas()
+        assert got["vec_id"].tolist() == again["vec_id"].tolist()
+
+    def test_pq_encode_shape(self, emb_ds):
+        from studiocr_ray.datapipe.embed import pq_encode, train_pq_codebooks
+
+        books = train_pq_codebooks(emb_ds, m=8, ksub=16)
+        assert books.shape == (8, 16, 8)
+        enc = pq_encode(emb_ds, books).take(5)
+        for r in enc:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+
     def test_ivf_disk_index_roundtrip(self, ray_session, emb_ds, tmp_path):
         """write_ivf_index partitions by cluster on disk; probing ALL
         clusters through the partition-pruned read is exact vs brute force,
