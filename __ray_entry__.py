@@ -1324,6 +1324,18 @@ def _q_dsir_select(sf_dir: str):
                       target_value="web", num_features=1024)
 
 
+def _q_bpe_stats(sf_dir: str):
+    """Train a BPE vocabulary from the corpus word table, then count each
+    document's tokens under it — rows-only (the merge loop is iterative
+    driver logic, not SQL-expressible; determinism and bounds are pytest-
+    asserted against an independent reference implementation)."""
+    from studiocr_ray.datapipe.bpe import bpe_token_stats, train_bpe
+
+    docs = _docs(sf_dir)
+    merges = train_bpe(docs, num_merges=64)
+    return bpe_token_stats(docs, merges)
+
+
 def _passage_acc_sql(w: int) -> str:
     """SQL twin of the numpy uint64 rolling accumulator: acc = acc*B + th,
     wrapped mod 2^64 at every step (HUGEINT intermediates stay < 2^84)."""
@@ -1593,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_shuffle": _q_bigram_logprob_shuffle,
         "dsir_select": _q_dsir_select,
         "ann_pq": _q_ann_pq,
+        "bpe_stats": _q_bpe_stats,
     }
 
 

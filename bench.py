@@ -324,7 +324,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     # ~5×, which removed that constant term (measured 0.85 at 2.4M vs
     # 0.68–0.82 at 1.2M).
     replicas = os.environ.get("GRAFT_BENCH_REPLICAS", "480")
+    probes = {}
     for n in (lo, hi):
+        # bracketing probes: a leg only counts as healthy-host evidence if
+        # the bandwidth probe reads healthy immediately BEFORE and AFTER it
+        probes[f"probe_before_{n}"] = _host_memcpy_gbps()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY="extract", GRAFT_BENCH_REPLICAS=replicas)
         out = subprocess.run(
@@ -332,6 +336,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
+        probes[f"probe_after_{n}"] = _host_memcpy_gbps()
     tp_lo = results[lo]["docs_per_sec"]
     tp_hi = results[hi]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -346,6 +351,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         f"docs_per_sec_{hi}": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "host_memcpy_gbps": _host_memcpy_gbps(),
+        **probes,
         "queries": {
             f"extract_{lo}cpu": results[lo]["queries"]["extract"],
             f"extract_{hi}cpu": results[hi]["queries"]["extract"],

@@ -526,6 +526,76 @@ def ann_topk_pq(
     return _merge_topk(partials, k)
 
 
+def ann_topk_rerank(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Two-stage retrieval: PQ shortlist of ``k × shortlist_mult``
+    candidates per query (cheap ADC over codes), then EXACT cosine
+    re-rank of only the candidate vectors — the standard recall repair
+    for quantized indexes.  The candidate id set (nq × k × mult ids) is
+    broadcast; the re-rank pass streams the corpus once and scores only
+    rows whose vec_id is in the set, so the float vectors of
+    non-candidates are never touched past the membership test.  Recall
+    equals the shortlist's recall@k·mult, which approaches 1 quickly with
+    ``shortlist_mult`` (asserted by tests)."""
+    import pyarrow.compute as pc
+    import ray
+
+    short = ann_topk_pq(
+        ds, queries, k=k * shortlist_mult, m=m, ksub=ksub,
+        sample_rows=sample_rows, iters=iters, seed=seed,
+        concurrency=concurrency,
+    )
+    cand_ref = ray.put(
+        np.unique(short.column("vec_id").to_numpy(zero_copy_only=False))
+    )
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    class Rerank:
+        def __init__(self):
+            self.cands = ray.get(cand_ref)
+            self.q = _normalize(np.asarray(ray.get(qref), dtype=np.float64))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = np.isin(ids, self.cands)
+            if not keep.any():
+                return _EMPTY_PARTIAL
+            sub = batch.filter(pa.array(keep))
+            m_ = _normalize(_batch_matrix(sub))
+            sids = sub.column("vec_id").to_numpy(zero_copy_only=False)
+            sims = self.q @ m_.T
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            qi, vi, sc = [], [], []
+            for qidx in range(sims.shape[0]):
+                for j in top[qidx]:
+                    qi.append(qidx)
+                    vi.append(int(sids[j]))
+                    sc.append(float(sims[qidx, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(qi, pa.int64()),
+                    "vec_id": pa.array(vi, pa.int64()),
+                    "score": pa.array(sc, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Rerank, batch_format="pyarrow", concurrency=concurrency
+    ).take_all()
+    return _merge_topk(partials, k)
+
+
 class _CosineMetric:
     """Row-wise cosine between aligned list<float64> value columns
     (normalized per pair bucket — vectorized matmul-free dot)."""

@@ -411,6 +411,30 @@ class TestEmbeddings:
         ).to_pandas()
         assert got["vec_id"].tolist() == again["vec_id"].tolist()
 
+    def test_rerank_recovers_recall(self, emb_ds):
+        """The exact re-rank stage lifts PQ recall: with a generous
+        shortlist the two-stage result must beat the raw PQ shortlist's
+        top-k recall, and scores must be exact cosines (match brute for
+        the ids it returns)."""
+        from studiocr_ray.datapipe.embed import ann_topk_pq, ann_topk_rerank
+
+        qrows = emb_ds.take(3)
+        queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        want = self._brute(emb_ds, queries, 5)
+        rer = ann_topk_rerank(
+            emb_ds, queries, k=5, shortlist_mult=8, m=16, ksub=64
+        ).to_pandas()
+        raw = ann_topk_pq(emb_ds, queries, k=5, m=16, ksub=64).to_pandas()
+
+        def recall(df):
+            r = []
+            for qi, grp in df.groupby("query_id"):
+                r.append(len(set(grp["vec_id"]) & set(want[qi])) / 5)
+            return float(np.mean(r))
+
+        assert recall(rer) >= recall(raw)
+        assert recall(rer) >= 0.8
+
     def test_pq_encode_shape(self, emb_ds):
         from studiocr_ray.datapipe.embed import pq_encode, train_pq_codebooks
 
@@ -1436,6 +1460,100 @@ class TestDsirScore:
             ds, target_col="source", target_value="web", num_features=64
         ).to_pandas().set_index("doc_id")
         assert got.loc[1, "mean_logratio"] > got.loc[3, "mean_logratio"]
+
+
+class TestBpe:
+    _ROWS = [
+        {"doc_id": 1, "text": "low low low low low"},
+        {"doc_id": 2, "text": "lower lower newest newest"},
+        {"doc_id": 3, "text": "newest newest newest newest widest"},
+        {"doc_id": 4, "text": "widest widest"},
+        {"doc_id": 5, "text": ""},
+    ]
+
+    def _ref_merges(self, rows, num_merges):
+        """Independent driver-side BPE over the raw corpus words."""
+        from collections import Counter
+
+        wc = Counter(
+            t for r in rows for t in r["text"].lower().split()
+        )
+        vocab = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+        merges = []
+        for _ in range(num_merges):
+            pc_ = Counter()
+            for sym, f in vocab.items():
+                for i in range(len(sym) - 1):
+                    pc_[(sym[i], sym[i + 1])] += f
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+
+            def mg(sym):
+                out, i = [], 0
+                while i < len(sym):
+                    if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                        out.append(sym[i] + sym[i + 1])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                return tuple(out)
+
+            vocab = {mg(s): f for s, f in vocab.items()}
+        return merges
+
+    def test_merges_match_reference(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.bpe import train_bpe
+
+        ds = rd.from_arrow(pa.Table.from_pylist(self._ROWS)).repartition(3)
+        got = train_bpe(ds, num_merges=12)
+        want = self._ref_merges(self._ROWS, 12)
+        pairs = list(zip(got.column("left").to_pylist(),
+                         got.column("right").to_pylist()))
+        assert pairs == want
+        assert got.column("rank").to_pylist() == list(range(len(want)))
+
+    def test_token_stats_bounds(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.bpe import bpe_token_stats, train_bpe
+
+        ds = rd.from_arrow(pa.Table.from_pylist(self._ROWS))
+        # zero merges: every word is chars + the end marker
+        none = train_bpe(ds, num_merges=0)
+        got0 = bpe_token_stats(ds, none).to_pandas().set_index("doc_id")
+        for r in self._ROWS:
+            words = r["text"].lower().split()
+            assert got0.loc[r["doc_id"], "n_words"] == len(words)
+            assert got0.loc[r["doc_id"], "n_bpe_tokens"] == sum(
+                len(w) + 1 for w in words
+            )
+        # enough merges: every trained word collapses to one token
+        full = train_bpe(ds, num_merges=200)
+        gotf = bpe_token_stats(ds, full).to_pandas().set_index("doc_id")
+        for r in self._ROWS:
+            words = r["text"].lower().split()
+            assert gotf.loc[r["doc_id"], "n_bpe_tokens"] == len(words)
+
+    def test_unseen_word_segments_with_learned_merges(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.bpe import bpe_token_stats, train_bpe
+
+        train = rd.from_arrow(pa.Table.from_pylist(self._ROWS))
+        merges = train_bpe(train, num_merges=200)
+        # 'lowest' was never seen whole, but 'low' + 'est</w>'-ish pieces
+        # were learned — it must segment into fewer tokens than raw chars
+        apply_ds = rd.from_arrow(
+            pa.Table.from_pylist([{"doc_id": 9, "text": "lowest"}])
+        )
+        got = bpe_token_stats(apply_ds, merges).to_pandas()
+        assert int(got["n_words"][0]) == 1
+        assert 1 < int(got["n_bpe_tokens"][0]) < len("lowest") + 1
 
 
 class TestSourceCap:
