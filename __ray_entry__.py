@@ -1324,6 +1324,17 @@ def _q_dsir_select(sf_dir: str):
                       target_value="web", num_features=1024)
 
 
+def _q_sampled_pctl(sf_dir: str):
+    """Approximate n_chars percentiles from the deterministic bottom-k
+    priority sample (mergeable; no bound on distinct values needed)."""
+    from studiocr_ray.datapipe.sketch import sampled_percentiles
+
+    return sampled_percentiles(
+        _docs(sf_dir), "n_chars", id_col="doc_id", k=256,
+        qs=(0.25, 0.5, 0.75, 0.99),
+    )
+
+
 def _q_bpe_stats(sf_dir: str):
     """Train a BPE vocabulary from the corpus word table, then count each
     document's tokens under it — rows-only (the merge loop is iterative
@@ -1606,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "ann_pq": _q_ann_pq,
         "bpe_stats": _q_bpe_stats,
+        "sampled_pctl": _q_sampled_pctl,
     }
 
 
@@ -2045,6 +2057,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(generate_series(0, {ANN_NUM_QUERIES - 1})) AS query_id,
                    CAST({ANN_K} AS BIGINT) AS n_results,
                    true AS recall_ok
+        """,
+        # bottom-k priority sample (md5 priority, id-string tie-break) →
+        # value at 1-based rank ceil(q·n) of the sorted sample
+        "sampled_pctl": """
+            WITH pri AS (
+              SELECT CAST(doc_id AS VARCHAR) AS sid,
+                     CAST(n_chars AS DOUBLE) AS v,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS pr
+              FROM documents
+            ),
+            samp AS (SELECT v FROM pri ORDER BY pr, sid LIMIT 256),
+            srt AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM samp),
+            n AS (SELECT count(*) AS n FROM samp),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.99))
+            SELECT q.q AS q, s.v AS value
+            FROM qs q JOIN n ON true
+            JOIN srt s
+              ON s.rn = greatest(1, CAST(ceil(q.q * n.n) AS BIGINT))
         """,
         "ann_ivf_fullprobe": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -477,3 +477,87 @@ def count_min_estimate(sketch_ds, probes: list[str], depth: int = 4,
         {"term": pa.array(probes, pa.string()),
          "est": pa.array(est, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k priority sample → approximate percentiles
+# ---------------------------------------------------------------------------
+
+def sampled_percentiles(
+    ds,
+    val_col: str,
+    id_col: str = "doc_id",
+    k: int = 1024,
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> pa.Table:
+    """Approximate percentiles of ``val_col`` from a deterministic
+    bottom-k priority sample → ``(q, value)`` rows.
+
+    The sample is the k rows with the smallest ``stable64(str(id))``
+    (ties by the id's string form) — a MERGEABLE uniform sample: each
+    batch keeps its own bottom-k (≤ k rows leave per batch no matter the
+    batch size), one tiny single-group merge keeps the global bottom-k,
+    and the percentile is the value at 1-based rank ``ceil(q·k)`` of the
+    sorted sample (quantile_disc semantics).  Error is the standard
+    O(1/sqrt(k)) of a uniform sample; unlike the bounded-histogram exact
+    path (`relational.token_length_percentiles`) it needs NO bound on
+    distinct values, so it works on arbitrary float columns.
+
+    Deterministic by construction (the md5 priority is a pure function of
+    the id), so a DuckDB oracle reproduces it exactly — false sampling
+    included."""
+
+    def _bottom_k(pr: np.ndarray, sid) -> np.ndarray:
+        """Indices of the bottom-k by (priority, id-string).  The string
+        tie-break only runs when two priorities actually collide (md5 —
+        essentially never), so the common path is one integer argsort."""
+        order = np.argsort(pr, kind="stable")[: min(k + 1, len(pr))]
+        top = order[: min(k, len(order))]
+        if len(order) > len(top) and pr[order[len(top) - 1]] == pr[order[len(top)]]:
+            s = np.asarray(sid.to_pylist(), dtype=object)
+            order = np.lexsort((s, pr))
+            top = order[: min(k, len(order))]
+        return top
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], pa.int32()),
+                 "pr": pa.array([], pa.uint64()),
+                 "sid": pa.array([], pa.string()),
+                 "v": pa.array([], pa.float64())}
+            )
+        sid = _as_strings(batch.column(id_col))
+        pr = _hash64_strings(sid)
+        vals = pc.cast(_flat_arr(batch.column(val_col)), pa.float64())
+        keep = _bottom_k(pr, sid)
+        take = pa.array(keep)
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(keep), np.int32)),
+                "pr": pa.array(pr[keep], pa.uint64()),
+                "sid": sid.take(take),
+                "v": vals.take(take),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        pr = group.column("pr").to_numpy(zero_copy_only=False)
+        sid = _flat_arr(group.column("sid"))
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        keep = _bottom_k(pr, sid)
+        sample = np.sort(v[keep])
+        n = len(sample)
+        out_q, out_v = [], []
+        for q in qs:
+            r = max(1, math.ceil(q * n)) if n else 0
+            out_q.append(float(q))
+            out_v.append(float(sample[r - 1]) if n else 0.0)
+        return pa.table(
+            {"q": pa.array(out_q, pa.float64()),
+             "value": pa.array(out_v, pa.float64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "g"
+    ).map_groups(final, batch_format="pyarrow")

@@ -1958,6 +1958,46 @@ class TestMixSources:
         assert not (out["source"] == "s2").any()
 
 
+class TestSampledPercentiles:
+    def test_accuracy_and_partition_invariance(self, ray_session, docs_ds):
+        from studiocr_ray.datapipe.sketch import sampled_percentiles
+
+        got = sampled_percentiles(
+            docs_ds, "n_chars", k=256, qs=(0.25, 0.5, 0.75)
+        ).to_pandas().set_index("q")["value"]
+        exact = docs_ds.to_pandas()["n_chars"].astype(float)
+        n = len(exact)
+        for q in (0.25, 0.5, 0.75):
+            want = float(np.sort(exact.to_numpy())[
+                max(1, int(np.ceil(q * n))) - 1])
+            # uniform 256-sample: the sampled quantile's RANK error is
+            # O(1/sqrt(k)); assert the sampled value sits within the
+            # exact q±0.1 quantile band
+            lo = float(np.sort(exact.to_numpy())[
+                max(1, int(np.ceil(max(q - 0.1, 0.01) * n))) - 1])
+            hi = float(np.sort(exact.to_numpy())[
+                max(1, int(np.ceil(min(q + 0.1, 1.0) * n))) - 1])
+            assert lo <= got[q] <= hi, (q, got[q], want, lo, hi)
+        again = sampled_percentiles(
+            docs_ds.repartition(7), "n_chars", k=256, qs=(0.25, 0.5, 0.75)
+        ).to_pandas().set_index("q")["value"]
+        assert got.tolist() == again.tolist()
+
+    def test_small_input_is_exact(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import sampled_percentiles
+
+        rows = [{"doc_id": i, "v": float(i)} for i in range(100)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = sampled_percentiles(
+            ds, "v", k=1000, qs=(0.5, 0.99)
+        ).to_pandas().set_index("q")["value"]
+        # k >= n: the "sample" is the whole input, so quantile_disc exact
+        assert got[0.5] == 49.0
+        assert got[0.99] == 98.0
+
+
 class TestSketches:
     def test_hll_tracks_exact_and_partition_invariant(self, ray_session):
         import ray.data as rd
