@@ -112,14 +112,52 @@ def ann_topk_brute(ds, queries: np.ndarray, k: int = 10, concurrency=(1, 8)) -> 
 # IVF: the scale path — probe a few clusters instead of scanning everything.
 # ---------------------------------------------------------------------------
 
+def _priority_sample_matrix(
+    ds, sample_rows: int, id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic corpus-spread training sample: the ``sample_rows``
+    vectors with the smallest md5 priority of their id.  Layout-invariant
+    (``random_sample``'s draw depends on block boundaries — and at
+    fraction 1.0 it is a no-op, making ``.limit()`` a HEAD sample that
+    only sees the first blocks of a clustered corpus) and pruned per
+    batch, so at most ``sample_rows`` rows leave any batch."""
+    from .dedup import _stable64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"pr": pa.array([], pa.uint64()),
+                 "embedding": batch.column("embedding")}
+            )
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pr = np.fromiter(
+            (_stable64(str(i)) for i in ids.to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        keep = np.argsort(pr, kind="stable")[:sample_rows]
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {"pr": pa.array(pr[keep], pa.uint64()),
+             "embedding": emb.take(pa.array(keep))}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["pr"])
+    return np.asarray(
+        [r["embedding"] for r in rows[:sample_rows]], dtype=np.float64
+    )
+
+
 def train_ivf_centroids(
     ds, nlist: int = 16, sample_rows: int = 4096, iters: int = 10, seed: int = 0
 ) -> np.ndarray:
     """k-means on a driver-side sample (Lloyd's, seeded, normalized)."""
-    sample = ds.random_sample(1.0, seed=seed).limit(sample_rows).take_all()
-    m = _normalize(
-        np.asarray([r["embedding"] for r in sample], dtype=np.float64)
-    )
+    m = _normalize(_priority_sample_matrix(ds, sample_rows))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
     for _ in range(iters):
@@ -355,10 +393,7 @@ def train_pq_codebooks(
     Lloyd's, argmin lowest-index tie-break).  When the sample has fewer
     than ksub points the spare rows repeat centroid 0 (argmin prefers the
     lower index, so padding is never selected)."""
-    sample = ds.random_sample(1.0, seed=seed).limit(sample_rows).take_all()
-    mat = _normalize(
-        np.asarray([r["embedding"] for r in sample], dtype=np.float64)
-    )
+    mat = _normalize(_priority_sample_matrix(ds, sample_rows))
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -433,14 +468,20 @@ class _PqEncode:
         )
 
 
-def pq_encode(ds, books: np.ndarray, concurrency=(1, 8)):
+def pq_encode(ds, books, concurrency=(1, 8)):
     """Encode every vector to m uint8 codes → (vec_id, codes).  This is
     the persistable form: ``write_parquet`` it next to the codebooks and
     every later query scans codes only (the raw embedding column never
-    re-reads)."""
+    re-reads).  ``books`` may be the ndarray or an existing ``ray.put``
+    object ref (so callers that also broadcast the codebooks to a scan
+    stage ship them once, not twice)."""
     import ray
 
-    bref = ray.put(np.asarray(books, dtype=np.float64))
+    bref = (
+        books
+        if isinstance(books, ray.ObjectRef)
+        else ray.put(np.asarray(books, dtype=np.float64))
+    )
     return ds.map_batches(
         _PqEncode,
         fn_constructor_kwargs={"books_ref": bref},
@@ -516,7 +557,7 @@ def ann_topk_pq(
     )
     bref = ray.put(books)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = pq_encode(ds, books, concurrency=concurrency).map_batches(
+    partials = pq_encode(ds, bref, concurrency=concurrency).map_batches(
         _PqScan,
         fn_constructor_kwargs={"books_ref": bref, "queries_ref": qref,
                                "k": k},
@@ -620,15 +661,21 @@ def cosine_neardup_exact(
     accidental 10^9-vector call take_all the corpus onto the driver)."""
     import ray
 
-    n_vec = ds.count()
-    if n_vec > max_vectors:
+    # limit(max+1) enforces the contract in the SAME pass that collects
+    # the matrix (a count() here would execute the lineage twice) and
+    # bounds driver memory to max_vectors+1 rows even on oversized input
+    rows = (
+        ds.select_columns(["vec_id", "embedding"])
+        .limit(max_vectors + 1)
+        .take_all()
+    )
+    if len(rows) > max_vectors:
         raise ValueError(
             f"cosine_neardup_exact is the small-scale oracle path; got "
-            f"{n_vec} vectors > max_vectors={max_vectors}. Use "
+            f"more than max_vectors={max_vectors} vectors. Use "
             "cosine_neardup_lsh (same threshold semantics, banded "
             "candidates + co-partitioned verify) at this scale."
         )
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     mat = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
     ref = ray.put((ids, mat))

@@ -168,7 +168,13 @@ def conform_pages(batch: pa.Table) -> pa.Table:
     if pa.types.is_timestamp(ts.type):
         cols["warc_ts"] = pc.cast(ts, pa.timestamp("us"))
     else:
-        s = pc.replace_substring(pc.cast(ts, pa.string()), "T", " ")
+        # only the ISO date-time separator becomes a space — a blanket
+        # T-replace would mangle zone designators ('UTC' → 'U C')
+        s = pc.replace_substring_regex(
+            pc.cast(ts, pa.string()),
+            r"^(\d{4}-\d{2}-\d{2})T",
+            r"\1 ",
+        )
         parsed = pc.strptime(s, format="%Y-%m-%d %H:%M:%S", unit="us",
                              error_is_null=True)
         if parsed.null_count > pc.count(s, mode="only_null").as_py():

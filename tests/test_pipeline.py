@@ -590,6 +590,41 @@ class TestUpdateIndex:
 
 
 class TestSourceFormats:
+    def test_conform_timestamp_variants(self, ray_session):
+        """ISO-8601 variants common in real crawl JSONL: fractional seconds
+        keep us precision, UTC designators (Z / +00:00 / UTC) strip, and
+        anything unconformable — non-UTC offsets included — becomes NULL so
+        the quarantine path handles it per-row instead of the batch
+        failing."""
+        import datetime
+
+        import pyarrow as pa
+
+        from studiocr_ray.sources.pages import conform_pages
+
+        ts = [
+            "2024-01-02 03:04:05",
+            "2024-01-02T03:04:05.123456Z",
+            "2024-01-02T03:04:05.123456789Z",  # ns → truncated to us
+            "2024-01-02T03:04:05Z",
+            "2024-01-02T03:04:05+00:00",
+            "2024-01-02 03:04:05 UTC",
+            "2024-01-02T03:04:05 UTC",  # 'T' separator AND a designator
+            "2024-01-02T03:04:05-05:00",  # non-UTC offset → null
+            "garbage",
+            None,
+        ]
+        batch = pa.table(
+            {"url": [f"http://x{i}" for i in range(len(ts))],
+             "warc_ts": ts,
+             "html": ["<p>x</p>"] * len(ts)}
+        )
+        got = conform_pages(batch).column("warc_ts").to_pylist()
+        base = datetime.datetime(2024, 1, 2, 3, 4, 5)
+        frac = base + datetime.timedelta(microseconds=123456)
+        assert got == [base, frac, frac, base, base, base, base,
+                       None, None, None]
+
     def test_jsonl_and_csv_inputs_match_parquet(
         self, ray_session, pages_dir, pages_table, tmp_path
     ):
