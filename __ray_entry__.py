@@ -1324,6 +1324,36 @@ def _q_dsir_select(sf_dir: str):
                       target_value="web", num_features=1024)
 
 
+def _q_join_orders_cust(sf_dir: str):
+    """Generic distributed equi-join (inner): orders ⨝ customer on
+    custkey with column pruning before the exchange."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import hash_join
+
+    return hash_join(
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        on="o_custkey", right_on="c_custkey", how="inner",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_name", "c_nationkey"],
+    )
+
+
+def _q_join_cust_orders_left(sf_dir: str):
+    """LEFT join keeps customers without orders (right columns null)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import hash_join
+
+    return hash_join(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        on="c_custkey", right_on="o_custkey", how="left",
+        left_cols=["c_name"], right_cols=["o_orderkey"],
+    )
+
+
 def _q_sampled_pctl(sf_dir: str):
     """Approximate n_chars percentiles from the deterministic bottom-k
     priority sample (mergeable; no bound on distinct values needed)."""
@@ -1618,6 +1648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "bpe_stats": _q_bpe_stats,
         "sampled_pctl": _q_sampled_pctl,
+        "join_orders_cust": _q_join_orders_cust,
+        "join_cust_orders_left": _q_join_cust_orders_left,
     }
 
 
@@ -2057,6 +2089,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(generate_series(0, {ANN_NUM_QUERIES - 1})) AS query_id,
                    CAST({ANN_K} AS BIGINT) AS n_results,
                    true AS recall_ok
+        """,
+        "join_orders_cust": """
+            SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+                   c.c_name, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "join_cust_orders_left": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         """,
         # bottom-k priority sample (md5 priority, id-string tie-break) →
         # value at 1-based rank ceil(q·n) of the sorted sample

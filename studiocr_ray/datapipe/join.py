@@ -1,0 +1,184 @@
+"""Generic distributed equi-join.
+
+Ray Data has no native join operator; the engine's special-purpose joins
+(as-of, range, search semi-join, co-partitioned verify) each hand-roll the
+same shape.  This module is that shape as a reusable primitive:
+
+    tag side → bucket by key-hash → ONE all-to-all (groupby) →
+    vectorized per-bucket merge (sort + searchsorted, m×n key expansion)
+
+Scale properties: both sides are column-pruned BEFORE the exchange; the
+exchange moves each side once; per-bucket work is one sort of the smaller
+(right) side plus two searchsorted probes — no per-key Python.  Hot keys
+cost their own m×n output (inherent to the join semantics), not a serial
+bucket: raise ``num_buckets`` to spread distinct keys, and pre-aggregate
+or salt upstream when a single key's output itself is the bottleneck
+(the usual join-skew discipline).
+
+For small-side joins prefer a broadcast lookup inside ``map_batches``
+(see relational.orders_per_nation) — this operator is for the
+large ⨝ large case where neither side fits a worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrowutil import id_buckets
+
+
+def _prune(t: pa.Table, key: str, cols: list[str] | None) -> pa.Table:
+    if cols is None:
+        return t
+    keep = [key] + [c for c in cols if c != key]
+    return t.select(keep)
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+):
+    """Distributed equi-join of two Datasets on a key column →
+    Dataset of joined rows (duplicate keys expand m×n, SQL semantics).
+
+    ``how``: ``inner`` or ``left`` (left keeps unmatched left rows with
+    right columns null).  ``left_cols`` / ``right_cols`` prune payload
+    columns BEFORE the exchange (always pass them at scale).  A right
+    column whose name collides with a left column gets ``suffix``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_on = right_on or on
+
+    def add_side(batch: pa.Table, side: int, key: str) -> pa.Table:
+        out = _prune(batch, key, left_cols if side == 0 else right_cols)
+        if side == 1 and key != on:
+            names = [on if n == key else n for n in out.column_names]
+            out = out.rename_columns(names)
+        jb = id_buckets(out.column(on), num_buckets)
+        out = out.append_column("jb", pa.array(jb, pa.int32()))
+        return out.append_column(
+            "side", pa.array(np.full(out.num_rows, side, np.int8))
+        )
+
+    lt = left.map_batches(
+        add_side, fn_kwargs={"side": 0, "key": on}, batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        add_side, fn_kwargs={"side": 1, "key": right_on},
+        batch_format="pyarrow",
+    )
+    # align the union schema: each side carries the other's columns as
+    # nulls (unioned blocks must agree on schema; the nulls never survive
+    # the merge)
+    l_sch = dict(zip(lt.schema().names, lt.schema().types))
+    r_sch = dict(zip(rt.schema().names, rt.schema().types))
+    l_names = [n for n in l_sch if n not in ("jb", "side")]
+    r_names = [n for n in r_sch if n not in ("jb", "side", on)]
+    # suffix right-side collisions
+    r_out = {
+        n: (n + suffix if n in l_names else n) for n in r_names
+    }
+    all_names = l_names + [r_out[n] for n in r_names]
+    l_types = {n: l_sch[n] for n in l_names}
+    r_types = {r_out[n]: r_sch[n] for n in r_names}
+
+    def conform(batch: pa.Table, side: int) -> pa.Table:
+        if side == 1:
+            batch = batch.rename_columns(
+                [r_out.get(n, n) if n not in ("jb", "side", on) else n
+                 for n in batch.column_names]
+            )
+        for n in all_names:
+            if n not in batch.column_names:
+                ty = l_types.get(n) or r_types.get(n)
+                batch = batch.append_column(n, pa.nulls(batch.num_rows, ty))
+        return batch.select([on, "jb", "side"]
+                            + [n for n in all_names if n != on])
+
+    lt = lt.map_batches(conform, fn_kwargs={"side": 0},
+                        batch_format="pyarrow")
+    rt = rt.map_batches(conform, fn_kwargs={"side": 1},
+                        batch_format="pyarrow")
+    payload = [n for n in all_names if n != on]
+    l_payload = [n for n in l_names if n != on]
+    r_payload = [r_out[n] for n in r_names]
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_numpy(zero_copy_only=False)
+        lrows = group.filter(pa.array(sides == 0))
+        rrows = group.filter(pa.array(sides == 1))
+        empty_cols = {on: group.column(on).slice(0, 0)}
+        for n in payload:
+            empty_cols[n] = group.column(n).slice(0, 0)
+        if lrows.num_rows == 0 or (how == "inner" and rrows.num_rows == 0):
+            if how == "left" and lrows.num_rows:
+                li = np.arange(lrows.num_rows)
+                return _emit(lrows, rrows, li, np.full(len(li), -1),
+                             on, l_payload, r_payload)
+            return pa.table(empty_cols)
+        rsorted = rrows.sort_by(on)
+        rkeys = rsorted.column(on)
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        lkeys = lrows.column(on)
+        if isinstance(lkeys, pa.ChunkedArray):
+            lkeys = lkeys.combine_chunks()
+        rk = rkeys.to_numpy(zero_copy_only=False)
+        lk = lkeys.to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(rk, lk, side="left")
+        ends = np.searchsorted(rk, lk, side="right")
+        counts = ends - starts
+        total = int(counts.sum())
+        li_m = np.repeat(np.arange(lrows.num_rows), counts)
+        base = np.repeat(starts, counts)
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        ri_m = base + off
+        if how == "left":
+            miss = np.flatnonzero(counts == 0)
+            li_m = np.concatenate([li_m, miss])
+            ri_m = np.concatenate([ri_m, np.full(len(miss), -1)])
+        return _emit(lrows, rsorted, li_m, ri_m, on, l_payload, r_payload)
+
+    return lt.union(rt).groupby("jb").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def _emit(lrows, rrows, li, ri, on, l_payload, r_payload) -> pa.Table:
+    lt = pa.array(li)
+    cols = {on: _one(lrows.column(on)).take(lt)}
+    for n in l_payload:
+        cols[n] = _one(lrows.column(n)).take(lt)
+    has_r = ri >= 0
+    if len(ri) and has_r.all():
+        rt = pa.array(ri)
+        for n in r_payload:
+            cols[n] = _one(rrows.column(n)).take(rt)
+    else:
+        mask = pa.array(~has_r)
+        if rrows.num_rows:
+            rt = pa.array(np.where(has_r, ri, 0), pa.int64())
+            for n in r_payload:
+                taken = _one(rrows.column(n)).take(rt)
+                cols[n] = pc.if_else(
+                    mask, pa.nulls(len(ri), taken.type), taken
+                )
+        else:  # left join, no right rows in this bucket at all
+            for n in r_payload:
+                cols[n] = pa.nulls(len(ri), rrows.schema.field(n).type)
+    return pa.table(cols)
+
+
+def _one(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

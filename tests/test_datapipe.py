@@ -1958,6 +1958,68 @@ class TestMixSources:
         assert not (out["source"] == "s2").any()
 
 
+class TestHashJoin:
+    def _tables(self):
+        left = [
+            {"k": 1, "a": "x"}, {"k": 1, "a": "y"},  # dup left keys
+            {"k": 2, "a": "z"}, {"k": 4, "a": "w"},  # 4 unmatched
+        ]
+        right = [
+            {"k": 1, "b": 10}, {"k": 1, "b": 11},  # dup right keys → m×n
+            {"k": 2, "b": 20}, {"k": 3, "b": 30},  # 3 only on the right
+        ]
+        return left, right
+
+    def test_inner_mxn_expansion(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        left, right = self._tables()
+        got = hash_join(
+            rd.from_arrow(pa.Table.from_pylist(left)).repartition(3),
+            rd.from_arrow(pa.Table.from_pylist(right)).repartition(2),
+            on="k", how="inner",
+        ).to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+        want = sorted(
+            (lr["k"], lr["a"], rr["b"])
+            for lr in left for rr in right if lr["k"] == rr["k"]
+        )
+        assert list(map(tuple, got[["k", "a", "b"]].values)) == want
+        assert len(got) == 5  # 2×2 for k=1, 1 for k=2
+
+    def test_left_keeps_unmatched(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        left, right = self._tables()
+        got = hash_join(
+            rd.from_arrow(pa.Table.from_pylist(left)),
+            rd.from_arrow(pa.Table.from_pylist(right)),
+            on="k", how="left",
+        ).to_pandas()
+        assert len(got) == 6  # 5 matches + the unmatched k=4 row
+        miss = got[got["k"] == 4]
+        assert len(miss) == 1 and miss["b"].isna().all()
+        assert 3 not in set(got["k"])  # right-only keys don't appear
+
+    def test_collision_suffix_and_string_keys(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        left = [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+        right = [{"k": "a", "v": 10}]
+        got = hash_join(
+            rd.from_arrow(pa.Table.from_pylist(left)),
+            rd.from_arrow(pa.Table.from_pylist(right)),
+            on="k", how="inner",
+        ).to_pandas()
+        assert sorted(got.columns) == ["k", "v", "v_r"]
+        assert got.iloc[0]["v"] == 1 and got.iloc[0]["v_r"] == 10
+
+
 class TestSampledPercentiles:
     def test_accuracy_and_partition_invariance(self, ray_session, docs_ds):
         from studiocr_ray.datapipe.sketch import sampled_percentiles
