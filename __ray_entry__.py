@@ -1354,6 +1354,29 @@ def _q_join_cust_orders_left(sf_dir: str):
     )
 
 
+def _q_join_anti(sf_dir: str):
+    """ANTI join: customers who never placed an URGENT order — the
+    decontamination-by-key shape when the key set is too large to
+    broadcast."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import hash_join
+
+    urgent = rd.read_parquet(f"{sf_dir}/orders.parquet").map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        urgent,
+        on="c_custkey", right_on="o_custkey", how="anti",
+        left_cols=["c_name", "c_nationkey"],
+    )
+
+
 def _q_sampled_pctl(sf_dir: str):
     """Approximate n_chars percentiles from the deterministic bottom-k
     priority sample (mergeable; no bound on distinct values needed)."""
@@ -1650,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_pctl": _q_sampled_pctl,
         "join_orders_cust": _q_join_orders_cust,
         "join_cust_orders_left": _q_join_cust_orders_left,
+        "join_anti": _q_join_anti,
     }
 
 
@@ -2098,6 +2122,14 @@ def oracle_sql() -> dict[str, str]:
         "join_cust_orders_left": """
             SELECT c.c_custkey, c.c_name, o.o_orderkey
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
         """,
         # bottom-k priority sample (md5 priority, id-string tie-break) →
         # value at 1-based rank ceil(q·n) of the sorted sample

@@ -50,12 +50,22 @@ def hash_join(
     """Distributed equi-join of two Datasets on a key column →
     Dataset of joined rows (duplicate keys expand m×n, SQL semantics).
 
-    ``how``: ``inner`` or ``left`` (left keeps unmatched left rows with
-    right columns null).  ``left_cols`` / ``right_cols`` prune payload
-    columns BEFORE the exchange (always pass them at scale).  A right
-    column whose name collides with a left column gets ``suffix``."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    ``how``: ``inner``, ``left`` (keeps unmatched left rows with right
+    columns null), ``semi`` (left rows whose key exists on the right —
+    each at most once), or ``anti`` (left rows whose key does NOT exist
+    on the right — the decontamination / blocklist shape when the
+    blocklist is too large to broadcast; a Bloom side
+    (`sketch.bloom_filter_rows`) is the cheaper probabilistic twin).
+    ``left_cols`` / ``right_cols`` prune payload columns BEFORE the
+    exchange (always pass them at scale); semi/anti ship only the
+    right side's KEY column regardless.  A right column whose name
+    collides with a left column gets ``suffix``."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner/left/semi/anti, got {how!r}"
+        )
+    if how in ("semi", "anti"):
+        right_cols = []  # membership needs the key only
     right_on = right_on or on
 
     def add_side(batch: pa.Table, side: int, key: str) -> pa.Table:
@@ -119,7 +129,9 @@ def hash_join(
         empty_cols = {on: group.column(on).slice(0, 0)}
         for n in payload:
             empty_cols[n] = group.column(n).slice(0, 0)
-        if lrows.num_rows == 0 or (how == "inner" and rrows.num_rows == 0):
+        if lrows.num_rows == 0 or (
+            how in ("inner", "semi") and rrows.num_rows == 0
+        ):
             if how == "left" and lrows.num_rows:
                 li = np.arange(lrows.num_rows)
                 return _emit(lrows, rrows, li, np.full(len(li), -1),
@@ -137,6 +149,9 @@ def hash_join(
         starts = np.searchsorted(rk, lk, side="left")
         ends = np.searchsorted(rk, lk, side="right")
         counts = ends - starts
+        if how in ("semi", "anti"):
+            keep = counts > 0 if how == "semi" else counts == 0
+            return lrows.filter(pa.array(keep)).drop_columns(["jb", "side"])
         total = int(counts.sum())
         li_m = np.repeat(np.arange(lrows.num_rows), counts)
         base = np.repeat(starts, counts)

@@ -2004,6 +2004,26 @@ class TestHashJoin:
         assert len(miss) == 1 and miss["b"].isna().all()
         assert 3 not in set(got["k"])  # right-only keys don't appear
 
+    def test_semi_and_anti(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        left, right = self._tables()
+        lds = rd.from_arrow(pa.Table.from_pylist(left)).repartition(3)
+        rds = rd.from_arrow(pa.Table.from_pylist(right)).repartition(2)
+        semi = hash_join(lds, rds, on="k", how="semi").to_pandas()
+        # duplicate left keys each survive once; right duplicates don't
+        # multiply; unmatched k=4 drops
+        assert sorted(map(tuple, semi[["k", "a"]].values)) == [
+            (1, "x"), (1, "y"), (2, "z")
+        ]
+        anti = hash_join(lds, rds, on="k", how="anti").to_pandas()
+        assert sorted(map(tuple, anti[["k", "a"]].values)) == [(4, "w")]
+        # right payload columns never appear in semi/anti output
+        assert sorted(semi.columns) == ["a", "k"]
+        assert sorted(anti.columns) == ["a", "k"]
+
     def test_collision_suffix_and_string_keys(self, ray_session):
         import ray.data as rd
 
