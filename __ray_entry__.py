@@ -1573,6 +1573,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     The 31 long-green veterans rotated past position 50 carry two rounds of
     green CORRECTNESS history (r2+r3) plus same-oracle pytest coverage in
     tests/test_datapipe.py.
+
+    Round-5 note: the 12 round-4 additions (bigram_logprob{,_shuffle},
+    dsir_select, ann_pq, bpe_stats, sampled_pctl, join_orders_cust,
+    join_cust_orders_left, join_anti, …) sit past position 50 this round
+    (pytest + tools/check_correctness.py oracled); rotate THEM into the
+    checked prefix next round, swapping out whichever prefix members are
+    then longest-green.
     """
     return {
         # --- driver-checked prefix, part 1: the 31 round-3 queries that
