@@ -1354,6 +1354,16 @@ def _q_join_cust_orders_left(sf_dir: str):
     )
 
 
+def _q_compression_stats(sf_dir: str):
+    """Per-doc zlib compression ratio (repetition/gibberish signal) —
+    rows-only (no SQL deflate); exact parity pytest-asserted."""
+    from studiocr_ray.datapipe.text import compression_stats
+
+    return _docs(sf_dir).map_batches(
+        compression_stats, batch_format="pyarrow"
+    )
+
+
 def _q_join_anti(sf_dir: str):
     """ANTI join: customers who never placed an URGENT order — the
     decontamination-by-key shape when the key set is too large to
@@ -1681,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_cust": _q_join_orders_cust,
         "join_cust_orders_left": _q_join_cust_orders_left,
         "join_anti": _q_join_anti,
+        "compression_stats": _q_compression_stats,
     }
 
 

@@ -227,3 +227,58 @@ def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column(
         "n_chars_norm", pc.cast(pc.utf8_length(t), pa.int64())
     )
+
+
+def compression_stats(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio → ``(doc_id, n_bytes,
+    n_compressed, compression_ratio)`` — the classic repetition /
+    boilerplate / gibberish signal (highly repetitive text compresses far
+    below natural language; random noise barely compresses).  Used as a
+    drop filter alongside the Gopher repetition rules.
+
+    Per-row ``zlib.compress`` is one C call per document (the bytes must
+    be scanned in full by definition of the signal); the utf-8 bytes come
+    straight off the Arrow value buffer via memoryview slices — no
+    intermediate str/bytes objects.  Deterministic (zlib level fixed), so
+    exact per-row parity is pytest-asserted; no SQL oracle (DuckDB has no
+    deflate)."""
+    import zlib
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    if n == 0 or text.null_count:
+        if text.null_count:
+            raise ValueError("compression_stats requires non-null text")
+    if n == 0:
+        return pa.table(
+            {"doc_id": batch.column(id_col),
+             "n_bytes": pa.array([], pa.int64()),
+             "n_compressed": pa.array([], pa.int64()),
+             "compression_ratio": pa.array([], pa.float64())}
+        )
+    width = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    off = np.frombuffer(text.buffers()[1], width, count=text.offset + n + 1)
+    o = text.offset
+    mv = memoryview(text.buffers()[2])
+    comp = zlib.compress
+    nb = (off[o + 1:o + n + 1] - off[o:o + n]).astype(np.int64)
+    nc = np.fromiter(
+        (len(comp(mv[off[o + i]:off[o + i + 1]], level)) for i in range(n)),
+        dtype=np.int64,
+        count=n,
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = nc.astype(np.float64) / nb.astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "compression_ratio": pa.array(
+                np.where(nb > 0, ratio, 0.0), pa.float64()
+            ),
+        }
+    )

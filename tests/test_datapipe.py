@@ -1958,6 +1958,38 @@ class TestMixSources:
         assert not (out["source"] == "s2").any()
 
 
+class TestCompressionStats:
+    def test_exact_parity_and_signal_direction(self, ray_session):
+        import zlib
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import compression_stats
+
+        rows = [
+            {"doc_id": 1, "text": "spam " * 200},          # repetitive
+            {"doc_id": 2, "text": "the quick brown fox jumps over the "
+                                   "lazy dog and keeps on running far"},
+            {"doc_id": 3, "text": ""},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = (
+            ds.map_batches(compression_stats, batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for r in rows:
+            b = r["text"].encode("utf-8")
+            assert got.loc[r["doc_id"], "n_bytes"] == len(b)
+            assert got.loc[r["doc_id"], "n_compressed"] == len(
+                zlib.compress(b, 6)
+            )
+        # the signal: repetitive text compresses far better
+        assert (got.loc[1, "compression_ratio"]
+                < got.loc[2, "compression_ratio"])
+        assert got.loc[3, "compression_ratio"] == 0.0
+
+
 class TestHashJoin:
     def _tables(self):
         left = [
