@@ -205,3 +205,39 @@ def conform_pages(batch: pa.Table) -> pa.Table:
     else:
         cols["lang"] = pa.nulls(n, pa.string())
     return pa.table(cols)
+
+
+def quarantine_stats(quarantine_dir: str):
+    """Roll up the quarantine sink → (reason, rows) — the operational
+    read-back half of read_pages' per-row quarantine: a crawl operator
+    triages WHY rows were rejected without touching the healthy pipeline
+    output.  Streams the quarantine parquet only; per-batch bincount
+    partials keep the exchange at one row per reason per batch."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(quarantine_dir, columns=["reason"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"reason": pa.array([], pa.string()),
+                 "rows": pa.array([], pa.int64())}
+            )
+        col = batch.column("reason")
+        d = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        rows = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
+        return pa.table(
+            {"reason": d.dictionary,
+             "rows": pa.array(rows.astype(np.int64))}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "reason"
+    ).aggregate(Sum("rows", alias_name="rows"))

@@ -455,6 +455,12 @@ class TestQuarantine:
         assert sorted(set(q.column("reason").to_pylist())) == [
             "bad_url", "null_warc_ts"
         ]
+        # the triage rollup sees the same rows grouped by reason
+        from studiocr_ray.sources.pages import quarantine_stats
+
+        stats = quarantine_stats(out + "/quarantine").to_pandas()
+        got = dict(zip(stats["reason"], stats["rows"]))
+        assert got == {"bad_url": 3, "null_warc_ts": 1}
 
 
 class TestDedupModes:
