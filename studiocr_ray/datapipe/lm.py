@@ -116,11 +116,13 @@ class _BroadcastScorer:
 
 def _token_partials(batch: pa.Table, text_col: str) -> pa.Table:
     """(doc_id, term, tf) rows — one per distinct (doc, term), the same
-    composite-key np.unique partial as term_doc_freq."""
+    composite-key np.unique partial as term_doc_freq.  doc_id keeps its
+    input type (int surrogate keys and url strings both work)."""
+    id_type = batch.schema.field("doc_id").type
     flat, doc_idx = _flat_tokens(batch, text_col)
     if len(flat) == 0:
         return pa.table(
-            {"doc_id": pa.array([], pa.int64()),
+            {"doc_id": pa.array([], id_type),
              "term": pa.array([], pa.string()),
              "tf": pa.array([], pa.int64())}
         )
@@ -135,7 +137,7 @@ def _token_partials(batch: pa.Table, text_col: str) -> pa.Table:
         ids = ids.combine_chunks()
     return pa.table(
         {
-            "doc_id": ids.take(pa.array(uniq // ndict)).cast(pa.int64()),
+            "doc_id": ids.take(pa.array(uniq // ndict)),
             "term": d.dictionary.take(pa.array(uniq % ndict)),
             "tf": pa.array(counts, pa.int64()),
         }
@@ -223,13 +225,16 @@ def unigram_logprob(
             "role", pa.array(np.full(batch.num_rows, role, np.int8))
         )
 
+    from .dedup import _id_type_of
+
+    id_type = _id_type_of(ds, "doc_id")
     tok_rows = ds.map_batches(
         _token_partials, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow",
     ).map_batches(add_bucket, fn_kwargs={"role": 0}, batch_format="pyarrow")
     cnt_rows = counts.map_batches(
         lambda b: b.append_column(
-            "doc_id", pa.array(np.zeros(b.num_rows, np.int64))
+            "doc_id", pa.nulls(b.num_rows, id_type)
         ).append_column("tf", pa.array(np.zeros(b.num_rows, np.int64))),
         batch_format="pyarrow",
     ).map_batches(add_bucket, fn_kwargs={"role": 1}, batch_format="pyarrow")
@@ -406,14 +411,14 @@ def bigram_logprob(
         raise ValueError(f"unknown strategy: {strategy!r}")
 
     def pair_partials(batch: pa.Table) -> pa.Table:
-        """(doc_id, term=bigram, tf) rows."""
+        """(doc_id, term=bigram, tf) rows; doc_id keeps its input type."""
         pair_codes, _, dix, pair_dict, _ = _flat_bigrams(batch, text_col)
         ids = batch.column("doc_id")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         if len(pair_codes) == 0:
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.schema.field("doc_id").type),
                  "term": pa.array([], pa.string()),
                  "tf": pa.array([], pa.int64())}
             )
@@ -421,9 +426,7 @@ def bigram_logprob(
         uniq, counts = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "doc_id": ids.take(
-                    pa.array(uniq // len(pair_dict))
-                ).cast(pa.int64()),
+                "doc_id": ids.take(pa.array(uniq // len(pair_dict))),
                 "term": pair_dict.take(pa.array(uniq % len(pair_dict))),
                 "tf": pa.array(counts, pa.int64()),
             }
@@ -437,7 +440,7 @@ def bigram_logprob(
             ids = ids.combine_chunks()
         if len(t1) == 0:
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.schema.field("doc_id").type),
                  "term": pa.array([], pa.string()),
                  "tf": pa.array([], pa.int64())}
             )
@@ -445,9 +448,7 @@ def bigram_logprob(
         uniq, counts = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "doc_id": ids.take(
-                    pa.array(uniq // len(tok_dict))
-                ).cast(pa.int64()),
+                "doc_id": ids.take(pa.array(uniq // len(tok_dict))),
                 "term": tok_dict.take(pa.array(uniq % len(tok_dict))),
                 "tf": pa.array(counts, pa.int64()),
             }
@@ -474,10 +475,14 @@ def bigram_logprob(
             batch_format="pyarrow",
         )
 
+    from .dedup import _id_type_of
+
+    id_type = _id_type_of(ds, "doc_id")
+
     def cnt_stream(counts):
         return counts.map_batches(
             lambda b: b.append_column(
-                "doc_id", pa.array(np.zeros(b.num_rows, np.int64))
+                "doc_id", pa.nulls(b.num_rows, id_type)
             ).append_column("tf", pa.array(np.zeros(b.num_rows, np.int64))),
             batch_format="pyarrow",
         ).map_batches(

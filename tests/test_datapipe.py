@@ -1331,6 +1331,28 @@ class TestUnigramLogprob:
         # doc 4 is all-rare; doc 1 reuses 'the' twice
         assert got.loc[4, "mean_logprob"] < got.loc[1, "mean_logprob"]
 
+    def test_string_doc_ids_shuffle_matches_broadcast(self, ray_session):
+        """The extracted corpus keys documents by URL — the shuffle
+        strategies must accept string ids (regression: the token-partial
+        once cast doc_id to int64 and failed on urls)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import bigram_logprob, unigram_logprob
+
+        rows = [
+            {"doc_id": f"https://d.example/{r['doc_id']}",
+             "text": r["text"]}
+            for r in self._docs()
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        for fn in (unigram_logprob, bigram_logprob):
+            b = fn(ds, strategy="broadcast").to_pandas().sort_values(
+                "doc_id").reset_index(drop=True)
+            s = fn(ds, strategy="shuffle").to_pandas().sort_values(
+                "doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(b, s[b.columns])
+
 
 class TestBigramLogprob:
     def _docs(self):
