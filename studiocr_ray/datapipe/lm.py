@@ -251,20 +251,36 @@ def unigram_logprob(
     merged = tok_rows.union(cnt_rows).groupby("wb").map_groups(
         _bucket_merge, batch_format="pyarrow"
     )
-    sums = merged.groupby("doc_id").aggregate(
-        Sum("lp_part", alias_name="logprob_u"),
-        Sum("n_part", alias_name="n_tokens"),
-    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        return _result_table(
-            batch.column("doc_id"),
-            batch.column("n_tokens").to_numpy(zero_copy_only=False),
-            batch.column("logprob_u").to_numpy(zero_copy_only=False),
-            total,
-        )
+    # per-doc sums via the bucketed pattern: groupby over num_buckets int
+    # groups + one dictionary-encode/bincount per group — NOT
+    # groupby("doc_id"), whose sort-based shuffle over millions of
+    # distinct string keys measured ~30× the whole broadcast path
+    def add_ib(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import id_buckets
 
-    scored = sums.map_batches(finalize, batch_format="pyarrow")
+        ib = id_buckets(batch.column("doc_id"), num_buckets)
+        return batch.append_column("ib", pa.array(ib, pa.int32()))
+
+    def sum_group(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("doc_id"))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nd = len(d.dictionary)
+        lp = np.bincount(
+            idx,
+            weights=group.column("lp_part").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        nt = np.bincount(
+            idx,
+            weights=group.column("n_part").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        return _result_table(d.dictionary, nt, lp, total)
+
+    scored = merged.map_batches(
+        add_ib, batch_format="pyarrow"
+    ).groupby("ib").map_groups(sum_group, batch_format="pyarrow")
 
     # documents with zero tokens never produced a partial — re-attach them
     def zero_rows(batch: pa.Table) -> pa.Table:
@@ -509,19 +525,35 @@ def bigram_logprob(
     ).map_groups(_bucket_merge, batch_format="pyarrow").map_batches(
         negate, batch_format="pyarrow"
     )
-    sums = merged_bi.union(merged_uni).groupby("doc_id").aggregate(
-        Sum("lp_part", alias_name="logprob_u"),
-        Sum("n_part", alias_name="n_pairs"),
-    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        return _pair_result(
-            batch.column("doc_id"),
-            batch.column("n_pairs").to_numpy(zero_copy_only=False),
-            batch.column("logprob_u").to_numpy(zero_copy_only=False),
-        )
+    # bucketed per-doc sum (see unigram_logprob: groupby("doc_id") over
+    # millions of distinct string keys is a global sort; num_buckets int
+    # groups + a bincount per group is the scale shape)
+    def add_ib(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import id_buckets
 
-    scored = sums.map_batches(finalize, batch_format="pyarrow")
+        ib = id_buckets(batch.column("doc_id"), num_buckets)
+        return batch.append_column("ib", pa.array(ib, pa.int32()))
+
+    def sum_group(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("doc_id"))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nd = len(d.dictionary)
+        lp = np.bincount(
+            idx,
+            weights=group.column("lp_part").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        npair = np.bincount(
+            idx,
+            weights=group.column("n_part").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        return _pair_result(d.dictionary, npair, lp)
+
+    scored = merged_bi.union(merged_uni).map_batches(
+        add_ib, batch_format="pyarrow"
+    ).groupby("ib").map_groups(sum_group, batch_format="pyarrow")
 
     def zero_rows(batch: pa.Table) -> pa.Table:
         _, _, dix, _, _ = _flat_bigrams(batch, text_col)
