@@ -59,12 +59,19 @@ def word_count(ds, text_col: str = "text"):
     Vectorized partial: split + dictionary-encode + bincount per batch (the
     ``pc.split_pattern`` + dictionary pattern proven in the index pipeline,
     index_pipeline.py:113-243) — output is vocabulary-bounded, so the
-    groupby moves one row per distinct term per batch."""
+    exchange moves one row per distinct term per batch.  The merge groups
+    by a term-hash BUCKET (int32, bounded group count) with one
+    dictionary-encode/bincount per group — never ``groupby("term")``,
+    whose sort-based shuffle over an open vocabulary's millions of
+    distinct string keys is the anti-pattern measured at 33× in
+    lm.unigram_logprob's history."""
+    from ..functions.arrowutil import string_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens(batch, text_col)
         if len(flat) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
+            return pa.table({"wb": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         d = _dict_encode(flat)
         counts = np.bincount(
@@ -72,49 +79,83 @@ def word_count(ds, text_col: str = "text"):
             minlength=len(d.dictionary),
         )
         return pa.table(
-            {"term": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+            {"wb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+             "term": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("term"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"term": d.dictionary, "cnt": pa.array(cnt, pa.int64())}
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    return partials.groupby("wb").map_groups(merge, batch_format="pyarrow")
 
 
 def term_doc_freq(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Term document-frequency + total frequency → (term, df, tf).
 
     (term, doc) partials are exact because one document is one row (never
-    split across batches).  Vectorized: one dictionary encode + one
-    np.unique over composite (doc, term) keys per batch."""
+    split across batches); each batch pre-aggregates to one (term, df, tf)
+    row per distinct term, so the exchange is vocabulary-bounded per
+    batch, and the merge is bucketed by term hash (see word_count — no
+    string-key sort shuffle)."""
+    from ..functions.arrowutil import string_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, doc_idx = _flat_tokens(batch, text_col)
         if len(flat) == 0:
             return pa.table(
-                {"term": pa.array([], pa.string()),
-                 "doc_id": pa.array([], pa.int64()),
+                {"wb": pa.array([], pa.int32()),
+                 "term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
                  "tf": pa.array([], pa.int64())}
             )
         d = _dict_encode(flat)
         ndict = len(d.dictionary)
-        key = doc_idx.astype(np.int64) * ndict + d.indices.to_numpy(
-            zero_copy_only=False
-        )
+        tcodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = doc_idx.astype(np.int64) * ndict + tcodes
         uniq, counts = np.unique(key, return_counts=True)
-        ids = batch.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
+        tc = (uniq % ndict).astype(np.int64)
+        df = np.bincount(tc, minlength=ndict).astype(np.int64)
+        tf = np.bincount(tc, weights=counts, minlength=ndict).astype(
+            np.int64
+        )
         return pa.table(
             {
-                "term": d.dictionary.take(pa.array(uniq % ndict)),
-                "doc_id": ids.take(pa.array(uniq // ndict)),
-                "tf": pa.array(counts, pa.int64()),
+                "wb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+                "term": d.dictionary,
+                "df": pa.array(df, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
             }
         )
 
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("term"))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nd = len(d.dictionary)
+        df = np.bincount(
+            idx, weights=group.column("df").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        tf = np.bincount(
+            idx, weights=group.column("tf").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        return pa.table(
+            {"term": d.dictionary,
+             "df": pa.array(df, pa.int64()),
+             "tf": pa.array(tf, pa.int64())}
+        )
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("term").aggregate(
-        Count("doc_id", alias_name="df"), Sum("tf", alias_name="tf")
-    )
+    return partials.groupby("wb").map_groups(merge, batch_format="pyarrow")
 
 
 def char_histogram(ds, text_col: str = "text"):
