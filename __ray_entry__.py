@@ -371,6 +371,16 @@ def _q_sessionize(sf_dir: str):
     return sessionize(events, gap_seconds=1800)
 
 
+def _q_window_events(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import window_events
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+    return window_events(events)
+
+
 def _q_extract_docs(sf_dir: str):
     from studiocr_ray.pipelines.extract_pipeline import docs_dataset
 
@@ -1692,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cust_orders_left": _q_join_cust_orders_left,
         "join_anti": _q_join_anti,
         "compression_stats": _q_compression_stats,
+        "window_events": _q_window_events,
     }
 
 
@@ -2103,6 +2114,17 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "window_events": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+                        AS BIGINT) AS prev_gap_us,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "extract_docs": """
             SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,

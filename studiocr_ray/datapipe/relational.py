@@ -1255,3 +1255,84 @@ def top_revenue_orders(
             pa.float64(),
         ),
     )
+
+
+def window_events(ds, num_buckets: int = 64):
+    """Per-user window functions over the events table — the classic
+    ``OVER (PARTITION BY user_id ORDER BY ts, event_id)`` family the
+    reference has no analogue for (SURVEY.md §2.10 streaming/window gap):
+    per event, ``rn`` = 1-based row number, ``prev_gap_us`` = microseconds
+    since the user's previous event (-1 for the first), ``cum_cents`` =
+    running sum of ``floor(value*100)`` as int64 (integer cents so the
+    running sum is associativity-independent and bit-exact vs any SQL
+    engine's window-frame accumulation order — a float running sum is not).
+
+    Distribution shape: one user-hash bucket exchange (B groups, same
+    pattern as ``sessionize``); inside each group one lexsort + numpy
+    prefix kernels — no per-row Python, no global sort.  At 100 TB the
+    exchange moves only (event_id, user_id, ts, cents) narrow rows and
+    each user's history lands on one task; skewed users bound a task at
+    one user's rows, not the corpus.
+    """
+    from ..functions.arrowutil import id_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pa.array(
+            np.floor(
+                batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cents": cents,
+                "bucket": pa.array(
+                    id_buckets(batch.column("user_id"), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def bucket_windows(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, codes))
+        codes_s, ts_s, cents_s = codes[order], ts[order], cents[order]
+        n = len(order)
+        user_change = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        # index of each user's first row, forward-filled (robust to any
+        # sign of cents, unlike a cumsum-monotonicity trick)
+        first_idx = np.maximum.accumulate(
+            np.where(user_change, np.arange(n), 0)
+        )
+        rn = np.arange(n) - first_idx + 1
+        prev_gap = np.empty(n, np.int64)
+        prev_gap[0] = -1
+        prev_gap[1:] = ts_s[1:] - ts_s[:-1]
+        prev_gap[user_change] = -1
+        cum = np.cumsum(cents_s)
+        cum_base = cum[first_idx] - cents_s[first_idx]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": uid.take(pa.array(order)),
+                "rn": pa.array(rn, pa.int64()),
+                "prev_gap_us": pa.array(prev_gap, pa.int64()),
+                "cum_cents": pa.array(cum - cum_base, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_windows, batch_format="pyarrow")
+    )

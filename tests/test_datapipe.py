@@ -740,6 +740,70 @@ class TestWindows:
         assert got["session_idx"].tolist() == want["session_idx"].tolist()
         assert got["user_id"].tolist() == want["user_id"].tolist()
 
+    def test_window_events_semantics(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import window_events
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [
+            # user 1: three events, out-of-order arrival
+            (2, 1, base + pd.Timedelta(seconds=10), 1.50),
+            (1, 1, base, 2.25),
+            (3, 1, base + pd.Timedelta(seconds=70), 0.99),
+            # user 2: tie on ts — event_id breaks it
+            (5, 2, base, 10.00),
+            (4, 2, base, 5.00),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        out = window_events(rd.from_arrow(t)).to_pandas() \
+            .set_index("event_id").sort_index()
+        assert out.loc[[1, 2, 3], "rn"].tolist() == [1, 2, 3]
+        assert out.loc[[1, 2, 3], "prev_gap_us"].tolist() == \
+            [-1, 10_000_000, 60_000_000]
+        assert out.loc[[1, 2, 3], "cum_cents"].tolist() == [225, 375, 474]
+        # tie broken by event_id: 4 before 5
+        assert out.loc[[4, 5], "rn"].tolist() == [1, 2]
+        assert out.loc[[4, 5], "prev_gap_us"].tolist() == [-1, 0]
+        assert out.loc[[4, 5], "cum_cents"].tolist() == [500, 1500]
+
+    def test_window_events_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import window_events
+
+        sf = "/root/testdata/sf0.001"
+        events = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        got = window_events(events).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+                        AS BIGINT) AS prev_gap_us,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM read_parquet('{sf}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """).df().reset_index(drop=True)
+        for col in ("rn", "prev_gap_us", "cum_cents"):
+            assert got[col].tolist() == want[col].tolist(), col
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
