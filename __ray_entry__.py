@@ -371,6 +371,12 @@ def _q_sessionize(sf_dir: str):
     return sessionize(events, gap_seconds=1800)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from studiocr_ray.datapipe.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1703,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti": _q_join_anti,
         "compression_stats": _q_compression_stats,
         "window_events": _q_window_events,
+        "revenue_by_nation": _q_revenue_by_nation,
     }
 
 
@@ -2114,6 +2121,26 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        # TPC-H Q5 shape with exact integer-1e-4 revenue (cf. top_revenue_orders)
+        "revenue_by_nation": """
+            SELECT n_name, revenue_e4,
+                   CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue
+            FROM (
+              SELECT n_name,
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)
+                              * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS revenue_e4
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY n_name
+            )
         """,
         "window_events": """
             SELECT event_id, user_id,

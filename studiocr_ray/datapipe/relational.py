@@ -1336,3 +1336,158 @@ def window_events(ds, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(bucket_windows, batch_format="pyarrow")
     )
+
+
+def revenue_by_nation(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1995-01-01",
+    date_to: str = "1996-01-01",
+    num_buckets: int = 32,
+):
+    """TPC-H-Q5-style: per-nation revenue from local commerce (customer and
+    supplier in the same nation, nation in ``region``, one order-date year)
+    → ``(n_name, revenue_e4, revenue)``.
+
+    The six-table join decomposes by side size: region/nation (≤25 rows)
+    resolve on the driver; supplier and customer nationkeys broadcast as
+    dense int8 arrays (1 byte per key — the orders_per_nation pattern, good
+    to ~10^9 keys); the genuinely large ⨝ large step — lineitem ⨝ orders —
+    goes through the generic ``hash_join`` after BOTH sides pre-filter to
+    the region and lineitem pre-aggregates ``(orderkey, supp_nation)``
+    integer revenue partials per batch, so the exchange carries only
+    region-local narrow rows.  Revenue is summed in integer 1e-4 units
+    (cf. top_revenue_orders) — exact under any accumulation order.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .join import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = {
+        int(k)
+        for k, n in zip(reg.column("r_regionkey").to_pylist(),
+                        reg.column("r_name").to_pylist())
+        if n == region
+    }
+    nk_all = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    n_nations = int(nk_all.max()) + 1
+    asia = np.zeros(n_nations, bool)
+    for k, rk in zip(nk_all,
+                     nation.column("n_regionkey").to_numpy(zero_copy_only=False)):
+        asia[int(k)] = int(rk) in rkeys
+    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+
+    def nk_array(path: str, key: str, nk: str) -> np.ndarray:
+        t = pq.read_table(path, columns=[key, nk])
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(nk).to_numpy(zero_copy_only=False)
+        arr = np.full(int(keys.max()) + 1, -1, np.int8)
+        arr[keys] = vals.astype(np.int8)
+        return arr
+
+    cust_ref = ray.put(nk_array(f"{sf_dir}/customer.parquet",
+                                "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(nk_array(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey"))
+    lo = np.datetime64(date_from).astype("datetime64[us]")
+    hi = np.datetime64(date_to).astype("datetime64[us]")
+
+    class OrderRows:
+        def __init__(self):
+            self.nation_of = ray.get(cust_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate")
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                           pc.less(d, pa.scalar(hi)))
+            t = b.filter(keep)
+            nks = self.nation_of[
+                t.column("o_custkey").to_numpy(zero_copy_only=False)
+            ]
+            local = asia[nks] & (nks >= 0)
+            t = t.filter(pa.array(local))
+            return pa.table(
+                {
+                    "orderkey": t.column("o_orderkey"),
+                    "cnk": pa.array(nks[local], pa.int8()),
+                }
+            )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(OrderRows, batch_format="pyarrow", concurrency=(1, 8))
+
+    class ItemRows:
+        def __init__(self):
+            self.nation_of = ray.get(supp_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nks = self.nation_of[
+                b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            ]
+            local = asia[nks] & (nks >= 0)
+            t = b.filter(pa.array(local))
+            price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = (
+                np.floor(price * 100.0 + 0.5).astype(np.int64)
+                * np.floor((1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            )
+            part = pa.table(
+                {
+                    "orderkey": t.column("l_orderkey"),
+                    "snk": pa.array(nks[local], pa.int8()),
+                    "rev_e4": pa.array(rev, pa.int64()),
+                }
+            ).group_by(["orderkey", "snk"]).aggregate([("rev_e4", "sum")])
+            return part.rename_columns(["orderkey", "snk", "rev_e4"])
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(ItemRows, batch_format="pyarrow", concurrency=(1, 8))
+
+    joined = hash_join(items, orders, on="orderkey",
+                       num_buckets=num_buckets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        snk = b.column("snk").to_numpy(zero_copy_only=False)
+        cnk = b.column("cnk").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(snk == cnk))
+        p = pa.table(
+            {
+                "n_nationkey": t.column("snk").cast(pa.int32()),
+                "revenue_e4": t.column("rev_e4"),
+            }
+        ).group_by("n_nationkey").aggregate([("revenue_e4", "sum")])
+        return p.rename_columns(["n_nationkey", "revenue_e4"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(Sum("revenue_e4",
+                                              alias_name="revenue_e4"))
+
+    def add_name(b: pa.Table) -> pa.Table:
+        names = [name_of[int(k)]
+                 for k in b.column("n_nationkey").to_pylist()]
+        e4 = b.column("revenue_e4").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_e4": b.column("revenue_e4"),
+                "revenue": pa.array(e4.astype(np.float64) / 10000.0,
+                                    pa.float64()),
+            }
+        )
+
+    return agg.map_batches(add_name, batch_format="pyarrow")

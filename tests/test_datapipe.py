@@ -804,6 +804,33 @@ class TestWindows:
         for col in ("rn", "prev_gap_us", "cum_cents"):
             assert got[col].tolist() == want[col].tolist(), col
 
+    def test_revenue_by_nation_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from studiocr_ray.datapipe.relational import revenue_by_nation
+
+        sf = "/root/testdata/sf0.001"
+        got = revenue_by_nation(sf).to_pandas() \
+            .sort_values("n_name").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)
+                            * CAST(floor((1.0-l_discount)*100.0+0.5)
+                                   AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM '{sf}/customer.parquet' c, '{sf}/orders.parquet' o,
+                 '{sf}/lineitem.parquet' l, '{sf}/supplier.parquet' s,
+                 '{sf}/nation.parquet' n, '{sf}/region.parquet' r
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """).df().reset_index(drop=True)
+        assert got["n_name"].tolist() == want["n_name"].tolist()
+        assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
