@@ -377,6 +377,18 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_orders_rollup(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import orders_rollup
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return orders_rollup(orders)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1710,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_stats": _q_compression_stats,
         "window_events": _q_window_events,
         "revenue_by_nation": _q_revenue_by_nation,
+        "orders_rollup": _q_orders_rollup,
     }
 
 
@@ -2121,6 +2134,15 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         # TPC-H Q5 shape with exact integer-1e-4 revenue (cf. top_revenue_orders)
         "revenue_by_nation": """

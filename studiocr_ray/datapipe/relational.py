@@ -1491,3 +1491,79 @@ def revenue_by_nation(
         )
 
     return agg.map_batches(add_name, batch_format="pyarrow")
+
+
+def orders_rollup(ds):
+    """ROLLUP(o_orderstatus, o_orderpriority) over orders → order counts
+    and integer-cent totalprice sums at three grouping levels: leaf
+    (status, priority), per status, and grand total — rolled-up columns
+    carry the sentinel ``'ALL'`` (no real status/priority collides).
+
+    Scale shape: the leaf key space is bounded (|status| × |priority| ≈ 15)
+    so each batch pre-aggregates to ≤15 narrow rows, one tiny groupby
+    merges them, and the rollup levels are derived from the leaf aggregate
+    itself (bounded rows — never a second pass over the data).  Sums are
+    integer cents, exact under any accumulation order."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": cents,
+            }
+        ).group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return t.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "total_cents", "n_orders"]
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        # bounded input (leaf key space); emits all three grouping levels
+        status = b.column("o_orderstatus").to_pylist()
+        prio = b.column("o_orderpriority").to_pylist()
+        cents = b.column("total_cents").to_numpy(zero_copy_only=False)
+        n = b.column("n_orders").to_numpy(zero_copy_only=False)
+        rows_s, rows_p, rows_c, rows_n = list(status), list(prio), \
+            list(cents), list(n)
+        by_status: dict[str, list[int]] = {}
+        for i, s in enumerate(status):
+            by_status.setdefault(s, []).append(i)
+        for s, idx in sorted(by_status.items()):
+            rows_s.append(s)
+            rows_p.append("ALL")
+            rows_c.append(int(cents[idx].sum()))
+            rows_n.append(int(n[idx].sum()))
+        rows_s.append("ALL")
+        rows_p.append("ALL")
+        rows_c.append(int(cents.sum()))
+        rows_n.append(int(n.sum()))
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(rows_s, pa.string()),
+                "o_orderpriority": pa.array(rows_p, pa.string()),
+                "total_cents": pa.array(rows_c, pa.int64()),
+                "n_orders": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    return leaf.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )

@@ -831,6 +831,34 @@ class TestWindows:
         assert got["n_name"].tolist() == want["n_name"].tolist()
         assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
 
+    def test_orders_rollup_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import orders_rollup
+
+        sf = "/root/testdata/sf0.001"
+        got = orders_rollup(
+            rd.read_parquet(
+                f"{sf}/orders.parquet",
+                columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+            )
+        ).to_pandas().sort_values(
+            ["o_orderstatus", "o_orderpriority"]
+        ).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   count(*) AS n_orders
+            FROM '{sf}/orders.parquet'
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """).df().reset_index(drop=True)
+        for col in want.columns:
+            assert got[col].tolist() == want[col].tolist(), col
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
