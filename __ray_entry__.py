@@ -389,6 +389,16 @@ def _q_orders_rollup(sf_dir: str):
     return orders_rollup(orders)
 
 
+def _q_topn_per_user(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import topn_events_per_user
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+    return topn_events_per_user(events, n=3)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1723,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": _q_window_events,
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_rollup": _q_orders_rollup,
+        "topn_per_user": _q_topn_per_user,
     }
 
 
@@ -2134,6 +2145,15 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "topn_per_user": """
+            SELECT event_id, user_id, value, rk FROM (
+              SELECT event_id, user_id, value,
+                     CAST(ROW_NUMBER() OVER (
+                          PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS BIGINT) AS rk
+              FROM events
+            ) WHERE rk <= 3
         """,
         "orders_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -1567,3 +1567,55 @@ def orders_rollup(ds):
     return leaf.repartition(1).map_batches(
         rollup, batch_format="pyarrow", batch_size=None
     )
+
+
+def topn_events_per_user(ds, n: int = 3, num_buckets: int = 64):
+    """Per-user top-n events by ``(value DESC, event_id ASC)`` with their
+    1-based rank — the ``QUALIFY ROW_NUMBER() <= n`` shape.
+
+    Scale shape: each batch first keeps only its own per-user top-n (a
+    combiner — correct because the global top-n under a total order is a
+    subset of every superset's top-n), so the user-hash exchange carries
+    ≤ n rows per (user, batch); the per-bucket pass re-ranks and filters
+    with one lexsort, no per-row Python."""
+    from ..functions.arrowutil import id_buckets
+
+    def rank_filter(t: pa.Table, with_bucket: bool) -> pa.Table:
+        uid = t.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, codes))
+        codes_s = codes[order]
+        user_change = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        m = len(order)
+        first_idx = np.maximum.accumulate(
+            np.where(user_change, np.arange(m), 0)
+        )
+        rk = np.arange(m) - first_idx + 1
+        keep = rk <= n
+        sel = order[keep]
+        cols = {
+            "event_id": pa.array(eid[sel]),
+            "user_id": uid.take(pa.array(sel)),
+            "value": pa.array(val[sel], pa.float64()),
+            "rk": pa.array(rk[keep], pa.int64()),
+        }
+        if with_bucket:
+            cols["bucket"] = pa.array(
+                id_buckets(cols["user_id"], num_buckets), pa.int32()
+            )
+        return pa.table(cols)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return rank_filter(batch, with_bucket=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        return rank_filter(group, with_bucket=False)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )

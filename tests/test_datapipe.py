@@ -859,6 +859,32 @@ class TestWindows:
         for col in want.columns:
             assert got[col].tolist() == want[col].tolist(), col
 
+    def test_topn_per_user_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import topn_events_per_user
+
+        sf = "/root/testdata/sf0.001"
+        # repartition so the per-batch combiner must merge across blocks
+        events = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "value"],
+        ).repartition(8)
+        got = topn_events_per_user(events, n=3).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT event_id, user_id, value, rk FROM (
+              SELECT event_id, user_id, value,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS BIGINT) AS rk
+              FROM read_parquet('{sf}/events.parquet')
+            ) WHERE rk <= 3 ORDER BY event_id
+        """).df().reset_index(drop=True)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["rk"].tolist() == want["rk"].tolist()
+        assert got["value"].tolist() == want["value"].tolist()
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
