@@ -399,6 +399,22 @@ def _q_topn_per_user(sf_dir: str):
     return topn_events_per_user(events, n=3)
 
 
+def _q_profile_orders(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.profile import profile_columns
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    return profile_columns(
+        orders,
+        ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1734,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_rollup": _q_orders_rollup,
         "topn_per_user": _q_topn_per_user,
+        "profile_orders": _q_profile_orders,
     }
 
 
@@ -2145,6 +2162,35 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "profile_orders": """
+            SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                   count(*) - count(o_custkey) AS n_null,
+                   count(DISTINCT o_custkey) AS n_distinct,
+                   CAST(min(o_custkey) AS DOUBLE) AS min_num,
+                   CAST(max(o_custkey) AS DOUBLE) AS max_num,
+                   CAST('' AS VARCHAR) AS min_str,
+                   CAST('' AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS DOUBLE),
+                   CAST(max(o_totalprice) AS DOUBLE), '', ''
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         "topn_per_user": """
             SELECT event_id, user_id, value, rk FROM (

@@ -885,6 +885,62 @@ class TestWindows:
         assert got["rk"].tolist() == want["rk"].tolist()
         assert got["value"].tolist() == want["value"].tolist()
 
+    def test_profile_columns(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.profile import profile_columns
+
+        t = pa.table(
+            {
+                "x": pa.array([1.5, None, 2.5, 1.5, -3.0, None], pa.float64()),
+                "s": pa.array(["b", "a", None, "b", "c", "a"], pa.string()),
+                "k": pa.array([7, 7, 7, 8, 9, 9], pa.int64()),
+            }
+        )
+        out = profile_columns(
+            rd.from_arrow(t).repartition(3), ["x", "s", "k"]
+        ).to_pandas().set_index("col_name")
+        assert out.loc["x", "n_rows"] == 6
+        assert out.loc["x", "n_null"] == 2
+        assert out.loc["x", "n_distinct"] == 3
+        assert out.loc["x", "min_num"] == -3.0
+        assert out.loc["x", "max_num"] == 2.5
+        assert out.loc["s", "n_null"] == 1
+        assert out.loc["s", "n_distinct"] == 3
+        assert out.loc["s", "min_str"] == "a"
+        assert out.loc["s", "max_str"] == "c"
+        assert out.loc["k", "n_distinct"] == 3
+        assert out.loc["k", "min_num"] == 7.0
+        assert out.loc["k", "max_num"] == 9.0
+
+    def test_profile_columns_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.profile import profile_columns
+
+        sf = "/root/testdata/sf0.001"
+        got = profile_columns(
+            rd.read_parquet(f"{sf}/orders.parquet",
+                            columns=["o_custkey", "o_orderstatus"]),
+            ["o_custkey", "o_orderstatus"],
+        ).to_pandas().set_index("col_name")
+        want = duckdb.sql(f"""
+            SELECT count(*) AS n, count(DISTINCT o_custkey) AS d,
+                   min(o_custkey) AS mn, max(o_custkey) AS mx,
+                   count(DISTINCT o_orderstatus) AS ds,
+                   min(o_orderstatus) AS smn, max(o_orderstatus) AS smx
+            FROM '{sf}/orders.parquet'
+        """).df().iloc[0]
+        assert got.loc["o_custkey", "n_rows"] == want["n"]
+        assert got.loc["o_custkey", "n_distinct"] == want["d"]
+        assert got.loc["o_custkey", "min_num"] == float(want["mn"])
+        assert got.loc["o_custkey", "max_num"] == float(want["mx"])
+        assert got.loc["o_orderstatus", "n_distinct"] == want["ds"]
+        assert got.loc["o_orderstatus", "min_str"] == want["smn"]
+        assert got.loc["o_orderstatus", "max_str"] == want["smx"]
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
