@@ -415,6 +415,33 @@ def _q_profile_orders(sf_dir: str):
     )
 
 
+def _q_graph_components(sf_dir: str):
+    """Distributed connected components over a deterministic synthetic
+    graph: nodes = doc_ids, chain edges (v, v+1) within each group of 10
+    (no edge when v%10 == 9), so the ground-truth component rep is
+    (v // 10) * 10 — a diameter-9 chain exercises several propagation
+    rounds of the same min-label machinery `dup_clusters` uses."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.dedup import duplicate_clusters_ds
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ((d % 10) != 9) & (d + 1 < n)
+        src = d[keep]
+        return pa.table(
+            {"id_a": pa.array(src, pa.int64()),
+             "id_b": pa.array(src + 1, pa.int64())}
+        )
+
+    pairs = docs.map_batches(edges, batch_format="pyarrow")
+    return duplicate_clusters_ds(pairs)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1751,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "topn_per_user": _q_topn_per_user,
         "profile_orders": _q_profile_orders,
+        "graph_components": _q_graph_components,
     }
 
 
@@ -2162,6 +2190,15 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        # closed-form ground truth of the synthetic chain graph; nodes with
+        # no edge partner in range still appear via their incoming edge
+        "graph_components": """
+            SELECT doc_id, (doc_id // 10) * 10 AS cluster_rep
+            FROM documents
+            WHERE (doc_id % 10 <> 9 AND doc_id + 1 < (SELECT count(*) FROM documents))
+               OR (doc_id % 10 = 9)
+               OR (doc_id > 0 AND (doc_id - 1) % 10 <> 9)
         """,
         "profile_orders": """
             SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
