@@ -442,6 +442,16 @@ def _q_graph_components(sf_dir: str):
     return duplicate_clusters_ds(pairs)
 
 
+def _q_value_pctl_by_type(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import grouped_value_percentiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+    return grouped_value_percentiles(events)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1779,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_per_user": _q_topn_per_user,
         "profile_orders": _q_profile_orders,
         "graph_components": _q_graph_components,
+        "value_pctl_by_type": _q_value_pctl_by_type,
     }
 
 
@@ -2190,6 +2201,24 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "value_pctl_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, [0.25, 0.5, 0.75, 0.95, 0.99])
+                           AS qs
+                  FROM c GROUP BY event_type)
+            SELECT event_type, p, cents,
+                   CAST(cents AS DOUBLE) / 100.0 AS value
+            FROM (
+              SELECT event_type,
+                     unnest(CAST([25, 50, 75, 95, 99] AS BIGINT[])) AS p,
+                     unnest(qs) AS cents
+              FROM q
+            )
         """,
         # closed-form ground truth of the synthetic chain graph; nodes with
         # no edge partner in range still appear via their incoming edge

@@ -1619,3 +1619,60 @@ def topn_events_per_user(ds, n: int = 3, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_value_percentiles(
+    ds, ps: tuple = (25, 50, 75, 95, 99),
+    group_col: str = "event_type", value_col: str = "value",
+):
+    """EXACT per-group percentiles of a 2-decimal money column →
+    ``(group, p, cents, value)`` — percentile-disc semantics (the value at
+    1-based rank ``ceil(p/100·N)`` within the group), computed from a
+    bounded ``(group, cents)`` histogram, never a global sort (the grouped
+    twin of ``token_length_percentiles``; for unbounded float columns use
+    ``sketch.sampled_percentiles``).
+
+    The histogram bound is |groups| × |distinct cents| — for bounded-range
+    money values a few-hundred-k narrow rows regardless of corpus size."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                batch.column(value_col).to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        t = pa.table(
+            {group_col: batch.column(group_col), "cents": cents}
+        ).group_by([group_col, "cents"]).aggregate([("cents", "count")])
+        return t.rename_columns([group_col, "cents", "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |groups| × |distinct cents|
+        .sort_values([group_col, "cents"])
+    )
+    out_g, out_p, out_c = [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["cents"].to_numpy()
+        n = int(cum[-1])
+        for p in ps:
+            k = max(1, math.ceil(p / 100.0 * n))
+            out_g.append(g)
+            out_p.append(p)
+            out_c.append(int(vals[np.searchsorted(cum, k)]))
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "p": pa.array(out_p, pa.int64()),
+            "cents": pa.array(out_c, pa.int64()),
+            "value": pa.array(
+                np.asarray(out_c, np.float64) / 100.0, pa.float64()
+            ),
+        }
+    )

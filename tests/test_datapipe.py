@@ -941,6 +941,32 @@ class TestWindows:
         assert got.loc["o_orderstatus", "min_str"] == want["smn"]
         assert got.loc["o_orderstatus", "max_str"] == want["smx"]
 
+    def test_grouped_value_percentiles_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import grouped_value_percentiles
+
+        sf = "/root/testdata/sf0.001"
+        got = grouped_value_percentiles(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["event_type", "value"])
+        ).to_pandas().sort_values(["event_type", "p"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value*100.0+0.5) AS BIGINT) AS cents
+                       FROM read_parquet('{sf}/events.parquet')),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, [0.25,0.5,0.75,0.95,0.99]) AS qs
+                  FROM c GROUP BY event_type)
+            SELECT event_type,
+                   unnest(CAST([25,50,75,95,99] AS BIGINT[])) AS p,
+                   unnest(qs) AS cents
+            FROM q ORDER BY event_type, p
+        """).df().reset_index(drop=True)
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        assert got["cents"].tolist() == want["cents"].tolist()
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
