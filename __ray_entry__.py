@@ -452,6 +452,16 @@ def _q_value_pctl_by_type(sf_dir: str):
     return grouped_value_percentiles(events)
 
 
+def _q_fuzzy_names(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.linkage import fuzzy_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return fuzzy_pairs(cust, id_col="c_custkey", name_col="c_name")
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1790,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": _q_profile_orders,
         "graph_components": _q_graph_components,
         "value_pctl_by_type": _q_value_pctl_by_type,
+        "fuzzy_names": _q_fuzzy_names,
     }
 
 
@@ -2201,6 +2212,12 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "fuzzy_names": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "value_pctl_by_type": """
             WITH c AS (SELECT event_type,

@@ -967,6 +967,51 @@ class TestWindows:
         assert got["event_type"].tolist() == want["event_type"].tolist()
         assert got["cents"].tolist() == want["cents"].tolist()
 
+    def test_fuzzy_pairs_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.linkage import fuzzy_pairs
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "name": pa.array(
+                    ["abc", "abd", "abcd", "xyz", "abc", "zzzz"], pa.string()
+                ),
+            }
+        )
+        out = fuzzy_pairs(
+            rd.from_arrow(t).repartition(3), id_col="id", name_col="name"
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        got = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+        # abc~abd subst(1), abc~abcd insert(1), abd~abcd insert(1),
+        # abc~abc exact dup (0) across ids 1 and 5
+        assert got == {(1, 2): 1, (1, 3): 1, (1, 5): 0, (2, 3): 1,
+                       (2, 5): 1, (3, 5): 1}
+
+    def test_fuzzy_pairs_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.linkage import fuzzy_pairs
+
+        sf = "/root/testdata/sf0.001"
+        got = fuzzy_pairs(
+            rd.read_parquet(f"{sf}/customer.parquet",
+                            columns=["c_custkey", "c_name"]),
+            id_col="c_custkey", name_col="c_name",
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM '{sf}/customer.parquet' a
+            JOIN '{sf}/customer.parquet' b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
