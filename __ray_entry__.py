@@ -462,6 +462,57 @@ def _q_fuzzy_names(sf_dir: str):
     return fuzzy_pairs(cust, id_col="c_custkey", name_col="c_name")
 
 
+def _q_join_user_day(sf_dir: str):
+    """Composite-key join demo: every event row picks up its (user, day)
+    running total — events ⨝ per-(user_id, day) cents aggregate on BOTH
+    key columns via the acero-per-bucket ``hash_join_multi``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from studiocr_ray.datapipe.join import hash_join_multi
+
+    def with_day(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = pa.array(
+            np.floor(
+                b.column("value").to_numpy(zero_copy_only=False) * 100.0
+                + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+                "cents": cents,
+            }
+        )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(with_day, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["user_id", "day", "cents"]) \
+            .group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return t.rename_columns(["user_id", "day", "day_cents"])
+
+    day_tot = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]) \
+        .aggregate(Sum("day_cents", alias_name="day_cents"))
+
+    return hash_join_multi(
+        events, day_tot, on=["user_id", "day"],
+        left_cols=["event_id"], right_cols=["day_cents"],
+    )
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1801,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "value_pctl_by_type": _q_value_pctl_by_type,
         "fuzzy_names": _q_fuzzy_names,
+        "join_user_day": _q_join_user_day,
     }
 
 
@@ -2212,6 +2264,19 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "join_user_day": """
+            WITH e AS (
+              SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ),
+            tot AS (
+              SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS day_cents
+              FROM e GROUP BY user_id, day
+            )
+            SELECT e.user_id, e.day, e.event_id, tot.day_cents
+            FROM e JOIN tot USING (user_id, day)
         """,
         "fuzzy_names": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

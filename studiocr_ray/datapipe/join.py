@@ -197,3 +197,98 @@ def _emit(lrows, rrows, li, ri, on, l_payload, r_payload) -> pa.Table:
 
 def _one(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def hash_join_multi(
+    left,
+    right,
+    on: list[str],
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+):
+    """Composite-key distributed equi-join — ``on`` is a LIST of key
+    columns present on both sides.  Same exchange shape as
+    :func:`hash_join` (tag side → bucket by combined key hash → one
+    all-to-all), but the per-bucket merge delegates to Arrow's acero
+    hash join (``pa.Table.join``) which handles multi-column equality
+    exactly and vectorized; the bucket hash combines per-column
+    ``id_hash64`` with distinct odd multipliers so co-partition holds for
+    every composite value.  ``how``: inner / left / semi / anti."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+    from ..functions.arrowutil import id_hash64
+
+    def key_buckets(t: pa.Table) -> np.ndarray:
+        h = np.zeros(t.num_rows, np.uint64)
+        for i, k in enumerate(on):
+            h = h * np.uint64(0x100000001B3) + id_hash64(t.column(k))
+        return ((h >> np.uint64(32)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+
+    def prune_side(batch: pa.Table, cols: list[str] | None) -> pa.Table:
+        if cols is not None:
+            keep = list(on) + [c for c in cols if c not in on]
+            batch = batch.select(keep)
+        return batch.append_column(
+            "jb", pa.array(key_buckets(batch), pa.int32())
+        )
+
+    lt = left.map_batches(
+        prune_side, fn_kwargs={"cols": left_cols}, batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        prune_side, fn_kwargs={"cols": right_cols}, batch_format="pyarrow"
+    )
+    l_names = [n for n in lt.schema().names if n != "jb"]
+    r_names = [n for n in rt.schema().names if n != "jb"]
+    l_types = dict(zip(lt.schema().names, lt.schema().types))
+    r_types = dict(zip(rt.schema().names, rt.schema().types))
+
+    # side tag survives the union; each side carries the other's payload
+    # columns as nulls so the unioned blocks share one schema
+    def conform(batch: pa.Table, side: int) -> pa.Table:
+        batch = batch.append_column(
+            "side", pa.array(np.full(batch.num_rows, side, np.int8))
+        )
+        for n in l_names + r_names:
+            if n not in batch.column_names:
+                batch = batch.append_column(
+                    n, pa.nulls(batch.num_rows, l_types.get(n) or r_types[n])
+                )
+        return batch.select(["jb", "side"] + list(dict.fromkeys(
+            l_names + r_names
+        )))
+
+    lt = lt.map_batches(conform, fn_kwargs={"side": 0},
+                        batch_format="pyarrow")
+    rt = rt.map_batches(conform, fn_kwargs={"side": 1},
+                        batch_format="pyarrow")
+
+    r_payload = [n for n in r_names if n not in on]
+    l_only = [n for n in l_names]
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_numpy(zero_copy_only=False)
+        ltab = group.filter(pa.array(sides == 0)).select(l_only)
+        rtab = group.filter(pa.array(sides == 1)).select(
+            list(on) + r_payload
+        )
+        out = ltab.join(
+            rtab, keys=list(on), join_type=arrow_how,
+            right_suffix=suffix, coalesce_keys=True,
+        )
+        return out.combine_chunks()
+
+    return lt.union(rt).groupby("jb").map_groups(
+        merge, batch_format="pyarrow"
+    )

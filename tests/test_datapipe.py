@@ -1012,6 +1012,49 @@ class TestWindows:
         """).df().reset_index(drop=True)
         assert got.equals(want)
 
+    def test_hash_join_multi_modes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join_multi
+
+        left = pa.table(
+            {
+                "u": pa.array([1, 1, 2, 3], pa.int64()),
+                "d": pa.array(["a", "b", "a", "c"], pa.string()),
+                "x": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "u": pa.array([1, 2, 2, 9], pa.int64()),
+                "d": pa.array(["a", "a", "a", "z"], pa.string()),
+                "y": pa.array([100, 200, 300, 900], pa.int64()),
+            }
+        )
+        lds, rds = rd.from_arrow(left).repartition(2), \
+            rd.from_arrow(right).repartition(2)
+
+        inner = hash_join_multi(lds, rds, on=["u", "d"]).to_pandas() \
+            .sort_values(["u", "d", "y"]).reset_index(drop=True)
+        assert [tuple(r) for r in inner[["u", "d", "x", "y"]].values] == \
+            [(1, "a", 10, 100), (2, "a", 30, 200), (2, "a", 30, 300)]
+
+        leftj = hash_join_multi(lds, rds, on=["u", "d"], how="left") \
+            .to_pandas().sort_values(["u", "d", "y"]).reset_index(drop=True)
+        assert len(leftj) == 5  # 3 matches + (1,b) + (3,c) unmatched
+        assert leftj["y"].isna().sum() == 2
+
+        semi = hash_join_multi(lds, rds, on=["u", "d"], how="semi") \
+            .to_pandas().sort_values(["u", "d"]).reset_index(drop=True)
+        assert [tuple(r) for r in semi[["u", "d", "x"]].values] == \
+            [(1, "a", 10), (2, "a", 30)]
+
+        anti = hash_join_multi(lds, rds, on=["u", "d"], how="anti") \
+            .to_pandas().sort_values(["u", "d"]).reset_index(drop=True)
+        assert [tuple(r) for r in anti[["u", "d", "x"]].values] == \
+            [(1, "b", 20), (3, "c", 40)]
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
