@@ -1736,12 +1736,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     green CORRECTNESS history (r2+r3) plus same-oracle pytest coverage in
     tests/test_datapipe.py.
 
-    Round-5 note: the 12 round-4 additions (bigram_logprob{,_shuffle},
+    Round-5 note: the round-4 additions (bigram_logprob{,_shuffle},
     dsir_select, ann_pq, bpe_stats, sampled_pctl, join_orders_cust,
-    join_cust_orders_left, join_anti, …) sit past position 50 this round
-    (pytest + tools/check_correctness.py oracled); rotate THEM into the
-    checked prefix next round, swapping out whichever prefix members are
-    then longest-green.
+    join_cust_orders_left, join_anti, compression_stats, window_events,
+    revenue_by_nation, orders_rollup, topn_per_user, profile_orders,
+    graph_components, value_pctl_by_type, fuzzy_names, join_user_day)
+    sit past position 50 this round (pytest +
+    tools/check_correctness.py oracled); rotate THEM into the checked
+    prefix next round, swapping out whichever prefix members are then
+    longest-green.
     """
     return {
         # --- driver-checked prefix, part 1: the 31 round-3 queries that
