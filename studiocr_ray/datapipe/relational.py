@@ -1013,13 +1013,19 @@ def bigram_counts(ds, text_col: str = "text"):
     Vectorized: one Arrow split per batch, adjacency by doc-index equality,
     pair strings via ``binary_join_element_wise`` (no per-row Python),
     dictionary-encode + bincount partial — the exchange is
-    bigram-vocabulary-bounded per batch, never one row per token."""
+    bigram-vocabulary-bounded per batch, never one row per token.  The
+    merge buckets by bigram hash (see word_count): the bigram vocabulary
+    grows ~quadratically with the unigram one, so a raw
+    ``groupby("bigram")`` sort shuffle is the measured 33× string-key
+    anti-pattern at open vocabulary."""
+    from ..functions.arrowutil import string_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         flat, doc_idx = _flat_tokens(batch, text_col)
-        empty = pa.table({"bigram": pa.array([], pa.string()),
+        empty = pa.table({"wb": pa.array([], pa.int32()),
+                          "bigram": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64())})
         if len(flat) < 2:
             return empty
@@ -1035,11 +1041,23 @@ def bigram_counts(ds, text_col: str = "text"):
             minlength=len(d.dictionary),
         )
         return pa.table(
-            {"bigram": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+            {"wb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+             "bigram": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("bigram"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"bigram": d.dictionary, "cnt": pa.array(cnt, pa.int64())}
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bigram").aggregate(Sum("cnt", alias_name="cnt"))
+    return partials.groupby("wb").map_groups(merge, batch_format="pyarrow")
 
 
 def topk_bigrams(ds, k: int = 20, text_col: str = "text"):
