@@ -43,7 +43,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
 
 
 def _line_parts(batch: pa.Table, text_col: str, words_per_line: int | None):
@@ -111,25 +110,47 @@ def frequent_lines(
     """Lines occurring more than ``max_count`` times corpus-wide →
     ``(line, cnt)``.  One vocabulary-bounded shuffle (see module doc)."""
 
+    from ..functions.arrowutil import string_buckets
+
     def partial(batch: pa.Table) -> pa.Table:
         line_str, _ = _line_parts(batch, text_col, words_per_line)
         if len(line_str) == 0:
-            return pa.table({"line": pa.array([], pa.string()),
+            return pa.table({"lb": pa.array([], pa.int32()),
+                             "line": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         vc = pc.value_counts(line_str)
+        vals = vc.field("values")
         return pa.table(
-            {"line": vc.field("values"),
+            {"lb": pa.array(string_buckets(vals, 64), pa.int32()),
+             "line": vals,
              "cnt": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    counts = (
+    def merge(group: pa.Table) -> pa.Table:
+        # distinct-line cardinality is corpus-scale, so the merge buckets
+        # by line hash (one dictionary-encode/bincount per group) — a raw
+        # groupby("line") sort shuffle is the measured 33× string-key
+        # anti-pattern (cf. word_count)
+        import numpy as np
+
+        from .relational import _dict_encode
+
+        d = _dict_encode(group.column("line"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        keep = cnt > max_count
+        return pa.table(
+            {"line": d.dictionary.filter(pa.array(keep)),
+             "cnt": pa.array(cnt[keep], pa.int64())}
+        )
+
+    frequent = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("line")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    frequent = counts.map_batches(
-        lambda b: b.filter(pc.greater(b.column("cnt"), max_count)),
-        batch_format="pyarrow",
+        .groupby("lb")
+        .map_groups(merge, batch_format="pyarrow")
     )
     parts = [
         b for b in frequent.iter_batches(batch_format="pyarrow") if b.num_rows
