@@ -13,9 +13,9 @@ Two passes over the corpus, ONE vocabulary-bounded shuffle, zero per-row
 Python:
 
 1. **Count** — per-batch partial counts keyed by the line string
-   (``pc.value_counts``), then a single ``groupby(line).sum`` whose input is
-   one row per *distinct* line per batch — the word_count/term_df shape
-   (relational.py) that moves counts, not occurrences.  Only lines with
+   (``pc.value_counts``), then ONE line-hash-bucketed merge (64 int
+   groups, dictionary-encode + bincount per group — the word_count/term_df
+   shape, relational.py) that moves counts, not occurrences.  Only lines with
    global count > *k* survive the filter, and that set is small by
    construction (it is the boilerplate vocabulary, not the corpus), so it
    is collected and broadcast once via ``ray.put``.
