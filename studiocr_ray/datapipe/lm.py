@@ -356,18 +356,36 @@ def bigram_logprob(
     uni = word_count(ds, text_col=text_col)
 
     def bigram_count_partial(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import string_buckets
+
         pair_codes, _, _, pair_dict, _ = _flat_bigrams(batch, text_col)
         if len(pair_codes) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
+            return pa.table({"cb": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         cnts = np.bincount(pair_codes, minlength=len(pair_dict))
         return pa.table(
-            {"term": pair_dict, "cnt": pa.array(cnts.astype(np.int64))}
+            {"cb": pa.array(string_buckets(pair_dict, 64), pa.int32()),
+             "term": pair_dict, "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    def bigram_count_merge(group: pa.Table) -> pa.Table:
+        # bigram vocabulary is ~quadratic in the unigram one — merge by
+        # hash bucket, never groupby("term") (the measured 33× string-key
+        # sort-shuffle anti-pattern)
+        d = _dict_encode(group.column("term"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"term": d.dictionary, "cnt": pa.array(cnt, pa.int64())}
         )
 
     bi = ds.map_batches(
         bigram_count_partial, batch_format="pyarrow"
-    ).groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    ).groupby("cb").map_groups(bigram_count_merge, batch_format="pyarrow")
 
     if strategy == "broadcast":
         def collect(counts) -> pa.Table:
