@@ -40,7 +40,6 @@ import math
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 from .lm import _log_micronats
 from .relational import _dict_encode, _flat_tokens
@@ -52,14 +51,18 @@ def class_token_counts(ds, text_col: str = "text", label_expr=None):
     """Per-term per-class counts → Dataset ``(term, c_pos, c_neg)``.
 
     ``label_expr(batch) -> np.ndarray[bool]`` marks positive rows.  One
-    vectorized partial per batch (composite term×class bincount), one
-    vocabulary-bounded groupby-sum."""
+    vectorized partial per batch (composite term×class bincount); the
+    merge buckets by term hash (cf. relational.word_count) — never a
+    raw ``groupby("term")`` string-key sort shuffle over the open
+    vocabulary."""
+    from ..functions.arrowutil import string_buckets
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, doc_idx = _flat_tokens(batch, text_col)
         if len(flat) == 0:
             return pa.table(
-                {"term": pa.array([], pa.string()),
+                {"wb": pa.array([], pa.int32()),
+                 "term": pa.array([], pa.string()),
                  "c_pos": pa.array([], pa.int64()),
                  "c_neg": pa.array([], pa.int64())}
             )
@@ -72,17 +75,36 @@ def class_token_counts(ds, text_col: str = "text", label_expr=None):
         cn = np.bincount(codes[~tok_pos], minlength=ndict)
         return pa.table(
             {
+                "wb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
                 "term": d.dictionary,
                 "c_pos": pa.array(cp, pa.int64()),
                 "c_neg": pa.array(cn, pa.int64()),
             }
         )
 
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("term"))
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        nd = len(d.dictionary)
+        cp = np.bincount(
+            idx,
+            weights=group.column("c_pos").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        cn = np.bincount(
+            idx,
+            weights=group.column("c_neg").to_numpy(zero_copy_only=False),
+            minlength=nd,
+        ).astype(np.int64)
+        return pa.table(
+            {"term": d.dictionary,
+             "c_pos": pa.array(cp, pa.int64()),
+             "c_neg": pa.array(cn, pa.int64())}
+        )
+
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "term"
-    ).aggregate(
-        Sum("c_pos", alias_name="c_pos"), Sum("c_neg", alias_name="c_neg")
-    )
+        "wb"
+    ).map_groups(merge, batch_format="pyarrow")
 
 
 class _NBScorer:
