@@ -89,10 +89,8 @@ def domain_counts(ds, url_col: str = "href"):
     """Links (or pages) per domain → ``(domain, cnt)``; relative hrefs
     are counted under domain ``''`` (kept — at crawl scale the
     relative/absolute split is itself a signal).  Partial bincount per
-    batch, vocabulary-bounded shuffle."""
-
-    from ray.data.aggregate import Sum
-
+    batch; domain-hash-bucketed merge."""
+    from ..functions.arrowutil import string_buckets
     from .relational import _dict_encode
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -103,12 +101,27 @@ def domain_counts(ds, url_col: str = "href"):
             minlength=len(d.dictionary),
         )
         return pa.table(
-            {"domain": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+            {"db": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+             "domain": d.dictionary, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # a big crawl has 10^7-10^8 distinct domains — merge by domain-hash
+        # bucket (cf. relational.word_count), not a groupby("domain")
+        # string-key sort shuffle
+        d = _dict_encode(group.column("domain"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"domain": d.dictionary, "cnt": pa.array(cnt, pa.int64())}
         )
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "domain"
-    ).aggregate(Sum("cnt", alias_name="cnt"))
+        "db"
+    ).map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
