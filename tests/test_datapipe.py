@@ -990,6 +990,37 @@ class TestWindows:
         assert got == {(1, 2): 1, (1, 3): 1, (1, 5): 0, (2, 3): 1,
                        (2, 5): 1, (3, 5): 1}
 
+    def test_fuzzy_pairs_random_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.linkage import fuzzy_pairs
+
+        rng = np.random.default_rng(1234)
+        names = [
+            "".join(rng.choice(list("abc"), size=rng.integers(2, 6)))
+            for _ in range(200)
+        ]
+        t = pa.table(
+            {"id": pa.array(range(200), pa.int64()),
+             "name": pa.array(names, pa.string())}
+        )
+        got = fuzzy_pairs(
+            rd.from_arrow(t).repartition(5), id_col="id", name_col="name"
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 1
+            ORDER BY id_a, id_b
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
     def test_fuzzy_pairs_matches_duckdb(self, ray_session):
         import duckdb
         import ray.data as rd
