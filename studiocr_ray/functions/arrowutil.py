@@ -112,6 +112,12 @@ def id_hash64(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
+        if col.null_count:
+            # a null int surfaces as NaN via to_numpy and astype(uint64)
+            # would bucket it ARBITRARILY (platform-defined cast) — the
+            # joins/dedups built on this hash would silently drop or
+            # mismatch rows; fail loudly like string_hash64 does
+            raise ValueError("id_hash64 requires a null-free key column")
         a = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return a * np.uint64(0x9E3779B97F4A7C15)
     return string_hash64(col)
