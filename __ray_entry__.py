@@ -513,6 +513,17 @@ def _q_join_user_day(sf_dir: str):
     )
 
 
+def _q_funnel(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import funnel_counts
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+    return funnel_counts(events, first_type="view", then_type="purchase",
+                         within_minutes=60)
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1856,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_pctl_by_type": _q_value_pctl_by_type,
         "fuzzy_names": _q_fuzzy_names,
         "join_user_day": _q_join_user_day,
+        "funnel": _q_funnel,
     }
 
 
@@ -2267,6 +2279,21 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "funnel": """
+            WITH f AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 t AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 conv AS (
+                   SELECT DISTINCT t.user_id
+                   FROM t JOIN f ON f.user_id = t.user_id
+                    AND f.ts < t.ts
+                    AND f.ts >= t.ts - INTERVAL 60 MINUTE
+                 )
+            SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+                   (SELECT count(DISTINCT user_id) FROM f) AS n_entered,
+                   (SELECT count(*) FROM conv) AS n_converted
         """,
         "join_user_day": """
             WITH e AS (

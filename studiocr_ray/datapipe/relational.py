@@ -1694,3 +1694,135 @@ def grouped_value_percentiles(
             ),
         }
     )
+
+
+def funnel_counts(
+    ds,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within_minutes: int = 60,
+    num_buckets: int = 64,
+):
+    """Two-step funnel over the events table → one row
+    ``(n_users, n_entered, n_converted)``: of the users who ever emitted
+    ``first_type``, how many emitted ``then_type`` within
+    ``within_minutes`` AFTER (strictly later than) some ``first_type``
+    event — the product-analytics conversion query.
+
+    Scale shape: the user-hash bucket exchange ships only
+    ``(user_id, ts, is_first)`` narrow rows for the two event types; per
+    bucket one lexsort + a vectorized sorted-window probe
+    (``searchsorted`` of each step-2 event into its user's step-1 times)
+    decides conversion; per-bucket partial counts (3 ints) merge in a
+    tiny final task."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    gap_us = within_minutes * 60 * 1_000_000
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, first_type), pc.equal(et, then_type))
+        t = batch.filter(keep)
+        is_first = pc.equal(t.column("event_type"), first_type)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    id_buckets(t.column("user_id"), num_buckets), pa.int32()
+                ),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "is_first": is_first,
+            }
+        )
+
+    def all_users(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("user_id").combine_chunks())
+        return pa.table(
+            {"bucket": pa.array(id_buckets(u, num_buckets), pa.int32()),
+             "user_id": u}
+        )
+
+    def _count_lt(u_f, t_f, u_q, t_q):
+        """Vectorized per-user rank: for each query (u_q, t_q), the number
+        of firsts of the same user with time STRICTLY below t_q — the
+        merge-rank trick (one lexsort over firsts+queries), no per-user
+        Python loop."""
+        nf, nq = len(u_f), len(u_q)
+        u = np.concatenate([u_f, u_q])
+        t = np.concatenate([t_f, t_q])
+        is_q = np.concatenate(
+            [np.zeros(nf, np.int8), np.ones(nq, np.int8)]
+        )
+        # per user, by time; at equal time queries sort BEFORE firsts so
+        # the prefix count excludes ties (strict <)
+        order = np.lexsort((-is_q, t, u))
+        u_s, q_s = u[order], is_q[order]
+        cum_f = np.cumsum(q_s == 0)
+        user_change = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        first_idx = np.maximum.accumulate(
+            np.where(user_change, np.arange(len(u_s)), 0)
+        )
+        base = cum_f[first_idx] - (q_s[first_idx] == 0)
+        cnt_incl = cum_f - base  # firsts ≤ position, within user
+        # at a query position the inclusive count == strict-below count
+        out = np.empty(nq, np.int64)
+        out[np.maximum(order - nf, 0)[q_s == 1]] = cnt_incl[q_s == 1]
+        return out
+
+    def bucket_funnel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        isf = group.column("is_first").to_numpy(zero_copy_only=False)
+        u_f, t_f = codes[isf], ts[isf]
+        u_q, t_q = codes[~isf], ts[~isf]
+        nd = len(d.dictionary)
+        entered = np.bincount(u_f, minlength=nd) > 0
+        hi = _count_lt(u_f, t_f, u_q, t_q)
+        lo = _count_lt(u_f, t_f, u_q, t_q - gap_us)
+        conv_q = hi > lo  # ≥1 first inside [t-gap, t)
+        converted = np.bincount(
+            u_q[conv_q], minlength=nd
+        ) > 0
+        return pa.table(
+            {
+                "n_users": pa.array([nd], pa.int64()),
+                "n_entered": pa.array([int(entered.sum())], pa.int64()),
+                "n_converted": pa.array([int(converted.sum())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+    users = ds.map_batches(all_users, batch_format="pyarrow")
+    # users with NEITHER step still count in n_users: union distinct users
+    # per bucket via the funnel group's dictionary…  the narrow rows only
+    # carry step users, so n_users comes from the users stream instead
+    per_bucket = rows.groupby("bucket").map_groups(
+        bucket_funnel, batch_format="pyarrow"
+    ).to_pandas()
+
+    def user_partial(group: pa.Table) -> pa.Table:
+        u = pc.unique(group.column("user_id").combine_chunks())
+        return pa.table({"n": pa.array([len(u)], pa.int64())})
+
+    n_users = int(
+        users.groupby("bucket").map_groups(
+            user_partial, batch_format="pyarrow"
+        ).to_pandas()["n"].sum()
+    )
+    return pa.table(
+        {
+            "n_users": pa.array([n_users], pa.int64()),
+            "n_entered": pa.array(
+                [int(per_bucket["n_entered"].sum())], pa.int64()
+            ),
+            "n_converted": pa.array(
+                [int(per_bucket["n_converted"].sum())], pa.int64()
+            ),
+        }
+    )

@@ -1086,6 +1086,50 @@ class TestWindows:
         assert [tuple(r) for r in anti[["u", "d", "x"]].values] == \
             [(1, "b", 20), (3, "c", 40)]
 
+    def test_funnel_semantics(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import funnel_counts
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+
+        def ev(uid, typ, sec):
+            return (uid, typ, base + pd.Timedelta(seconds=sec))
+
+        rows = [
+            # user 1: view then purchase 10 min later -> converts
+            ev(1, "view", 0), ev(1, "purchase", 600),
+            # user 2: purchase BEFORE any view -> no conversion
+            ev(2, "purchase", 0), ev(2, "view", 600),
+            # user 3: purchase exactly AT the view time -> excluded
+            ev(3, "view", 100), ev(3, "purchase", 100),
+            # user 4: purchase exactly at the window edge (view at
+            # t-gap) -> included
+            ev(4, "view", 0), ev(4, "purchase", 3600),
+            # user 5: purchase after the window -> no conversion
+            ev(5, "view", 0), ev(5, "purchase", 3601),
+            # user 6: view only -> entered, not converted
+            ev(6, "view", 0),
+            # user 7: unrelated events only -> counted in n_users only
+            ev(7, "click", 0),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+        out = funnel_counts(
+            rd.from_arrow(t).repartition(3),
+            first_type="view", then_type="purchase", within_minutes=60,
+        ).to_pandas()
+        assert out.loc[0, "n_users"] == 7
+        assert out.loc[0, "n_entered"] == 6
+        assert out.loc[0, "n_converted"] == 2  # users 1 and 4
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
