@@ -524,6 +524,16 @@ def _q_funnel(sf_dir: str):
                          within_minutes=60)
 
 
+def _q_retention(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import retention_cohorts
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+    return retention_cohorts(events, cohort_type="signup", horizons=(1, 7))
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": _q_fuzzy_names,
         "join_user_day": _q_join_user_day,
         "funnel": _q_funnel,
+        "retention": _q_retention,
     }
 
 
@@ -2279,6 +2290,29 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events
+            ),
+            su AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS cohort
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id
+            )
+            SELECT su.cohort AS cohort_day,
+                   count(*) AS n_cohort,
+                   CAST(count(d1.user_id) AS BIGINT) AS n_d1,
+                   CAST(count(d7.user_id) AS BIGINT) AS n_d7
+            FROM su
+            LEFT JOIN ud d1 ON d1.user_id = su.user_id
+                           AND d1.day = su.cohort + 1
+            LEFT JOIN ud d7 ON d7.user_id = su.user_id
+                           AND d7.day = su.cohort + 7
+            GROUP BY su.cohort
         """,
         "funnel": """
             WITH f AS (SELECT user_id, ts FROM events

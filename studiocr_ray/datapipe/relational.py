@@ -1826,3 +1826,98 @@ def funnel_counts(
             ),
         }
     )
+
+
+def retention_cohorts(
+    ds,
+    cohort_type: str = "signup",
+    horizons: tuple = (1, 7),
+    num_buckets: int = 64,
+):
+    """Cohort retention over the events table → per cohort day (the day of
+    a user's FIRST ``cohort_type`` event, as days-since-epoch):
+    ``(cohort_day, n_cohort, n_d{h}...)`` where ``n_d{h}`` counts cohort
+    users with ANY event exactly ``h`` days after their cohort day.
+
+    Scale shape: the user-hash bucket exchange carries deduped
+    ``(user, day, is_cohort)`` rows (per-batch distinct combiner); per
+    bucket the cohort day is a sorted-run min and each horizon probe is
+    one ``searchsorted`` on the (user, day) composite — no per-user
+    Python; per-bucket partials are one row per cohort day and merge in a
+    small day-keyed groupby."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(batch.column("ts").cast(pa.int64()), pa.float64()),
+                    86_400_000_000.0,
+                )
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": day,
+                "is_cohort": pc.cast(
+                    pc.equal(batch.column("event_type"), cohort_type),
+                    pa.int8(),
+                ),
+            }
+        ).group_by(["user_id", "day"]).aggregate([("is_cohort", "max")])
+        t = t.rename_columns(["user_id", "day", "is_cohort"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    def bucket_cohorts(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        isc = group.column("is_cohort").to_numpy(zero_copy_only=False) > 0
+        nd = len(d.dictionary)
+        # cohort day = min day with a cohort event, per user
+        cohort = np.full(nd, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, codes[isc], day[isc])
+        in_cohort = cohort != np.iinfo(np.int64).max
+        # composite sorted key over the (user, day) rows; span covers the
+        # largest horizon so a probe can never alias into the next user's
+        # key range
+        span = (int(day.max() - day.min()) + max(horizons) + 2) \
+            if len(day) else 1
+        base_day = int(day.min()) if len(day) else 0
+        key_s = np.sort(codes * span + (day - base_day))
+        users = np.flatnonzero(in_cohort)
+        tbl = {"cohort_day": cohort[users],
+               "n_cohort": np.ones(len(users), np.int64)}
+        for h in horizons:
+            probe = users * span + (cohort[users] + h - base_day)
+            idx = np.searchsorted(key_s, probe, side="left")
+            hit = (idx < len(key_s)) & (key_s[np.minimum(idx, len(key_s) - 1)]
+                                        == probe)
+            tbl[f"n_d{h}"] = hit.astype(np.int64)
+        p = pa.table({k: pa.array(v) for k, v in tbl.items()})
+        aggs = [("n_cohort", "sum")] + [(f"n_d{h}", "sum") for h in horizons]
+        g = p.group_by("cohort_day").aggregate(aggs)
+        return g.rename_columns(
+            ["cohort_day", "n_cohort"] + [f"n_d{h}" for h in horizons]
+        )
+
+    partials = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_cohorts, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    aggs = [_Sum("n_cohort", alias_name="n_cohort")] + [
+        _Sum(f"n_d{h}", alias_name=f"n_d{h}") for h in horizons
+    ]
+    return partials.groupby("cohort_day").aggregate(*aggs)

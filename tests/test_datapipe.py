@@ -1130,6 +1130,42 @@ class TestWindows:
         assert out.loc[0, "n_entered"] == 6
         assert out.loc[0, "n_converted"] == 2  # users 1 and 4
 
+    def test_retention_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import retention_cohorts
+
+        sf = "/root/testdata/sf0.001"
+        got = retention_cohorts(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+        ).to_pandas().sort_values("cohort_day").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+              FROM read_parquet('{sf}/events.parquet')
+            ),
+            su AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS cohort
+              FROM read_parquet('{sf}/events.parquet')
+              WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT su.cohort AS cohort_day, count(*) AS n_cohort,
+                   CAST(count(d1.user_id) AS BIGINT) AS n_d1,
+                   CAST(count(d7.user_id) AS BIGINT) AS n_d7
+            FROM su
+            LEFT JOIN ud d1 ON d1.user_id = su.user_id
+                           AND d1.day = su.cohort + 1
+            LEFT JOIN ud d7 ON d7.user_id = su.user_id
+                           AND d7.day = su.cohort + 7
+            GROUP BY su.cohort ORDER BY cohort_day
+        """).df().reset_index(drop=True)
+        for col in want.columns:
+            assert got[col].tolist() == want[col].tolist(), col
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
