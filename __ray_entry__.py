@@ -534,6 +534,14 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(events, cohort_type="signup", horizons=(1, 7))
 
 
+def _q_readability(sf_dir: str):
+    from studiocr_ray.datapipe.text import readability_scores
+
+    return _docs(sf_dir).map_batches(
+        readability_scores, batch_format="pyarrow"
+    )
+
+
 def _q_window_events(sf_dir: str):
     import ray.data as rd
 
@@ -1879,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_user_day": _q_join_user_day,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "readability": _q_readability,
     }
 
 
@@ -2290,6 +2299,28 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                     greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                       AS n_words,
+                     greatest(len(regexp_extract_all(lower(text),
+                                                     '[aeiouy]+')), 1)
+                       AS n_syllable_groups
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_syllable_groups AS BIGINT) AS n_syllable_groups,
+                   206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllable_groups AS DOUBLE) / n_words)
+                     AS flesch
+            FROM c
         """,
         "retention": """
             WITH ud AS (

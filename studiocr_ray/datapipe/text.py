@@ -282,3 +282,45 @@ def compression_stats(batch: pa.Table, text_col: str = "text",
             ),
         }
     )
+
+
+def readability_scores(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Flesch-reading-ease-style readability per document →
+    ``(doc_id, n_sentences, n_words, n_syllable_groups, flesch)``.
+
+    The classic formula (Flesch 1948, public domain) over cheap proxies:
+    sentences = maximal ``[.!?]+`` runs (min 1), words = whitespace
+    tokens (min 1), syllables = maximal ``[aeiouy]+`` runs in the lowered
+    text (the standard vowel-group approximation; min 1).  All three are
+    single Arrow regex-count kernels — no per-row Python — and the float
+    score is one fixed expression over the integer counts, so an oracle
+    computing the same expression matches bit-for-bit."""
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    low = pc.utf8_lower(text)
+    sent = pc.max_element_wise(
+        pc.count_substring_regex(text, r"[.!?]+"), 1
+    ).cast(pa.int64())
+    words = pc.max_element_wise(
+        pc.count_substring_regex(text, r"\S+"), 1
+    ).cast(pa.int64())
+    syl = pc.max_element_wise(
+        pc.count_substring_regex(low, r"[aeiouy]+"), 1
+    ).cast(pa.int64())
+    w = words.to_numpy(zero_copy_only=False).astype(np.float64)
+    s = sent.to_numpy(zero_copy_only=False).astype(np.float64)
+    y = syl.to_numpy(zero_copy_only=False).astype(np.float64)
+    flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "n_sentences": sent,
+            "n_words": words,
+            "n_syllable_groups": syl,
+            "flesch": pa.array(flesch, pa.float64()),
+        }
+    )

@@ -1166,6 +1166,29 @@ class TestWindows:
         for col in want.columns:
             assert got[col].tolist() == want[col].tolist(), col
 
+    def test_readability_semantics(self, ray_session):
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.text import readability_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["One two. Three four!", "aeiou bcd", ""], pa.string()
+                ),
+            }
+        )
+        out = readability_scores(t).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_sentences"] == 2
+        assert out.loc[1, "n_words"] == 4
+        # "One two. Three four!" vowel groups: o-e, o, ee, ou -> 6? o,e;o;ee;ou
+        assert out.loc[2, "n_sentences"] == 1  # clamped min 1
+        assert out.loc[2, "n_words"] == 2
+        assert out.loc[2, "n_syllable_groups"] == 1  # one vowel run total
+        assert out.loc[3, "n_words"] == 1  # all clamped
+        assert out.loc[3, "n_sentences"] == 1
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
