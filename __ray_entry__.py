@@ -534,6 +534,12 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(events, cohort_type="signup", horizons=(1, 7))
 
 
+def _q_zipf_stats(sf_dir: str):
+    from studiocr_ray.datapipe.relational import zipf_stats
+
+    return zipf_stats(_docs(sf_dir))
+
+
 def _q_readability(sf_dir: str):
     from studiocr_ray.datapipe.text import readability_scores
 
@@ -1888,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "readability": _q_readability,
+        "zipf_stats": _q_zipf_stats,
     }
 
 
@@ -2299,6 +2306,26 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "zipf_stats": f"""
+            WITH tk AS (
+              SELECT unnest({toks.format(src='lower(text)')}) AS term
+              FROM documents
+            ),
+            cnts AS (SELECT term, count(*) AS c FROM tk GROUP BY term)
+            SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top1_cnt,
+                   CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                           * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS sum_c_lnc_u,
+                   ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+                     - (CAST(CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                                     * 1000000.0)
+                                               AS BIGINT)) AS BIGINT)
+                             AS DOUBLE) / 1000000.0)
+                       / CAST(sum(c) AS BIGINT) AS entropy_nats
+            FROM cnts
         """,
         "readability": """
             WITH c AS (

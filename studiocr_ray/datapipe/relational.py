@@ -1921,3 +1921,38 @@ def retention_cohorts(
         _Sum(f"n_d{h}", alias_name=f"n_d{h}") for h in horizons
     ]
     return partials.groupby("cohort_day").aggregate(*aggs)
+
+
+def zipf_stats(ds, text_col: str = "text"):
+    """Corpus token-distribution skew report → one row
+    ``(n_tokens, n_distinct, top1_cnt, sum_c_lnc_u, entropy_nats)``.
+
+    ``sum_c_lnc_u = Σ c·⌊ln(c)·10⁶⌋`` over term counts (integer
+    micro-nats — the unigram_logprob idiom, exact under any accumulation
+    order) gives corpus unigram entropy ``H = ln(N) − Σc·ln(c)/N`` as one
+    final float expression; heavy-hitter share is ``top1_cnt/n_tokens``.
+    Built on :func:`word_count`, so the only exchange is the bucketed
+    vocabulary merge; the skew report itself reduces the vocab table."""
+    t = word_count(ds, text_col=text_col).to_pandas()  # vocab-bounded
+    if len(t) == 0:
+        return pa.table(
+            {"n_tokens": pa.array([0], pa.int64()),
+             "n_distinct": pa.array([0], pa.int64()),
+             "top1_cnt": pa.array([0], pa.int64()),
+             "sum_c_lnc_u": pa.array([0], pa.int64()),
+             "entropy_nats": pa.array([0.0], pa.float64())}
+        )
+    c = t["cnt"].to_numpy()
+    n = int(c.sum())
+    lnc_u = np.floor(np.log(c.astype(np.float64)) * 1_000_000.0).astype(
+        np.int64
+    )
+    s = int((c * lnc_u).sum())
+    entropy = float(np.log(float(n)) - (s / 1_000_000.0) / n)
+    return pa.table(
+        {"n_tokens": pa.array([n], pa.int64()),
+         "n_distinct": pa.array([len(c)], pa.int64()),
+         "top1_cnt": pa.array([int(c.max())], pa.int64()),
+         "sum_c_lnc_u": pa.array([s], pa.int64()),
+         "entropy_nats": pa.array([entropy], pa.float64())}
+    )
