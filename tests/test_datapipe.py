@@ -1189,6 +1189,93 @@ class TestWindows:
         assert out.loc[3, "n_words"] == 1  # all clamped
         assert out.loc[3, "n_sentences"] == 1
 
+    def test_window_family_random_matches_duckdb(self, ray_session):
+        """One randomized corpus (ties, duplicate values, sparse users)
+        drives window_events, topn and funnel against DuckDB."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import (
+            funnel_counts,
+            topn_events_per_user,
+            window_events,
+        )
+
+        rng = np.random.default_rng(77)
+        n = 1000
+        base = pd.Timestamp("2024-03-01").value // 1000  # us
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+                # coarse seconds so ts TIES happen often
+                "ts": pa.array(
+                    base + rng.integers(0, 500, n) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+                # few distinct values so value ties happen in topn
+                "value": pa.array(
+                    rng.integers(0, 20, n).astype(np.float64) / 4.0,
+                    pa.float64(),
+                ),
+                "event_type": pa.array(
+                    rng.choice(["view", "purchase", "click"], n), pa.string()
+                ),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(7)
+        con = duckdb.connect()
+        con.register("ev", t)
+
+        got = window_events(ds).to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        want = con.execute("""
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+                        AS BIGINT) AS prev_gap_us,
+                   CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """).df()
+        for c in ("rn", "prev_gap_us", "cum_cents"):
+            assert got[c].tolist() == want[c].tolist(), c
+
+        got = topn_events_per_user(ds, n=3).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = con.execute("""
+            SELECT event_id, rk FROM (
+              SELECT event_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS BIGINT) AS rk
+              FROM ev) WHERE rk <= 3 ORDER BY event_id
+        """).df()
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["rk"].tolist() == want["rk"].tolist()
+
+        got = funnel_counts(ds, first_type="view", then_type="purchase",
+                            within_minutes=2).to_pandas()
+        want = con.execute("""
+            WITH f AS (SELECT user_id, ts FROM ev
+                       WHERE event_type = 'view'),
+                 t2 AS (SELECT user_id, ts FROM ev
+                        WHERE event_type = 'purchase'),
+                 conv AS (SELECT DISTINCT t2.user_id FROM t2
+                          JOIN f ON f.user_id = t2.user_id
+                           AND f.ts < t2.ts
+                           AND f.ts >= t2.ts - INTERVAL 2 MINUTE)
+            SELECT (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+                   (SELECT count(DISTINCT user_id) FROM f) AS n_entered,
+                   (SELECT count(*) FROM conv) AS n_converted
+        """).df()
+        for c in ("n_users", "n_entered", "n_converted"):
+            assert int(got.loc[0, c]) == int(want.loc[0, c]), c
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
