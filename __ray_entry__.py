@@ -540,6 +540,33 @@ def _q_zipf_stats(sf_dir: str):
     return zipf_stats(_docs(sf_dir))
 
 
+def _q_template_stats(sf_dir: str):
+    """Template detection over the synthetic linked-docs html, with a
+    structural variant (an extra <b> inside the article for doc_id%3==0)
+    so two distinct DOM skeletons exist; the oracle regenerates the two
+    tag sequences closed-form (same synthesis-twin trick as pagerank)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from studiocr_ray.datapipe.web import template_stats
+
+    def vary(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        bolded = pc.replace_substring(
+            html, "<article><p>", "<article><p><b>hot</b>", max_replacements=1
+        )
+        out = pc.if_else(pa.array(did % 3 == 0), bolded, html)
+        return batch.set_column(
+            batch.schema.get_field_index("html"), "html", out
+        )
+
+    pages = _linked_docs(sf_dir).map_batches(vary, batch_format="pyarrow")
+    return template_stats(pages, html_col="html")
+
+
 def _q_readability(sf_dir: str):
     from studiocr_ray.datapipe.text import readability_scores
 
@@ -1895,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": _q_retention,
         "readability": _q_readability,
         "zipf_stats": _q_zipf_stats,
+        "template_stats": _q_template_stats,
     }
 
 
@@ -2306,6 +2334,19 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        # closed-form synthesis twin: the two DOM tag sequences of the
+        # varied linked-docs html (cf. _q_template_stats docstring)
+        "template_stats": """
+            WITH t AS (
+              SELECT CASE WHEN doc_id % 3 = 0
+                THEN 'html,body,nav,a,a,nav,article,p,b,b,p,a,a,a,a,article,body,html'
+                ELSE 'html,body,nav,a,a,nav,article,p,p,a,a,a,a,article,body,html'
+                END AS seq
+              FROM documents
+            )
+            SELECT md5(seq) AS template_md5, count(*) AS n_pages
+            FROM t GROUP BY md5(seq)
         """,
         "zipf_stats": f"""
             WITH tk AS (

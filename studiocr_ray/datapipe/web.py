@@ -278,3 +278,65 @@ def anchor_texts(
     return links_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
         "wb"
     ).map_groups(rollup, batch_format="pyarrow")
+
+
+_TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def template_stats(ds, html_col: str = "html"):
+    """Page-template detection: the md5 of a page's HTML TAG SEQUENCE
+    (attributes and text stripped — pages sharing a DOM skeleton share the
+    hash) → ``(template_md5, n_pages)`` frequency table, the
+    boilerplate/template-clustering signal scrapers use to route
+    extractors.
+
+    Tag extraction is the same documented per-row-findall exception as
+    :func:`extract_links` (Arrow has no extract-ALL kernel); everything
+    downstream is the engine's bucketed-count shape: per-batch
+    value_counts partial, md5-hash-bucketed merge (template cardinality
+    ≪ page count, but unbounded — never a groupby over the raw md5
+    strings)."""
+    import hashlib
+
+    from ..functions.arrowutil import string_buckets
+    from .relational import _dict_encode
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(html_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            col = pc.cast(col, pa.string())
+        sigs = [
+            hashlib.md5(
+                ",".join(t.lower() for t in _TAG_RE.findall(page or ""))
+                .encode()
+            ).hexdigest()
+            for page in col.to_pylist()
+        ]
+        d = _dict_encode(pa.array(sigs, pa.string()))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
+        return pa.table(
+            {"tb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+             "template_md5": d.dictionary,
+             "n_pages": pa.array(cnt, pa.int64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("template_md5"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("n_pages").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"template_md5": d.dictionary,
+             "n_pages": pa.array(cnt, pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "tb"
+    ).map_groups(merge, batch_format="pyarrow")

@@ -1276,6 +1276,41 @@ class TestWindows:
         for c in ("n_users", "n_entered", "n_converted"):
             assert int(got.loc[0, c]) == int(want.loc[0, c]), c
 
+    def test_template_stats_semantics(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.web import template_stats
+
+        pages = pa.table(
+            {
+                "html": pa.array(
+                    [
+                        "<html><body><p>x</p></body></html>",
+                        "<html><body><p>other text</p></body></html>",
+                        "<html><body><div>z</div></body></html>",
+                        None,
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+        out = template_stats(
+            rd.from_arrow(pages).repartition(2)
+        ).to_pandas().set_index("template_md5")["n_pages"]
+        sig_p = hashlib.md5(
+            b"html,body,p,p,body,html"
+        ).hexdigest()
+        sig_div = hashlib.md5(
+            b"html,body,div,div,body,html"
+        ).hexdigest()
+        sig_empty = hashlib.md5(b"").hexdigest()
+        assert out[sig_p] == 2
+        assert out[sig_div] == 1
+        assert out[sig_empty] == 1
+
     def test_topk_terms(self, ray_session):
         import ray.data as rd
 
