@@ -567,6 +567,16 @@ def _q_template_stats(sf_dir: str):
     return template_stats(pages, html_col="html")
 
 
+def _q_distinct_users(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import distinct_users_per_type
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+    return distinct_users_per_type(events)
+
+
 def _q_readability(sf_dir: str):
     from studiocr_ray.datapipe.text import readability_scores
 
@@ -1923,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "zipf_stats": _q_zipf_stats,
         "template_stats": _q_template_stats,
+        "distinct_users": _q_distinct_users,
     }
 
 
@@ -2334,6 +2345,10 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         # closed-form synthesis twin: the two DOM tag sequences of the
         # varied linked-docs html (cf. _q_template_stats docstring)

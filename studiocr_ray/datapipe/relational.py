@@ -1956,3 +1956,44 @@ def zipf_stats(ds, text_col: str = "text"):
          "sum_c_lnc_u": pa.array([s], pa.int64()),
          "entropy_nats": pa.array([entropy], pa.float64())}
     )
+
+
+def distinct_users_per_type(ds, num_buckets: int = 64):
+    """EXACT distinct users per event_type → ``(event_type, n_users)`` —
+    the exact twin of the HLL estimate (``sketch.hll_distinct``): per
+    batch the DISTINCT (event_type, user) pairs (combiner), one
+    user-hash-bucketed exchange of those narrow pairs, per-bucket global
+    dedup + per-type count, then a tiny type-keyed sum.  Raw rows never
+    shuffle; the exchange is bounded by distinct pairs per batch."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import first_of_run_mask, id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["event_type", "user_id"]) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    def dedup_count(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("event_type", "ascending"),
+                           ("user_id", "ascending")])
+        first = first_of_run_mask(
+            [t.column("event_type"), t.column("user_id")]
+        )
+        t = t.filter(pa.array(first))
+        g = t.select(["event_type"]).append_column(
+            "n", pa.array(np.ones(t.num_rows, np.int64))
+        ).group_by("event_type").aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_count, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
