@@ -577,6 +577,16 @@ def _q_distinct_users(sf_dir: str):
     return distinct_users_per_type(events)
 
 
+def _q_value_outliers(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import value_outliers
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+    return value_outliers(events)
+
+
 def _q_readability(sf_dir: str):
     from studiocr_ray.datapipe.text import readability_scores
 
@@ -1934,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_stats": _q_zipf_stats,
         "template_stats": _q_template_stats,
         "distinct_users": _q_distinct_users,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -2345,6 +2356,22 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "value_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ),
+            f AS (
+              SELECT event_type,
+                     CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+                     CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type, c.cents,
+                   2 * c.cents > 2 * f.q3 + 3 * (f.q3 - f.q1) AS is_outlier
+            FROM c JOIN f USING (event_type)
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

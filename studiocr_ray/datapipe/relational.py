@@ -1997,3 +1997,48 @@ def distinct_users_per_type(ds, num_buckets: int = 64):
         .groupby("event_type")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def value_outliers(ds, group_col: str = "event_type",
+                   value_col: str = "value", id_col: str = "event_id"):
+    """Tukey-fence outlier flags per group → ``(event_id, event_type,
+    cents, is_outlier)`` where a row is an outlier iff
+    ``value > Q3 + 1.5·IQR`` of its group (percentile-disc quartiles).
+
+    Two-pass broadcast shape: pass 1 reduces the corpus to the bounded
+    per-group cents histogram (:func:`grouped_value_percentiles`); the
+    per-group fence broadcasts as a tiny dict; pass 2 is a stateless
+    flag ``map_batches``.  The comparison is all-integer
+    (``2·cents > 2·Q3 + 3·(Q3−Q1)``), so no float boundary can flip a
+    flag vs the SQL oracle."""
+    q = grouped_value_percentiles(
+        ds, ps=(25, 75), group_col=group_col, value_col=value_col
+    ).to_pandas()
+    fence2x: dict[str, int] = {}
+    for g, sub in q.groupby(group_col):
+        s = sub.set_index("p")["cents"]
+        q1, q3 = int(s[25]), int(s[75])
+        fence2x[g] = 2 * q3 + 3 * (q3 - q1)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        d = _dict_encode(batch.column(group_col))
+        fences = np.array(
+            [fence2x[w] for w in d.dictionary.to_pylist()], np.int64
+        )
+        thr = fences[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "cents": pa.array(cents, pa.int64()),
+                "is_outlier": pa.array(2 * cents > thr, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
