@@ -1823,6 +1823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     join_cust_orders_left, join_anti, compression_stats, window_events,
     revenue_by_nation, orders_rollup, topn_per_user, profile_orders,
     graph_components, value_pctl_by_type, fuzzy_names, join_user_day)
+    plus the late-round analytics family (funnel, retention, readability,
+    zipf_stats, template_stats, distinct_users, value_outliers)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
