@@ -587,6 +587,15 @@ def _q_value_outliers(sf_dir: str):
     return value_outliers(events)
 
 
+def _q_hour_series(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import hour_series
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hour_series(events)
+
+
 def _q_readability(sf_dir: str):
     from studiocr_ray.datapipe.text import readability_scores
 
@@ -1947,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_stats": _q_template_stats,
         "distinct_users": _q_distinct_users,
         "value_outliers": _q_value_outliers,
+        "hour_series": _q_hour_series,
     }
 
 
@@ -2358,6 +2368,22 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) - 1
                         AS BIGINT) AS session_idx
             FROM o
+        """,
+        "hour_series": """
+            WITH m AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+              FROM events
+            ),
+            agg AS (SELECT hour_us, count(*) AS n FROM m GROUP BY hour_us),
+            b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM agg),
+            dense AS (
+              SELECT unnest(range((SELECT lo FROM b),
+                                  (SELECT hi FROM b) + 1,
+                                  3600000000)) AS hour_us
+            )
+            SELECT dense.hour_us,
+                   CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events
+            FROM dense LEFT JOIN agg USING (hour_us)
         """,
         "value_outliers": """
             WITH c AS (

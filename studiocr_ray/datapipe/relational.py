@@ -2042,3 +2042,46 @@ def value_outliers(ds, group_col: str = "event_type",
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def hour_series(ds):
+    """Gap-filled per-hour event counts → ``(hour_us, n_events)`` for
+    EVERY hour between the corpus's first and last event (zero rows for
+    empty hours) — the dense-time-series resample shape.
+
+    Partial hour counts per batch (bounded by hours-per-batch), one
+    hour-keyed merge (bounded by the corpus time span), then the gap
+    fill is a driver-side arange over that bounded span — the corpus is
+    never re-scanned."""
+    step = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // step) * step
+        vals, cnts = np.unique(hour, return_counts=True)
+        return pa.table(
+            {"hour_us": pa.array(vals, pa.int64()),
+             "n_events": pa.array(cnts.astype(np.int64), pa.int64())}
+        )
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_us")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()  # bounded: one row per non-empty hour in the span
+        .sort_values("hour_us")
+    )
+    if len(t) == 0:
+        return pa.table({"hour_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    lo, hi = int(t["hour_us"].iloc[0]), int(t["hour_us"].iloc[-1])
+    dense = np.arange(lo, hi + 1, step, dtype=np.int64)
+    counts = np.zeros(len(dense), np.int64)
+    idx = (t["hour_us"].to_numpy() - lo) // step
+    counts[idx] = t["n_events"].to_numpy()
+    return pa.table(
+        {"hour_us": pa.array(dense, pa.int64()),
+         "n_events": pa.array(counts, pa.int64())}
+    )
