@@ -8,6 +8,13 @@ i-deletions equal; insertion ⇒ the longer string's deletion equals the
 shorter), so equal-variant runs are a complete candidate generator — no
 all-pairs scan, no similarity shuffle wider than the variant rows.
 
+Reference lineage: the edit-distance predicate is the same Levenshtein
+the reference uses for fuzzy search
+(`/root/reference/Image_Preprocessing_Optimization/CustomFunctions.py:19-38`,
+mirrored in ``functions.textfns``); the reference applies it per query
+scan — this module lifts it to a corpus-scale self-JOIN, which the
+reference has no analogue for.
+
 Pipeline shape (three bucketed exchanges, the engine's standard pattern):
 
 1. per batch, each DISTINCT name (dictionary-encoded — hot names cost one

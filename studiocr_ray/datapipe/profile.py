@@ -2,7 +2,10 @@
 cardinality, and min/max, in ONE pass and ONE narrow all-to-all.
 
 The schema-quality step of a data-lake ingest (what Deequ/TFDV-style
-profilers compute) re-expressed in the engine's bucketed-distinct shape:
+profilers compute) re-expressed in the engine's bucketed-distinct shape.
+(No reference analogue: StudiOCR's closest surface is the per-page
+stats rollup, `/root/reference/StudiOCR/db.py` OcrPage fields — this
+generalizes the idea to arbitrary columns of arbitrary tables.)
 
 * per batch, each profiled column contributes its batch-DISTINCT values
   (deduped before the exchange — the combiner) tagged ``(col, bucket)``
