@@ -1813,6 +1813,174 @@ def _q_nb_quality(sf_dir: str):
     )
 
 
+def _q_join_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered distributed semi-join (orders of BUILDING-segment
+    customers): the Bloom array prunes the probe side before the exchange;
+    the exact per-bucket verify removes false positives, so the output is
+    parameter-independent."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(lambda r: r["c_mktsegment"] == "BUILDING")
+    return bloom_semi_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey")
+
+
+def _q_prefix_dup(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import prefix_duplicates
+
+    return prefix_duplicates(_docs(sf_dir))
+
+
+def _q_pivot_events(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import pivot_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return pivot_events(ev)
+
+
+def _q_segment_mode(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import grouped_mode
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"])
+    return grouped_mode(cust, "c_nationkey", "c_mktsegment")
+
+
+def _mutated_orders(sf_dir: str):
+    """Orders with deterministic injected contract violations (negated
+    custkeys, nonpositive prices, null priorities, duplicated keys) so the
+    validation report has nonzero signal — the synthesis-twin trick used
+    by template_stats; the oracle replays the same CASE mutations."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def mutate(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False).copy()
+        pr = b.column("o_orderpriority")
+        ck = np.where(k % 97 == 0, -ck, ck)
+        tp[k % 101 == 3] = -1.0
+        pr = pc.if_else(pa.array(k % 103 == 7),
+                        pa.nulls(len(k), pa.string()), pr)
+        return pa.table({
+            "o_orderkey": pa.array(k), "o_custkey": pa.array(ck),
+            "o_totalprice": pa.array(tp), "o_orderpriority": pr,
+        })
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"],
+    ).map_batches(mutate, batch_format="pyarrow")
+    dupes = base.filter(lambda r: r["o_orderkey"] % 211 == 5)
+    return base.union(dupes)
+
+
+def _q_validate_orders(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.validate import validate_table
+
+    ref = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"])
+    return validate_table(
+        _mutated_orders(sf_dir),
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_orderpriority"],
+        positive_cols=["o_totalprice"],
+        fk=("o_custkey", ref, "c_custkey"),
+    )
+
+
+def _q_cdc_upsert(sf_dir: str):
+    """CDC merge over documents with a deterministic derived changelog
+    (updates for doc_id%5==0 at seq 1, deletes for %11==0 at seq 2,
+    inserts at doc_id+100000 for %50==0) — the oracle rebuilds the same
+    changelog closed-form in SQL."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.cdc import apply_changes
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def mk_changes(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        src = b.column("source")
+        outs = []
+        u = did % 5 == 0
+        if u.any():
+            sel = pa.array(np.flatnonzero(u))
+            outs.append(pa.table({
+                "doc_id": pa.array(did[u]),
+                "text": pc.binary_join_element_wise(
+                    txt.take(sel), " [v2]", ""),
+                "source": src.take(sel),
+                "op": pa.array(np.full(int(u.sum()), "U"), pa.string()),
+                "seq": pa.array(np.full(int(u.sum()), 1, np.int64)),
+            }))
+        d = did % 11 == 0
+        if d.any():
+            nd = int(d.sum())
+            outs.append(pa.table({
+                "doc_id": pa.array(did[d]),
+                "text": pa.nulls(nd, pa.string()),
+                "source": pa.nulls(nd, pa.string()),
+                "op": pa.array(np.full(nd, "D"), pa.string()),
+                "seq": pa.array(np.full(nd, 2, np.int64)),
+            }))
+        i = did % 50 == 0
+        if i.any():
+            ni = int(i.sum())
+            outs.append(pa.table({
+                "doc_id": pa.array(did[i] + 100000),
+                "text": pa.array([f"new doc {x}" for x in did[i]],
+                                 pa.string()),
+                "source": src.take(pa.array(np.flatnonzero(i))),
+                "op": pa.array(np.full(ni, "I"), pa.string()),
+                "seq": pa.array(np.full(ni, 1, np.int64)),
+            }))
+        if not outs:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "op": pa.array([], pa.string()),
+                "seq": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(outs)
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changes(base, changes, "doc_id", ["text", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -1833,7 +2001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     revenue_by_nation, orders_rollup, topn_per_user, profile_orders,
     graph_components, value_pctl_by_type, fuzzy_names, join_user_day)
     plus the late-round analytics family (funnel, retention, readability,
-    zipf_stats, template_stats, distinct_users, value_outliers)
+    zipf_stats, template_stats, distinct_users, value_outliers) and the
+    session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
+    segment_mode, validate_orders, cdc_upsert)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -1957,6 +2127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "value_outliers": _q_value_outliers,
         "hour_series": _q_hour_series,
+        "join_bloom_semi": _q_join_bloom_semi,
+        "prefix_dup": _q_prefix_dup,
+        "pivot_events": _q_pivot_events,
+        "segment_mode": _q_segment_mode,
+        "validate_orders": _q_validate_orders,
+        "cdc_upsert": _q_cdc_upsert,
     }
 
 
@@ -3769,6 +3945,85 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(sum(k) AS DOUBLE) / count(k)
                         ELSE 0.0 END AS mean_k
             FROM e GROUP BY event_type
+        """,
+        "join_bloom_semi": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """,
+        "prefix_dup": """
+            SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "pivot_events": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS "error",
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                     AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events GROUP BY 1
+        """,
+        "segment_mode": """
+            SELECT c_nationkey, mode, n FROM (
+              SELECT c_nationkey, c_mktsegment AS mode, count(*) AS n,
+                     row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+              FROM customer GROUP BY c_nationkey, c_mktsegment
+            ) WHERE rn = 1
+        """,
+        # synthesis twin of _mutated_orders: same CASE mutations + key-dup
+        # union, then the four contract checks
+        "validate_orders": """
+            WITH mut AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey
+                          ELSE o_custkey END AS o_custkey,
+                     CASE WHEN o_orderkey % 101 = 3 THEN -1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 103 = 7 THEN NULL
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders),
+            m AS (SELECT * FROM mut
+                  UNION ALL SELECT * FROM mut WHERE o_orderkey % 211 = 5)
+            SELECT 'fk:o_custkey->c_custkey' AS "check",
+                   count(*) AS violations
+              FROM m WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'not_null:o_orderpriority', count(*)
+              FROM m WHERE o_orderpriority IS NULL
+            UNION ALL
+            SELECT 'positive:o_totalprice', count(*)
+              FROM m WHERE o_totalprice <= 0
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+                      SELECT count(*) AS n FROM m GROUP BY o_orderkey
+                    ) WHERE n > 1)
+        """,
+        # synthesis twin of _q_cdc_upsert's derived changelog
+        "cdc_upsert": """
+            WITH base AS (SELECT doc_id, text, source FROM documents),
+            ch AS (
+              SELECT doc_id, text || ' [v2]' AS text, source,
+                     'U' AS op, 1 AS seq FROM base WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, NULL, NULL, 'D', 2 FROM base
+              WHERE doc_id % 11 = 0
+              UNION ALL
+              SELECT doc_id + 100000,
+                     'new doc ' || CAST(doc_id AS VARCHAR), source,
+                     'I', 1 FROM base WHERE doc_id % 50 = 0),
+            latest AS (SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+              FROM ch) WHERE rn = 1)
+            SELECT b.doc_id, b.text, b.source FROM base b
+            WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
+            UNION ALL
+            SELECT doc_id, text, source FROM latest WHERE op <> 'D'
         """,
     }
 

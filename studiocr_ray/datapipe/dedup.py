@@ -1451,3 +1451,55 @@ def minhash_cross_pairs_stored(
         max_bucket=max_bucket, as_dataset=as_dataset,
         corpus_band_rows=rd.read_parquet(sig_dir),
     )
+
+
+def prefix_duplicates(ds, text_col: str = "text", prefix_len: int = 64,
+                      num_buckets: int = 64):
+    """Shared-prefix (boilerplate) duplicate groups → ``(prefix_md5,
+    n_docs)`` for every normalized ``prefix_len``-char text prefix held
+    by MORE THAN ONE document — the cheap screen for template/boilerplate
+    families that near-dup LSH (:func:`lsh_candidate_pairs`) would pay
+    full shingling for.  (Prefix grouping is the first pass of the
+    CCNet/RefinedWeb-style boilerplate triage; cf. the within-line twin
+    in ``lines.py``.)
+
+    Scale shape: per batch one md5 per row of the *sliced* prefix (the
+    rest of the text never leaves the scan), partial counts per distinct
+    prefix, one prefix-hash-bucketed exchange of ``(md5, n)`` rows, and
+    a per-bucket sum + ``n > 1`` filter.  Raw text never shuffles.
+    md5-per-row is a documented Arrow gap (no vectorized md5 kernel) —
+    same idiom as ``text.md5_fingerprint``."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import string_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        pref = pc.utf8_slice_codeunits(texts, 0, prefix_len)
+        fps = pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in pref.to_pylist()],
+            pa.string(),
+        )
+        t = pa.table({"prefix_md5": fps}) \
+            .group_by("prefix_md5").aggregate([([], "count_all")]) \
+            .rename_columns(["prefix_md5", "n"])
+        return t.append_column(
+            "bucket",
+            pa.array(string_buckets(t.column("prefix_md5"), num_buckets),
+                     pa.int32()),
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.select(["prefix_md5", "n"]) \
+            .group_by("prefix_md5").aggregate([("n", "sum")]) \
+            .rename_columns(["prefix_md5", "n_docs"])
+        return g.filter(pc.greater(g.column("n_docs"), 1))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

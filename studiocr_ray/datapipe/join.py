@@ -199,6 +199,46 @@ def _one(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def bloom_semi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    k: int = 2,
+    m_bits: int = 1 << 18,
+    num_buckets: int = 64,
+):
+    """Bloom-prefiltered distributed semi-join — output identical to
+    ``hash_join(..., how="semi")``, exchange volume bounded by the Bloom
+    survivors instead of the whole left side.
+
+    The scale pattern: the right side's keys fold into an m-bit Bloom
+    array (``sketch.build_bloom`` — m/8 bytes, e.g. 32 KiB, broadcast
+    once via ``ray.put``), the left side drops definite non-members
+    INSIDE ``map_batches`` *before* the all-to-all, and the exact
+    bucketed semi-join runs only on the surviving fraction, removing the
+    Bloom's false positives.  With a selective filter this turns an
+    exchange of the full probe table into an exchange of roughly the
+    matching rows — the standard Bloom-join discipline for
+    large-⨝-selective at 100 TB.  Exactness does not depend on the
+    Bloom parameters (FPs are verified away; FNs are impossible)."""
+    from .sketch import bloom_filter, build_bloom
+
+    right_on = right_on or on
+    keys = right.map_batches(
+        lambda b, c=right_on: b.select([c]), batch_format="pyarrow"
+    )
+    words_ref = build_bloom(keys, right_on, k=k, m_bits=m_bits)
+    survivors = bloom_filter(
+        left, words_ref, on, k=k, m_bits=m_bits, keep_hits=True
+    )
+    return hash_join(
+        survivors, right, on=on, right_on=right_on, how="semi",
+        left_cols=left_cols, num_buckets=num_buckets,
+    )
+
+
 def hash_join_multi(
     left,
     right,

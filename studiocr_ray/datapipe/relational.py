@@ -2085,3 +2085,99 @@ def hour_series(ds):
         {"hour_us": pa.array(dense, pa.int64()),
          "n_events": pa.array(counts, pa.int64())}
     )
+
+
+def pivot_events(ds, types=("click", "error", "purchase", "signup",
+                            "view")):
+    """Crosstab / pivot: one row per day with a count COLUMN per event
+    type → ``(day, click, error, purchase, signup, view)`` — the
+    wide-format rollup every dashboard export wants.  ``types`` is the
+    fixed output column set (a pivot's schema must be declared up
+    front; unseen types count as 0, unexpected ones raise rather than
+    silently vanish).
+
+    Shape: per-batch partial counts of (day, type) — bounded by
+    days×types per batch — one day+type-keyed merge of those partials,
+    then the pivot itself is a per-day ``map_groups`` over the bounded
+    merged table.  Raw events never shuffle."""
+    import pyarrow.compute as pc
+
+    types = tuple(types)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        )
+        g = batch.select(["day", "event_type"]) \
+            .group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "n"])
+
+    def pivot(group: pa.Table) -> pa.Table:
+        day = group.column("day")[0].as_py()
+        seen = dict(zip(group.column("event_type").to_pylist(),
+                        group.column("n").to_pylist()))
+        unexpected = set(seen) - set(types)
+        if unexpected:
+            raise ValueError(
+                f"pivot_events saw event types {sorted(unexpected)} not in "
+                f"the declared pivot columns {types}"
+            )
+        cols = {"day": pa.array([day], pa.string())}
+        for t in types:
+            cols[t] = pa.array([seen.get(t, 0)], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("day")
+        .map_groups(pivot, batch_format="pyarrow")
+    )
+
+
+def grouped_mode(ds, group_col: str, value_col: str,
+                 num_buckets: int = 64):
+    """Per-group modal value → ``(group_col, mode, n)`` where ``mode``
+    is the group's most frequent ``value_col`` (count desc, value asc
+    tiebreak) and ``n`` its count.
+
+    Shape: per-batch partial counts of (group, value) pairs, ONE
+    group-hash-bucketed exchange of those narrow ``(g, v, n)`` partials
+    (co-partitioning every pair of a group into one bucket), then per
+    bucket an exact pair merge + one sort + first-of-run argmax.  Raw
+    rows never shuffle; the exchange is bounded by distinct (group,
+    value) pairs per batch, and a group's mode needs no second pass."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import (first_of_run_mask, id_buckets,
+                                       string_buckets)
+
+    def buckets(col):
+        if pa.types.is_integer(col.type):
+            return id_buckets(col, num_buckets)
+        return string_buckets(col, num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([([], "count_all")])
+        g = g.rename_columns([group_col, value_col, "n"])
+        return g.append_column(
+            "bucket", pa.array(buckets(g.column(group_col)), pa.int32())
+        )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        g = group.select([group_col, value_col, "n"]) \
+            .group_by([group_col, value_col]).aggregate([("n", "sum")]) \
+            .rename_columns([group_col, value_col, "n"])
+        t = g.sort_by([(group_col, "ascending"), ("n", "descending"),
+                       (value_col, "ascending")])
+        first = first_of_run_mask([t.column(group_col)])
+        t = t.filter(pa.array(first))
+        return t.rename_columns([group_col, "mode", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(argmax, batch_format="pyarrow")
+    )

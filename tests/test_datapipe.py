@@ -3048,3 +3048,229 @@ class TestQualityTiers:
         rare_heavy = df[df["doc_id"] % 5 == 4]["tier"]
         common_only = df[df["doc_id"] % 5 == 0]["tier"]
         assert rare_heavy.max() < common_only.min()
+
+
+class TestBloomSemiJoin:
+    def test_matches_plain_semi_even_with_tiny_bloom(self, ray_session):
+        """m_bits=64 forces a massive false-positive rate — the exact
+        verify stage must remove every FP, so output equals the plain
+        semi-join regardless of Bloom parameters."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import bloom_semi_join, hash_join
+
+        orders = rd.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+        )
+        cust = rd.read_parquet(
+            f"{SF_DIR}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        ).filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        got = bloom_semi_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", m_bits=64
+        ).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        want = hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+        ).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+        assert len(got) > 0
+
+
+class TestPrefixDuplicates:
+    def test_vs_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.dedup import prefix_duplicates
+
+        got = prefix_duplicates(docs_ds).to_pandas() \
+            .sort_values("prefix_md5").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+                   count(*) AS n_docs
+            FROM '{SF_DIR}/documents.parquet'
+            GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+            """
+        ).df()
+        assert got["prefix_md5"].tolist() == want["prefix_md5"].tolist()
+        assert got["n_docs"].tolist() == want["n_docs"].tolist()
+        assert len(got) > 0  # the synthetic corpus has boilerplate families
+
+    def test_split_invariance(self, ray_session):
+        """A prefix family split across many batches counts once."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import prefix_duplicates
+
+        rows = [{"text": ("boilerplate " * 10) + str(i)} for i in range(9)]
+        rows += [{"text": f"unique text {i}"} for i in range(5)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+        got = prefix_duplicates(ds, prefix_len=64).to_pandas()
+        assert len(got) == 1 and got["n_docs"].iloc[0] == 9
+
+
+class TestPivotEvents:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import pivot_events
+
+        ev = rd.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["ts", "event_type"]
+        )
+        got = pivot_events(ev).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'view')     AS view
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_unexpected_type_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import pivot_events
+
+        ds = rd.from_arrow(pa.table({
+            "ts": pa.array([0], pa.timestamp("us")),
+            "event_type": pa.array(["mystery"]),
+        }))
+        with pytest.raises(Exception, match="mystery"):
+            pivot_events(ds).to_pandas()
+
+
+class TestGroupedMode:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import grouped_mode
+
+        cust = rd.read_parquet(
+            f"{SF_DIR}/customer.parquet",
+            columns=["c_nationkey", "c_mktsegment"],
+        )
+        got = grouped_mode(cust, "c_nationkey", "c_mktsegment") \
+            .to_pandas().sort_values("c_nationkey").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            SELECT c_nationkey, mode, n FROM (
+              SELECT c_nationkey, c_mktsegment AS mode, count(*) AS n,
+                     row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+              FROM '{SF_DIR}/customer.parquet'
+              GROUP BY c_nationkey, c_mktsegment
+            ) WHERE rn = 1 ORDER BY c_nationkey
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tiebreak_and_split_invariance(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import grouped_mode
+
+        rows = [{"g": "a", "v": "y"}, {"g": "a", "v": "x"},
+                {"g": "a", "v": "x"}, {"g": "a", "v": "y"},
+                {"g": "b", "v": "z"}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        got = grouped_mode(ds, "g", "v").to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        # a: x and y tie at 2 → smallest value x wins
+        assert list(map(tuple, got.values)) == [("a", "x", 2), ("b", "z", 1)]
+
+
+class TestValidateTable:
+    def test_clean_table_reports_zero(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.validate import validate_table
+
+        orders = rd.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderpriority"],
+        )
+        cust = rd.read_parquet(
+            f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
+        )
+        rep = validate_table(
+            orders, unique_cols=["o_orderkey"],
+            not_null_cols=["o_orderpriority"],
+            positive_cols=["o_totalprice"],
+            fk=("o_custkey", cust, "c_custkey"),
+        ).to_pandas()
+        assert rep["violations"].tolist() == [0, 0, 0, 0]
+        assert rep["check"].tolist() == sorted(rep["check"])
+
+    def test_injected_violations_counted_exactly(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.validate import validate_table
+
+        rows = [{"k": 1, "p": "a", "x": 5.0, "f": 1},
+                {"k": 1, "p": "b", "x": 5.0, "f": 1},   # dup k=1 (×2 extra)
+                {"k": 1, "p": "c", "x": 5.0, "f": 1},
+                {"k": 2, "p": None, "x": -1.0, "f": 9},  # null + nonpos + orphan
+                {"k": 3, "p": "d", "x": 0.0, "f": 2}]    # zero is nonpositive
+        ref = [{"r": 1}, {"r": 2}]
+        rep = validate_table(
+            rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3),
+            unique_cols=["k"], not_null_cols=["p"], positive_cols=["x"],
+            fk=("f", rd.from_arrow(pa.Table.from_pylist(ref)), "r"),
+        ).to_pandas().set_index("check")["violations"]
+        assert rep["unique:k"] == 2
+        assert rep["not_null:p"] == 1
+        assert rep["positive:x"] == 2
+        assert rep["fk:f->r"] == 1
+
+
+class TestApplyChanges:
+    def test_merge_semantics(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.cdc import apply_changes
+
+        base = [{"id": 1, "t": "one"}, {"id": 2, "t": "two"},
+                {"id": 3, "t": "three"}]
+        ch = [
+            {"id": 2, "t": "two v2", "op": "U", "seq": 1},
+            {"id": 2, "t": "two v3", "op": "U", "seq": 2},  # latest wins
+            {"id": 3, "t": None, "op": "D", "seq": 1},      # delete
+            {"id": 9, "t": "nine", "op": "I", "seq": 1},    # insert new
+            {"id": 7, "t": None, "op": "D", "seq": 1},      # delete absent: no-op
+        ]
+        got = apply_changes(
+            rd.from_arrow(pa.Table.from_pylist(base)).repartition(2),
+            rd.from_arrow(pa.Table.from_pylist(ch)).repartition(3),
+            "id", ["t"],
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert list(map(tuple, got.values)) == [
+            (1, "one"), (2, "two v3"), (9, "nine")
+        ]
+
+    def test_update_then_delete_ordering(self, ray_session):
+        """The higher seq wins regardless of op: U(seq=2) after D(seq=1)
+        resurrects the key; D(seq=2) after U(seq=1) removes it."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.cdc import apply_changes
+
+        base = [{"id": 1, "t": "a"}, {"id": 2, "t": "b"}]
+        ch = [
+            {"id": 1, "t": None, "op": "D", "seq": 1},
+            {"id": 1, "t": "a2", "op": "U", "seq": 2},
+            {"id": 2, "t": "b2", "op": "U", "seq": 1},
+            {"id": 2, "t": None, "op": "D", "seq": 2},
+        ]
+        got = apply_changes(
+            rd.from_arrow(pa.Table.from_pylist(base)),
+            rd.from_arrow(pa.Table.from_pylist(ch)),
+            "id", ["t"],
+        ).to_pandas()
+        assert list(map(tuple, got.values)) == [(1, "a2")]
