@@ -1981,6 +1981,71 @@ def _q_cdc_upsert(sf_dir: str):
     return apply_changes(base, changes, "doc_id", ["text", "source"])
 
 
+def _q_setsim_join(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import set_similarity_join
+
+    return set_similarity_join(_docs(sf_dir), threshold=0.5)
+
+
+def _q_weighted_sample(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sample import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, k=100)
+
+
+def _q_rank_bins(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import global_rank_bins
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return global_rank_bins(ev, bins=10)
+
+
+def _weighted_sample_oracle(k: int) -> str:
+    """splitmix64-in-SQL (same hi/lo HUGEINT mulmod as
+    _cluster_split_oracle) + the integer-quantized Efraimidis-Spirakis
+    key — bit-exact vs sample.weighted_sample."""
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    return f"""
+        WITH s1 AS (SELECT doc_id, n_chars,
+              (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+                % 18446744073709551616::HUGEINT AS z
+            FROM documents),
+        s2 AS (SELECT doc_id, n_chars,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                   13787848793156543929)} AS z FROM s1),
+        s3 AS (SELECT doc_id, n_chars,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                   10723151780598845931)} AS z FROM s2),
+        h AS (SELECT doc_id, n_chars,
+                     xor(z::UBIGINT, z::UBIGINT >> 31)::HUGEINT AS hv
+              FROM s3),
+        p AS (SELECT doc_id, n_chars,
+                (CAST(floor(-ln(CAST(hv + 1 AS DOUBLE)
+                                / 18446744073709551616.0)
+                            * 1000000.0) AS BIGINT) * 1048576)
+                  // n_chars AS priority
+              FROM h)
+        SELECT doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+        FROM p
+        QUALIFY row_number() OVER (ORDER BY priority, doc_id) <= {k}
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2003,7 +2068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     plus the late-round analytics family (funnel, retention, readability,
     zipf_stats, template_stats, distinct_users, value_outliers) and the
     session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
-    segment_mode, validate_orders, cdc_upsert)
+    segment_mode, validate_orders, cdc_upsert, setsim_join,
+    weighted_sample, rank_bins)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2133,6 +2199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_mode": _q_segment_mode,
         "validate_orders": _q_validate_orders,
         "cdc_upsert": _q_cdc_upsert,
+        "setsim_join": _q_setsim_join,
+        "weighted_sample": _q_weighted_sample,
+        "rank_bins": _q_rank_bins,
     }
 
 
@@ -4024,6 +4093,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
             UNION ALL
             SELECT doc_id, text, source FROM latest WHERE op <> 'D'
+        """,
+        # exact pairwise twin of the prefix-filter join (word-bigram
+        # shingle sets, threshold 0.5)
+        "setsim_join": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                lower(text), '\\s+'), x -> x <> '') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1]
+                                         FOR i IN range(1, len(w))]) AS s
+                   FROM t),
+            j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s))) AS jaccard
+                  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
+            SELECT * FROM j WHERE jaccard >= 0.5
+        """,
+        "weighted_sample": _weighted_sample_oracle(100),
+        "rank_bins": """
+            WITH c AS (SELECT event_id,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                AS cents
+                       FROM events)
+            SELECT event_id, cents,
+                   row_number() OVER (ORDER BY cents, event_id) AS rank,
+                   CAST(ntile(10) OVER (ORDER BY cents, event_id)
+                        AS BIGINT) AS bin
+            FROM c
         """,
     }
 

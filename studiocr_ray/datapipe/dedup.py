@@ -1503,3 +1503,202 @@ def prefix_duplicates(ds, text_col: str = "text", prefix_len: int = 64,
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
+                  shingle: str, n: int) -> pa.Table:
+    """Per doc: the DISTINCT shingle set as flat (doc_id, tok, size) rows —
+    the input to both the df pass and the prefix pass."""
+    ids = batch.column(id_col).to_pylist()
+    toks, out_ids, sizes = [], [], []
+    for i, t in zip(ids, batch.column(text_col).to_pylist()):
+        s = sorted(_shingles(t, shingle, n))
+        toks.extend(s)
+        out_ids.extend([i] * len(s))
+        sizes.extend([len(s)] * len(s))
+    return pa.table(
+        {"doc_id": pa.array(out_ids, batch.column(id_col).type),
+         "tok": pa.array(toks, pa.string()),
+         "size": pa.array(sizes, pa.int32())}
+    )
+
+
+class _PrefixRows:
+    """Actor-pool stage: resolve the broadcast token-rank array once per
+    actor, then emit each doc's PREFIX tokens (rarest-first global order)
+    as narrow (rank, doc_id, size) rows."""
+
+    def __init__(self, rank_ref, text_col, id_col, shingle, n, threshold):
+        import ray
+
+        self.rank = (ray.get(rank_ref)
+                     if not isinstance(rank_ref, dict) else rank_ref)
+        self.text_col, self.id_col = text_col, id_col
+        self.shingle, self.n, self.t = shingle, n, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ranks, ids, sizes = [], [], []
+        for i, t in zip(batch.column(self.id_col).to_pylist(),
+                        batch.column(self.text_col).to_pylist()):
+            s = _shingles(t, self.shingle, self.n)
+            size = len(s)
+            if size == 0:
+                continue
+            # floor instead of ceil: a LARGER prefix can only add
+            # candidates, so no float-boundary risk to completeness
+            p = min(size, size - int(self.t * size) + 1)
+            r = sorted(self.rank[x] for x in s)[:p]
+            ranks.extend(r)
+            ids.extend([i] * len(r))
+            sizes.extend([size] * len(r))
+        return pa.table(
+            {"rank": pa.array(ranks, pa.int64()),
+             "doc_id": pa.array(ids, batch.column(self.id_col).type),
+             "size": pa.array(sizes, pa.int32())}
+        )
+
+
+def _prefix_token_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """One rank-bucket group: equal-rank runs → size-filtered candidate
+    pairs (same vectorized run scan as ``_band_bucket_pairs``).  Sorting
+    each run by (size, doc_id) makes the length filter one comparison:
+    for i < j, keep iff size_i >= t * size_j."""
+    t = group.sort_by([("rank", "ascending"), ("size", "ascending"),
+                       ("doc_id", "ascending")])
+    n = t.num_rows
+    id_type = t.column("doc_id").type
+    empty = pa.table(
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+    )
+    if n < 2:
+        return empty
+    rank = t.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
+    size = t.column("size").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = _flat_arr(t.column("doc_id"))
+    change = rank[1:] != rank[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    ai, bi = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        i, j = np.triu_indices(m, 1)
+        keep = size[i + s] >= threshold * size[j + s]
+        i, j = i[keep], j[keep]
+        if len(i):
+            ai.append(i + s)
+            bi.append(j + s)
+    if not ai:
+        return empty
+    ia, ib = np.concatenate(ai), np.concatenate(bi)
+    # normalize to id_a < id_b (run order is by size, not id)
+    a = ids.take(pa.array(ia)).to_numpy(zero_copy_only=False)
+    b = ids.take(pa.array(ib)).to_numpy(zero_copy_only=False)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"id_a": pa.array(lo, id_type),
+                     "id_b": pa.array(hi, id_type)})
+
+
+def set_similarity_join(
+    ds,
+    threshold: float = 0.5,
+    shingle: str = "word",
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+):
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. ICDE 2006; Xiao et al. "PPJoin" WWW 2008) → distinct ``(id_a,
+    id_b, jaccard)`` pairs with shingle-set Jaccard ≥ ``threshold`` —
+    the deterministic twin of MinHash LSH (:func:`minhash_candidates`):
+    no probabilistic recall, every qualifying pair is guaranteed out.
+
+    Three stages, all narrow: (1) shingle document-frequency aggregate
+    (term-hash bucketed merge), collected and broadcast ONCE as the
+    global rarest-first token order — the vocab-bounded broadcast
+    documented at ``relational.tfidf_topk``; the open-vocabulary twin
+    would attach ranks by a term-hash exchange exactly like
+    ``lm.unigram_logprob(strategy="shuffle")``.  (2) each doc emits only
+    its ``|x| - floor(t·|x|) + 1`` rarest tokens (prefix-filter
+    completeness bound, floored so a float boundary can only WIDEN the
+    prefix); equal-token runs inside ONE rank-hash-bucketed groupby
+    yield length-filtered candidates (``min ≥ t·max``).  (3)
+    :func:`copartition_verify` computes exact Jaccard per candidate and
+    the threshold keeps true pairs only.  Raw text moves only into the
+    verify of candidate-involved docs, never through the exchanges."""
+    import math
+
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import string_buckets
+
+    # pass 1: global document frequency per shingle → rarest-first ranks
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rows = _shingle_rows(batch, text_col, id_col, shingle, n)
+        g = rows.select(["tok"]).group_by("tok") \
+            .aggregate([([], "count_all")]).rename_columns(["tok", "df"])
+        return g.append_column(
+            "bucket",
+            pa.array(string_buckets(g.column("tok"), num_buckets),
+                     pa.int32()),
+        )
+
+    def df_merge(group: pa.Table) -> pa.Table:
+        return group.select(["tok", "df"]).group_by("tok") \
+            .aggregate([("df", "sum")]).rename_columns(["tok", "df"])
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(df_merge, batch_format="pyarrow")
+        .to_pandas()  # vocab-bounded (see docstring)
+        .sort_values(["df", "tok"]).reset_index(drop=True)
+    )
+    rank_ref = ray.put({t: i for i, t in enumerate(df["tok"])})
+
+    # pass 2: prefix rows → rank-bucketed candidate generation
+    prefix = ds.map_batches(
+        _PrefixRows,
+        fn_constructor_args=(rank_ref, text_col, id_col, shingle, n,
+                             threshold),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import id_buckets
+
+        return batch.append_column(
+            "rb",
+            pa.array(id_buckets(batch.column("rank"), num_buckets),
+                     pa.int32()),
+        )
+
+    pairs = prefix.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("rb").map_groups(
+            _prefix_token_pairs, fn_kwargs={"threshold": threshold},
+            batch_format="pyarrow",
+        )
+
+    # pass 3: exact verify (dedups candidate pairs internally)
+    sims = copartition_verify(
+        pairs,
+        ds.map_batches(
+            lambda b: b.select([id_col, text_col]).rename_columns(
+                ["doc_id", "value"]
+            ),
+            batch_format="pyarrow",
+        ),
+        _JaccardMetric(shingle, n),
+        "jaccard",
+        id_type=pa.int64(),
+        num_buckets=num_buckets,
+    )
+    def keep_true(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b.column("jaccard"), threshold))
+
+    return sims.map_batches(keep_true, batch_format="pyarrow")

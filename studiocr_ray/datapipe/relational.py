@@ -2181,3 +2181,103 @@ def grouped_mode(ds, group_col: str, value_col: str,
         .groupby("bucket")
         .map_groups(argmax, batch_format="pyarrow")
     )
+
+
+def global_rank_bins(ds, value_col: str = "value",
+                     id_col: str = "event_id", bins: int = 10,
+                     num_buckets: int = 64):
+    """EXACT global rank + equi-depth ``ntile`` bin per row →
+    ``(id, cents, rank, bin)`` ordered by ``(cents, id)`` — SQL
+    ``row_number()/ntile(B) OVER (ORDER BY cents, id)`` semantics
+    WITHOUT a global sort.
+
+    Two passes: (1) the bounded cents histogram (value-DOMAIN-bounded,
+    same contract as :func:`grouped_value_percentiles`) merges once and
+    its cumulative counts broadcast as the per-cents global offset;
+    (2) rows exchange ONCE keyed by cents-hash bucket, each equal-cents
+    run sorts by id locally, and ``rank = offset[cents] + run_index``.
+    The ntile bin is the exact SQL formula (first ``n % B`` bins get
+    one extra row) applied to the integer rank."""
+    import ray
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        vals, cnts = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the cents domain
+        .sort_values("cents").reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    offs = np.concatenate(([0], np.cumsum(hist["n"].to_numpy())[:-1]))
+    offset_ref = ray.put(dict(zip(hist["cents"].astype(int), offs.astype(int))))
+    size, rem = total // bins, total % bins
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col),
+                      "cents": pa.array(cents, pa.int64())})
+        return t.append_column(
+            "bucket",
+            pa.array(((cents.view(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(32)).astype(np.uint64)
+                     % np.uint64(num_buckets), pa.int32()),
+        )
+
+    # the closure carries only the ObjectRef; the dict resolves from the
+    # object store once per worker process (cached in the cell), not in
+    # the task spec
+    _cache: list = []
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        if not _cache:
+            import ray as _ray
+
+            _cache.append(offset_ref if isinstance(offset_ref, dict)
+                          else _ray.get(offset_ref))
+        offset = _cache[0]
+        t = group.sort_by([("cents", "ascending"),
+                           (id_col, "ascending")])
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        n = len(cents)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col),
+                             "cents": t.column("cents"),
+                             "rank": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64())})
+        change = np.concatenate(([True], cents[1:] != cents[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0)
+        )
+        local = np.arange(n) - run_start
+        base = np.array([offset[c] for c in cents[change]], np.int64)
+        rank = np.repeat(base, np.diff(
+            np.concatenate((np.flatnonzero(change), [n]))
+        )) + local + 1
+        if size == 0:
+            b = rank
+        else:
+            head = rem * (size + 1)
+            b = np.where(
+                rank <= head,
+                (rank - 1) // (size + 1) + 1,
+                rem + (rank - 1 - head) // size + 1,
+            )
+        return pa.table({id_col: t.column(id_col),
+                         "cents": t.column("cents"),
+                         "rank": pa.array(rank, pa.int64()),
+                         "bin": pa.array(b.astype(np.int64),
+                                         pa.int64())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )

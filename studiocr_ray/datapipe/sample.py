@@ -275,3 +275,48 @@ def mix_sources(
         return taken.append_column("copy", pa.array(copy, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def weighted_sample(ds, k: int = 100, weight_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): the k
+    rows with the smallest exponential key ``-ln(u_i)/w_i`` are exactly
+    a weight-proportional sample, and with ``u_i`` derived from
+    ``splitmix64(id)`` the draw is a pure function of the row — no RNG
+    state, coordination-free, re-runnable (same contract as
+    :func:`stratified_sample`).
+
+    Integer-exact ranking: the key is quantized to
+    ``floor(-ln(u) * 1e6) * 2^20 // w`` (int64 micro-nats, integer
+    divide by the weight), so rank comparisons are integer on both the
+    Ray and SQL sides.  Shape: a per-batch top-k combiner (k rows out
+    per batch) and ONE bounded merge — the corpus never sorts."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample requires positive weights")
+        h = splitmix64(ids)
+        # (h+1) exact in uint64, then ONE round-to-double — matches SQL
+        # CAST(z+1 AS DOUBLE); the wrap guard keeps u=1.0 at h = 2^64-1
+        u = np.where(
+            h == _M64, 1.0, (h + np.uint64(1)).astype(np.float64) * 2.0**-64
+        )
+        key = np.floor(-np.log(u) * 1e6).astype(np.int64)
+        prio = key * np.int64(1 << 20) // w
+        order = np.lexsort((ids, prio))[:k]
+        return pa.table(
+            {id_col: pa.array(ids[order]),
+             weight_col: pa.array(w[order], pa.int64()),
+             "priority": pa.array(prio[order], pa.int64())}
+        )
+
+    top = ds.map_batches(combiner, batch_format="pyarrow") \
+        .to_pandas()  # bounded: k rows per batch
+    top = top.sort_values(["priority", id_col], kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True))

@@ -3274,3 +3274,129 @@ class TestApplyChanges:
             "id", ["t"],
         ).to_pandas()
         assert list(map(tuple, got.values)) == [(1, "a2")]
+
+
+class TestSetSimilarityJoin:
+    def test_vs_exact_pairwise_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.dedup import set_similarity_join
+
+        got = set_similarity_join(docs_ds, threshold=0.5).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                lower(text), '\\s+'), x -> x <> '') AS w
+                       FROM '{SF_DIR}/documents.parquet'),
+            bg AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1]
+                                         FOR i IN range(1, len(w))]) AS s
+                   FROM t),
+            j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s))) AS jaccard
+                  FROM bg a JOIN bg b ON a.doc_id < b.doc_id)
+            SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+
+    def test_prefix_filter_completeness_micro(self, ray_session):
+        """Near-identical docs split across batches must all pair up —
+        the prefix filter may only prune, never miss."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import set_similarity_join
+
+        rows = [{"doc_id": i,
+                 "text": "alpha beta gamma delta epsilon zeta " + str(i % 2)}
+                for i in range(6)]
+        rows += [{"doc_id": 100 + i,
+                  "text": " ".join(f"w{i}_{j}" for j in range(8))}
+                 for i in range(4)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = set_similarity_join(ds, threshold=0.5).to_pandas()
+        # the six alpha... docs form two identical triples sharing a long
+        # prefix; every cross pair has jaccard >= 5/7 > 0.5
+        assert len(got) == 15  # C(6,2)
+        assert (got["jaccard"] >= 0.5).all()
+
+
+class TestWeightedSample:
+    def test_deterministic_and_split_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import weighted_sample
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+            "n_chars": pa.array((np.arange(500) % 97 + 1).astype(np.int64)),
+        })
+        a = weighted_sample(rd.from_arrow(t).repartition(3), k=40) \
+            .to_pandas()
+        b = weighted_sample(rd.from_arrow(t).repartition(11), k=40) \
+            .to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 40
+
+    def test_weight_bias(self, ray_session):
+        """Rows with 50x the weight must dominate the sample."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import weighted_sample
+
+        w = np.where(np.arange(2000) < 1000, 100, 2).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+                      "n_chars": pa.array(w)})
+        got = weighted_sample(rd.from_arrow(t), k=100).to_pandas()
+        heavy = (got["doc_id"] < 1000).sum()
+        assert heavy > 80
+
+    def test_rejects_nonpositive_weights(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import weighted_sample
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "n_chars": pa.array([5, 0], pa.int64())})
+        with pytest.raises(Exception, match="positive"):
+            weighted_sample(rd.from_arrow(t), k=1)
+
+
+class TestGlobalRankBins:
+    def test_vs_duckdb_ntile(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import global_rank_bins
+
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "value"])
+        got = global_rank_bins(ev, bins=7).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH c AS (SELECT event_id,
+                              CAST(floor(value*100.0+0.5) AS BIGINT) AS cents
+                       FROM '{SF_DIR}/events.parquet')
+            SELECT event_id, cents,
+                   row_number() OVER (ORDER BY cents, event_id) AS rank,
+                   ntile(7) OVER (ORDER BY cents, event_id) AS bin
+            FROM c ORDER BY rank
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_more_bins_than_rows(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import global_rank_bins
+
+        t = pa.table({"event_id": pa.array([3, 1, 2], pa.int64()),
+                      "value": pa.array([0.5, 0.5, 0.1])})
+        got = global_rank_bins(rd.from_arrow(t), bins=10).to_pandas() \
+            .sort_values("rank")
+        # ties on cents break by id; n < bins → bin == rank
+        assert got["event_id"].tolist() == [2, 1, 3]
+        assert got["bin"].tolist() == [1, 2, 3]
