@@ -2046,6 +2046,41 @@ def _weighted_sample_oracle(k: int) -> str:
     """
 
 
+def _q_transitions(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import transition_counts
+
+    return transition_counts(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_rolling_active(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import rolling_active_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return rolling_active_users(ev, 7)
+
+
+def _q_join_broadcast(sf_dir: str):
+    """Broadcast-join variant of the customer dimension lookup — the
+    zero-shuffle twin of join_orders_cust (same SQL semantics, the
+    customer table rides the object store instead of an exchange)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]) \
+        .rename_columns(["o_custkey", "c_nationkey"])
+    return broadcast_join(orders, cust, on="o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2069,7 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     zipf_stats, template_stats, distinct_users, value_outliers) and the
     session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
     segment_mode, validate_orders, cdc_upsert, setsim_join,
-    weighted_sample, rank_bins)
+    weighted_sample, rank_bins, transitions, rolling_active,
+    join_broadcast)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2202,6 +2238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_join": _q_setsim_join,
         "weighted_sample": _q_weighted_sample,
         "rank_bins": _q_rank_bins,
+        "transitions": _q_transitions,
+        "rolling_active": _q_rolling_active,
+        "join_broadcast": _q_join_broadcast,
     }
 
 
@@ -4113,6 +4152,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.5
         """,
         "weighted_sample": _weighted_sample_oracle(100),
+        "transitions": """
+            WITH o AS (SELECT event_type AS from_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+                       FROM events)
+            SELECT from_type, to_type, count(*) AS n FROM o
+            WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        """,
+        "rolling_active": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                AS day, user_id
+                       FROM events),
+            du AS (SELECT DISTINCT day, user_id FROM e),
+            days AS (SELECT DISTINCT day FROM e),
+            exp AS (SELECT du.day + i AS day, du.user_id
+                    FROM du, UNNEST(range(0, 7)) AS t(i)),
+            dexp AS (SELECT DISTINCT day, user_id FROM exp)
+            SELECT d.day, count(*) AS n_active
+            FROM dexp JOIN days d USING (day) GROUP BY d.day
+        """,
+        "join_broadcast": """
+            SELECT o_orderkey, o_custkey, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         "rank_bins": """
             WITH c AS (SELECT event_id,
                               CAST(floor(value * 100.0 + 0.5) AS BIGINT)

@@ -332,3 +332,49 @@ def hash_join_multi(
     return lt.union(rt).groupby("jb").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def broadcast_join(
+    left,
+    right_table: pa.Table,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Small-side broadcast equi-join — the zero-shuffle twin of
+    :func:`hash_join` for when the right side fits a worker heap: the
+    Arrow table is ``ray.put`` ONCE, each ``map_batches`` task resolves
+    it from the local object store (cached per worker process) and joins
+    its batch with Arrow's acero hash join.  The left side streams;
+    nothing is exchanged.  ``how``: inner / left / semi / anti.
+
+    This is the first-class form of the broadcast-lookup pattern used
+    ad hoc by ``relational.orders_per_nation``; prefer it over
+    :func:`hash_join` whenever the right side is dimension-table-sized
+    (the classic star-schema discipline)."""
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
+    right_on = right_on or on
+    if right_on != on:
+        names = [on if c == right_on else c
+                 for c in right_table.column_names]
+        right_table = right_table.rename_columns(names)
+    ref = ray.put(right_table)
+    _cache: list = []
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        if not _cache:
+            import ray as _ray
+
+            _cache.append(ref if isinstance(ref, pa.Table)
+                          else _ray.get(ref))
+        out = batch.join(_cache[0], keys=[on], join_type=arrow_how,
+                         right_suffix=suffix, coalesce_keys=True)
+        return out.combine_chunks()
+
+    return left.map_batches(join_batch, batch_format="pyarrow")

@@ -2281,3 +2281,132 @@ def global_rank_bins(ds, value_col: str = "value",
         .groupby("bucket")
         .map_groups(rank_group, batch_format="pyarrow")
     )
+
+
+def transition_counts(ds, num_buckets: int = 64):
+    """Per-user event-type transition (Markov) counts →
+    ``(from_type, to_type, n)`` over each user's ``(ts, event_id)``-
+    ordered stream — the session-flow / next-event model input.
+
+    Shape: ONE user-hash-bucketed exchange of narrow ``(user, ts, id,
+    type)`` rows (a user's whole stream lands in one bucket), per bucket
+    one sort + a shifted-compare adjacency mask + a bounded
+    (from, to, n) partial, then a tiny type-pair-keyed sum.  No per-user
+    Python; the final aggregate is bounded by #types²."""
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        d = _dict_encode(t.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        pair = codes[:-1] * k + codes[1:]
+        vals, cnts = np.unique(pair[same], return_counts=True)
+        dic = d.dictionary
+        return pa.table({
+            "from_type": dic.take(pa.array(vals // k)),
+            "to_type": dic.take(pa.array(vals % k)),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def rolling_active_users(ds, window_days: int = 7,
+                         num_buckets: int = 64):
+    """Trailing-window distinct active users per day →
+    ``(day, n_active)`` where ``n_active`` counts users with ≥1 event in
+    ``(day - window + 1 .. day)`` — the rolling-DAU/WAU analytics shape,
+    for every day that has at least one event.
+
+    EXACT without re-scanning per window: each batch's DISTINCT
+    (day, user) pairs expand to their ``window_days`` target days (narrow
+    int rows), ONE pair-hash-bucketed exchange dedups pairs globally and
+    emits per-day partial counts, a tiny day-keyed sum finishes, and the
+    bounded real-day set filters out the expansion's overhang."""
+    from ..functions.arrowutil import pair_buckets
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts // 86_400_000_000
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pairs = np.unique(
+            np.stack([day, uid], axis=1), axis=0
+        )
+        d = np.repeat(pairs[:, 0], window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(pairs)
+        )
+        u = np.repeat(pairs[:, 1], window_days)
+        t = pa.table({"day": pa.array(d, pa.int64()),
+                      "user_id": pa.array(u, pa.int64())})
+        return t.append_column(
+            "bucket",
+            pa.array(pair_buckets(t.column("day"), t.column("user_id"),
+                                  num_buckets), pa.int32()),
+        )
+
+    def dedup_count(group: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import first_of_run_mask
+
+        t = group.sort_by([("day", "ascending"),
+                           ("user_id", "ascending")])
+        first = first_of_run_mask([t.column("day"), t.column("user_id")])
+        t = t.filter(pa.array(first))
+        vals, cnts = np.unique(
+            t.column("day").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table({"day": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        vals = np.unique(ts // 86_400_000_000)
+        return pa.table({"day": pa.array(vals, pa.int64())})
+
+    real_days = set(
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .to_pandas()["day"].unique().tolist()  # bounded by the time span
+    )
+
+    counts = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_count, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_active"))
+    )
+
+    def keep_real(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        mask = np.fromiter((d in real_days for d in day), bool,
+                           count=len(day))
+        return batch.filter(pa.array(mask))
+
+    return counts.map_batches(keep_real, batch_format="pyarrow")

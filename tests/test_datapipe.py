@@ -3400,3 +3400,100 @@ class TestGlobalRankBins:
         # ties on cents break by id; n < bins → bin == rank
         assert got["event_id"].tolist() == [2, 1, 3]
         assert got["bin"].tolist() == [1, 2, 3]
+
+
+class TestTransitionCounts:
+    def test_vs_duckdb_lead(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import transition_counts
+
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+        got = transition_counts(ev).to_pandas() \
+            .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH o AS (SELECT event_type AS from_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+                       FROM '{SF_DIR}/events.parquet')
+            SELECT from_type, to_type, count(*) AS n FROM o
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type ORDER BY from_type, to_type
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_no_cross_user_transition(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import transition_counts
+
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts": 100, "event_type": "a"},
+            {"event_id": 2, "user_id": 1, "ts": 200, "event_type": "b"},
+            {"event_id": 3, "user_id": 2, "ts": 300, "event_type": "c"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+        got = transition_counts(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas()
+        # only a->b within user 1; never b->c across the user boundary
+        assert list(map(tuple, got.values)) == [("a", "b", 1)]
+
+
+class TestRollingActiveUsers:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import rolling_active_users
+
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["ts", "user_id"])
+        got = rolling_active_users(ev, 7).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                AS day, user_id
+                       FROM '{SF_DIR}/events.parquet'),
+            du AS (SELECT DISTINCT day, user_id FROM e),
+            days AS (SELECT DISTINCT day FROM e),
+            exp AS (SELECT du.day + i AS day, du.user_id
+                    FROM du, UNNEST(range(0, 7)) AS t(i)),
+            dexp AS (SELECT DISTINCT day, user_id FROM exp)
+            SELECT d.day, count(*) AS n_active
+            FROM dexp JOIN days d USING (day) GROUP BY d.day ORDER BY d.day
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # a 7-day window can only see more users than one day alone
+        one = rolling_active_users(ev, 1).to_pandas().set_index("day")
+        m = got.set_index("day")
+        assert (m["n_active"] >= one["n_active"]).all()
+
+
+class TestBroadcastJoin:
+    def test_matches_hash_join(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import broadcast_join, hash_join
+
+        orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust_ds = rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                                  columns=["c_custkey", "c_nationkey"])
+        cust_tbl = pa.Table.from_pandas(
+            cust_ds.to_pandas()
+        ).rename_columns(["o_custkey", "c_nationkey"])
+        for how in ("inner", "left", "semi", "anti"):
+            got = broadcast_join(orders, cust_tbl, on="o_custkey",
+                                 how=how).to_pandas()
+            want = hash_join(orders, cust_ds, on="o_custkey",
+                             right_on="c_custkey", how=how).to_pandas()
+            cols = sorted(got.columns)
+            assert cols == sorted(want.columns)
+            g = got[cols].sort_values(cols).reset_index(drop=True)
+            w = want[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False)
