@@ -2081,6 +2081,22 @@ def _q_join_broadcast(sf_dir: str):
     return broadcast_join(orders, cust, on="o_custkey")
 
 
+def _q_session_stats(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import session_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return session_stats(ev)
+
+
+def _q_containment(sf_dir: str):
+    from studiocr_ray.datapipe.dedup import containment_join
+
+    return containment_join(_docs(sf_dir), threshold=0.7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2105,7 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
     segment_mode, validate_orders, cdc_upsert, setsim_join,
     weighted_sample, rank_bins, transitions, rolling_active,
-    join_broadcast)
+    join_broadcast, session_stats, containment)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2241,6 +2257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": _q_transitions,
         "rolling_active": _q_rolling_active,
         "join_broadcast": _q_join_broadcast,
+        "session_stats": _q_session_stats,
+        "containment": _q_containment,
     }
 
 
@@ -4175,6 +4193,39 @@ def oracle_sql() -> dict[str, str]:
         "join_broadcast": """
             SELECT o_orderkey, o_custkey, c_nationkey
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "session_stats": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                  FROM o)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "containment": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                lower(text), '\\s+'), x -> x <> '') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1]
+                                         FOR i IN range(1, len(w))]) AS s
+                   FROM t),
+            j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(a.s) AS containment
+                  FROM bg a JOIN bg b ON a.doc_id <> b.doc_id)
+            SELECT * FROM j WHERE containment >= 0.7
         """,
         "rank_bins": """
             WITH c AS (SELECT event_id,

@@ -138,6 +138,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     minhash_dedup_pairs(docs_ds, threshold=0.5, num_perm=64, bands=16)
     timings["minhash_dedup"] = time.perf_counter() - t0
 
+    # exact prefix-filter twin of the minhash stage (same table, same
+    # threshold): deterministic recall costs the df pass + exact verify
+    from studiocr_ray.datapipe.dedup import set_similarity_join
+
+    t0 = time.perf_counter()
+    set_similarity_join(docs_ds, threshold=0.5).count()
+    timings["setsim_join"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     word_count(docs_ds).to_pandas()
     timings["word_count"] = time.perf_counter() - t0
@@ -293,6 +301,59 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         batch_format="pyarrow",
     ).sum("n")
     timings["pagerank_5it"] = time.perf_counter() - t0
+
+    # CDC merge at corpus scale: a derived changelog (1/5 updates, 1/11
+    # deletes) applied onto the 1.2M-doc extracted corpus — times the one
+    # key-hash exchange of the snapshot-maintenance path
+    from studiocr_ray.datapipe.cdc import apply_changes
+
+    def mk_changes(b: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = b.column("doc_id").to_pylist()
+        h = np.array([zlib.crc32(u.encode()) for u in ids], np.uint32)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        outs = []
+        u = h % 5 == 0
+        if u.any():
+            sel = pa.array(np.flatnonzero(u))
+            import pyarrow.compute as pc2
+
+            outs.append(pa.table({
+                "doc_id": pa.array([ids[i] for i in np.flatnonzero(u)]),
+                "text": pc2.binary_join_element_wise(
+                    txt.take(sel), " [v2]", ""),
+                "op": pa.array(np.full(int(u.sum()), "U"), pa.string()),
+                "seq": pa.array(np.full(int(u.sum()), 1, np.int64)),
+            }))
+        d = (h % 5 != 0) & (h % 11 == 0)
+        if d.any():
+            nd = int(d.sum())
+            outs.append(pa.table({
+                "doc_id": pa.array([ids[i] for i in np.flatnonzero(d)]),
+                "text": pa.nulls(nd, pa.string()),
+                "op": pa.array(np.full(nd, "D"), pa.string()),
+                "seq": pa.array(np.full(nd, 1, np.int64)),
+            }))
+        if not outs:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string()),
+                             "op": pa.array([], pa.string()),
+                             "seq": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    t0 = time.perf_counter()
+    apply_changes(
+        corpus(),
+        corpus().map_batches(mk_changes, batch_format="pyarrow"),
+        "doc_id", ["text"],
+    ).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["cdc_merge"] = time.perf_counter() - t0
 
     docs = summary["docs"]
     shutil.rmtree(out, ignore_errors=True)

@@ -1702,3 +1702,193 @@ def set_similarity_join(
         return b.filter(pc.greater_equal(b.column("jaccard"), threshold))
 
     return sims.map_batches(keep_true, batch_format="pyarrow")
+
+
+class _ContainmentMetric:
+    """Asymmetric containment |Sa ∩ Sb| / |Sa| over shingle sets (same
+    per-bucket shingle cache as _JaccardMetric)."""
+
+    def __init__(self, shingle: str, n: int):
+        self.shingle = shingle
+        self.n = n
+
+    def __call__(self, id_a, id_b, va, vb):
+        cache: dict = {}
+
+        def sh(i, t):
+            s = cache.get(i)
+            if s is None:
+                s = _shingles(t, self.shingle, self.n)
+                cache[i] = s
+            return s
+
+        out = []
+        for a, b, ta, tb in zip(
+            id_a.to_pylist(), id_b.to_pylist(), va.to_pylist(),
+            vb.to_pylist()
+        ):
+            sa, sb = sh(a, ta), sh(b, tb)
+            out.append(len(sa & sb) / len(sa) if sa else 0.0)
+        return pa.array(out, pa.float64())
+
+
+def _containment_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """One rank-bucket group: for each equal-rank run, ORDERED candidate
+    pairs (probe side-0 doc × indexed side-1 doc, ids distinct) with the
+    containment length filter |B| >= t·|A|."""
+    t = group.sort_by([("rank", "ascending"), ("side", "ascending"),
+                       ("doc_id", "ascending")])
+    n = t.num_rows
+    id_type = t.column("doc_id").type
+    empty = pa.table(
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+    )
+    if n < 2:
+        return empty
+    rank = t.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
+    side = t.column("side").combine_chunks().to_numpy(zero_copy_only=False)
+    size = t.column("size").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = _flat_arr(t.column("doc_id")).to_numpy(zero_copy_only=False)
+    change = rank[1:] != rank[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+    ai, bi = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        sl = side[s:e]
+        a_idx = np.flatnonzero(sl == 0) + s
+        b_idx = np.flatnonzero(sl == 1) + s
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            continue
+        i = np.repeat(a_idx, len(b_idx))
+        j = np.tile(b_idx, len(a_idx))
+        keep = (ids[i] != ids[j]) & (size[j] >= threshold * size[i])
+        i, j = i[keep], j[keep]
+        if len(i):
+            ai.append(i)
+            bi.append(j)
+    if not ai:
+        return empty
+    ia, ib = np.concatenate(ai), np.concatenate(bi)
+    return pa.table({"id_a": pa.array(ids[ia], id_type),
+                     "id_b": pa.array(ids[ib], id_type)})
+
+
+def containment_join(
+    ds,
+    threshold: float = 0.7,
+    shingle: str = "word",
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+):
+    """EXACT containment (subsumption) self-join → ordered ``(id_a,
+    id_b, containment)`` pairs with ``|S_a ∩ S_b| / |S_a| ≥ threshold``
+    — finds documents mostly CONTAINED in another (quote farms, page
+    wrappers, partial mirrors), which symmetric Jaccard
+    (:func:`set_similarity_join`) under-scores when sizes differ.
+
+    Same prefix-filter discipline: the probe side emits only each doc's
+    ``|A| - floor(t·|A|) + 1`` rarest shingles (if C(a,b) ≥ t, fewer
+    than that many of A's tokens can be outside B, so a prefix token
+    must land in B); the INDEX side must emit all its tokens (any of
+    them can be the witness) — the documented asymmetric cost of
+    containment joins.  Candidates come from cross-side equal-token runs
+    with the ``|B| ≥ t·|A|`` length filter; the co-partitioned verify is
+    exact."""
+    import ray
+
+    from ..functions.arrowutil import id_buckets, string_buckets
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rows = _shingle_rows(batch, text_col, id_col, shingle, n)
+        g = rows.select(["tok"]).group_by("tok") \
+            .aggregate([([], "count_all")]).rename_columns(["tok", "df"])
+        return g.append_column(
+            "bucket",
+            pa.array(string_buckets(g.column("tok"), num_buckets),
+                     pa.int32()),
+        )
+
+    def df_merge(group: pa.Table) -> pa.Table:
+        return group.select(["tok", "df"]).group_by("tok") \
+            .aggregate([("df", "sum")]).rename_columns(["tok", "df"])
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(df_merge, batch_format="pyarrow")
+        .to_pandas()  # vocab-bounded (see set_similarity_join docstring)
+        .sort_values(["df", "tok"]).reset_index(drop=True)
+    )
+    rank_ref = ray.put({t: i for i, t in enumerate(df["tok"])})
+
+    class _TokenRows:
+        """Probe-prefix rows (side 0) + full index rows (side 1)."""
+
+        def __init__(self, rank_ref):
+            self.rank = (ray.get(rank_ref)
+                         if not isinstance(rank_ref, dict) else rank_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ranks, ids, sizes, sides = [], [], [], []
+            for i, txt in zip(batch.column(id_col).to_pylist(),
+                              batch.column(text_col).to_pylist()):
+                s = _shingles(txt, shingle, n)
+                size = len(s)
+                if size == 0:
+                    continue
+                r = sorted(self.rank[x] for x in s)
+                p = min(size, size - int(threshold * size) + 1)
+                ranks.extend(r[:p])
+                sides.extend([0] * p)
+                ranks.extend(r)
+                sides.extend([1] * size)
+                ids.extend([i] * (p + size))
+                sizes.extend([size] * (p + size))
+            return pa.table(
+                {"rank": pa.array(ranks, pa.int64()),
+                 "doc_id": pa.array(ids, batch.column(id_col).type),
+                 "size": pa.array(sizes, pa.int32()),
+                 "side": pa.array(sides, pa.int8())}
+            )
+
+    rows = ds.map_batches(
+        _TokenRows, fn_constructor_args=(rank_ref,),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rb",
+            pa.array(id_buckets(batch.column("rank"), num_buckets),
+                     pa.int32()),
+        )
+
+    pairs = rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("rb").map_groups(
+            _containment_pairs, fn_kwargs={"threshold": threshold},
+            batch_format="pyarrow",
+        )
+
+    sims = copartition_verify(
+        pairs,
+        ds.map_batches(
+            lambda b: b.select([id_col, text_col]).rename_columns(
+                ["doc_id", "value"]
+            ),
+            batch_format="pyarrow",
+        ),
+        _ContainmentMetric(shingle, n),
+        "containment",
+        id_type=pa.int64(),
+        num_buckets=num_buckets,
+    )
+
+    def keep_true(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.greater_equal(b.column("containment"), threshold)
+        )
+
+    return sims.map_batches(keep_true, batch_format="pyarrow")

@@ -2410,3 +2410,80 @@ def rolling_active_users(ds, window_days: int = 7,
         return batch.filter(pa.array(mask))
 
     return counts.map_batches(keep_real, batch_format="pyarrow")
+
+
+def session_stats(ds, gap_seconds: int = 1800,
+                  num_buckets: int | None = None):
+    """Per-session aggregates over the gap-based windows of
+    :func:`sessionize` → ``(user_id, session_idx, n_events,
+    duration_us)`` — one row per session, duration integer-exact.
+
+    Same single user-hash exchange as sessionize; the per-bucket pass
+    finds session boundaries with the identical shifted-compare mask and
+    folds each run with ``reduceat`` — sessions never cross buckets, so
+    no second pass."""
+    import zlib
+
+    if num_buckets is None:
+        import os as _os
+
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8)) \
+            if _ray.is_initialized() else (_os.cpu_count() or 8)
+        num_buckets = max(16, ncpu * 2)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (zlib.crc32(str(u).encode()) % num_buckets
+             for u in batch.column("user_id").to_pylist()),
+            dtype=np.int32, count=batch.num_rows,
+        )
+        return batch.select(["event_id", "user_id", "ts"]).append_column(
+            "bucket", pa.array(b, pa.int32())
+        )
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        n = len(order)
+        user_change = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        gap_us = gap_seconds * 1_000_000
+        gap_break = np.concatenate(
+            ([False], (ts_s[1:] - ts_s[:-1]) > gap_us)
+        )
+        new_session = user_change | gap_break
+        cum = np.cumsum(new_session)
+        first_of_user = np.where(user_change)[0]
+        base = np.zeros(n, dtype=np.int64)
+        base[first_of_user] = cum[first_of_user]
+        base = np.maximum.accumulate(base)
+        session_idx = cum - base
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pa.table(
+            {
+                "user_id": d.dictionary.take(pa.array(codes_s[starts])),
+                "session_idx": pa.array(session_idx[starts], pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype(np.int64), pa.int64()
+                ),
+                "duration_us": pa.array(
+                    ts_s[ends] - ts_s[starts], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+    )

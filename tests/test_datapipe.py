@@ -3497,3 +3497,100 @@ class TestBroadcastJoin:
             g = got[cols].sort_values(cols).reset_index(drop=True)
             w = want[cols].sort_values(cols).reset_index(drop=True)
             pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+class TestSessionStats:
+    def test_vs_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import session_stats
+
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        got = session_stats(ev).to_pandas() \
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH o AS (SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM '{SF_DIR}/events.parquet'
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                  FROM o)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_consistent_with_sessionize(self, ray_session):
+        """session_stats' per-session row counts must equal the sizes of
+        sessionize's assignment groups."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import (session_stats,
+                                                      sessionize)
+
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        stats = session_stats(ev).to_pandas()
+        assign = sessionize(ev).to_pandas() \
+            .groupby(["user_id", "session_idx"]).size().rename("n_events") \
+            .reset_index()
+        m = stats.merge(assign, on=["user_id", "session_idx"],
+                        suffixes=("_s", "_a"))
+        assert len(m) == len(stats) == len(assign)
+        assert (m["n_events_s"] == m["n_events_a"]).all()
+
+
+class TestContainmentJoin:
+    def test_vs_exact_pairwise_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.dedup import containment_join
+
+        got = containment_join(docs_ds, threshold=0.7).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        want = duckdb.sql(
+            f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                lower(text), '\\s+'), x -> x <> '') AS w
+                       FROM '{SF_DIR}/documents.parquet'),
+            bg AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1]
+                                         FOR i IN range(1, len(w))]) AS s
+                   FROM t),
+            j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(a.s) AS containment
+                  FROM bg a JOIN bg b ON a.doc_id <> b.doc_id)
+            SELECT * FROM j WHERE containment >= 0.7
+            ORDER BY id_a, id_b
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+
+    def test_asymmetric_subsumption(self, ray_session):
+        """A doc fully contained in a bigger one must pair in the
+        contained→container direction, not the reverse."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import containment_join
+
+        small = "alpha beta gamma delta"
+        big = small + " " + " ".join(f"extra{i}" for i in range(20))
+        rows = [{"doc_id": 1, "text": small}, {"doc_id": 2, "text": big},
+                {"doc_id": 3, "text": "unrelated words entirely here"}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = containment_join(ds, threshold=0.9).to_pandas()
+        assert list(map(tuple, got[["id_a", "id_b"]].values)) == [(1, 2)]
+        assert got["containment"].iloc[0] == 1.0
