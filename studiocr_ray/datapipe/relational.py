@@ -447,7 +447,6 @@ def sessionize(ds, gap_seconds: int = 1800, num_buckets: int | None = None):
     — user-count-independent Python overhead, same bucketing pattern as the
     index merge); event-time ordering is restored per bucket, so late
     arrivals are handled by the sort, not a watermark."""
-    import zlib
 
     import numpy as np
 
@@ -461,11 +460,9 @@ def sessionize(ds, gap_seconds: int = 1800, num_buckets: int | None = None):
         num_buckets = max(16, ncpu * 2)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (zlib.crc32(str(u).encode()) % num_buckets
-             for u in batch.column("user_id").to_pylist()),
-            dtype=np.int32, count=batch.num_rows,
-        )
+        from ..functions.arrowutil import id_buckets
+
+        b = id_buckets(batch.column("user_id"), num_buckets)
         return batch.select(["event_id", "user_id", "ts"]).append_column(
             "bucket", pa.array(b, pa.int32())
         )
@@ -533,7 +530,6 @@ def asof_match_events(
 
     Returns (event_id, user_id, matched_event_id: nullable int64,
     lag_us: nullable int64)."""
-    import zlib
 
     import pyarrow.compute as pc
 
@@ -553,11 +549,9 @@ def asof_match_events(
         side = pc.cast(
             pc.equal(t.column("event_type"), left_type), pa.int8()
         )  # 1 = left, 0 = right
-        b = np.fromiter(
-            (zlib.crc32(str(u).encode()) % num_buckets
-             for u in t.column("user_id").to_pylist()),
-            dtype=np.int32, count=t.num_rows,
-        )
+        from ..functions.arrowutil import id_buckets
+
+        b = id_buckets(t.column("user_id"), num_buckets)
         return pa.table(
             {
                 "event_id": t.column("event_id"),
@@ -676,7 +670,6 @@ def range_count_events(
     cluster).
 
     Returns (event_id, user_id, n_recent)."""
-    import zlib
 
     import pyarrow.compute as pc
 
@@ -695,11 +688,9 @@ def range_count_events(
         keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
         t = batch.filter(keep)
         side = pc.cast(pc.equal(t.column("event_type"), left_type), pa.int8())
-        b = np.fromiter(
-            (zlib.crc32(str(u).encode()) % num_buckets
-             for u in t.column("user_id").to_pylist()),
-            dtype=np.int32, count=t.num_rows,
-        )
+        from ..functions.arrowutil import id_buckets
+
+        b = id_buckets(t.column("user_id"), num_buckets)
         return pa.table(
             {
                 "event_id": t.column("event_id"),
@@ -2422,7 +2413,6 @@ def session_stats(ds, gap_seconds: int = 1800,
     finds session boundaries with the identical shifted-compare mask and
     folds each run with ``reduceat`` — sessions never cross buckets, so
     no second pass."""
-    import zlib
 
     if num_buckets is None:
         import os as _os
@@ -2434,11 +2424,9 @@ def session_stats(ds, gap_seconds: int = 1800,
         num_buckets = max(16, ncpu * 2)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = np.fromiter(
-            (zlib.crc32(str(u).encode()) % num_buckets
-             for u in batch.column("user_id").to_pylist()),
-            dtype=np.int32, count=batch.num_rows,
-        )
+        from ..functions.arrowutil import id_buckets
+
+        b = id_buckets(batch.column("user_id"), num_buckets)
         return batch.select(["event_id", "user_id", "ts"]).append_column(
             "bucket", pa.array(b, pa.int32())
         )
