@@ -2081,6 +2081,32 @@ def _q_join_broadcast(sf_dir: str):
     return broadcast_join(orders, cust, on="o_custkey")
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count over the deterministic synthetic webgraph
+    (same synthesis-twin discipline as pagerank: nodes = doc_ids, edges
+    (v+1)%N, (v+2)%N, (3v+1)%N undirected-deduped)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import triangle_count
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return triangle_count(docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def _q_session_stats(sf_dir: str):
     import ray.data as rd
 
@@ -2121,7 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
     segment_mode, validate_orders, cdc_upsert, setsim_join,
     weighted_sample, rank_bins, transitions, rolling_active,
-    join_broadcast, session_stats, containment)
+    join_broadcast, session_stats, containment, triangles)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2259,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": _q_join_broadcast,
         "session_stats": _q_session_stats,
         "containment": _q_containment,
+        "triangles": _q_triangles,
     }
 
 
@@ -4226,6 +4253,25 @@ def oracle_sql() -> dict[str, str]:
                            / len(a.s) AS containment
                   FROM bg a JOIN bg b ON a.doc_id <> b.doc_id)
             SELECT * FROM j WHERE containment >= 0.7
+        """,
+        # synthesis twin of _q_triangles' webgraph
+        "triangles": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e a
+            JOIN e b ON b.u = a.v
+            JOIN e c ON c.u = a.u AND c.v = b.v
         """,
         "rank_bins": """
             WITH c AS (SELECT event_id,

@@ -150,3 +150,110 @@ def pagerank_int(
             fused_step, batch_format="pyarrow"
         )
     return rows.groupby("b").map_groups(final_damp, batch_format="pyarrow")
+
+
+def triangle_count(edges_ds, num_buckets: int = 64):
+    """EXACT triangle count over an undirected graph → one-row table
+    ``(n_triangles,)`` — the standard two-round wedge algorithm (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011; node-iterator MR form).
+
+    ``edges_ds``: (src, dst) rows, any direction, duplicates allowed.
+    Round 0 canonicalizes to distinct ``u < v`` edges (pair-hash
+    bucketed dedup; self-loops dropped).  Round 1 groups edges by their
+    LOWER endpoint and emits each node's wedges — the (v_i, v_j)
+    neighbor pairs that close a triangle iff they are themselves an
+    edge.  Round 2 co-partitions wedges with edges by pair hash and
+    counts matches with one acero join per bucket.  Narrow int rows
+    throughout; the known skew cost is a hub's d² wedges (inherent to
+    exact counting — cap/split hot nodes upstream if a true hub graph
+    needs it)."""
+    from ..functions.arrowutil import (first_of_run_mask, id_buckets,
+                                       pair_buckets)
+    from .dedup import _flat_arr
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        key = np.unique(np.stack([u, v], axis=1), axis=0)
+        t = pa.table({"u": pa.array(key[:, 0], pa.int64()),
+                      "v": pa.array(key[:, 1], pa.int64())})
+        return t.append_column(
+            "pb", pa.array(pair_buckets(t.column("u"), t.column("v"),
+                                        num_buckets), pa.int32()),
+        )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        first = first_of_run_mask([t.column("u"), t.column("v")])
+        t = t.filter(pa.array(first)).select(["u", "v"])
+        return t.append_column(
+            "ub", pa.array(id_buckets(t.column("u"), num_buckets),
+                           pa.int32()),
+        )
+
+    edges = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pb").map_groups(dedup, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = _flat_arr(t.column("v")).to_numpy(zero_copy_only=False)
+        n = len(u)
+        out_a, out_b = [], []
+        change = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1,
+                                 [n]))
+        for s, e in zip(change[:-1], change[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            out_a.append(v[i + s])  # neighbors sorted ⇒ a < b
+            out_b.append(v[j + s])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "qb": pa.array([], pa.int32())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        t2 = pa.table({"a": pa.array(a, pa.int64()),
+                       "b": pa.array(b, pa.int64()),
+                       "kind": pa.array(np.zeros(len(a), np.int8))})
+        return t2.append_column(
+            "qb", pa.array(pair_buckets(t2.column("a"), t2.column("b"),
+                                        num_buckets), pa.int32()),
+        )
+
+    def as_edge_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"a": batch.column("u"), "b": batch.column("v"),
+                      "kind": pa.array(np.ones(batch.num_rows, np.int8))})
+        return t.append_column(
+            "qb", pa.array(pair_buckets(t.column("a"), t.column("b"),
+                                        num_buckets), pa.int32()),
+        )
+
+    wedge_rows = edges.groupby("ub").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+    edge_rows = edges.map_batches(as_edge_rows, batch_format="pyarrow")
+
+    def close(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        w = group.filter(pa.array(kind == 0)).select(["a", "b"])
+        e = group.filter(pa.array(kind == 1)).select(["a", "b"])
+        if w.num_rows == 0 or e.num_rows == 0:
+            n = 0
+        else:
+            n = w.join(e, keys=["a", "b"], join_type="inner").num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = wedge_rows.union(edge_rows).groupby("qb").map_groups(
+        close, batch_format="pyarrow"
+    ).sum("n")
+    return pa.table(
+        {"n_triangles": pa.array([int(total or 0)], pa.int64())}
+    )

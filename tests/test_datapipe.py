@@ -3594,3 +3594,62 @@ class TestContainmentJoin:
         got = containment_join(ds, threshold=0.9).to_pandas()
         assert list(map(tuple, got[["id_a", "id_b"]].values)) == [(1, 2)]
         assert got["containment"].iloc[0] == 1.0
+
+
+class TestTriangleCount:
+    def test_known_micrograph(self, ray_session):
+        """K4 has 4 triangles; duplicate/reversed/self edges must not
+        change the count."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import triangle_count
+
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        rows = [{"src": a, "dst": b} for a, b in edges]
+        rows += [{"src": b, "dst": a} for a, b in edges]  # reversed dups
+        rows += [{"src": 5, "dst": 5}]                     # self loop
+        rows += [{"src": 7, "dst": 8}]                     # isolated edge
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        got = triangle_count(ds)
+        assert got.column("n_triangles")[0].as_py() == 4
+
+    def test_vs_duckdb_synthetic_graph(self, docs_ds):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import triangle_count
+
+        n = docs_ds.count()
+
+        def edges(batch):
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = np.repeat(d, 3)
+            dst = np.stack([(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n],
+                           axis=1).ravel()
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        got = triangle_count(
+            docs_ds.select_columns(["doc_id"])
+            .map_batches(edges, batch_format="pyarrow")
+        )
+        want = duckdb.sql(
+            f"""
+            WITH d AS (SELECT doc_id
+                       FROM '{SF_DIR}/documents.parquet'),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt)
+                FROM d
+              UNION ALL SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+                FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst)
+            SELECT count(*) FROM e a
+            JOIN e b ON b.u = a.v
+            JOIN e c ON c.u = a.u AND c.v = b.v
+            """
+        ).fetchone()[0]
+        assert got.column("n_triangles")[0].as_py() == want
