@@ -2123,6 +2123,57 @@ def _q_containment(sf_dir: str):
     return containment_join(_docs(sf_dir), threshold=0.7)
 
 
+def _q_two_hop(sf_dir: str):
+    """Exact distinct two-hop neighborhood sizes over the same
+    deterministic synthetic webgraph as ``triangles`` / ``pagerank``,
+    kept DIRECTED here (no least/greatest canonicalization)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import two_hop_counts
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return two_hop_counts(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+def _q_corr_by_nation(sf_dir: str):
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import corr_by_nation
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+    return corr_by_nation(li, sf_dir)
+
+
+def _q_sentence_stats(sf_dir: str):
+    from studiocr_ray.datapipe.text import sentence_stats
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(sentence_stats, batch_format="pyarrow"))
+
+
+def _q_shuffle_rank(sf_dir: str):
+    from studiocr_ray.datapipe.sample import shuffle_rank
+
+    return shuffle_rank(_docs(sf_dir).select_columns(["doc_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2147,7 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
     segment_mode, validate_orders, cdc_upsert, setsim_join,
     weighted_sample, rank_bins, transitions, rolling_active,
-    join_broadcast, session_stats, containment, triangles)
+    join_broadcast, session_stats, containment, triangles,
+    two_hop, corr_by_nation, sentence_stats, shuffle_rank)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2286,6 +2338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _q_session_stats,
         "containment": _q_containment,
         "triangles": _q_triangles,
+        "two_hop": _q_two_hop,
+        "corr_by_nation": _q_corr_by_nation,
+        "sentence_stats": _q_sentence_stats,
+        "shuffle_rank": _q_shuffle_rank,
     }
 
 
@@ -4272,6 +4328,90 @@ def oracle_sql() -> dict[str, str]:
             FROM e a
             JOIN e b ON b.u = a.v
             JOIN e c ON c.u = a.u AND c.v = b.v
+        """,
+        # synthesis twin of _q_two_hop's DIRECTED webgraph
+        "two_hop": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+            SELECT a.src AS v,
+                   CAST(count(DISTINCT b.dst) AS BIGINT) AS n_two_hop
+            FROM e a JOIN e b ON b.src = a.dst
+            WHERE b.dst <> a.src
+            GROUP BY a.src
+        """,
+        "corr_by_nation": """
+            WITH li AS (
+              SELECT s_nationkey,
+                     CAST(floor(l_quantity) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS c
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+            m AS (
+              SELECT s_nationkey, count(*) AS n,
+                     sum(q) AS sx, sum(c) AS sy,
+                     sum(q*q) AS sxx, sum(q*c) AS sxy,
+                     sum(CAST(c AS HUGEINT)*c) AS syy
+              FROM li GROUP BY s_nationkey)
+            SELECT n_name, CAST(n AS BIGINT) AS n_rows,
+              CAST(n*sxy - sx*sy AS DOUBLE)
+                / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                       * CAST(n*syy - sy*sy AS DOUBLE)) AS corr,
+              CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+              (CAST(sy AS DOUBLE)
+               - (CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept
+            FROM m JOIN nation ON n_nationkey = s_nationkey
+        """,
+        "sentence_stats": """
+            WITH segs AS (
+              SELECT doc_id,
+                     trim(s.seg, ' ' || chr(9) || chr(10) || chr(13)) AS seg
+              FROM documents,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS s(seg)),
+            ne AS (SELECT doc_id, length(seg) AS l FROM segs
+                   WHERE seg <> ''),
+            agg AS (SELECT doc_id, count(*) AS n, sum(l) AS sc,
+                           max(l) AS mx
+                    FROM ne GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n, 0) AS n_sentences,
+                   CAST(COALESCE(a.sc, 0) AS BIGINT) AS sum_sentence_chars,
+                   CASE WHEN a.n > 0
+                        THEN CAST(a.sc * 1000000 // a.n AS BIGINT)
+                        ELSE 0 END AS mean_sentence_len_u,
+                   COALESCE(a.mx, 0) AS max_sentence_len
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # splitmix64 reproduced exactly in UHUGEINT arithmetic; rank =
+        # row_number over the hash order (the engine computes it without
+        # a global sort — see sample.shuffle_rank)
+        "shuffle_rank": """
+            WITH s0 AS (SELECT doc_id,
+                   CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+                        % 18446744073709551616 AS UBIGINT) AS z
+                 FROM documents),
+            s1 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                         * 13787848793156543929)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+            s2 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                         * 10723151780598845931)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            h AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s2)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+                     AS shuffle_rank
+            FROM h
         """,
         "rank_bins": """
             WITH c AS (SELECT event_id,

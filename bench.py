@@ -207,6 +207,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["quality_tiers"] = time.perf_counter() - t0
 
+    # deterministic epoch-shuffle rank over the corpus: the histogram
+    # broadcast + ONE range-keyed exchange (no global sort); urls hash to
+    # int64 surrogate ids first (id_hash64), as a trillion-page run would
+    from studiocr_ray.datapipe.sample import shuffle_rank
+    from studiocr_ray.functions.arrowutil import id_hash64
+
+    def as_int_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.array(
+            id_hash64(batch.column("url")).astype(np.int64), pa.int64()
+        )})
+
+    t0 = time.perf_counter()
+    shuffle_rank(
+        docs_dataset(out).map_batches(as_int_ids, batch_format="pyarrow")
+    ).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["shuffle_rank"] = time.perf_counter() - t0
+
     # DSIR importance scoring: two token passes + a broadcast weight
     # vector (the target label is a cheap deterministic url-length split)
     from studiocr_ray.datapipe.dsir import dsir_score

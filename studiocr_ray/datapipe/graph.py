@@ -257,3 +257,108 @@ def triangle_count(edges_ds, num_buckets: int = 64):
     return pa.table(
         {"n_triangles": pa.array([int(total or 0)], pa.int64())}
     )
+
+
+def two_hop_counts(edges_ds, num_buckets: int = 64):
+    """EXACT distinct two-hop neighborhood size per node over a DIRECTED
+    graph → ``(v, n_two_hop)`` rows, one per node with at least one
+    two-hop neighbor: ``n_two_hop(v) = |{w : v→u, u→w, w ≠ v}|`` — the
+    friends-of-friends count (SQL: self-join on the mid node + COUNT
+    DISTINCT).
+
+    ``edges_ds``: (src, dst) rows, duplicates allowed; self-loops dropped.
+    Three narrow-row exchanges: (0) distinct directed edges via pair-hash
+    bucketed dedup; (1) each edge ships twice keyed by its MID-node hash
+    — once as an in-edge of ``dst``, once as an out-edge of ``src`` — and
+    each mid-node run emits its in×out walk pairs vectorized; (2) walk
+    pairs co-partition by (v, w) pair hash so a per-bucket distinct is a
+    GLOBAL distinct, and per-bucket per-v partial counts merge in one
+    final small groupby.  The known skew cost is a hub's d_in·d_out walk
+    pairs (inherent to the exact count — cap or sketch hot mids upstream
+    if a true hub graph needs it; cf. HLL in sketch.py for the
+    approximate twin)."""
+    from ..functions.arrowutil import (first_of_run_mask, id_buckets,
+                                       pair_buckets)
+    from .dedup import _flat_arr
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        key = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        t = pa.table({"src": pa.array(key[:, 0], pa.int64()),
+                      "dst": pa.array(key[:, 1], pa.int64())})
+        return t.append_column(
+            "pb", pa.array(pair_buckets(t.column("src"), t.column("dst"),
+                                        num_buckets), pa.int32()),
+        )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("src", "ascending"), ("dst", "ascending")])
+        first = first_of_run_mask([t.column("src"), t.column("dst")])
+        t = t.filter(pa.array(first))
+        s = _flat_arr(t.column("src"))
+        d = _flat_arr(t.column("dst"))
+        # each distinct edge twice: keyed by its mid node (dst for the
+        # in-edge role, src for the out-edge role)
+        mid = pa.concat_arrays([d, s])
+        other = pa.concat_arrays([s, d])
+        role = np.concatenate([np.zeros(len(s), np.int8),
+                               np.ones(len(s), np.int8)])
+        out = pa.table({"mid": mid, "other": other,
+                        "role": pa.array(role)})
+        return out.append_column(
+            "mb", pa.array(id_buckets(out.column("mid"), num_buckets),
+                           pa.int32()),
+        )
+
+    halves = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pb").map_groups(dedup, batch_format="pyarrow")
+
+    def walks(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("mid", "ascending"), ("role", "ascending")])
+        mid = t.column("mid").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        other = _flat_arr(t.column("other")).to_numpy(zero_copy_only=False)
+        n = len(mid)
+        change = np.concatenate(([0], np.flatnonzero(mid[1:] != mid[:-1]) + 1,
+                                 [n]))
+        out_v, out_w = [], []
+        for s, e in zip(change[:-1], change[1:]):
+            r = role[s:e]
+            n_in = int(np.searchsorted(r, 1))
+            if n_in == 0 or n_in == e - s:
+                continue
+            ins = other[s:s + n_in]      # v with v→mid
+            outs = other[s + n_in:e]     # w with mid→w
+            v = np.repeat(ins, len(outs))
+            w = np.tile(outs, len(ins))
+            keep = v != w
+            out_v.append(v[keep])
+            out_w.append(w[keep])
+        if not out_v:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "wb": pa.array([], pa.int32())})
+        t2 = pa.table({"v": pa.array(np.concatenate(out_v), pa.int64()),
+                       "w": pa.array(np.concatenate(out_w), pa.int64())})
+        return t2.append_column(
+            "wb", pa.array(pair_buckets(t2.column("v"), t2.column("w"),
+                                        num_buckets), pa.int32()),
+        )
+
+    def distinct_partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("v", "ascending"), ("w", "ascending")])
+        first = first_of_run_mask([t.column("v"), t.column("w")])
+        v = t.column("v").to_numpy(zero_copy_only=False)[first]
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        halves.groupby("mb").map_groups(walks, batch_format="pyarrow")
+        .groupby("wb").map_groups(distinct_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n_two_hop"))
+    )

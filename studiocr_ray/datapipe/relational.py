@@ -2475,3 +2475,121 @@ def session_stats(ds, gap_seconds: int = 1800,
         .groupby("bucket")
         .map_groups(bucket_stats, batch_format="pyarrow")
     )
+
+
+def corr_by_nation(lineitem_ds, sf_dir: str):
+    """Per-supplier-nation Pearson correlation + OLS regression of
+    ``l_extendedprice`` (cents) on ``l_quantity`` → one row per nation
+    ``(n_name, n_rows, corr, slope, intercept)`` — matching SQL
+    ``corr()`` / ``regr_slope()`` / ``regr_intercept()`` bit-for-bit.
+
+    Exactness contract: every moment is an INTEGER (quantities are
+    integral in TPC-H; prices quantize to cents with the shared
+    ``floor(x*100+0.5)`` rule), so the distributed sum order cannot
+    perturb the result.  The one moment that can exceed 2^53 per batch —
+    Σ cents² — is carried as a per-row hi/lo 32-bit split (two int64
+    partial columns, recombined as a Python int on the 25-row final), so
+    ``np.bincount``'s float64 accumulator stays exact and the merge never
+    overflows int64.  The final doubles are computed from the exact
+    integer moments with the same expression tree the oracle SQL uses,
+    so IEEE rounding is identical on both sides.
+
+    Scale shape: supplier→nation is a dense int8 array broadcast once
+    (1 byte per supplier, the orders_per_nation pattern); partials are
+    ≤25 rows per batch; ONE tiny groupby merges them.  No row-level
+    shuffle, no driver loop.  At extreme scale (≥10^11 rows) the sxy
+    moment approaches int64 range — split it hi/lo the same way."""
+    import pyarrow.parquet as pq
+    import ray
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    nk = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+    n_nations = int(nk.max()) + 1
+    assert n_nations <= 127, "int8 nationkey array"
+    nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
+    nation_of[sk] = nk.astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class Moments:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sks = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            nks = self.nation_of[sks].astype(np.int64)
+            q = np.floor(
+                batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            c = np.floor(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64)
+            cc = c * c
+            cc_hi, cc_lo = cc >> np.int64(32), cc & np.int64(0xFFFFFFFF)
+            m = n_nations
+            out = {
+                "n_nationkey": None,
+                "n_rows": np.bincount(nks, minlength=m),
+                "sx": np.bincount(nks, weights=q, minlength=m),
+                "sy": np.bincount(nks, weights=c, minlength=m),
+                "sxx": np.bincount(nks, weights=q * q, minlength=m),
+                "sxy": np.bincount(nks, weights=q * c, minlength=m),
+                "syy_hi": np.bincount(nks, weights=cc_hi, minlength=m),
+                "syy_lo": np.bincount(nks, weights=cc_lo, minlength=m),
+            }
+            nz = np.flatnonzero(out["n_rows"])
+            cols = {"n_nationkey": pa.array(nz.astype(np.int32), pa.int32())}
+            for k, v in out.items():
+                if k != "n_nationkey":
+                    cols[k] = pa.array(v[nz].astype(np.int64), pa.int64())
+            return pa.table(cols)
+
+    partials = lineitem_ds.map_batches(
+        Moments, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = partials.groupby("n_nationkey").aggregate(
+        *[Sum(k, alias_name=k)
+          for k in ("n_rows", "sx", "sy", "sxx", "sxy", "syy_hi", "syy_lo")]
+    )
+    name_of = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+
+        rows = batch.to_pylist()
+        out = {"n_name": [], "n_rows": [], "corr": [], "slope": [],
+               "intercept": []}
+        for r in rows:  # ≤25 rows total by construction
+            n = int(r["n_rows"])
+            sx, sy = int(r["sx"]), int(r["sy"])
+            sxx, sxy = int(r["sxx"]), int(r["sxy"])
+            syy = (int(r["syy_hi"]) << 32) + int(r["syy_lo"])
+            cov_n = n * sxy - sx * sy          # exact Python ints
+            varx_n = n * sxx - sx * sx
+            vary_n = n * syy - sy * sy
+            corr = (float(cov_n)
+                    / math.sqrt(float(varx_n) * float(vary_n))
+                    if varx_n > 0 and vary_n > 0 else None)
+            slope = (float(cov_n) / float(varx_n)
+                     if varx_n > 0 else None)
+            intercept = ((float(sy) - slope * float(sx)) / float(n)
+                         if slope is not None else None)
+            out["n_name"].append(name_of[int(r["n_nationkey"])])
+            out["n_rows"].append(n)
+            out["corr"].append(corr)
+            out["slope"].append(slope)
+            out["intercept"].append(intercept)
+        return pa.table({
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "corr": pa.array(out["corr"], pa.float64()),
+            "slope": pa.array(out["slope"], pa.float64()),
+            "intercept": pa.array(out["intercept"], pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

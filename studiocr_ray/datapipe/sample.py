@@ -320,3 +320,84 @@ def weighted_sample(ds, k: int = 100, weight_col: str = "n_chars",
         .to_pandas()  # bounded: k rows per batch
     top = top.sort_values(["priority", id_col], kind="mergesort").head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True))
+
+
+def shuffle_rank(ds, id_col: str = "doc_id", num_ranges: int = 4096):
+    """EXACT deterministic global shuffle position per row →
+    ``(id, shuffle_rank)`` with rank 1-based — SQL
+    ``row_number() OVER (ORDER BY splitmix64(id), id)`` semantics
+    WITHOUT a global sort.
+
+    A training run needs the corpus in a reproducible pseudo-random
+    order (epoch shuffling before :func:`~studiocr_ray.datapipe.pack.
+    pack_sequences`); ``random_shuffle()`` is neither deterministic nor
+    resumable.  Ordering by ``splitmix64(id)`` IS a shuffle — the hash
+    avalanches — and is a pure function of the row, so N- and 4N-node
+    runs, re-runs and resumes all agree.
+
+    Two passes, both bounded: (1) rows count into ``num_ranges`` hash
+    ranges (the TOP bits of the hash, so ranges are contiguous in hash
+    order and uniformly sized by avalanche — no skew by construction);
+    the ≤4096-row histogram merges once and its cumulative counts
+    broadcast as per-range global offsets.  (2) rows exchange ONCE keyed
+    by range, each range sorts locally by ``(h, id)``, and
+    ``rank = offset[range] + local_index + 1``.  Equal ids tie-break the
+    (astronomically unlikely) hash collision deterministically."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    shift = np.uint64(64 - int(math.log2(num_ranges)))
+    if (1 << (64 - int(shift))) != num_ranges:
+        raise ValueError("num_ranges must be a power of two")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rng = (splitmix64(ids) >> shift).astype(np.int64)
+        vals, cnts = np.unique(rng, return_counts=True)
+        return pa.table({"rng": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("rng").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: ≤ num_ranges rows
+        .sort_values("rng").reset_index(drop=True)
+    )
+    offsets = np.zeros(num_ranges, np.int64)
+    offsets[hist["rng"].to_numpy()] = hist["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "h": pa.array(h, pa.uint64()),
+            "rng": pa.array((h >> shift).astype(np.int64), pa.int64()),
+        })
+
+    _cache: list = []
+
+    def rank_range(group: pa.Table) -> pa.Table:
+        if not _cache:
+            import ray as _ray
+
+            _cache.append(_ray.get(off_ref))
+        offs = _cache[0]
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        rng = int(group.column("rng")[0].as_py())
+        rank = offs[rng] + np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "shuffle_rank": pa.array(rank, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(rank_range, batch_format="pyarrow")
+    )

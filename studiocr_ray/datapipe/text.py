@@ -324,3 +324,55 @@ def readability_scores(batch: pa.Table, text_col: str = "text",
             "flesch": pa.array(flesch, pa.float64()),
         }
     )
+
+
+def sentence_stats(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Per-document sentence segmentation statistics →
+    ``(doc_id, n_sentences, sum_sentence_chars, mean_sentence_len_u,
+    max_sentence_len)``.
+
+    Sentences are the ``[.!?]+``-delimited segments whose ``\\ \\t\\n\\r``
+    -trimmed form is non-empty; lengths are unicode character counts of
+    the trimmed segment.  The mean ships as the fixed-point integer
+    ``sum*10^6 // n`` (0 when a doc has no sentence) so a SQL oracle
+    matches bit-for-bit.  The segmentation is one Arrow
+    ``split_pattern_regex`` + trim + length over the FLATTENED list (no
+    per-row Python); per-doc aggregation is ``np.add.reduceat`` /
+    ``np.maximum.reduceat`` over the list offsets.  Extends the
+    reference's per-page text stats (StudiOCR/OcrPageData.py) to
+    sentence granularity."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern_regex(text, pattern=r"[.!?]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).fill_null(0) \
+        .to_numpy(zero_copy_only=False)
+    flat = parts.flatten()
+    trimmed = pc.utf8_trim(flat, characters=" \t\n\r")
+    seg_len = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(batch.num_rows), lens)
+    n_docs = batch.num_rows
+    n_sent = np.bincount(doc_of[nonempty], minlength=n_docs) \
+        .astype(np.int64)
+    sum_chars = np.bincount(doc_of[nonempty],
+                            weights=seg_len[nonempty],
+                            minlength=n_docs).astype(np.int64)
+    max_len = np.zeros(n_docs, np.int64)
+    if nonempty.any():
+        np.maximum.at(max_len, doc_of[nonempty], seg_len[nonempty])
+    mean_u = np.where(n_sent > 0,
+                      sum_chars * np.int64(1_000_000)
+                      // np.maximum(n_sent, 1),
+                      0).astype(np.int64)
+    return pa.table({
+        "doc_id": batch.column(id_col),
+        "n_sentences": pa.array(n_sent, pa.int64()),
+        "sum_sentence_chars": pa.array(sum_chars, pa.int64()),
+        "mean_sentence_len_u": pa.array(mean_u, pa.int64()),
+        "max_sentence_len": pa.array(max_len, pa.int64()),
+    })

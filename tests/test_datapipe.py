@@ -3653,3 +3653,239 @@ class TestTriangleCount:
             """
         ).fetchone()[0]
         assert got.column("n_triangles")[0].as_py() == want
+
+
+class TestTwoHopCounts:
+    def test_known_micrograph(self, ray_session):
+        """Hand-checked directed graph; duplicate edges and self loops
+        must not change the counts, and w == v two-hops are excluded."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import two_hop_counts
+
+        edges = [(0, 1), (1, 2), (1, 3), (2, 0), (0, 2),
+                 (0, 1),            # duplicate
+                 (3, 3)]            # self loop
+        rows = [{"src": a, "dst": b} for a, b in edges]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = two_hop_counts(ds).to_pandas().sort_values("v")
+        # 0→{1,2}→{2,3,0}\{0} = {2,3}; 1→{2,3}→{0}; 2→{0}→{1,2}\{2}={1}
+        assert list(map(tuple, got[["v", "n_two_hop"]].values)) == [
+            (0, 2), (1, 1), (2, 1)]
+
+    def test_vs_duckdb_synthetic_graph(self, docs_ds):
+        from studiocr_ray.datapipe.graph import two_hop_counts
+
+        n = docs_ds.count()
+
+        def edges(batch):
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = np.repeat(d, 3)
+            dst = np.stack([(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n],
+                           axis=1).ravel()
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        got = (two_hop_counts(docs_ds.select_columns(["doc_id"])
+                              .map_batches(edges, batch_format="pyarrow"))
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        want = duckdb.sql(
+            f"""
+            WITH d AS (SELECT doc_id
+                       FROM '{SF_DIR}/documents.parquet'),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt)
+                FROM d
+              UNION ALL SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+                FROM d),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+            SELECT a.src AS v,
+                   count(DISTINCT b.dst) AS n_two_hop
+            FROM e a JOIN e b ON b.src = a.dst
+            WHERE b.dst <> a.src
+            GROUP BY a.src ORDER BY v
+            """
+        ).df().reset_index(drop=True)
+        assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+        assert (got["n_two_hop"].to_numpy()
+                == want["n_two_hop"].to_numpy()).all()
+
+
+class TestCorrByNation:
+    def test_vs_duckdb_bit_exact(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import corr_by_nation
+
+        li = rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+        )
+        got = (corr_by_nation(li, SF_DIR).to_pandas()
+               .sort_values("n_name").reset_index(drop=True))
+        want = duckdb.sql(
+            f"""
+            WITH li AS (
+              SELECT s_nationkey,
+                     CAST(floor(l_quantity) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS c
+              FROM '{SF_DIR}/lineitem.parquet'
+              JOIN '{SF_DIR}/supplier.parquet' ON l_suppkey = s_suppkey),
+            m AS (
+              SELECT s_nationkey, count(*) AS n,
+                     sum(q) AS sx, sum(c) AS sy,
+                     sum(q*q) AS sxx, sum(q*c) AS sxy,
+                     sum(CAST(c AS HUGEINT)*c) AS syy
+              FROM li GROUP BY s_nationkey)
+            SELECT n_name, CAST(n AS BIGINT) AS n_rows,
+              CAST(n*sxy - sx*sy AS DOUBLE)
+                / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                       * CAST(n*syy - sy*sy AS DOUBLE)) AS corr,
+              CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+              (CAST(sy AS DOUBLE)
+               - (CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept
+            FROM m JOIN '{SF_DIR}/nation.parquet'
+              ON n_nationkey = s_nationkey
+            ORDER BY n_name
+            """
+        ).df().reset_index(drop=True)
+        assert list(got["n_name"]) == list(want["n_name"])
+        for c in ["n_rows", "corr", "slope", "intercept"]:
+            # bit-exact: both sides compute the same IEEE expression tree
+            # over identical exact integer moments
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_perfect_line(self, ray_session):
+        """y = 200x exactly (cents) → corr 1.0, slope 200, intercept 0."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import corr_by_nation
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+        )
+
+        def rewrite(batch):
+            q = batch.column("l_quantity")
+            return pa.table({
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_quantity": q,
+                "l_extendedprice": pa.compute.multiply(q, 2.0),
+            })
+
+        got = corr_by_nation(
+            ds.map_batches(rewrite, batch_format="pyarrow"), SF_DIR
+        ).to_pandas()
+        assert (got["corr"] == 1.0).all()
+        assert (got["slope"] == 200.0).all()
+        assert (got["intercept"] == 0.0).all()
+
+
+class TestSentenceStats:
+    def test_vs_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.text import sentence_stats
+
+        got = (docs_ds.select_columns(["doc_id", "text"])
+               .map_batches(sentence_stats, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = duckdb.sql(
+            f"""
+            WITH segs AS (
+              SELECT doc_id,
+                     trim(s.seg, ' ' || chr(9) || chr(10) || chr(13)) AS seg
+              FROM '{SF_DIR}/documents.parquet',
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS s(seg)),
+            ne AS (SELECT doc_id, length(seg) AS l FROM segs
+                   WHERE seg <> ''),
+            agg AS (SELECT doc_id, count(*) AS n, sum(l) AS sc,
+                           max(l) AS mx
+                    FROM ne GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n, 0) AS n_sentences,
+                   CAST(COALESCE(a.sc, 0) AS BIGINT) AS sum_sentence_chars,
+                   CASE WHEN a.n > 0
+                        THEN CAST(a.sc * 1000000 // a.n AS BIGINT)
+                        ELSE 0 END AS mean_sentence_len_u,
+                   COALESCE(a.mx, 0) AS max_sentence_len
+            FROM '{SF_DIR}/documents.parquet' d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+            """
+        ).df().reset_index(drop=True)
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_edge_rows(self, ray_session):
+        """Empty text, punctuation-only, unicode chars, no terminal
+        punctuation."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import sentence_stats
+
+        rows = [
+            {"doc_id": 0, "text": ""},
+            {"doc_id": 1, "text": "..!?  .."},
+            {"doc_id": 2, "text": "héllo wörld. ça va"},
+            {"doc_id": 3, "text": "no terminal punctuation at all"},
+        ]
+        got = (rd.from_arrow(pa.Table.from_pylist(rows))
+               .map_batches(sentence_stats, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(got["n_sentences"]) == [0, 0, 2, 1]
+        # "héllo wörld" = 11 unicode chars, "ça va" = 5
+        assert list(got["sum_sentence_chars"]) == [0, 0, 16, 30]
+        assert list(got["max_sentence_len"]) == [0, 0, 11, 30]
+        assert list(got["mean_sentence_len_u"]) == [0, 0, 8_000_000,
+                                                    30_000_000]
+
+
+class TestShuffleRank:
+    def test_vs_duckdb_row_number(self, docs_ds):
+        from studiocr_ray.datapipe.sample import shuffle_rank
+
+        got = (shuffle_rank(docs_ds.select_columns(["doc_id"]))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = duckdb.sql(
+            f"""
+            WITH s0 AS (SELECT doc_id,
+                   CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+                        % 18446744073709551616 AS UBIGINT) AS z
+                 FROM '{SF_DIR}/documents.parquet'),
+            s1 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                         * 13787848793156543929)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+            s2 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                         * 10723151780598845931)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            h AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s2)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+                     AS shuffle_rank
+            FROM h ORDER BY doc_id
+            """
+        ).df().reset_index(drop=True)
+        assert (got["shuffle_rank"].to_numpy()
+                == want["shuffle_rank"].to_numpy()).all()
+
+    def test_is_permutation_and_deterministic(self, docs_ds):
+        from studiocr_ray.datapipe.sample import shuffle_rank
+
+        ids = docs_ds.select_columns(["doc_id"])
+        a = (shuffle_rank(ids).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (shuffle_rank(ids.repartition(7)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        n = len(a)
+        assert sorted(a["shuffle_rank"]) == list(range(1, n + 1))
+        # partitioning-invariant: pure function of the row set
+        assert (a["shuffle_rank"].to_numpy()
+                == b["shuffle_rank"].to_numpy()).all()
