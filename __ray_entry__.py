@@ -1169,12 +1169,20 @@ def _q_dup_passage_stats(sf_dir: str):
 
 SOURCE_CAP_K = 5
 BIGRAM_K = 20
+PMI_K = 30
+PMI_MIN_COUNT = 5
 
 
 def _q_topk_bigrams(sf_dir: str):
     from studiocr_ray.datapipe.relational import topk_bigrams
 
     return topk_bigrams(_docs(sf_dir), k=BIGRAM_K)
+
+
+def _q_pmi_topk(sf_dir: str):
+    from studiocr_ray.datapipe.relational import pmi_topk
+
+    return pmi_topk(_docs(sf_dir), k=PMI_K, min_count=PMI_MIN_COUNT)
 
 
 def _q_source_cap(sf_dir: str):
@@ -2149,6 +2157,94 @@ def _q_two_hop(sf_dir: str):
     return two_hop_counts(docs.map_batches(edges, batch_format="pyarrow"))
 
 
+WALK_LENGTH = 3
+
+
+def _q_random_walks(sf_dir: str):
+    """Deterministic pseudo-random walks over the triangles/two_hop
+    synthetic directed webgraph; the oracle unrolls the same splitmix64
+    next-hop choice step by step in UHUGEINT arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import random_walks
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("doc_id")})
+
+    return random_walks(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        docs.map_batches(nodes, batch_format="pyarrow"),
+        length=WALK_LENGTH,
+    )
+
+
+def _walks_sql(length: int) -> str:
+    """Unroll random_walks' deterministic next-hop rule: per step, four
+    chained splitmix64 CTEs (UHUGEINT mod-2^64, the shuffle_rank oracle
+    pattern) then row_number() OVER (PARTITION BY start ORDER BY h, dst)
+    = 1 — the same (hash, dst) argmin the engine computes."""
+    m64 = "18446744073709551616"
+    ctes = ["""nodes AS (SELECT doc_id AS v FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        raw AS (
+          SELECT v AS src, (v+1) % (SELECT n FROM nn) AS dst FROM nodes
+          UNION ALL SELECT v, (v+2) % (SELECT n FROM nn) FROM nodes
+          UNION ALL SELECT v, (v*3+1) % (SELECT n FROM nn) FROM nodes),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        w0 AS (SELECT v AS s, v AS cur FROM nodes)"""]
+    for t in range(length):
+        # every operand explicitly UHUGEINT: DuckDB resolves a UHUGEINT
+        # mixed with an INTEGER literal via DOUBLE, which silently rounds
+        # at 2^64 scale and collapses the per-dst seeds
+        ctes.append(f"""c{t}0 AS (
+          SELECT w.s, e.dst,
+                 CAST((CAST(w.s AS UHUGEINT) * CAST(1000003 AS UHUGEINT)
+                       + CAST({t} AS UHUGEINT) * CAST(999983 AS UHUGEINT)
+                       + CAST(e.dst AS UHUGEINT)
+                       + CAST(11400714819323198485 AS UHUGEINT))
+                      % {m64} AS UBIGINT) AS z
+          FROM w{t} w JOIN e ON e.src = w.cur)""")
+        ctes.append(f"""c{t}1 AS (
+          SELECT s, dst, CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                               * 13787848793156543929) % {m64}
+                              AS UBIGINT) AS z FROM c{t}0)""")
+        ctes.append(f"""c{t}2 AS (
+          SELECT s, dst, CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                               * 10723151780598845931) % {m64}
+                              AS UBIGINT) AS z FROM c{t}1)""")
+        ctes.append(f"""c{t}3 AS (
+          SELECT s, dst, xor(z, z >> 31) AS h FROM c{t}2)""")
+        ctes.append(f"""w{t + 1} AS (
+          SELECT s, dst AS cur FROM (
+            SELECT s, dst,
+                   row_number() OVER (PARTITION BY s
+                                      ORDER BY h, dst) AS rk
+            FROM c{t}3
+          ) WHERE rk = 1)""")
+    selects = ["SELECT s AS start, CAST(0 AS BIGINT) AS step, "
+               "cur AS node FROM w0"]
+    for t in range(1, length + 1):
+        selects.append(f"SELECT s, CAST({t} AS BIGINT), cur FROM w{t}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
 def _q_corr_by_nation(sf_dir: str):
     import ray.data as rd
 
@@ -2199,7 +2295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     segment_mode, validate_orders, cdc_upsert, setsim_join,
     weighted_sample, rank_bins, transitions, rolling_active,
     join_broadcast, session_stats, containment, triangles,
-    two_hop, corr_by_nation, sentence_stats, shuffle_rank)
+    two_hop, corr_by_nation, sentence_stats, shuffle_rank,
+    pmi_topk, random_walks)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2342,6 +2439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_by_nation": _q_corr_by_nation,
         "sentence_stats": _q_sentence_stats,
         "shuffle_rank": _q_shuffle_rank,
+        "pmi_topk": _q_pmi_topk,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -4003,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank, K unrolled damping steps over the synthetic graph
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
+        "random_walks": _walks_sql(WALK_LENGTH),
         "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),
         "semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_DIM, SEMDEDUP_T
@@ -4130,6 +4230,37 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY cnt DESC, bigram) AS rk
               FROM c
             ) WHERE rk <= {BIGRAM_K}
+        """,
+        # PMI: same token/bigram derivation; the score expression tree
+        # (each count cast to double, one ratio, ln, *1e6, floor) is
+        # written identically in relational.pmi_topk so the fixed-point
+        # ints match bit-for-bit
+        "pmi_topk": f"""
+            WITH tk AS (SELECT doc_id,
+                               {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            uni AS (SELECT u.tok, count(*) AS c
+                    FROM tk, UNNEST(tk.tk) AS u(tok) GROUP BY u.tok),
+            tot AS (SELECT sum(c) AS n FROM uni),
+            bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+                   FROM tk,
+                        UNNEST(generate_series(1, len(tk) - 1)) AS g(i)),
+            c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+                  HAVING count(*) >= {PMI_MIN_COUNT}),
+            sc AS (SELECT bigram, cnt,
+                     CAST(floor(ln(
+                       (CAST(cnt AS DOUBLE)
+                        * CAST((SELECT n FROM tot) AS DOUBLE))
+                       / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+                     ) * 1000000.0) AS BIGINT) AS pmi_u
+                   FROM c
+                   JOIN uni u1 ON u1.tok = split_part(bigram, ' ', 1)
+                   JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2))
+            SELECT bigram, cnt, pmi_u FROM (
+              SELECT bigram, cnt, pmi_u,
+                     row_number() OVER (ORDER BY pmi_u DESC, bigram) AS rk
+              FROM sc
+            ) WHERE rk <= {PMI_K}
         """,
         # per-source quota: top-K by (n_chars DESC, doc_id ASC) per source
         "source_cap": f"""

@@ -362,3 +362,123 @@ def two_hop_counts(edges_ds, num_buckets: int = 64):
         .groupby("wb").map_groups(distinct_partial, batch_format="pyarrow")
         .groupby("v").aggregate(Sum("n", alias_name="n_two_hop"))
     )
+
+
+def random_walks(edges_ds, nodes_ds, length: int = 4,
+                 num_buckets: int = 32):
+    """DETERMINISTIC pseudo-random walks of ``length`` steps from every
+    node → ``(start, step, node)`` rows, step 0..length — graph-context
+    sampling for node2vec/DeepWalk-style training data (Grover &
+    Leskovec, KDD 2016) made reproducible: the next hop from ``cur`` in
+    the walk started at ``s`` on step ``t`` is the out-neighbor ``w``
+    minimizing ``(splitmix64(s·1000003 + t·999983 + w), w)`` — a pure
+    function of the row, so N- and 4N-node runs, re-runs and resumes
+    produce byte-identical walks, and a SQL oracle can unroll the same
+    steps (splitmix64 is UHUGEINT-expressible, see
+    ``oracle_sql()['shuffle_rank']``).  Walks terminate early at sinks
+    (no out-edges).
+
+    Scale shape — ONE all-to-all per step, the pagerank_int pattern:
+    walk rows (narrow ints) co-partition with edge rows by
+    ``hash(cur) == hash(src)``; each bucket advances its walks with a
+    fully vectorized segment-argmin over the walks' neighbor runs
+    (searchsorted + repeat + lexsort, no per-walk Python), emits visit
+    rows, and passes edges through re-keyed.  The ``length`` steps build
+    one fixed-depth lazy lineage executed in a single streaming run."""
+    from ..functions.arrowutil import id_buckets
+    from .dedup import _flat_arr
+    from .sample import splitmix64
+
+    K1 = np.uint64(1000003)
+    K2 = np.uint64(999983)
+
+    def _b(arr) -> pa.Array:
+        return pa.array(id_buckets(arr, num_buckets), pa.int32())
+
+    # unified row schema:
+    #   role 0 (walk):  a = cur,   o = start, t = step   (bucket hash(cur))
+    #   role 1 (edge):  a = src,   o = dst,   t unused   (bucket hash(src))
+    #   role 2 (visit): a = start, o = node,  t = step   (passthrough)
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("v")
+        n = batch.num_rows
+        return pa.table({
+            "b": pa.concat_arrays([_b(v), _b(v)]),
+            "role": pa.array(np.concatenate(
+                [np.zeros(n, np.int8), np.full(n, 2, np.int8)])),
+            "a": pa.concat_arrays([_flat_arr(v), _flat_arr(v)]),
+            "o": pa.concat_arrays([_flat_arr(v), _flat_arr(v)]),
+            "t": pa.array(np.zeros(2 * n, np.int64)),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        return pa.table({
+            "b": _b(src),
+            "role": pa.array(np.ones(batch.num_rows, np.int8)),
+            "a": src,
+            "o": batch.column("dst"),
+            "t": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def step(group: pa.Table) -> pa.Table:
+        walks = group.filter(pc.equal(group.column("role"), 0))
+        edges = group.filter(pc.equal(group.column("role"), 1))
+        visits = group.filter(pc.equal(group.column("role"), 2))
+        out = [visits, edges]
+        if walks.num_rows and edges.num_rows:
+            e = edges.sort_by([("a", "ascending")])
+            esrc = e.column("a").to_numpy(zero_copy_only=False)
+            edst = e.column("o").to_numpy(zero_copy_only=False)
+            cur = walks.column("a").to_numpy(zero_copy_only=False)
+            start = walks.column("o").to_numpy(zero_copy_only=False)
+            ts = walks.column("t").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(esrc, cur, side="left")
+            hi = np.searchsorted(esrc, cur, side="right")
+            alive = hi > lo
+            if alive.any():
+                lo, hi = lo[alive], hi[alive]
+                start, ts = start[alive], ts[alive]
+                reps = hi - lo
+                total = int(reps.sum())
+                base = np.repeat(lo, reps)
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(reps) - reps, reps)
+                dsts = edst[base + offs]
+                h = splitmix64(
+                    np.repeat(start, reps).astype(np.uint64) * K1
+                    + np.repeat(ts, reps).astype(np.uint64) * K2
+                    + dsts.astype(np.uint64)
+                )
+                seg = np.repeat(np.arange(len(reps)), reps)
+                order = np.lexsort((dsts, h, seg))
+                first = np.concatenate(
+                    ([0], np.cumsum(reps)[:-1])).astype(np.int64)
+                nxt = dsts[order[first]]
+                nb = pa.array(id_buckets(
+                    pa.array(nxt, pa.int64()), num_buckets), pa.int32())
+                n = len(nxt)
+                out.append(pa.table({
+                    "b": pa.concat_arrays([nb, nb]),
+                    "role": pa.array(np.concatenate(
+                        [np.zeros(n, np.int8), np.full(n, 2, np.int8)])),
+                    "a": pa.array(np.concatenate([nxt, start]), pa.int64()),
+                    "o": pa.array(np.concatenate([start, nxt]), pa.int64()),
+                    "t": pa.array(np.concatenate([ts + 1, ts + 1]),
+                                  pa.int64()),
+                }))
+        return pa.concat_tables([t for t in out if t.num_rows]) \
+            if any(t.num_rows for t in out) else group.slice(0, 0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.filter(pc.equal(batch.column("role"), 2))
+        return pa.table({"start": v.column("a"),
+                         "step": v.column("t"),
+                         "node": v.column("o")})
+
+    rows = nodes_ds.map_batches(seed_rows, batch_format="pyarrow").union(
+        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    for _ in range(length):
+        rows = rows.groupby("b").map_groups(step, batch_format="pyarrow")
+    return rows.map_batches(finish, batch_format="pyarrow")

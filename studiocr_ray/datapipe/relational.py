@@ -2593,3 +2593,80 @@ def corr_by_nation(lineitem_ds, sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text"):
+    """Top-k collocations by pointwise mutual information →
+    ``(bigram, cnt, pmi_u)`` with ``pmi_u = floor(ln(c_xy·N /
+    (c_x·c_y)) · 10^6)`` — classic phrase mining (Church & Hanks 1990)
+    for tokenizer-vocabulary and phrase-list prep over a corpus.
+
+    Exactness: every count is an exact int64; the score applies ONE
+    float expression tree — ``(c_xy·N) / (c_x·c_y)`` with each operand
+    cast to double first, then ``ln``, ``·1e6``, ``floor`` — written
+    identically in the SQL oracle, so the libm-identical doubles
+    fixed-point-quantize to the same int on both sides (the
+    ``weighted_sample`` precedent).
+
+    Scale shape: bigram counts come from :func:`bigram_counts` (term-hash
+    bucketed merge, bigram-vocabulary-bounded rows); unigram counts ride
+    in as ONE broadcast table (``ray.put`` once, ``pc.index_in`` per
+    batch — the vocabulary-bounded contract shared with
+    ``tfidf_topk``; at open vocabulary co-partition the attach by word
+    hash instead, the ``lm.unigram_logprob(strategy="shuffle")``
+    pattern).  Scoring is a per-batch top-k combiner (≤k rows out per
+    batch) + one bounded driver merge — the bigram table never sorts."""
+    import ray
+
+    bg = bigram_counts(ds, text_col=text_col)
+    wc = word_count(ds, text_col=text_col).to_pandas()  # vocab-bounded
+    n_tokens = float(wc["cnt"].sum())
+    vocab_ref = ray.put(
+        (pa.array(wc["term"], pa.string()),
+         wc["cnt"].to_numpy().astype(np.int64))
+    )
+    _cache: list = []
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not _cache:
+            import ray as _ray
+
+            _cache.append(_ray.get(vocab_ref))
+        words, ucnt = _cache[0]
+        cxy = batch.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = cxy >= min_count
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "pmi_u": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        t = batch.filter(pa.array(keep))
+        cxy = cxy[keep]
+        parts = pc.split_pattern(t.column("bigram"), " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        cx = ucnt[pc.index_in(w1, value_set=words)
+                  .to_numpy(zero_copy_only=False)]
+        cy = ucnt[pc.index_in(w2, value_set=words)
+                  .to_numpy(zero_copy_only=False)]
+        ratio = (cxy.astype(np.float64) * n_tokens) \
+            / (cx.astype(np.float64) * cy.astype(np.float64))
+        pmi = np.floor(np.log(ratio) * 1e6).astype(np.int64)
+        bigram = t.column("bigram").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bigram, -pmi))[:k]
+        return pa.table({
+            "bigram": pa.array(bigram[order], pa.string()),
+            "cnt": pa.array(cxy[order], pa.int64()),
+            "pmi_u": pa.array(pmi[order], pa.int64()),
+        })
+
+    top = bg.map_batches(combiner, batch_format="pyarrow") \
+        .to_pandas()  # bounded: ≤ k rows per bucket batch
+    top = top.sort_values(["pmi_u", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True))

@@ -3889,3 +3889,123 @@ class TestShuffleRank:
         # partitioning-invariant: pure function of the row set
         assert (a["shuffle_rank"].to_numpy()
                 == b["shuffle_rank"].to_numpy()).all()
+
+
+class TestPmiTopk:
+    def test_vs_duckdb_bit_exact(self, docs_ds):
+        from studiocr_ray.datapipe.relational import pmi_topk
+
+        got = pmi_topk(docs_ds, k=25, min_count=5).to_pandas()
+        want = duckdb.sql(
+            f"""
+            WITH tk AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                     unnest(toks) AS tok
+              FROM (SELECT doc_id,
+                           list_filter(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+                    FROM '{SF_DIR}/documents.parquet')),
+            uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM tk),
+            bg AS (SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS cnt
+                   FROM tk a JOIN tk b
+                     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1 HAVING count(*) >= 5),
+            sc AS (SELECT bigram, cnt,
+                     CAST(floor(ln(
+                       (CAST(cnt AS DOUBLE)
+                        * CAST((SELECT n FROM tot) AS DOUBLE))
+                       / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+                     ) * 1000000.0) AS BIGINT) AS pmi_u
+                   FROM bg
+                   JOIN uni u1 ON u1.tok = split_part(bigram, ' ', 1)
+                   JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2))
+            SELECT bigram, cnt, pmi_u FROM sc
+            ORDER BY pmi_u DESC, bigram LIMIT 25
+            """
+        ).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_known_collocation(self, ray_session):
+        """A pair that always co-occurs gets higher PMI than a pair whose
+        halves also appear independently."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import pmi_topk
+
+        rows = []
+        for i in range(10):
+            rows.append({"doc_id": i, "text": "san francisco"})
+            rows.append({"doc_id": 100 + i, "text": "new york"})
+            rows.append({"doc_id": 200 + i, "text": "new deal"})
+        got = pmi_topk(rd.from_arrow(pa.Table.from_pylist(rows)),
+                       k=5, min_count=5).to_pandas()
+        assert got["bigram"].iloc[0] == "san francisco"
+        pmi = dict(zip(got["bigram"], got["pmi_u"]))
+        assert pmi["san francisco"] > pmi["new york"]
+
+
+class TestRandomWalks:
+    def test_vs_bruteforce_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import random_walks
+        from studiocr_ray.datapipe.sample import splitmix64
+
+        N = 50
+        v = np.arange(N, dtype=np.int64)
+        src = np.repeat(v, 3)
+        dst = np.stack([(v + 1) % N, (v + 2) % N, (v * 3 + 1) % N],
+                       axis=1).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        nodes = pa.table({"v": pa.array(v)})
+
+        got = (random_walks(rd.from_arrow(edges).repartition(4),
+                            rd.from_arrow(nodes).repartition(3), length=4)
+               .to_pandas().sort_values(["start", "step"])
+               .reset_index(drop=True))
+
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(src, dst):
+            adj.setdefault(int(s), []).append(int(d))
+        K1, K2 = np.uint64(1000003), np.uint64(999983)
+        rows = []
+        for s in range(N):
+            cur = s
+            rows.append((s, 0, s))
+            for t in range(4):
+                nb = adj.get(cur, [])
+                if not nb:
+                    break
+                hs = splitmix64(np.uint64(s) * K1 + np.uint64(t) * K2
+                                + np.array(nb, dtype=np.uint64))
+                cur = sorted(zip(hs.tolist(), nb))[0][1]
+                rows.append((s, t + 1, cur))
+        want = pd.DataFrame(rows, columns=["start", "step", "node"]) \
+            .sort_values(["start", "step"]).reset_index(drop=True)
+        assert got.equals(want)
+
+        got2 = (random_walks(rd.from_arrow(edges).repartition(9),
+                             rd.from_arrow(nodes), length=4)
+                .to_pandas().sort_values(["start", "step"])
+                .reset_index(drop=True))
+        assert got.equals(got2)
+
+    def test_sink_terminates_walk(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import random_walks
+
+        edges = pa.table({"src": pa.array([0], pa.int64()),
+                          "dst": pa.array([1], pa.int64())})
+        nodes = pa.table({"v": pa.array([0, 1], pa.int64())})
+        got = (random_walks(rd.from_arrow(edges), rd.from_arrow(nodes),
+                            length=3)
+               .to_pandas().sort_values(["start", "step"])
+               .reset_index(drop=True))
+        # 0 walks one step to the sink 1 and stops; 1 never moves
+        assert list(map(tuple, got.values)) == [(0, 0, 0), (0, 1, 1),
+                                                (1, 0, 1)]
