@@ -2158,6 +2158,76 @@ def _q_two_hop(sf_dir: str):
 
 
 WALK_LENGTH = 3
+HITS_ITERS = 2
+HITS_UNIT = 10_000
+HITS_DIV = 2
+
+
+def _q_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the triangles/two_hop synthetic
+    directed webgraph; the oracle unrolls the same integer half-rounds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import hits_int
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        keep = src != dst
+        s, t = src[keep], dst[keep]
+        key = np.unique(s * np.int64(n) + t)
+        return pa.table({"src": pa.array(key // n, pa.int64()),
+                         "dst": pa.array(key % n, pa.int64())})
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("doc_id")})
+
+    return hits_int(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        docs.map_batches(nodes, batch_format="pyarrow"),
+        iters=HITS_ITERS, unit=HITS_UNIT, div=HITS_DIV,
+    )
+
+
+def _hits_sql(iters: int, unit: int, div: int) -> str:
+    ctes = ["""nodes AS (SELECT doc_id AS v FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        raw AS (
+          SELECT v AS src, (v+1) % (SELECT n FROM nn) AS dst FROM nodes
+          UNION ALL SELECT v, (v+2) % (SELECT n FROM nn) FROM nodes
+          UNION ALL SELECT v, (v*3+1) % (SELECT n FROM nn) FROM nodes),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)""",
+            f"h0 AS (SELECT v, CAST({unit} AS BIGINT) AS p FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k} AS (
+          SELECT nodes.v,
+                 CAST(coalesce(s.s, 0) // {div} AS BIGINT) AS p
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS v, sum(h{k - 1}.p) AS s
+            FROM e JOIN h{k - 1} ON h{k - 1}.v = e.src
+            GROUP BY e.dst
+          ) s ON s.v = nodes.v)""")
+        ctes.append(f"""h{k} AS (
+          SELECT nodes.v,
+                 CAST(coalesce(s.s, 0) // {div} AS BIGINT) AS p
+          FROM nodes LEFT JOIN (
+            SELECT e.src AS v, sum(a{k}.p) AS s
+            FROM e JOIN a{k} ON a{k}.v = e.dst
+            GROUP BY e.src
+          ) s ON s.v = nodes.v)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+            SELECT h.v AS doc_id, h.p AS hub_u, a.p AS auth_u
+            FROM h{iters} h JOIN a{iters} a ON a.v = h.v""")
 
 
 def _q_random_walks(sf_dir: str):
@@ -2296,7 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     weighted_sample, rank_bins, transitions, rolling_active,
     join_broadcast, session_stats, containment, triangles,
     two_hop, corr_by_nation, sentence_stats, shuffle_rank,
-    pmi_topk, random_walks)
+    pmi_topk, random_walks, hits)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2441,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": _q_shuffle_rank,
         "pmi_topk": _q_pmi_topk,
         "random_walks": _q_random_walks,
+        "hits": _q_hits,
     }
 
 
@@ -4103,6 +4174,7 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank, K unrolled damping steps over the synthetic graph
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
         "random_walks": _walks_sql(WALK_LENGTH),
+        "hits": _hits_sql(HITS_ITERS, HITS_UNIT, HITS_DIV),
         "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),
         "semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_DIM, SEMDEDUP_T

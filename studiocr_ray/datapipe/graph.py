@@ -482,3 +482,174 @@ def random_walks(edges_ds, nodes_ds, length: int = 4,
     for _ in range(length):
         rows = rows.groupby("b").map_groups(step, batch_format="pyarrow")
     return rows.map_batches(finish, batch_format="pyarrow")
+
+
+def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
+             div: int = 1, num_buckets: int = 32):
+    """Integer HITS hubs & authorities (Kleinberg, JACM 1999) →
+    ``(doc_id, hub_u, auth_u)`` after ``iters`` synchronous rounds:
+    ``a'(v) = (Σ_{u→v} h(u)) // div`` then ``h'(u) = (Σ_{u→v} a'(v)) //
+    div``, seeded ``h0 = unit``.  All arithmetic is int64 ``+``/``//``,
+    so the scores are bit-reproducible across batch sizes, partitionings
+    and cluster shapes, and a SQL oracle unrolls the same rounds.  In
+    place of the float L2 normalization (addition-order-dependent, never
+    hash-matchable) the fixed ``div`` bounds growth: magnitudes scale
+    ~``(d_in·d_out/div²)`` per round, so pick ``div ≈ mean degree`` (or
+    leave 1 for small ``iters``) to keep ``unit·(d²/div²)^iters`` inside
+    int64 — rankings, the product HITS consumes, are unaffected.
+
+    Scale shape — the :func:`pagerank_int` fusion with an ALTERNATING
+    key: each half-round is ONE all-to-all in which a bucket sums its
+    nodes' incoming contributions, immediately emits the opposite-role
+    contributions along its resident edges, and re-keys the edges for
+    the next half-round (src-hash ↔ dst-hash).  Rows are narrow ints;
+    scores never touch the driver; the ``2·iters`` half-rounds build one
+    fixed-depth lazy lineage.  Nodes with no in-edges hold a = 0 (and
+    h = 0 once out-contributions require them); every node appears in
+    the output because zero rows persist node presence per bucket."""
+    from .dedup import _flat_arr
+
+    def _b(arr) -> pa.Array:
+        from ..functions.arrowutil import id_buckets
+
+        return pa.array(id_buckets(arr, num_buckets), pa.int32())
+
+    # role 0: contribution/score row  (a = node, val = score term)
+    # role 1: edge row                (a = key end, o = other end)
+    # Invariant entering a half-round keyed for side S ∈ {src, dst}:
+    # contribution rows of S-nodes and edge rows keyed by their S end.
+    def seed_scores(batch: pa.Table) -> pa.Table:
+        v = batch.column("v")
+        return pa.table({
+            "b": _b(v),
+            "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "a": v,
+            "o": v,
+            "val": pa.array(np.full(batch.num_rows, unit * div, np.int64)),
+        })
+
+    def seed_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        return pa.table({
+            "b": _b(src),
+            "role": pa.array(np.ones(batch.num_rows, np.int8)),
+            "a": src,
+            "o": batch.column("dst"),
+            "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def half(group: pa.Table, last: bool = False) -> pa.Table:
+        """Sum contributions → score; emit score along edges keyed by the
+        OTHER end; re-key edges by their other end."""
+        contrib = group.filter(pc.equal(group.column("role"), 0))
+        edges = group.filter(pc.equal(group.column("role"), 1))
+        t = contrib.sort_by([("a", "ascending")])
+        from ..functions.arrowutil import first_of_run_mask
+
+        first = first_of_run_mask([t.column("a")])
+        sums = np.add.reduceat(
+            t.column("val").to_numpy(zero_copy_only=False),
+            np.flatnonzero(first),
+        ) // div
+        v = _flat_arr(t.column("a")).filter(pa.array(first))
+        if last:
+            return pa.table({"doc_id": v,
+                             "score_u": pa.array(sums, pa.int64())})
+        zero = pa.table({
+            "b": _b(v),
+            "role": pa.array(np.zeros(len(v), np.int8)),
+            "a": v,
+            "o": v,
+            "val": pa.array(np.zeros(len(v), np.int64)),
+        })
+        if edges.num_rows == 0:
+            return zero
+        idx = pc.index_in(edges.column("a"), value_set=v)
+        sc = pa.array(sums, pa.int64()).take(idx) \
+            .to_numpy(zero_copy_only=False)
+        sc = np.nan_to_num(sc, nan=0.0).astype(np.int64) \
+            if sc.dtype != np.int64 else sc
+        other = edges.column("o")
+        out = pa.table({
+            "b": _b(other),
+            "role": pa.array(np.zeros(edges.num_rows, np.int8)),
+            "a": other,
+            "o": other,
+            "val": pa.array(sc, pa.int64()),
+        })
+        flipped = pa.table({
+            "b": _b(other),
+            "role": pa.array(np.ones(edges.num_rows, np.int8)),
+            "a": other,
+            "o": edges.column("a"),
+            "val": pa.array(np.zeros(edges.num_rows, np.int64)),
+        })
+        return pa.concat_tables([zero, out, flipped])
+
+    def half_emit_auth(group: pa.Table) -> pa.Table:
+        """The (2·iters-1)-th half-round: advance normally AND emit the
+        authority scores as role-2 passthrough rows keyed by node hash,
+        so one lineage yields both final score families."""
+        out = half(group)
+        if "doc_id" in out.column_names:  # pragma: no cover - not last
+            return out
+        contrib = group.filter(pc.equal(group.column("role"), 0))
+        t = contrib.sort_by([("a", "ascending")])
+        from ..functions.arrowutil import first_of_run_mask
+
+        first = first_of_run_mask([t.column("a")])
+        sums = np.add.reduceat(
+            t.column("val").to_numpy(zero_copy_only=False),
+            np.flatnonzero(first),
+        ) // div
+        v = _flat_arr(t.column("a")).filter(pa.array(first))
+        keep = pa.table({
+            "b": _b(v),
+            "role": pa.array(np.full(len(v), 2, np.int8)),
+            "a": v,
+            "o": v,
+            "val": pa.array(sums, pa.int64()),
+        })
+        return pa.concat_tables([out, keep])
+
+    def last_half(group: pa.Table) -> pa.Table:
+        """Final half-round: hub sums + the passthrough authority rows
+        combine in-bucket into (doc_id, hub_u, auth_u)."""
+        from ..functions.arrowutil import first_of_run_mask
+
+        contrib = group.filter(pc.equal(group.column("role"), 0))
+        auth = group.filter(pc.equal(group.column("role"), 2))
+        t = contrib.sort_by([("a", "ascending")])
+        first = first_of_run_mask([t.column("a")])
+        sums = np.add.reduceat(
+            t.column("val").to_numpy(zero_copy_only=False),
+            np.flatnonzero(first),
+        ) // div
+        v = _flat_arr(t.column("a")).filter(pa.array(first))
+        idx = pc.index_in(v, value_set=auth.column("a"))
+        a_val = auth.column("val").take(idx).to_numpy(
+            zero_copy_only=False)
+        a_val = np.where(np.isnan(a_val), 0, a_val).astype(np.int64) \
+            if a_val.dtype.kind == "f" else a_val.astype(np.int64)
+        return pa.table({
+            "doc_id": v,
+            "hub_u": pa.array(sums, pa.int64()),
+            "auth_u": pa.array(a_val, pa.int64()),
+        })
+
+    rows = nodes_ds.map_batches(
+        seed_scores, batch_format="pyarrow"
+    ).union(edges_ds.map_batches(seed_edges, batch_format="pyarrow"))
+    # Half-round k's bucket SUM recovers the score emitted by half-round
+    # k-1 (the pagerank_int phasing): hr1 recovers h0 = unit (seeds carry
+    # val = unit·div so the division restores unit exactly) and emits it;
+    # hr2 recovers a1; ...; hr 2·iters recovers a_iters (emitted as the
+    # role-2 authority rows); hr 2·iters+1 recovers h_iters.
+    for _ in range(2 * iters - 1):
+        rows = rows.groupby("b").map_groups(half, batch_format="pyarrow")
+    rows = rows.groupby("b").map_groups(
+        half_emit_auth, batch_format="pyarrow"
+    )
+    return rows.groupby("b").map_groups(
+        last_half, batch_format="pyarrow"
+    )

@@ -4009,3 +4009,65 @@ class TestRandomWalks:
         # 0 walks one step to the sink 1 and stops; 1 never moves
         assert list(map(tuple, got.values)) == [(0, 0, 0), (0, 1, 1),
                                                 (1, 0, 1)]
+
+
+class TestHitsInt:
+    def _brute(self, src, dst, n, iters, unit, div):
+        h = {x: unit for x in range(n)}
+        a = {x: 0 for x in range(n)}
+        E = list(zip(src.tolist(), dst.tolist()))
+        for _ in range(iters):
+            an = {x: 0 for x in range(n)}
+            for s, d in E:
+                an[d] += h[s]
+            a = {x: val // div for x, val in an.items()}
+            hn = {x: 0 for x in range(n)}
+            for s, d in E:
+                hn[s] += a[d]
+            h = {x: val // div for x, val in hn.items()}
+        return pd.DataFrame({
+            "doc_id": range(n),
+            "hub_u": [h[x] for x in range(n)],
+            "auth_u": [a[x] for x in range(n)],
+        })
+
+    def test_vs_bruteforce_synthetic_graph(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import hits_int
+
+        N = 40
+        v = np.arange(N, dtype=np.int64)
+        src = np.repeat(v, 3)
+        dst = np.stack([(v + 1) % N, (v + 2) % N, (v * 3 + 1) % N],
+                       axis=1).ravel()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        got = (hits_int(
+            rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})).repartition(4),
+            rd.from_arrow(pa.table({"v": pa.array(v)})).repartition(3),
+            iters=2, unit=10_000, div=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = self._brute(src, dst, N, 2, 10_000, 2)
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_star_graph_separates_hubs_from_authorities(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import hits_int
+
+        # 0 → {1..5}, {2..5} → 1: node 0 is the hub, node 1 the authority
+        src = np.concatenate([np.zeros(5, np.int64), np.arange(2, 6)])
+        dst = np.concatenate([np.arange(1, 6), np.ones(4, np.int64)])
+        got = (hits_int(
+            rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})),
+            rd.from_arrow(pa.table({"v": pa.array(np.arange(6,
+                                                            dtype=np.int64))})),
+            iters=2, unit=100, div=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = self._brute(src, dst, 6, 2, 100, 1)
+        assert got.astype("int64").equals(want.astype("int64"))
+        assert got["hub_u"].idxmax() == 0
+        assert got["auth_u"].idxmax() == 1
