@@ -323,25 +323,32 @@ def two_hop_counts(edges_ds, num_buckets: int = 64):
         n = len(mid)
         change = np.concatenate(([0], np.flatnonzero(mid[1:] != mid[:-1]) + 1,
                                  [n]))
-        out_v, out_w = [], []
-        for s, e in zip(change[:-1], change[1:]):
-            r = role[s:e]
-            n_in = int(np.searchsorted(r, 1))
-            if n_in == 0 or n_in == e - s:
-                continue
-            ins = other[s:s + n_in]      # v with v→mid
-            outs = other[s + n_in:e]     # w with mid→w
-            v = np.repeat(ins, len(outs))
-            w = np.tile(outs, len(ins))
-            keep = v != w
-            out_v.append(v[keep])
-            out_w.append(w[keep])
-        if not out_v:
+        # fully vectorized in×out expansion over the mid-node runs (no
+        # per-mid Python): roles sort 0…0,1…1 within a run, so pair k of
+        # run r is (ins[k // n_out_r], outs[k % n_out_r])
+        starts, ends = change[:-1], change[1:]
+        n_in = np.add.reduceat(
+            (role == 0).astype(np.int64), starts
+        ) if n else np.array([], np.int64)
+        n_out = (ends - starts) - n_in
+        pairs = n_in * n_out
+        total = int(pairs.sum())
+        if total == 0:
             return pa.table({"v": pa.array([], pa.int64()),
                              "w": pa.array([], pa.int64()),
                              "wb": pa.array([], pa.int32())})
-        t2 = pa.table({"v": pa.array(np.concatenate(out_v), pa.int64()),
-                       "w": pa.array(np.concatenate(out_w), pa.int64())})
+        seg = np.repeat(np.arange(len(starts)), pairs)
+        p = np.arange(total) - np.repeat(np.cumsum(pairs) - pairs, pairs)
+        b = n_out[seg]
+        v = other[starts[seg] + p // b]
+        w = other[starts[seg] + n_in[seg] + p % b]
+        keep = v != w
+        if not keep.any():
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "wb": pa.array([], pa.int32())})
+        t2 = pa.table({"v": pa.array(v[keep], pa.int64()),
+                       "w": pa.array(w[keep], pa.int64())})
         return t2.append_column(
             "wb", pa.array(pair_buckets(t2.column("v"), t2.column("w"),
                                         num_buckets), pa.int32()),
