@@ -2157,6 +2157,33 @@ def _q_two_hop(sf_dir: str):
     return two_hop_counts(docs.map_batches(edges, batch_format="pyarrow"))
 
 
+WINDOW_LO = 100
+WINDOW_HI = 300
+
+
+def _q_pages_window(sf_dir: str):
+    """Crawl-window read: the ts/lang predicate pushes into the parquet
+    scanner (row-group pruning), exercising the prune-at-the-read path.
+    The synthetic pages table stamps ``warc_ts = EPOCH + doc_id s``, so
+    the window maps to a doc_id range the oracle can state directly."""
+    from datetime import timedelta
+
+    from studiocr_ray.fixtures import EPOCH
+    from studiocr_ray.sources.pages import read_pages
+
+    out, _ = _extraction(sf_dir)
+    pages = os.path.join(os.path.dirname(out), "pages_in")
+    ds = read_pages(
+        pages,
+        ts_min=EPOCH + timedelta(seconds=WINDOW_LO),
+        ts_max=EPOCH + timedelta(seconds=WINDOW_HI),
+        langs=["en"],
+    )
+    return ds.map_batches(
+        lambda b: b.select(["url", "lang"]), batch_format="pyarrow"
+    )
+
+
 WALK_LENGTH = 3
 HITS_ITERS = 2
 HITS_UNIT = 10_000
@@ -2366,7 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     weighted_sample, rank_bins, transitions, rolling_active,
     join_broadcast, session_stats, containment, triangles,
     two_hop, corr_by_nation, sentence_stats, shuffle_rank,
-    pmi_topk, random_walks, hits)
+    pmi_topk, random_walks, hits, pages_window)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2512,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "random_walks": _q_random_walks,
         "hits": _q_hits,
+        "pages_window": _q_pages_window,
     }
 
 
@@ -4175,6 +4203,16 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(PAGERANK_ITERS),
         "random_walks": _walks_sql(WALK_LENGTH),
         "hits": _hits_sql(HITS_ITERS, HITS_UNIT, HITS_DIV),
+        # warc_ts = EPOCH + doc_id seconds in the synthetic pages table,
+        # so the pushed-down window is exactly a doc_id range
+        "pages_window": f"""
+            SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   lang
+            FROM documents
+            WHERE doc_id >= {WINDOW_LO} AND doc_id < {WINDOW_HI}
+              AND lang = 'en'
+        """,
         "kmeans_embeddings": _kmeans_sql(KMEANS_K, KMEANS_ITERS, KMEANS_DIM),
         "semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, KMEANS_DIM, SEMDEDUP_T

@@ -60,11 +60,37 @@ def split_valid(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     return good, bad
 
 
+def window_predicate(ts_min=None, ts_max=None, langs=None):
+    """pyarrow dataset Expression for a crawl-window read: ``ts_min <=
+    warc_ts < ts_max`` and ``lang IN langs`` (each part optional; None
+    when nothing is constrained).  Passed to the parquet scanner this
+    prunes at ROW-GROUP granularity from the footer statistics — a
+    re-crawl job over one week of a 10^12-page corpus reads ~week/history
+    of the bytes instead of all of them."""
+    import pyarrow.dataset as pads
+
+    expr = None
+
+    def _and(e, part):
+        return part if e is None else e & part
+
+    if ts_min is not None:
+        expr = _and(expr, pads.field("warc_ts") >= ts_min)
+    if ts_max is not None:
+        expr = _and(expr, pads.field("warc_ts") < ts_max)
+    if langs is not None:
+        expr = _and(expr, pads.field("lang").isin(list(langs)))
+    return expr
+
+
 def read_pages(
     input_path: str,
     quarantine_dir: str | None = None,
     override_num_blocks: int | None = None,
     file_format: str | None = None,
+    ts_min=None,
+    ts_max=None,
+    langs=None,
 ):
     """Validated pages dataset. Malformed rows are written to
     ``quarantine_dir`` (one parquet per offending batch, keyed by
@@ -74,21 +100,50 @@ def read_pages(
     ``file_format``: "parquet" (default; columns prune AT the read — the
     scale path), "jsonl" or "csv" (row formats: whole rows parse, then
     ``conform_pages`` casts to the canonical schema and prunes).  Detected
-    from file extensions when not given."""
+    from file extensions when not given.
+
+    ``ts_min``/``ts_max``/``langs``: optional crawl-window predicate.  On
+    parquet it pushes into the scanner (row groups outside the window
+    never leave storage — see :func:`window_predicate`); on JSONL/CSV the
+    same predicate applies right after ``conform_pages`` (row formats
+    cannot skip bytes).  Note rows with a NULL predicate column are out
+    of scope for a windowed read and are excluded by the scanner BEFORE
+    validation — they do not reach the quarantine sink (run an unwindowed
+    read when auditing malformed rows)."""
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    pred = window_predicate(ts_min=ts_min, ts_max=ts_max, langs=langs)
     fmt = file_format or detect_format(input_path)
     if fmt == "parquet":
+        if pred is not None:
+            kw["filter"] = pred
         ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS, **kw)
-    elif fmt == "jsonl":
-        ds = rd.read_json(input_path, **kw).map_batches(
+    elif fmt in ("jsonl", "csv"):
+        reader = rd.read_json if fmt == "jsonl" else rd.read_csv
+        ds = reader(input_path, **kw).map_batches(
             conform_pages, batch_format="pyarrow"
         )
-    elif fmt == "csv":
-        ds = rd.read_csv(input_path, **kw).map_batches(
-            conform_pages, batch_format="pyarrow"
-        )
+        if pred is not None:
+
+            def window(batch: pa.Table) -> pa.Table:
+                mask = None
+                if ts_min is not None:
+                    m = pc.greater_equal(batch.column("warc_ts"),
+                                         pa.scalar(ts_min,
+                                                   pa.timestamp("us")))
+                    mask = m if mask is None else pc.and_(mask, m)
+                if ts_max is not None:
+                    m = pc.less(batch.column("warc_ts"),
+                                pa.scalar(ts_max, pa.timestamp("us")))
+                    mask = m if mask is None else pc.and_(mask, m)
+                if langs is not None:
+                    m = pc.is_in(batch.column("lang"),
+                                 value_set=pa.array(list(langs)))
+                    mask = m if mask is None else pc.and_(mask, m)
+                return batch.filter(pc.fill_null(mask, False))
+
+            ds = ds.map_batches(window, batch_format="pyarrow")
     else:
         raise ValueError(f"unknown pages format: {fmt!r}")
 
