@@ -950,6 +950,22 @@ def _q_source_stats(sf_dir: str):
     return source_stats(_docs(sf_dir))
 
 
+# BM25 query shared verbatim with the SQL oracle; constants are injected
+# into BOTH the Ray call and the SQL via repr so the doubles agree exactly
+BM25_TERMS = ("join", "filter", "merge")
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _q_bm25(sf_dir: str):
+    from studiocr_ray.datapipe.relational import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir), list(BM25_TERMS), k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
+
+
 # Line-dedup configuration shared verbatim with the SQL oracle: the
 # synthetic documents carry no newlines, so both sides reflow into
 # LINE_WORDS-token lines and drop lines occurring more than LINE_MAX times
@@ -2291,6 +2307,63 @@ def _q_random_walks(sf_dir: str):
     )
 
 
+def _bm25_sql(toks: str) -> str:
+    """BM25 oracle: tf/df restricted to BM25_TERMS, dl/avgdl from the
+    same whitespace tokens, contributions written term-by-term with the
+    exact parenthesization of ``relational.bm25_topk`` (log-free RSJ idf;
+    every op is an IEEE-exact add/sub/mul/div, so scores match
+    bit-for-bit) and summed left-to-right in BM25_TERMS order."""
+    src = toks.format(src="lower(text)")
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tok = '{t}') AS DOUBLE) AS tf{j}"
+        for j, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(DISTINCT doc_id) FILTER (WHERE tok = '{t}')"
+        f" AS DOUBLE) AS df{j}"
+        for j, t in enumerate(BM25_TERMS)
+    )
+    contribs = " + ".join(
+        f"((((st.n - df.df{j}) + 0.5) / (df.df{j} + 0.5))"
+        f" * (tf.tf{j} * {BM25_K1 + 1.0!r}))"
+        f" / (tf.tf{j} + ({BM25_K1!r} * ((1 - {BM25_B!r})"
+        f" + (({BM25_B!r} * dl.dl) / (st.sumdl / st.n)))))"
+        for j in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, unnest({src}) AS tok FROM documents
+        ),
+        st AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(len({src})) AS DOUBLE) AS sumdl
+          FROM documents
+        ),
+        dl AS (
+          SELECT doc_id, CAST(len({src}) AS DOUBLE) AS dl FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, {tf_cols}
+          FROM tk WHERE tok IN ({in_list}) GROUP BY doc_id
+        ),
+        df AS (
+          SELECT {df_cols} FROM tk
+        ),
+        scored AS (
+          SELECT tf.doc_id, {contribs} AS score
+          FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN df
+        ),
+        rk AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM scored
+        )
+        SELECT doc_id, score, CAST(rk AS INTEGER) AS rank
+        FROM rk WHERE rk <= {BM25_K}
+    """
+
+
 def _walks_sql(length: int) -> str:
     """Unroll random_walks' deterministic next-hop rule: per step, four
     chained splitmix64 CTEs (UHUGEINT mod-2^64, the shuffle_rank oracle
@@ -2393,7 +2466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     weighted_sample, rank_bins, transitions, rolling_active,
     join_broadcast, session_stats, containment, triangles,
     two_hop, corr_by_nation, sentence_stats, shuffle_rank,
-    pmi_topk, random_walks, hits, pages_window)
+    pmi_topk, random_walks, hits, pages_window, bm25_topk)
     sit past position 50 this round (pytest +
     tools/check_correctness.py oracled); rotate THEM into the checked
     prefix next round, swapping out whichever prefix members are then
@@ -2540,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "hits": _q_hits,
         "pages_window": _q_pages_window,
+        "bm25_topk": _q_bm25,
     }
 
 
@@ -3680,6 +3754,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT doc_id, term, tf, df, score, rank FROM rk WHERE rank <= 5
         """,
+        # BM25: expression tree mirrors relational.bm25_topk verbatim —
+        # log-free RSJ idf ((n - df) + 0.5)/(df + 0.5), contribution
+        # (idf * (tf * (k1+1))) / (tf + (k1 * ((1 - b) + ((b*dl)/avgdl)))),
+        # summed left-to-right in BM25_TERMS order
+        "bm25_topk": _bm25_sql(toks),
         "source_stats": f"""
             SELECT source,
                    count(*) AS n_docs,

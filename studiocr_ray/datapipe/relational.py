@@ -827,6 +827,117 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(per_doc_topk, batch_format="pyarrow")
 
 
+def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """BM25 ranked retrieval for one fixed query → (doc_id, score, rank),
+    the scan-scoring twin of the inverted-index search (the corpus-level
+    analogue of the reference's ranked result list,
+    /root/reference/StudiOCR/MainWindow.py:221-256, which orders matched
+    documents for display).
+
+    Two streaming passes, nothing corpus-scale ever reaches the driver:
+
+    1. corpus stats — each batch emits ONE tiny row (n_docs, sum_dl, one
+       df column per query term, tokens restricted via ``pc.is_in``
+       before counting); ``Dataset.sum`` folds them, so exactly
+       ``len(terms) + 2`` numbers cross to the driver;
+    2. scoring scan — tf per query term per doc via one masked
+       ``bincount`` each, contributions added in FIXED ``terms`` order,
+       per-batch top-k by (-score, doc_id), then a driver merge of the
+       (batches × k)-row partials (same shape as
+       :func:`..embed.ann_topk_brute`).
+
+    idf is the log-free Robertson–Spärck–Jones weight
+    ``(N - df + 0.5) / (df + 0.5)`` — like :func:`tfidf_topk`'s log-free
+    score, chosen because subtract/add/divide on exact integer-valued
+    doubles are IEEE-exact, so the SQL oracle reproduces every score
+    bit-for-bit (``ln`` rounding is not guaranteed identical across
+    engines).  All parenthesization below mirrors the oracle's expression
+    tree verbatim; keep them in lockstep."""
+    import heapq
+
+    import pyarrow.compute as pc
+
+    terms = list(terms)
+    term_set = pa.array(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        cols = {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "sum_dl": pa.array([len(flat)], pa.int64()),
+        }
+        hit = pc.is_in(flat, value_set=term_set).to_numpy(
+            zero_copy_only=False
+        )
+        hflat, hdoc = (flat.take(pa.array(np.flatnonzero(hit))),
+                       doc_idx[hit])
+        for j, t in enumerate(terms):
+            m = pc.equal(hflat, t).to_numpy(zero_copy_only=False)
+            cols[f"df_{j}"] = pa.array(
+                [int(np.unique(hdoc[m]).size)], pa.int64()
+            )
+        return pa.table(cols)
+
+    sums = ds.map_batches(stats_partial, batch_format="pyarrow").sum(
+        ["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))]
+    )
+    n_f = float(sums["sum(n_docs)"])
+    avgdl = float(sums["sum(sum_dl)"]) / n_f
+    # ((n - df) + 0.5) / (df + 0.5) — same tree as the SQL oracle
+    idf = [((n_f - float(sums[f"sum(df_{j})"])) + 0.5)
+           / (float(sums[f"sum(df_{j})"]) + 0.5) for j in range(len(terms))]
+    k1p1 = k1 + 1.0
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        n = batch.num_rows
+        dl = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        # tf + (k1 * ((1 - b) + ((b * dl) / avgdl))) — oracle tree
+        denom_tail = k1 * ((1.0 - b) + ((b * dl) / avgdl))
+        score = np.zeros(n, np.float64)
+        any_tf = np.zeros(n, bool)
+        for j, t in enumerate(terms):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx[m], minlength=n).astype(np.float64)
+            any_tf |= tf > 0
+            # (idf * (tf * (k1+1))) / (tf + denom_tail) — oracle tree
+            score = score + (idf[j] * (tf * k1p1)) / (tf + denom_tail)
+        keep = np.flatnonzero(any_tf)
+        if keep.size == 0:
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        sc = score[keep]
+        if keep.size > k:  # per-batch top-k by (-score, doc_id)
+            order = np.lexsort((ids, -sc))[:k]
+            ids, sc = ids[order], sc[order]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "score": pa.array(sc, pa.float64())}
+        )
+
+    partials = ds.map_batches(
+        score_partial, batch_format="pyarrow"
+    ).take_all()
+    best = heapq.nsmallest(
+        k, ((-r["score"], r["doc_id"]) for r in partials)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for _, d in best], pa.int64()),
+            "score": pa.array([-s for s, _ in best], pa.float64()),
+            "rank": pa.array(range(1, len(best) + 1), pa.int32()),
+        }
+    )
+
+
 def source_stats(ds, text_col: str = "text", strat_col: str = "source"):
     """Per-source corpus rollup → (source, n_docs, n_tokens, n_chars,
     mean_tokens) — the "how much of each source do I have, how long is it"

@@ -4071,3 +4071,71 @@ class TestHitsInt:
         assert got.astype("int64").equals(want.astype("int64"))
         assert got["hub_u"].idxmax() == 0
         assert got["auth_u"].idxmax() == 1
+
+
+class TestBm25:
+    @staticmethod
+    def _brute(rows, terms, k, k1, b):
+        """Scalar-Python BM25 with the exact expression tree of
+        relational.bm25_topk (same IEEE ops → bit-identical scores)."""
+        toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+        n = float(len(rows))
+        sumdl = float(sum(len(t) for t in toks.values()))
+        avgdl = sumdl / n
+        df = {t: float(sum(t in ts for ts in toks.values())) for t in terms}
+        idf = {t: ((n - df[t]) + 0.5) / (df[t] + 0.5) for t in terms}
+        k1p1 = k1 + 1.0
+        out = []
+        for did, ts in toks.items():
+            dl = float(len(ts))
+            denom_tail = k1 * ((1.0 - b) + ((b * dl) / avgdl))
+            score, any_tf = 0.0, False
+            for t in terms:
+                tf = float(ts.count(t))
+                any_tf |= tf > 0
+                score = score + (idf[t] * (tf * k1p1)) / (tf + denom_tail)
+            if any_tf:
+                out.append((-score, did))
+        out.sort()
+        return [(did, -negs, r + 1)
+                for r, (negs, did) in enumerate(out[:k])]
+
+    def test_matches_brute_force_and_partitioning_invariant(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import bm25_topk
+
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [
+            {"doc_id": i,
+             "text": " ".join(rng.choice(vocab,
+                                          size=rng.integers(1, 30)))}
+            for i in range(60)
+        ] + [{"doc_id": 60, "text": ""}]
+        # non-default k1/b and a term absent from the corpus (df=0 path)
+        terms, k, k1, b = ["beta", "gamma", "missing"], 7, 0.9, 0.4
+        want = self._brute(rows, terms, k, k1, b)
+        for parts in (1, 5):
+            got = bm25_topk(
+                rd.from_arrow(pa.Table.from_pylist(rows)).repartition(parts),
+                terms, k=k, k1=k1, b=b,
+            ).to_pylist()
+            assert [(r["doc_id"], r["score"], r["rank"]) for r in got] \
+                == want, parts
+
+    def test_tie_break_by_doc_id(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import bm25_topk
+
+        rows = [{"doc_id": i, "text": "x y z"} for i in (5, 3, 9, 1)]
+        got = bm25_topk(
+            rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2),
+            ["x"], k=3,
+        ).to_pylist()
+        assert [r["doc_id"] for r in got] == [1, 3, 5]
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert len({r["score"] for r in got}) == 1
