@@ -224,29 +224,35 @@ def search_docs_substring(ds, words: list[str], text_col: str = "text",
 def search_docs_fuzzy(ds, word: str, tol: int = 1, text_col: str = "text",
                       id_col: str = "doc_id"):
     """Fuzzy search: docs with a token within edit distance ≤ tol of the
-    query word (≤3-char tokens exact — the zero_one_loss rule)."""
+    query word (≤3-char tokens exact — the zero_one_loss rule).
+
+    The levenshtein predicate is inherently per-value, so it is evaluated
+    once per DISTINCT token of the batch (Arrow whitespace split → flatten →
+    dictionary encode); everything else — tokenization, the token→row
+    scatter, the per-row any() — is Arrow/numpy.  Arrow's split emits ''
+    tokens at leading/trailing whitespace; they are harmless (a ≤3-char
+    token must match exactly, and the query word is non-empty)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
     from ..functions.textfns import fuzzy_match
 
     w = word.lower()
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = []
-        cache: dict[str, bool] = {}
-        for did, t in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            hit = False
-            for tok in set(t.lower().split()):
-                v = cache.get(tok)
-                if v is None:
-                    v = fuzzy_match(tok, w, tol)
-                    cache[tok] = v
-                if v:
-                    hit = True
-                    break
-            if hit:
-                ids.append(did)
-        return pa.table({id_col: pa.array(ids, pa.int64())})
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column(text_col)))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        d = pc.dictionary_encode(toks.flatten())
+        vocab = d.dictionary.to_pylist()
+        hit = np.fromiter((fuzzy_match(t, w, tol) for t in vocab),
+                          dtype=bool, count=len(vocab))
+        tok_hit = hit[d.indices.to_numpy(zero_copy_only=False)]
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(tok_hit, dtype=np.int64)])
+        row_hit = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+        return batch.select([id_col]).filter(pa.array(row_hit))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
