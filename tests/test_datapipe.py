@@ -4139,3 +4139,46 @@ class TestBm25:
         assert [r["doc_id"] for r in got] == [1, 3, 5]
         assert [r["rank"] for r in got] == [1, 2, 3]
         assert len({r["score"] for r in got}) == 1
+
+
+class TestFuzzyDocSearch:
+    """Regression cover for the vectorized search_docs_fuzzy (distinct-token
+    levenshtein + Arrow tokenize/scatter) against a row-by-row brute-force
+    twin of the reference rule (zero_one_loss: <=3-char tokens exact)."""
+
+    def _brute(self, rows, word, tol):
+        from studiocr_ray.functions.textfns import fuzzy_match
+
+        w = word.lower()
+        return sorted(
+            r["doc_id"] for r in rows
+            if any(fuzzy_match(t, w, tol) for t in set(r["text"].lower().split()))
+        )
+
+    def test_matches_bruteforce_incl_whitespace_edges(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import search_docs_fuzzy
+
+        rng = random.Random(41)
+        words = ["page", "pages", "cage", "pag", "water", "maize", "xyzzy"]
+        rows = []
+        for i in range(300):
+            toks = [rng.choice(words) + rng.choice(["", "s", "d"])
+                    for _ in range(rng.randint(0, 10))]
+            sep = rng.choice([" ", "  ", "\t", "\n", " \t"])
+            rows.append({"doc_id": i,
+                         "text": sep.join(toks) + rng.choice(["", " ", "\t"])})
+        rows += [{"doc_id": 300, "text": ""},
+                 {"doc_id": 301, "text": "  \t\n"},
+                 {"doc_id": 302, "text": "PAGE page"},
+                 {"doc_id": 303, "text": "ein päge ÜBER"}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        for word, tol in [("page", 1), ("water", 2), ("xy", 1)]:
+            got = sorted(
+                r["doc_id"]
+                for r in search_docs_fuzzy(ds, word, tol=tol).take_all()
+            )
+            assert got == self._brute(rows, word, tol), (word, tol)
