@@ -521,6 +521,24 @@ def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
 
         return pa.array(id_buckets(arr, num_buckets), pa.int32())
 
+    def _sums(vals: np.ndarray, first_idx: np.ndarray) -> np.ndarray:
+        """Per-run int64 sums with an a-priori overflow guard: with div=1
+        score magnitudes grow ~unit·(d_in·d_out)^iters per round, and
+        np.add.reduceat wraps SILENTLY past int64 — the output would still
+        look bit-reproducible while being wrong.  The bound n·max|val| <
+        2^62 (Python-int arithmetic, cannot itself overflow) is sufficient
+        for every intermediate partial sum, so a dense graph fails loudly
+        with a div/iters hint instead of wrapping (ADVICE r4)."""
+        if len(vals):
+            m = int(np.abs(vals).max())
+            if m and len(vals) * m >= 2 ** 62:
+                raise OverflowError(
+                    "hits_int: potential int64 overflow in score sums "
+                    f"(n={len(vals)}, max|val|={m}); raise div (≈ mean "
+                    "degree) or lower iters to keep unit·(d²/div²)^iters "
+                    "inside int64")
+        return np.add.reduceat(vals, first_idx) // div
+
     # role 0: contribution/score row  (a = node, val = score term)
     # role 1: edge row                (a = key end, o = other end)
     # Invariant entering a half-round keyed for side S ∈ {src, dst}:
@@ -554,10 +572,8 @@ def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
         from ..functions.arrowutil import first_of_run_mask
 
         first = first_of_run_mask([t.column("a")])
-        sums = np.add.reduceat(
-            t.column("val").to_numpy(zero_copy_only=False),
-            np.flatnonzero(first),
-        ) // div
+        sums = _sums(t.column("val").to_numpy(zero_copy_only=False),
+                     np.flatnonzero(first))
         v = _flat_arr(t.column("a")).filter(pa.array(first))
         if last:
             return pa.table({"doc_id": v,
@@ -605,10 +621,8 @@ def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
         from ..functions.arrowutil import first_of_run_mask
 
         first = first_of_run_mask([t.column("a")])
-        sums = np.add.reduceat(
-            t.column("val").to_numpy(zero_copy_only=False),
-            np.flatnonzero(first),
-        ) // div
+        sums = _sums(t.column("val").to_numpy(zero_copy_only=False),
+                     np.flatnonzero(first))
         v = _flat_arr(t.column("a")).filter(pa.array(first))
         keep = pa.table({
             "b": _b(v),
@@ -628,10 +642,8 @@ def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
         auth = group.filter(pc.equal(group.column("role"), 2))
         t = contrib.sort_by([("a", "ascending")])
         first = first_of_run_mask([t.column("a")])
-        sums = np.add.reduceat(
-            t.column("val").to_numpy(zero_copy_only=False),
-            np.flatnonzero(first),
-        ) // div
+        sums = _sums(t.column("val").to_numpy(zero_copy_only=False),
+                     np.flatnonzero(first))
         v = _flat_arr(t.column("a")).filter(pa.array(first))
         idx = pc.index_in(v, value_set=auth.column("a"))
         a_val = auth.column("val").take(idx).to_numpy(

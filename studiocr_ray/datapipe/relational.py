@@ -249,7 +249,12 @@ def search_docs_fuzzy(ds, word: str, tol: int = 1, text_col: str = "text",
         hit = np.fromiter((fuzzy_match(t, w, tol) for t in vocab),
                           dtype=bool, count=len(vocab))
         tok_hit = hit[d.indices.to_numpy(zero_copy_only=False)]
+        # rebase offsets to 0: a sliced ListArray keeps its parent's raw
+        # offsets (offsets[0] != 0) while flatten() returns only the
+        # slice's values, so indexing the cumsum with raw offsets would
+        # silently misalign (ADVICE r4)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
         cs = np.concatenate([[0], np.cumsum(tok_hit, dtype=np.int64)])
         row_hit = (cs[offs[1:]] - cs[offs[:-1]]) > 0
         return batch.select([id_col]).filter(pa.array(row_hit))
@@ -889,6 +894,14 @@ def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
     sums = ds.map_batches(stats_partial, batch_format="pyarrow").sum(
         ["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))]
     )
+    # Dataset.sum returns None on an empty dataset; a token-free corpus
+    # has sum_dl = 0 so avgdl would be 0/0 (ADVICE r4) — both mean "no
+    # scorable docs": return the empty result cleanly.
+    if sums is None or not int(sums["sum(n_docs)"]) \
+            or not int(sums["sum(sum_dl)"]):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
     n_f = float(sums["sum(n_docs)"])
     avgdl = float(sums["sum(sum_dl)"]) / n_f
     # ((n - df) + 0.5) / (df + 0.5) — same tree as the SQL oracle
@@ -2637,6 +2650,18 @@ def corr_by_nation(lineitem_ds, sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             sks = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            # fail loudly on a suppkey with no supplier row (beyond the
+            # array or hitting the -1 sentinel) instead of surfacing a
+            # bincount Value/IndexError deep in a worker (ADVICE r4;
+            # mirrors id_hash64's fail-loudly precedent)
+            bad = (sks < 0) | (sks >= len(self.nation_of))
+            if bad.any() or (self.nation_of[sks] < 0).any():
+                unknown = sks[bad] if bad.any() else \
+                    sks[self.nation_of[sks] < 0]
+                raise ValueError(
+                    "corr_by_nation: lineitem l_suppkey has no supplier "
+                    f"row (e.g. {int(unknown[0])}); supplier.parquet is "
+                    "not a superset of lineitem suppliers")
             nks = self.nation_of[sks].astype(np.int64)
             q = np.floor(
                 batch.column("l_quantity").to_numpy(zero_copy_only=False)
