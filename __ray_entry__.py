@@ -2444,127 +2444,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
     The correctness driver verifies a 50-entry PREFIX of this dict against
-    the DuckDB oracles in :func:`oracle_sql`.  Round-3 additions (positions
-    50-80 back then) never received a hard-signal driver row, so round 4
-    moves those 31 queries into the prefix.  The remaining 19 prefix slots
-    hold veterans whose code paths change this round (extract/index/search
-    hot paths, char_histogram partial, stored-signature seed propagation)
-    so any regression shows up as a driver row, not just a pytest failure.
-    The 31 long-green veterans rotated past position 50 carry two rounds of
-    green CORRECTNESS history (r2+r3) plus same-oracle pytest coverage in
-    tests/test_datapipe.py.
+    the DuckDB oracles in :func:`oracle_sql`.  Rotation history: round 4
+    checked the 31 round-3 additions plus 19 changed-path veterans (all 50
+    green, CORRECTNESS_r04).  Round 5 rotates in the 50 remaining
+    never-driver-checked queries — the round-4 additions (bigram_logprob,
+    dsir_select … join_user_day), the analytics family (funnel …
+    hour_series) and the session-2 engine family (join_bloom_semi …
+    bm25_topk).  The single exception is ``bigram_logprob_shuffle``:
+    51 candidates for 50 slots, and it shares its SQL oracle verbatim with
+    ``bigram_logprob`` (checked) while its open-vocabulary shuffle
+    machinery is driver-green via ``unigram_logprob_shuffle`` (r4), so it
+    is the redundancy-covered odd one out (pytest +
+    tools/check_correctness.py oracled, like every post-prefix entry).
 
-    Round-5 note: the round-4 additions (bigram_logprob{,_shuffle},
-    dsir_select, ann_pq, bpe_stats, sampled_pctl, join_orders_cust,
-    join_cust_orders_left, join_anti, compression_stats, window_events,
-    revenue_by_nation, orders_rollup, topn_per_user, profile_orders,
-    graph_components, value_pctl_by_type, fuzzy_names, join_user_day)
-    plus the late-round analytics family (funnel, retention, readability,
-    zipf_stats, template_stats, distinct_users, value_outliers) and the
-    session-2 engine family (join_bloom_semi, prefix_dup, pivot_events,
-    segment_mode, validate_orders, cdc_upsert, setsim_join,
-    weighted_sample, rank_bins, transitions, rolling_active,
-    join_broadcast, session_stats, containment, triangles,
-    two_hop, corr_by_nation, sentence_stats, shuffle_rank,
-    pmi_topk, random_walks, hits, pages_window, bm25_topk)
-    sit past position 50 this round (pytest +
-    tools/check_correctness.py oracled); rotate THEM into the checked
-    prefix next round, swapping out whichever prefix members are then
-    longest-green.
+    Everything past position 50 carries at least one green driver
+    CORRECTNESS row from rounds 1-4 plus same-oracle pytest coverage in
+    tests/; new round-5 operators are appended at the very end with the
+    same pytest oracles.
     """
     return {
-        # --- driver-checked prefix, part 1: the 31 round-3 queries that
-        # --- never had a driver CORRECTNESS row (VERDICT r3, item 1)
-        "source_stats": _q_source_stats,
-        "line_dedup": _q_line_dedup,
-        "line_dedup_within": _q_line_dedup_within,
-        "pii_scrub": _q_pii_scrub,
-        "pack_sequences": _q_pack_sequences,
-        "decontaminate": _q_decontaminate,
-        "normalize_text": _q_normalize_text,
-        "extract_links": _q_extract_links,
-        "link_domains": _q_link_domains,
-        "token_percentiles": _q_token_percentiles,
-        "json_props": _q_json_props,
-        "dup_passages": _q_dup_passages,
-        "dup_passage_stats": _q_dup_passage_stats,
-        "source_cap": _q_source_cap,
-        "topk_bigrams": _q_topk_bigrams,
-        "unigram_logprob": _q_unigram_logprob,
-        "quality_tiers": _q_quality_tiers,
-        "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
-        "snapshot_diff": _q_snapshot_diff,
-        "url_canonicalize": _q_url_canonicalize,
-        "chunk_documents": _q_chunk_documents,
-        "pagerank": _q_pagerank,
-        "anchor_texts": _q_anchor_texts,
-        "top_revenue_orders": _q_top_revenue_orders,
-        "kmeans_embeddings": _q_kmeans,
-        "semdedup": _q_semdedup,
-        "update_index": _q_update_index,
-        "hll_users": _q_hll_users,
-        "bloom_blocklist": _q_bloom_blocklist,
-        "cm_counts": _q_cm_counts,
-        "nb_quality": _q_nb_quality,
-        # --- driver-checked prefix, part 2: 19 veterans whose code paths
-        # --- are touched this round (extract hot path, search scan,
-        # --- char_histogram partial, stored-seed propagation)
-        "extract_docs": _q_extract_docs,
-        "extract_index": _q_extract_index,
-        "extract_search": _q_extract_search,
-        "extract_page_stats": _q_extract_page_stats,
-        "extract_metrics": _q_extract_metrics,
-        "config_sweep": _q_config_sweep,
-        "curate_corpus": _q_curate_corpus,
-        "char_histogram": _q_char_histogram,
-        "word_count": _q_word_count,
-        "term_df": _q_term_df,
-        "search_substring": _q_search_substring,
-        "search_fuzzy": _q_search_fuzzy,
-        "conf_buckets": _q_conf_buckets,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "cross_dedup": _q_cross_dedup,
-        "cross_dedup_stored": _q_cross_dedup_stored,
-        "dup_clusters": _q_dup_clusters,
-        "cluster_best": _q_cluster_best,
-        # --- past the driver's 50-entry check window: long-green veterans
-        # --- (green driver rows in r2 AND r3, oracle pytest coverage)
-        "token_stats": _q_token_stats,
-        "quality_features": _q_quality_features,
-        "fingerprint_md5": _q_fingerprint_md5,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
-        "ann_ivf_disk": _q_ann_ivf_disk,
-        "cosine_neardup": _q_cosine_neardup,
-        "pricing_summary": _q_pricing_summary,
-        "orders_by_priority": _q_orders_by_priority,
-        "orders_per_nation": _q_orders_per_nation,
-        "events_daily": _q_events_daily,
-        "topk_terms": _q_topk_terms,
-        "sessionize": _q_sessionize,
-        "asof_match": _q_asof_match,
-        "hopping_counts": _q_hopping_counts,
-        "range_count": _q_range_count,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "simhash": _q_simhash,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "media_features": _q_media_features,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_neardup": _q_simhash_neardup,
-        "cosine_lsh": _q_cosine_lsh,
-        "cluster_split": _q_cluster_split,
-        "repetition_stats": _q_repetition_stats,
-        "contamination": _q_contamination,
-        "stratified_sample": _q_stratified_sample,
-        "mix_sources": _q_mix_sources,
-        "tfidf_topk": _q_tfidf_topk,
-        # round-4 additions (oracle-checked in pytest; rotate into the
-        # prefix next round for driver rows)
+        # --- driver-checked prefix: the 50 queries with no prior driver
+        # --- CORRECTNESS row (round-4 additions + analytics + session-2
+        # --- engine family; VERDICT r3 item 1 pattern, final rotation)
         "bigram_logprob": _q_bigram_logprob,
-        "bigram_logprob_shuffle": _q_bigram_logprob_shuffle,
         "dsir_select": _q_dsir_select,
         "ann_pq": _q_ann_pq,
         "bpe_stats": _q_bpe_stats,
@@ -2614,6 +2516,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "pages_window": _q_pages_window,
         "bm25_topk": _q_bm25,
+        # --- past the driver's 50-entry check window ---
+        # the bigram shuffle-strategy variant (see docstring)
+        "bigram_logprob_shuffle": _q_bigram_logprob_shuffle,
+        # round-4-checked set (all 50 green in CORRECTNESS_r04)
+        "source_stats": _q_source_stats,
+        "line_dedup": _q_line_dedup,
+        "line_dedup_within": _q_line_dedup_within,
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        "normalize_text": _q_normalize_text,
+        "extract_links": _q_extract_links,
+        "link_domains": _q_link_domains,
+        "token_percentiles": _q_token_percentiles,
+        "json_props": _q_json_props,
+        "dup_passages": _q_dup_passages,
+        "dup_passage_stats": _q_dup_passage_stats,
+        "source_cap": _q_source_cap,
+        "topk_bigrams": _q_topk_bigrams,
+        "unigram_logprob": _q_unigram_logprob,
+        "quality_tiers": _q_quality_tiers,
+        "unigram_logprob_shuffle": _q_unigram_logprob_shuffle,
+        "snapshot_diff": _q_snapshot_diff,
+        "url_canonicalize": _q_url_canonicalize,
+        "chunk_documents": _q_chunk_documents,
+        "pagerank": _q_pagerank,
+        "anchor_texts": _q_anchor_texts,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "kmeans_embeddings": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "update_index": _q_update_index,
+        "hll_users": _q_hll_users,
+        "bloom_blocklist": _q_bloom_blocklist,
+        "cm_counts": _q_cm_counts,
+        "nb_quality": _q_nb_quality,
+        "extract_docs": _q_extract_docs,
+        "extract_index": _q_extract_index,
+        "extract_search": _q_extract_search,
+        "extract_page_stats": _q_extract_page_stats,
+        "extract_metrics": _q_extract_metrics,
+        "config_sweep": _q_config_sweep,
+        "curate_corpus": _q_curate_corpus,
+        "char_histogram": _q_char_histogram,
+        "word_count": _q_word_count,
+        "term_df": _q_term_df,
+        "search_substring": _q_search_substring,
+        "search_fuzzy": _q_search_fuzzy,
+        "conf_buckets": _q_conf_buckets,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "cross_dedup": _q_cross_dedup,
+        "cross_dedup_stored": _q_cross_dedup_stored,
+        "dup_clusters": _q_dup_clusters,
+        "cluster_best": _q_cluster_best,
+        # long-green veterans (driver rows in r2 AND r3)
+        "token_stats": _q_token_stats,
+        "quality_features": _q_quality_features,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
+        "ann_ivf_disk": _q_ann_ivf_disk,
+        "cosine_neardup": _q_cosine_neardup,
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_priority": _q_orders_by_priority,
+        "orders_per_nation": _q_orders_per_nation,
+        "events_daily": _q_events_daily,
+        "topk_terms": _q_topk_terms,
+        "sessionize": _q_sessionize,
+        "asof_match": _q_asof_match,
+        "hopping_counts": _q_hopping_counts,
+        "range_count": _q_range_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "simhash": _q_simhash,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "media_features": _q_media_features,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_neardup": _q_simhash_neardup,
+        "cosine_lsh": _q_cosine_lsh,
+        "cluster_split": _q_cluster_split,
+        "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "mix_sources": _q_mix_sources,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
