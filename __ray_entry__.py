@@ -2440,6 +2440,77 @@ def _q_shuffle_rank(sf_dir: str):
     return shuffle_rank(_docs(sf_dir).select_columns(["doc_id"]))
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc Shannon character entropy as a scaled integer (shuffle-free,
+    one utf-32 batch decode + composite-key np.unique per batch)."""
+    from studiocr_ray.datapipe.text import char_entropy
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(char_entropy, batch_format="pyarrow"))
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters (cnt·k > N) with bounded memory: per-batch
+    pigeonhole candidates → broadcast recount; raw tokens never shuffle."""
+    from studiocr_ray.datapipe.sketch import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir).select_columns(["text"]), k=50)
+
+
+KCORE_K = 5
+KCORE_ROUNDS = 4
+
+
+def _q_kcore(sf_dir: str):
+    """Synchronous k-core peeling over the deterministic synthetic webgraph
+    (same edge generator as pagerank/triangles); the oracle unrolls the
+    same fixed peel rounds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import kcore
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d * 3 + 1) % n, (d * 7 + 2) % n, (d + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return kcore(docs.map_batches(edges, batch_format="pyarrow"),
+                 k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    sql = """
+        WITH nodes AS (SELECT doc_id AS v FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        raw AS (
+          SELECT v AS s, (v*3+1)%n AS d FROM nodes, nn UNION ALL
+          SELECT v, (v*7+2)%n FROM nodes, nn UNION ALL
+          SELECT v, (v+1)%n FROM nodes, nn),
+        e0 AS (SELECT DISTINCT least(s,d) AS lo, greatest(s,d) AS hi
+               FROM raw WHERE s <> d),
+        a0 AS (SELECT lo AS a, hi AS o FROM e0
+               UNION ALL SELECT hi, lo FROM e0)"""
+    prev = "a0"
+    for r in range(rounds):
+        sql += f""",
+        d{r} AS (SELECT a, count(*) AS c FROM {prev} GROUP BY a),
+        k{r} AS (SELECT a FROM d{r} WHERE c >= {k}),
+        a{r + 1} AS (SELECT t.a, t.o FROM {prev} t
+                     JOIN k{r} x ON t.a = x.a
+                     JOIN k{r} y ON t.o = y.a)"""
+        prev = f"a{r + 1}"
+    return sql + (f"\nSELECT a AS doc_id, count(*) AS degree "
+                  f"FROM {prev} GROUP BY a")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2602,6 +2673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
+        # round-5 additions (oracle-checked in pytest +
+        # tools/check_correctness.py)
+        "char_entropy": _q_char_entropy,
+        "heavy_hitters": _q_heavy_hitters,
+        "kcore": _q_kcore,
     }
 
 
@@ -4732,6 +4808,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bin
             FROM c
         """,
+        # round-5: per-doc char entropy, floor-scaled-log integer terms
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents),
+            ch2 AS (SELECT doc_id, c FROM ch WHERE c <> ''),
+            cc AS (SELECT doc_id, c, count(*) AS k FROM ch2
+                   GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, count(*) AS L FROM ch2 GROUP BY doc_id),
+            per AS (SELECT cc.doc_id,
+                           sum(k * (CAST(floor(ln(CAST(L AS DOUBLE))
+                                          * 1000000.0) AS BIGINT)
+                                  - CAST(floor(ln(CAST(k AS DOUBLE))
+                                          * 1000000.0) AS BIGINT))) AS ent_u
+                    FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.L, 0) AS BIGINT) AS n_chars,
+                   CAST(coalesce(p.ent_u, 0) AS BIGINT) AS ent_u,
+                   CASE WHEN coalesce(t.L, 0) > 0
+                        THEN CAST(p.ent_u AS DOUBLE) / t.L / 1000000.0
+                        ELSE 0.0 END AS entropy
+            FROM documents d LEFT JOIN tot t USING (doc_id)
+                             LEFT JOIN per p USING (doc_id)
+        """,
+        # round-5: exact heavy hitters (strict cnt*k > N rule)
+        "heavy_hitters": f"""
+            WITH tk AS (SELECT unnest({toks.format(src='lower(text)')})
+                          AS term FROM documents)
+            SELECT term, count(*) AS cnt FROM tk GROUP BY term
+            HAVING count(*) * 50 > (SELECT count(*) FROM tk)
+        """,
+        # round-5: k-core peeling, same fixed rounds unrolled
+        "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
     }
 
 

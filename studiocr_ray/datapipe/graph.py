@@ -672,3 +672,115 @@ def hits_int(edges_ds, nodes_ds, iters: int = 2, unit: int = 10_000,
     return rows.groupby("b").map_groups(
         last_half, batch_format="pyarrow"
     )
+
+
+def kcore(edges_ds, k: int = 3, rounds: int = 8, num_buckets: int = 32):
+    """Synchronous k-core peeling (Matula & Beck, JACM 1983; the
+    Batagelj–Zaveršnik sequential form replaced by the standard
+    synchronous-rounds distributed variant) over an undirected simple
+    graph → ``(doc_id, degree)`` for every node still present after
+    ``rounds`` peel rounds, with ``degree`` measured on the surviving
+    edge set.  Each round simultaneously removes ALL nodes of current
+    degree < k plus their incident edges; with enough rounds the result
+    is exactly the k-core, and a SQL oracle unrolls the same fixed
+    number of rounds so the two sides agree bit-for-bit regardless of
+    convergence.
+
+    ``edges_ds``: (src, dst) int64 rows, any direction, duplicates and
+    self-loops allowed — round 0 canonicalizes to distinct ``u < v``
+    edges (triangle_count's pair-hash bucketed dedup).
+
+    Scale shape: the alternating-key trick from :func:`hits_int`.  Every
+    undirected edge lives as TWO directed arcs ``(a, o)`` keyed by
+    ``hash(a) % num_buckets``, so a bucket holds each of its nodes'
+    complete incidence lists and a group-local run count IS the global
+    degree.  A peel round is two co-partitioned half-rounds in one lazy
+    lineage: HR1 computes deg(a) per arc, stamps the arc with
+    ``keep_a``, and re-keys it by its other end; HR2 computes deg of the
+    new key end from the SAME (pre-removal) arc multiset, and an arc
+    survives iff BOTH stamps hold — precisely the synchronous rule.
+    Rows are three ints + a bool; degrees, not neighbor sets, cross the
+    exchange; nothing touches the driver between seed and result.
+
+    No counterpart in the reference (no graph ops); SURVEY §2.10
+    extension — k-core is the standard web-graph spam/quality prefilter
+    step before PageRank-family scoring."""
+    from ..functions.arrowutil import (first_of_run_mask, id_buckets,
+                                       pair_buckets)
+    from .dedup import _flat_arr
+
+    def _ib32(arr) -> pa.Array:
+        return pa.array(id_buckets(arr, num_buckets), pa.int32())
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        key = np.unique(np.stack([u, v], axis=1), axis=0)
+        t = pa.table({"u": pa.array(key[:, 0], pa.int64()),
+                      "v": pa.array(key[:, 1], pa.int64())})
+        return t.append_column(
+            "pb", pa.array(pair_buckets(t.column("u"), t.column("v"),
+                                        num_buckets), pa.int32()))
+
+    def dedup_to_arcs(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("u", "ascending"), ("v", "ascending")])
+        first = first_of_run_mask([t.column("u"), t.column("v")])
+        t = t.filter(pa.array(first))
+        u, v = _flat_arr(t.column("u")), _flat_arr(t.column("v"))
+        a = pa.concat_arrays([u, v])
+        o = pa.concat_arrays([v, u])
+        return pa.table({
+            "b": _ib32(a), "a": a, "o": o,
+            "keep": pa.array(np.ones(len(a), bool)),
+        })
+
+    arcs = edges_ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pb").map_groups(dedup_to_arcs, batch_format="pyarrow")
+
+    def _deg_of_row(t: pa.Table) -> np.ndarray:
+        first = first_of_run_mask([t.column("a")])
+        runs = np.flatnonzero(first)
+        counts = np.diff(np.append(runs, t.num_rows))
+        return np.repeat(counts, counts)
+
+    def half_stamp(group: pa.Table) -> pa.Table:
+        """HR1: stamp each arc with keep(a-end), re-key by the other end."""
+        if group.num_rows == 0:
+            return group
+        t = group.sort_by([("a", "ascending")])
+        keep_a = _deg_of_row(t) >= k
+        o, a = _flat_arr(t.column("o")), _flat_arr(t.column("a"))
+        return pa.table({"b": _ib32(o), "a": o, "o": a,
+                         "keep": pa.array(keep_a)})
+
+    def half_filter(group: pa.Table) -> pa.Table:
+        """HR2: keep arcs whose key end ALSO survives; key stays put."""
+        if group.num_rows == 0:
+            return group
+        t = group.sort_by([("a", "ascending")])
+        keep_a = _deg_of_row(t) >= k
+        keep_other = t.column("keep").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep_a & keep_other))
+
+    for _ in range(rounds):
+        arcs = arcs.groupby("b").map_groups(
+            half_stamp, batch_format="pyarrow"
+        ).groupby("b").map_groups(half_filter, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64())})
+        t = group.sort_by([("a", "ascending")])
+        first = first_of_run_mask([t.column("a")])
+        runs = np.flatnonzero(first)
+        counts = np.diff(np.append(runs, t.num_rows))
+        return pa.table({
+            "doc_id": _flat_arr(t.column("a")).filter(pa.array(first)),
+            "degree": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return arcs.groupby("b").map_groups(final, batch_format="pyarrow")

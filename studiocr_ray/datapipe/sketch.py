@@ -561,3 +561,104 @@ def sampled_percentiles(
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "g"
     ).map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (bounded-memory EXACT, candidate pass + recount pass)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(ds, k: int = 50, text_col: str = "text"):
+    """All tokens with global frequency STRICTLY above N/k (N = corpus
+    token count) → ``(term, cnt)``, computed exactly in two streaming
+    passes with bounded memory — the scale-correct form of "top terms"
+    when the vocabulary itself does not fit anywhere.
+
+    Pass 1 (candidates): each batch counts its own tokens (dictionary
+    encode + bincount, vocab bounded by the batch) and emits only tokens
+    with ``batch_cnt * k > batch_tokens`` plus one row carrying the batch
+    token total.  By pigeonhole, a token with global ``cnt * k > N`` must
+    exceed the per-batch threshold in at least one batch (if
+    ``cnt_b * k <= N_b`` for every batch then ``cnt * k <= N``), so the
+    candidate union is a SUPERSET of the true heavy hitters — the same
+    guarantee a per-batch Misra-Gries summary gives, computed with the
+    kernels already in the hot path.  Candidate volume is <= k rows per
+    batch (plus the total row), so the driver-side distinct union is
+    bounded by ``num_batches * k`` — independent of vocabulary size.
+
+    Pass 2 (exact recount): the candidate set is ``ray.put`` once; each
+    batch counts ONLY candidate tokens (``pc.is_in`` prefilter before the
+    bincount); a vocab-bounded groupby sums the partials; the final
+    filter keeps ``cnt * k > N`` with exact integers on both sides.
+
+    Raw tokens never shuffle; the only all-to-all carries
+    <= num_batches * k narrow rows.  Oracle: GROUP BY token HAVING
+    ``count(*) * k > total`` — exact, not sketch-approximate.
+
+    No counterpart in the reference (its word stats are per-page Counters,
+    /root/reference/StudiOCR/OcrPageData.py:38); this is the SURVEY §2.10
+    corpus-analysis extension for web-scale vocabularies."""
+    from .relational import _flat_tokens
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch, text_col)
+        n_b = len(flat)
+        if n_b == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        d = pc.dictionary_encode(flat)
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary))
+        hot = np.flatnonzero(cnt.astype(np.int64) * k > n_b)
+        return pa.table({
+            "term": pa.concat_arrays(
+                [pa.array([""], pa.string()),
+                 _flat_arr(d.dictionary.take(pa.array(hot)))]),
+            "n_tokens": pa.array(
+                np.concatenate([[n_b], np.zeros(len(hot), np.int64)]),
+                pa.int64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    total = sum(r["n_tokens"] for r in cand)
+    cand_terms = sorted({r["term"] for r in cand if r["term"] != ""})
+    if not cand_terms or total == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    ref = ray.put(pa.array(cand_terms, pa.string()))
+
+    class Recount:
+        def __init__(self):
+            self.terms = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, _ = _flat_tokens(batch, text_col)
+            if len(flat) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            idx = pc.index_in(flat, value_set=self.terms)
+            hit = pc.is_valid(idx)
+            ix = pc.filter(idx, hit).to_numpy(zero_copy_only=False)
+            if len(ix) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            cnt = np.bincount(ix, minlength=len(self.terms))
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "term": self.terms.take(pa.array(nz)),
+                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            })
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        Recount, batch_format="pyarrow", concurrency=(1, 8)
+    ).groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(pc.multiply(pc.cast(batch.column("cnt"), pa.int64()),
+                                   pa.scalar(k, pa.int64())),
+                       pa.scalar(total, pa.int64())))
+
+    return agg.map_batches(keep_hot, batch_format="pyarrow")

@@ -376,3 +376,67 @@ def sentence_stats(batch: pa.Table, text_col: str = "text",
         "mean_sentence_len_u": pa.array(mean_u, pa.int64()),
         "max_sentence_len": pa.array(max_len, pa.int64()),
     })
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-document Shannon character entropy as an exact scaled integer →
+    ``(doc_id, n_chars, ent_u, entropy)`` where
+
+        ent_u = Σ_chars k · (floor(ln(L)·10⁶) − floor(ln(k)·10⁶))
+
+    (k = count of the character in the doc, L = doc codepoint length) and
+    ``entropy = ent_u / L / 10⁶`` ≈ H in nats.  The floor-scaled-log
+    quantization is the repo's standard bit-exactness trick
+    (cf. unigram LM scoring in lm.py): every term is an int64, so the
+    result is independent of summation order and a SQL oracle reproduces
+    it exactly.  Low entropy flags template/repetition pages; a classic
+    cheap quality signal (e.g. Rae et al., Gopher, arXiv:2112.11446 §A1.1
+    uses character-level repetition cousins).
+
+    Shuffle-free and fully vectorized: the batch's characters are read
+    straight from the Arrow data buffer (ONE utf-8 decode + utf-32
+    re-encode for the whole batch — no per-row Python), per-(doc, char)
+    counts come from one ``np.unique`` over ``doc_idx·2²¹ + codepoint``
+    composite keys (codepoints < 0x110000 < 2²¹), and the per-doc fold is
+    ``np.add.at``.  No counterpart in the reference (its char stats are
+    per-page Counters, /root/reference/StudiOCR/OcrPageData.py:43)."""
+    arr = batch.column(text_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = batch.num_rows
+    lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    obuf = arr.buffers()[1]
+    offs = (np.frombuffer(obuf, dtype=width)
+            [arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+            if obuf is not None else np.zeros(1, np.int64))
+    raw = arr.buffers()[2]
+    s = (raw[int(offs[0]):int(offs[-1])].to_pybytes().decode("utf-8")
+         if raw is not None and len(offs) > 1 else "")
+    cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+    ent_u = np.zeros(n, np.int64)
+    if len(cp):
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uk, cnts = np.unique(doc_idx * (np.int64(1) << 21) + cp,
+                             return_counts=True)
+        kdoc = (uk >> 21).astype(np.int64)
+        cnts = cnts.astype(np.int64)
+
+        def flog(x: np.ndarray) -> np.ndarray:
+            return np.floor(np.log(x.astype(np.float64)) * 1e6) \
+                .astype(np.int64)
+
+        np.add.at(ent_u, kdoc, cnts * (flog(lens[kdoc]) - flog(cnts)))
+    entropy = np.where(lens > 0,
+                       ent_u.astype(np.float64) / np.maximum(lens, 1)
+                       / 1e6, 0.0)
+    return pa.table({
+        "doc_id": batch.column(id_col),
+        "n_chars": pa.array(lens, pa.int64()),
+        "ent_u": pa.array(ent_u, pa.int64()),
+        "entropy": pa.array(entropy, pa.float64()),
+    })

@@ -4182,3 +4182,176 @@ class TestFuzzyDocSearch:
                 for r in search_docs_fuzzy(ds, word, tol=tol).take_all()
             )
             assert got == self._brute(rows, word, tol), (word, tol)
+
+
+class TestCharEntropy:
+    def test_vs_duckdb_bit_exact(self, docs_ds):
+        from studiocr_ray.datapipe.text import char_entropy
+
+        got = (docs_ds.map_batches(char_entropy, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = duckdb.sql(f"""
+            WITH d AS (SELECT * FROM '{SF_DIR}/documents.parquet'),
+            ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d),
+            ch2 AS (SELECT doc_id, c FROM ch WHERE c <> ''),
+            cc AS (SELECT doc_id, c, count(*) AS k FROM ch2 GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, count(*) AS L FROM ch2 GROUP BY doc_id),
+            per AS (SELECT cc.doc_id,
+                           sum(k * (CAST(floor(ln(CAST(L AS DOUBLE))*1000000.0) AS BIGINT)
+                                  - CAST(floor(ln(CAST(k AS DOUBLE))*1000000.0) AS BIGINT))) AS ent_u
+                    FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+            SELECT dd.doc_id,
+                   CAST(coalesce(t.L, 0) AS BIGINT) AS n_chars,
+                   CAST(coalesce(p.ent_u, 0) AS BIGINT) AS ent_u,
+                   CASE WHEN coalesce(t.L,0) > 0
+                        THEN CAST(p.ent_u AS DOUBLE) / t.L / 1000000.0
+                        ELSE 0.0 END AS entropy
+            FROM d dd LEFT JOIN tot t USING (doc_id)
+                      LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id
+        """).df()
+        assert got["n_chars"].tolist() == want["n_chars"].tolist()
+        assert got["ent_u"].tolist() == want["ent_u"].tolist()
+        assert got["entropy"].tolist() == want["entropy"].tolist()
+
+    def test_edge_rows(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import char_entropy
+
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["", "aaaa", "ab"], pa.string())})
+        got = (rd.from_arrow(t)
+               .map_batches(char_entropy, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # empty doc → all zeros; single-char doc → entropy 0 (ln1=0)
+        assert got["n_chars"].tolist() == [0, 4, 2]
+        assert got["ent_u"].tolist()[0] == 0
+        assert got["ent_u"].tolist()[1] == 0
+        # 'ab': each char k=1, L=2 → ent_u = 2*(floor(ln2*1e6)-0)
+        import math
+
+        assert got["ent_u"].tolist()[2] == 2 * math.floor(math.log(2) * 1e6)
+
+
+class TestHeavyHitters:
+    def test_vs_duckdb_exact(self, docs_ds):
+        from studiocr_ray.datapipe.sketch import heavy_hitters
+
+        k = 50
+        got = (heavy_hitters(docs_ds, k=k).to_pandas()
+               .sort_values("term").reset_index(drop=True))
+        want = duckdb.sql(f"""
+            WITH tk AS (SELECT unnest(list_filter(
+                            regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+                        FROM '{SF_DIR}/documents.parquet')
+            SELECT term, count(*) AS cnt FROM tk GROUP BY term
+            HAVING count(*) * {k} > (SELECT count(*) FROM tk)
+            ORDER BY term
+        """).df()
+        assert got["term"].tolist() == want["term"].tolist()
+        assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    def test_candidate_superset_under_small_batches(self, ray_session):
+        """Repartitioning into many tiny batches must not lose a true
+        heavy hitter (per-batch threshold is the pigeonhole bound)."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import heavy_hitters
+
+        # 'hot' is heavy globally but diluted per row
+        rows = [{"doc_id": i, "text": "hot filler%d pad%d" % (i, i)}
+                for i in range(60)]
+        ds = rd.from_items(rows).repartition(12)
+        got = heavy_hitters(ds, k=4).to_pandas()
+        assert "hot" in got["term"].tolist()
+        assert got.loc[got["term"] == "hot", "cnt"].iloc[0] == 60
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sketch import heavy_hitters
+
+        t = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        got = heavy_hitters(rd.from_arrow(t), k=10)
+        assert got.num_rows == 0
+
+
+class TestKCore:
+    @staticmethod
+    def _edges_ds(docs_ds, n):
+        import pyarrow as pa
+
+        def edges(batch):
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = np.repeat(d, 3)
+            dst = np.stack([(d * 3 + 1) % n, (d * 7 + 2) % n, (d + 1) % n],
+                           axis=1).ravel()
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            edges, batch_format="pyarrow")
+
+    @staticmethod
+    def _oracle_sql(n_src: str, k: int, rounds: int) -> str:
+        sql = f"""
+            WITH nodes AS (SELECT doc_id AS v FROM {n_src}),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            raw AS (
+              SELECT v AS s, (v*3+1)%n AS d FROM nodes, nn UNION ALL
+              SELECT v, (v*7+2)%n FROM nodes, nn UNION ALL
+              SELECT v, (v+1)%n FROM nodes, nn),
+            e0 AS (SELECT DISTINCT least(s,d) AS lo, greatest(s,d) AS hi
+                   FROM raw WHERE s <> d),
+            a0 AS (SELECT lo AS a, hi AS o FROM e0
+                   UNION ALL SELECT hi, lo FROM e0)"""
+        prev = "a0"
+        for r in range(rounds):
+            sql += f""",
+            d{r} AS (SELECT a, count(*) AS c FROM {prev} GROUP BY a),
+            k{r} AS (SELECT a FROM d{r} WHERE c >= {k}),
+            a{r + 1} AS (SELECT t.a, t.o FROM {prev} t
+                         JOIN k{r} x ON t.a = x.a
+                         JOIN k{r} y ON t.o = y.a)"""
+            prev = f"a{r + 1}"
+        return sql + (f"\nSELECT a AS doc_id, count(*) AS degree "
+                      f"FROM {prev} GROUP BY a ORDER BY doc_id")
+
+    def test_vs_duckdb_unrolled(self, docs_ds):
+        from studiocr_ray.datapipe.graph import kcore
+
+        n = docs_ds.count()
+        got = (kcore(self._edges_ds(docs_ds, n), k=5, rounds=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = duckdb.sql(
+            self._oracle_sql(f"'{SF_DIR}/documents.parquet'", 5, 4)).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["degree"].tolist() == want["degree"].tolist()
+
+    def test_partitioning_invariance(self, docs_ds):
+        from studiocr_ray.datapipe.graph import kcore
+
+        n = docs_ds.count()
+        e = self._edges_ds(docs_ds, n)
+        a = (kcore(e, k=5, rounds=3, num_buckets=4)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (kcore(e.repartition(17), k=5, rounds=3, num_buckets=64)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["degree"].tolist() == b["degree"].tolist()
+
+    def test_known_micrograph(self, ray_session):
+        """Triangle + pendant: 2-core is exactly the triangle."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import kcore
+
+        t = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 3], pa.int64())})
+        got = (kcore(rd.from_arrow(t), k=2, rounds=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == [0, 1, 2]
+        assert got["degree"].tolist() == [2, 2, 2]
