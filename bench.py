@@ -322,6 +322,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["pagerank_5it"] = time.perf_counter() - t0
 
+    # k-core peeling on the same synthetic graph (4 rounds = 8 alternating
+    # co-partitioned half-rounds in one lineage)
+    from studiocr_ray.datapipe.graph import kcore
+
+    t0 = time.perf_counter()
+    kcore(
+        ids.map_batches(pr_edges, batch_format="pyarrow"),
+        k=5, rounds=4, num_buckets=max(64, num_cpus * 2),
+    ).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["kcore_4r"] = time.perf_counter() - t0
+
+    # exact heavy hitters over the corpus text (candidate pass + broadcast
+    # recount; raw tokens never shuffle)
+    from studiocr_ray.datapipe.sketch import heavy_hitters
+
+    t0 = time.perf_counter()
+    heavy_hitters(
+        read_extracted(out, columns=["extracted_text"]).rename_columns(
+            {"extracted_text": "text"}
+        ),
+        k=50,
+    ).materialize()
+    timings["heavy_hitters"] = time.perf_counter() - t0
+
     # CDC merge at corpus scale: a derived changelog (1/5 updates, 1/11
     # deletes) applied onto the 1.2M-doc extracted corpus — times the one
     # key-hash exchange of the snapshot-maintenance path
