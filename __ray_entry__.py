@@ -2459,6 +2459,24 @@ def _q_heavy_hitters(sf_dir: str):
 
 KCORE_K = 5
 KCORE_ROUNDS = 4
+PHRASE_WORDS = ["order", "fast"]
+COOC_WINDOW = 2
+
+
+def _q_search_phrase(sf_dir: str):
+    """Exact consecutive-token phrase search (positional upgrade of
+    search_substring); shuffle-free shifted-slice AND per batch."""
+    from studiocr_ray.datapipe.relational import search_phrase
+
+    return search_phrase(_docs(sf_dir), PHRASE_WORDS)
+
+
+def _q_cooc_window(sf_dir: str):
+    """Skip-gram co-occurrence counts (|Δpos| ≤ 2) — the word2vec/GloVe
+    count table; pair-vocabulary-bounded partials, one pair-hash merge."""
+    from studiocr_ray.datapipe.relational import cooc_window
+
+    return cooc_window(_docs(sf_dir), window=COOC_WINDOW)
 
 
 def _q_kcore(sf_dir: str):
@@ -2678,6 +2696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "heavy_hitters": _q_heavy_hitters,
         "kcore": _q_kcore,
+        "search_phrase": _q_search_phrase,
+        "cooc_window": _q_cooc_window,
     }
 
 
@@ -4840,6 +4860,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round-5: k-core peeling, same fixed rounds unrolled
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        # round-5: consecutive-token phrase match via positions self-join
+        "search_phrase": f"""
+            WITH base AS (SELECT doc_id, {toks.format(src='lower(text)')}
+                            AS tk FROM documents),
+            tk AS (SELECT doc_id, unnest(tk) AS tok,
+                          unnest(range(1, len(tk)+1)) AS pos FROM base)
+            SELECT DISTINCT a.doc_id FROM tk a
+            JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = '{PHRASE_WORDS[0]}' AND b.tok = '{PHRASE_WORDS[1]}'
+        """,
+        # round-5: skip-gram co-occurrence counts within ±COOC_WINDOW
+        "cooc_window": f"""
+            WITH base AS (SELECT doc_id, {toks.format(src='lower(text)')}
+                            AS tk FROM documents),
+            tk AS (SELECT doc_id, unnest(tk) AS tok,
+                          unnest(range(1, len(tk)+1)) AS pos FROM base)
+            SELECT a.tok AS x, b.tok AS y, count(*) AS cnt
+            FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                 AND abs(a.pos - b.pos) <= {COOC_WINDOW}
+                 AND a.pos <> b.pos
+            GROUP BY a.tok, b.tok
+        """,
     }
 
 

@@ -2812,3 +2812,118 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text"):
     top = top.sort_values(["pmi_u", "bigram"], ascending=[False, True],
                           kind="mergesort").head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True))
+
+
+def search_phrase(ds, words: list[str], text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Exact PHRASE search: docs whose lowered whitespace-token stream
+    contains ``words`` as a CONSECUTIVE run → one ``doc_id`` row per
+    matching doc.  The positional upgrade of
+    :func:`search_docs_substring` (which cannot distinguish "new york
+    city" from "city ... new ... york") and the corpus twin of the
+    reference's within-page match walk
+    (/root/reference/StudiOCR/DocWindow.py:163-199, which steps matched
+    pages in order).
+
+    Shuffle-free and fully vectorized: one Arrow tokenize per batch, one
+    boolean equality array per phrase word, and the m-gram match is the
+    AND of m shifted slices (same-document guaranteed by comparing the
+    doc index at the span's two ends — the repeat-built doc index is
+    nondecreasing, so equal ends imply an equal interior).  No positions
+    table, no join: O(L·m) bit-ops per batch."""
+    import pyarrow.compute as pc
+
+    lw = [w.lower() for w in words]
+    m = len(lw)
+    if m == 0:
+        raise ValueError("search_phrase: empty phrase")
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        L = len(flat)
+        if L < m:
+            return batch.select([id_col]).slice(0, 0)
+        n = L - m + 1
+        valid = pc.equal(flat, lw[0]).to_numpy(
+            zero_copy_only=False)[:n].copy()
+        for j in range(1, m):
+            valid &= pc.equal(flat, lw[j]).to_numpy(
+                zero_copy_only=False)[j:j + n]
+        valid &= doc_idx[m - 1:] == doc_idx[:n]
+        row_hit = np.zeros(batch.num_rows, bool)
+        row_hit[np.unique(doc_idx[:n][valid])] = True
+        return batch.select([id_col]).filter(pa.array(row_hit))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def cooc_window(ds, window: int = 2, min_count: int = 1,
+                text_col: str = "text"):
+    """Skip-gram co-occurrence counts → ``(x, y, cnt)``: ordered
+    (center, context) token pairs with ``0 < |Δpos| ≤ window`` inside one
+    document — the count table behind word2vec/GloVe-style embedding
+    statistics (Mikolov et al. 2013; Pennington et al. 2014) and windowed
+    collocation mining beyond :func:`pmi_topk`'s adjacent bigrams.
+
+    Vectorized per batch: for each offset d = 1..window the context
+    pairs are two shifted Arrow slices masked by doc-index equality
+    (both directions), joined into "x y" pair strings with ONE
+    ``binary_join_element_wise`` call — no positions table, no self-join.
+    Partials dictionary-encode + bincount per batch (pair-vocabulary
+    bounded, never one row per pair instance) and merge through the
+    pair-hash bucket exchange (:func:`bigram_counts`'s shape — the pair
+    vocabulary grows ~quadratically, so a raw string-key groupby is the
+    measured 33× anti-pattern).  Tokens cannot contain spaces, so the
+    final split back into (x, y) is unambiguous."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import string_buckets
+
+    empty = pa.table({"wb": pa.array([], pa.int32()),
+                      "pair": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        L = len(flat)
+        xs, ys = [], []
+        for d in range(1, window + 1):
+            if L <= d:
+                break
+            same = pa.array(doc_idx[:-d] == doc_idx[d:])
+            a = flat.slice(0, L - d).filter(same)
+            b = flat.slice(d).filter(same)
+            xs += [a, b]
+            ys += [b, a]
+        if not xs or sum(len(a) for a in xs) == 0:
+            return empty
+        pairs = pc.binary_join_element_wise(
+            pa.concat_arrays(xs), pa.concat_arrays(ys), " ")
+        d_ = _dict_encode(pairs)
+        counts = np.bincount(
+            d_.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d_.dictionary))
+        return pa.table(
+            {"wb": pa.array(string_buckets(d_.dictionary, 64), pa.int32()),
+             "pair": d_.dictionary,
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        d_ = _dict_encode(group.column("pair"))
+        cnt = np.bincount(
+            d_.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d_.dictionary)).astype(np.int64)
+        keep = cnt >= min_count
+        pairs = d_.dictionary.filter(pa.array(keep))
+        parts = pc.split_pattern(pairs, " ", max_splits=1)
+        if isinstance(parts, pa.ChunkedArray):  # pragma: no cover
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        return pa.table(
+            {"x": flat.take(pa.array(np.arange(0, 2 * len(pairs), 2))),
+             "y": flat.take(pa.array(np.arange(1, 2 * len(pairs), 2))),
+             "cnt": pa.array(cnt[keep], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wb").map_groups(merge, batch_format="pyarrow")

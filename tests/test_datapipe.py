@@ -4355,3 +4355,99 @@ class TestKCore:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got["doc_id"].tolist() == [0, 1, 2]
         assert got["degree"].tolist() == [2, 2, 2]
+
+
+class TestSearchPhrase:
+    TOKS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x <> '')")
+
+    def test_vs_duckdb_bigram_and_trigram(self, docs_ds):
+        from studiocr_ray.datapipe.relational import search_phrase
+
+        for words in (["order", "fast"], ["order", "order"],
+                      ["stream", "column", "order"]):
+            gdf = search_phrase(docs_ds, words).to_pandas()
+            got = sorted(gdf["doc_id"].tolist()) if len(gdf) else []
+            joins, conds = [], [f"a.tok='{words[0]}'"]
+            for j, w in enumerate(words[1:], 1):
+                joins.append(f"JOIN tk t{j} ON a.doc_id=t{j}.doc_id "
+                             f"AND t{j}.pos=a.pos+{j}")
+                conds.append(f"t{j}.tok='{w}'")
+            want = duckdb.sql(f"""
+                WITH base AS (SELECT doc_id, {self.TOKS} AS toks
+                              FROM '{SF_DIR}/documents.parquet'),
+                tk AS (SELECT doc_id, unnest(toks) AS tok,
+                              unnest(range(1, len(toks)+1)) AS pos FROM base)
+                SELECT DISTINCT a.doc_id FROM tk a {' '.join(joins)}
+                WHERE {' AND '.join(conds)} ORDER BY a.doc_id
+            """).df()["doc_id"].tolist()
+            assert got == want, words
+
+    def test_phrase_not_substring(self, ray_session):
+        """'new york' must NOT match 'new ... york' or 'newyork'."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import search_phrase
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a new york b", "new a york", "newyork",
+                              "New YORK"], pa.string()),
+        })
+        got = sorted(search_phrase(rd.from_arrow(t), ["new", "york"])
+                     .to_pandas()["doc_id"].tolist())
+        assert got == [0, 3]  # case-insensitive, adjacency required
+
+
+class TestCoocWindow:
+    def test_vs_duckdb(self, docs_ds):
+        from studiocr_ray.datapipe.relational import cooc_window
+
+        got = (cooc_window(docs_ds, window=2).to_pandas()
+               .sort_values(["x", "y"]).reset_index(drop=True))
+        want = duckdb.sql(f"""
+            WITH base AS (SELECT doc_id, {TestSearchPhrase.TOKS} AS toks
+                          FROM '{SF_DIR}/documents.parquet'),
+            tk AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(range(1, len(toks)+1)) AS pos FROM base)
+            SELECT a.tok AS x, b.tok AS y, count(*) AS cnt
+            FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+                 AND abs(a.pos - b.pos) <= 2 AND a.pos <> b.pos
+            GROUP BY a.tok, b.tok ORDER BY x, y
+        """).df()
+        assert got["x"].tolist() == want["x"].tolist()
+        assert got["y"].tolist() == want["y"].tolist()
+        assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    def test_symmetry_and_min_count(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import cooc_window
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["a b a"], pa.string())})
+        got = (cooc_window(rd.from_arrow(t), window=1).to_pandas()
+               .sort_values(["x", "y"]).reset_index(drop=True))
+        # pairs: (a,b) (b,a) at d=1 twice each
+        assert got["x"].tolist() == ["a", "b"]
+        assert got["cnt"].tolist() == [2, 2]
+        got2 = cooc_window(rd.from_arrow(t), window=1,
+                           min_count=3).to_pandas()
+        assert len(got2) == 0
+
+
+class TestHitsOverflowGuard:
+    def test_dense_graph_raises_instead_of_wrapping(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import hits_int
+
+        # star hub with huge unit: 4 contributions x 2^60 >= 2^62 trips
+        # the a-priori bound before np.add.reduceat can wrap silently
+        edges = pa.table({"src": pa.array([0, 0, 0, 0], pa.int64()),
+                          "dst": pa.array([1, 2, 3, 4], pa.int64())})
+        nodes = pa.table({"v": pa.array([0, 1, 2, 3, 4], pa.int64())})
+        with pytest.raises(Exception) as ei:
+            hits_int(rd.from_arrow(edges), rd.from_arrow(nodes),
+                     iters=2, unit=1 << 60).to_pandas()
+        assert "overflow" in str(ei.value).lower()
