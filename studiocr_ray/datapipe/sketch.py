@@ -583,8 +583,11 @@ def heavy_hitters(ds, k: int = 50, text_col: str = "text"):
     candidate union is a SUPERSET of the true heavy hitters — the same
     guarantee a per-batch Misra-Gries summary gives, computed with the
     kernels already in the hot path.  Candidate volume is <= k rows per
-    batch (plus the total row), so the driver-side distinct union is
-    bounded by ``num_batches * k`` — independent of vocabulary size.
+    batch (plus the total row); a tiny groupby dedupes them BEFORE the
+    driver sees anything, so the collect is bounded by the number of
+    DISTINCT candidates — heavy hitters are heavy in many batches, so in
+    practice this is ~k + noise, and never more than num_batches * k —
+    independent of vocabulary size either way.
 
     Pass 2 (exact recount): the candidate set is ``ray.put`` once; each
     batch counts ONLY candidate tokens (``pc.is_in`` prefilter before the
@@ -619,7 +622,11 @@ def heavy_hitters(ds, k: int = 50, text_col: str = "text"):
                 pa.int64()),
         })
 
-    cand = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    from ray.data.aggregate import Sum as _Sum
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow") \
+        .groupby("term").aggregate(_Sum("n_tokens", alias_name="n_tokens")) \
+        .take_all()
     total = sum(r["n_tokens"] for r in cand)
     cand_terms = sorted({r["term"] for r in cand if r["term"] != ""})
     if not cand_terms or total == 0:
