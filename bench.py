@@ -50,16 +50,25 @@ def _bench_input(sf_dir: str) -> str:
 
 
 def _host_memcpy_gbps() -> float:
-    """First-touch memcpy bandwidth probe (200 MB numpy copy).  The shared
-    VM host intermittently memory-throttles (observed 0.07 GB/s vs several
-    GB/s healthy), which inflates the bandwidth-sensitive high-cpu legs —
-    recording the probe with every result makes each number interpretable."""
+    """Memcpy bandwidth probe: best of three consecutive 200 MB copies.
+    The shared VM host intermittently memory-throttles (observed 0.07 GB/s
+    vs several GB/s healthy), which inflates the bandwidth-sensitive
+    high-cpu legs — recording the probe with every result makes each
+    number interpretable.  Best-of-3 because the FIRST copy after an idle
+    period systematically under-reads on a healthy host (measured 0.21
+    then 3.17/3.31 GB/s back-to-back: cold-core frequency ramp + fresh
+    200 MB of first-touch page faults), which round 3-4 misread as
+    continuous throttle; max over three copies measures achievable
+    bandwidth, not scheduler warm-up."""
     import numpy as np
 
-    a = np.random.rand(200_000_000 // 8)
-    t0 = time.perf_counter()
-    a.copy()
-    return round(0.2 / (time.perf_counter() - t0), 2)
+    best = 0.0
+    for _ in range(3):
+        a = np.random.rand(200_000_000 // 8)
+        t0 = time.perf_counter()
+        a.copy()
+        best = max(best, 0.2 / (time.perf_counter() - t0))
+    return round(best, 2)
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:

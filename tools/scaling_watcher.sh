@@ -7,12 +7,18 @@
 # stray non-JSON output can never corrupt the jsonl.  A probe failure yields
 # "0" instead of feeding a traceback into float().
 cd /root/repo
+# best of three consecutive copies: the first copy after idle under-reads
+# on a healthy host (cold-core ramp + first-touch faults) — single-copy
+# probes misread rounds 3-4 as continuously throttled
 probe() {
   python - <<'EOF' 2>/dev/null || echo 0
 import numpy as np, time
-a = np.ones(200*1024*1024//8)
-t0=time.time(); b=a.copy(); dt=time.time()-t0
-print(f"{200/1024/dt:.3f}")
+best = 0.0
+for _ in range(3):
+    a = np.ones(200*1024*1024//8)
+    t0=time.time(); b=a.copy(); dt=time.time()-t0
+    best = max(best, 200/1024/dt)
+print(f"{best:.3f}")
 EOF
 }
 while true; do
