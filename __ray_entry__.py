@@ -2529,6 +2529,90 @@ def _kcore_sql(k: int, rounds: int) -> str:
                   f"FROM {prev} GROUP BY a")
 
 
+def _q_latest_crawl(sf_dir: str):
+    """Crawl-recency dedup: every document explodes into 1 + (doc_id % 3)
+    deterministic recrawl rows of the same url (ts_us = doc_id·10⁶ +
+    k·86400·10⁶, text suffixed ' r{k}' for k>0 — the page changed between
+    crawls), then ``snapshot.latest_snapshot`` keeps only the newest crawl
+    per url.  The two-level argmax (per-batch partial, then a key-hash
+    bucketed merge) is the shape that holds when a year of recrawls of the
+    same 10¹²-url frontier streams through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from studiocr_ray.datapipe.snapshot import latest_snapshot
+
+    def crawls(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = (ids % 3 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids)), counts)
+        starts = np.cumsum(counts) - counts
+        k = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+        texts = b.column("text").take(pa.array(idx))
+        suffix = pc2.binary_join_element_wise(
+            " r", pa.array(k.astype(str)), "")
+        bumped = pc2.binary_join_element_wise(texts, suffix, "")
+        url = pc2.binary_join_element_wise(
+            "https://docs.example/", pa.array(ids[idx].astype(str)), "")
+        ts = ids[idx] * 1_000_000 + k * 86_400_000_000
+        return pa.table({
+            "url": url,
+            "ts_us": pa.array(ts, pa.int64()),
+            "text": pc2.if_else(pa.array(k == 0), texts, bumped),
+        })
+
+    crawl_ds = _docs(sf_dir).map_batches(crawls, batch_format="pyarrow")
+    return latest_snapshot(crawl_ds, key_col="url", ts_col="ts_us")
+
+
+def _q_join_full_outer(sf_dir: str):
+    """FULL OUTER join: unmatched rows survive on BOTH sides (left-only
+    customers keep null order columns, right-only orders keep null
+    c_name; the key column is COALESCE of the two sides).  Sides are
+    modulus-sliced (scale-independent) so both kinds of unmatched rows
+    actually occur: customers ≡3 (mod 10), orders ≡3 or ≡4 — the ≡4
+    orders are right-only, customers ≡3 without orders are left-only."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import hash_join
+
+    def _mod_in(col, allowed):
+        v = col.to_numpy(zero_copy_only=False) % 10
+        return pa.array(np.isin(v, allowed))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda b: b.filter(_mod_in(b.column("c_custkey"), [3])),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(_mod_in(b.column("o_custkey"), [3, 4])),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="full",
+        left_cols=["c_name"], right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    def fill_name(b: pa.Table) -> pa.Table:
+        # right-only rows have null c_name; coalesce to '' so the hash
+        # compare never sees a null string column (repo convention —
+        # null-ness stays visible via the null o_orderkey on left-onlys)
+        import pyarrow.compute as pc2
+
+        i = b.column_names.index("c_name")
+        return b.set_column(i, "c_name", pc2.fill_null(b.column("c_name"), ""))
+
+    return joined.map_batches(fill_name, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2698,6 +2782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "search_phrase": _q_search_phrase,
         "cooc_window": _q_cooc_window,
+        "latest_crawl": _q_latest_crawl,
+        "join_full_outer": _q_join_full_outer,
     }
 
 
@@ -4881,6 +4967,29 @@ def oracle_sql() -> dict[str, str]:
                  AND abs(a.pos - b.pos) <= {COOC_WINDOW}
                  AND a.pos <> b.pos
             GROUP BY a.tok, b.tok
+        """,
+        # round-5: crawl-recency dedup — the newest of each url's
+        # 1+(doc_id%3) synthesized recrawls is closed-form (k = doc_id%3)
+        "latest_crawl": """
+            SELECT 'https://docs.example/' || doc_id AS url,
+                   CAST(doc_id * 1000000
+                        + (doc_id % 3) * 86400000000 AS BIGINT) AS ts_us,
+                   CASE WHEN doc_id % 3 = 0 THEN text
+                        ELSE text || ' r' || (doc_id % 3) END AS text
+            FROM documents
+        """,
+        # round-5: full outer join, range-sliced so both sides have
+        # unmatched rows; key = COALESCE(left, right) as in the engine
+        "join_full_outer": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   COALESCE(c.c_name, '') AS c_name,
+                   o.o_orderkey, o.o_totalprice
+            FROM (SELECT c_custkey, c_name FROM customer
+                  WHERE c_custkey % 10 = 3) c
+            FULL OUTER JOIN
+                 (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                  WHERE o_custkey % 10 IN (3, 4)) o
+              ON c.c_custkey = o.o_custkey
         """,
     }
 

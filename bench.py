@@ -480,7 +480,14 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        # optional "--scaling LO HI" (default 8 32); env override for harnesses
+        # that can't pass argv (e.g. GRAFT_SCALE_LO=4 GRAFT_SCALE_HI=16).
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+        i = sys.argv.index("--scaling")
+        if len(sys.argv) > i + 2 and sys.argv[i + 1].isdigit() and sys.argv[i + 2].isdigit():
+            lo, hi = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        print(json.dumps(run_scaling(sf_dir, lo, hi)))
         return
     res = run_bench(sf_dir, num_cpus)
     import ray

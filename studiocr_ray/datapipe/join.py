@@ -51,7 +51,9 @@ def hash_join(
     Dataset of joined rows (duplicate keys expand m×n, SQL semantics).
 
     ``how``: ``inner``, ``left`` (keeps unmatched left rows with right
-    columns null), ``semi`` (left rows whose key exists on the right —
+    columns null), ``full`` (additionally keeps unmatched RIGHT rows with
+    left columns null; the key column holds COALESCE(left, right) key so
+    it is never null), ``semi`` (left rows whose key exists on the right —
     each at most once), or ``anti`` (left rows whose key does NOT exist
     on the right — the decontamination / blocklist shape when the
     blocklist is too large to broadcast; a Bloom side
@@ -60,9 +62,9 @@ def hash_join(
     exchange (always pass them at scale); semi/anti ship only the
     right side's KEY column regardless.  A right column whose name
     collides with a left column gets ``suffix``."""
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(
-            f"how must be inner/left/semi/anti, got {how!r}"
+            f"how must be inner/left/full/semi/anti, got {how!r}"
         )
     if how in ("semi", "anti"):
         right_cols = []  # membership needs the key only
@@ -88,9 +90,18 @@ def hash_join(
     )
     # align the union schema: each side carries the other's columns as
     # nulls (unioned blocks must agree on schema; the nulls never survive
-    # the merge)
-    l_sch = dict(zip(lt.schema().names, lt.schema().types))
-    r_sch = dict(zip(rt.schema().names, rt.schema().types))
+    # the merge).  Schemas come from the INPUT datasets (pure metadata —
+    # post-map .schema() is None when a side has zero rows) with the
+    # add_side prune/rename applied symbolically.
+    def _side_schema(ds, key, cols, rename_to):
+        sch = ds.schema()
+        m = dict(zip(sch.names, sch.types))
+        keep = (list(sch.names) if cols is None
+                else [key] + [c for c in cols if c != key])
+        return {(rename_to if n == key else n): m[n] for n in keep}
+
+    l_sch = _side_schema(left, on, left_cols, on)
+    r_sch = _side_schema(right, right_on, right_cols, on)
     l_names = [n for n in l_sch if n not in ("jb", "side")]
     r_names = [n for n in r_sch if n not in ("jb", "side", on)]
     # suffix right-side collisions
@@ -132,9 +143,13 @@ def hash_join(
         if lrows.num_rows == 0 or (
             how in ("inner", "semi") and rrows.num_rows == 0
         ):
-            if how == "left" and lrows.num_rows:
+            if how in ("left", "full") and lrows.num_rows:
                 li = np.arange(lrows.num_rows)
                 return _emit(lrows, rrows, li, np.full(len(li), -1),
+                             on, l_payload, r_payload)
+            if how == "full" and rrows.num_rows:
+                ri = np.arange(rrows.num_rows)
+                return _emit(lrows, rrows, np.full(len(ri), -1), ri,
                              on, l_payload, r_payload)
             return pa.table(empty_cols)
         rsorted = rrows.sort_by(on)
@@ -159,10 +174,18 @@ def hash_join(
             np.concatenate(([0], np.cumsum(counts)[:-1])), counts
         )
         ri_m = base + off
-        if how == "left":
+        if how in ("left", "full"):
             miss = np.flatnonzero(counts == 0)
             li_m = np.concatenate([li_m, miss])
             ri_m = np.concatenate([ri_m, np.full(len(miss), -1)])
+        if how == "full":
+            # unmatched RIGHT rows: scatter-mark every right index some
+            # left row matched, emit the rest with null left payload
+            hit = np.zeros(rsorted.num_rows, dtype=bool)
+            hit[ri_m[ri_m >= 0]] = True
+            rmiss = np.flatnonzero(~hit)
+            li_m = np.concatenate([li_m, np.full(len(rmiss), -1)])
+            ri_m = np.concatenate([ri_m, rmiss])
         return _emit(lrows, rsorted, li_m, ri_m, on, l_payload, r_payload)
 
     return lt.union(rt).groupby("jb").map_groups(
@@ -171,10 +194,31 @@ def hash_join(
 
 
 def _emit(lrows, rrows, li, ri, on, l_payload, r_payload) -> pa.Table:
-    lt = pa.array(li)
-    cols = {on: _one(lrows.column(on)).take(lt)}
-    for n in l_payload:
-        cols[n] = _one(lrows.column(n)).take(lt)
+    has_l = li >= 0
+    if len(li) and has_l.all():
+        lt = pa.array(li)
+        cols = {on: _one(lrows.column(on)).take(lt)}
+        for n in l_payload:
+            cols[n] = _one(lrows.column(n)).take(lt)
+    else:
+        # full outer: rows with no left match — key = COALESCE(l, r),
+        # left payload null
+        lmask = pa.array(~has_l)
+        rt0 = pa.array(np.where(ri >= 0, ri, 0), pa.int64())
+        rkey = (_one(rrows.column(on)).take(rt0) if rrows.num_rows
+                else pa.nulls(len(li), lrows.schema.field(on).type))
+        if lrows.num_rows:
+            lt = pa.array(np.where(has_l, li, 0), pa.int64())
+            lkey = _one(lrows.column(on)).take(lt)
+            cols = {on: pc.if_else(lmask, rkey, lkey)}
+            for n in l_payload:
+                taken = _one(lrows.column(n)).take(lt)
+                cols[n] = pc.if_else(lmask, pa.nulls(len(li), taken.type),
+                                     taken)
+        else:
+            cols = {on: rkey}
+            for n in l_payload:
+                cols[n] = pa.nulls(len(li), lrows.schema.field(n).type)
     has_r = ri >= 0
     if len(ri) and has_r.all():
         rt = pa.array(ri)

@@ -109,3 +109,56 @@ def snapshot_diff(
     return old_rows.union(new_rows).groupby("ib").map_groups(
         _diff_bucket, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
     )
+
+
+def _keep_latest(t: pa.Table, key_col: str, ts_col: str,
+                 tie_cols: list[str]) -> pa.Table:
+    """One vectorized sort + first-of-run scan: newest ``ts_col`` per key,
+    ties broken ascending on ``tie_cols`` so the result is deterministic
+    regardless of block arrival order."""
+    from ..functions.arrowutil import first_of_run_mask
+
+    order = [(key_col, "ascending"), (ts_col, "descending")]
+    order += [(c, "ascending") for c in tie_cols]
+    t = t.sort_by(order)
+    first = first_of_run_mask([t.column(key_col)])
+    return t.filter(pa.array(first))
+
+
+def latest_snapshot(ds, key_col: str = "url", ts_col: str = "warc_ts",
+                    num_buckets: int = 64):
+    """Crawl-recency dedup: keep, per ``key_col``, the single row with the
+    newest ``ts_col`` — the keep-latest twin of ``dedup.exact_dedup``'s
+    keep-first (a recurring crawl re-fetches urls; downstream wants only
+    the freshest snapshot of each).
+
+    Scale shape (same two-level pattern as exact_dedup): a per-batch
+    partial argmax first shrinks every batch to one row per distinct key —
+    recrawls of a url that land in the same scan block never reach the
+    exchange — then a key-hash bucketed groupby (B groups total, not one
+    per key) repeats the identical vectorized sort + neighbor scan per
+    bucket.  Full rows ride the exchange exactly once; nothing is
+    collected on the driver.  Ties on ``ts_col`` break ascending on the
+    remaining columns, so output is bit-deterministic."""
+    from ..functions.arrowutil import id_buckets, string_buckets
+
+    def _buckets(col):
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return string_buckets(col, num_buckets)
+        return id_buckets(col, num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tie = [c for c in batch.column_names if c not in (key_col, ts_col)]
+        t = _keep_latest(batch, key_col, ts_col, tie)
+        return t.append_column(
+            "kb", pa.array(_buckets(t.column(key_col)), pa.int32())
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        tie = [c for c in group.column_names
+               if c not in (key_col, ts_col, "kb")]
+        return _keep_latest(group, key_col, ts_col, tie).drop_columns(["kb"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "kb"
+    ).map_groups(merge, batch_format="pyarrow")

@@ -4451,3 +4451,101 @@ class TestHitsOverflowGuard:
             hits_int(rd.from_arrow(edges), rd.from_arrow(nodes),
                      iters=2, unit=1 << 60).to_pandas()
         assert "overflow" in str(ei.value).lower()
+
+
+class TestFullOuterJoin:
+    def test_full_join_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        rng = np.random.RandomState(7)
+        lkeys = rng.randint(0, 40, 60).astype(np.int64)
+        rkeys = rng.randint(20, 60, 60).astype(np.int64)  # partial overlap
+        left_t = pa.table({"k": pa.array(lkeys),
+                           "x": pa.array(np.arange(60, dtype=np.int64))})
+        right_t = pa.table({"k2": pa.array(rkeys),
+                            "y": pa.array(np.arange(100, 160,
+                                                    dtype=np.int64))})
+        got = hash_join(
+            rd.from_arrow(left_t).repartition(3),
+            rd.from_arrow(right_t).repartition(3),
+            on="k", right_on="k2", how="full",
+        ).to_pandas().sort_values(["k", "x", "y"]).reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT COALESCE(l.k, r.k2) AS k, l.x, r.y
+            FROM left_t l FULL OUTER JOIN right_t r ON l.k = r.k2
+            ORDER BY k, x, y
+        """).df().reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["x"].equals(want["x"].astype(got["x"].dtype))
+        assert got["y"].equals(want["y"].astype(got["y"].dtype))
+        # key column is never null even on right-only rows
+        assert got["k"].notna().all()
+
+    def test_full_join_one_side_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import hash_join
+
+        left = pa.table({"k": pa.array([], pa.int64()),
+                         "x": pa.array([], pa.int64())})
+        right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                          "y": pa.array([10, 20], pa.int64())})
+        got = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="k", how="full").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == [1, 2]
+        assert got["x"].isna().all()
+        assert got["y"].tolist() == [10, 20]
+
+
+class TestLatestSnapshot:
+    def test_keep_newest_per_key(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import latest_snapshot
+
+        rng = np.random.RandomState(11)
+        n = 400
+        urls = pa.array([f"u{int(i)}" for i in rng.randint(0, 90, n)])
+        ts = pa.array(rng.randint(0, 50, n).astype(np.int64))
+        payload = pa.array(rng.randint(0, 10**6, n).astype(np.int64))
+        t = pa.table({"url": urls, "ts_us": ts, "v": payload})
+        got = latest_snapshot(
+            rd.from_arrow(t).repartition(5), key_col="url", ts_col="ts_us",
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        # ties on ts break ascending on remaining cols (v) -> min v wins
+        want = duckdb.sql("""
+            SELECT url, ts_us, v FROM (
+              SELECT *, row_number() OVER (
+                 PARTITION BY url ORDER BY ts_us DESC, v ASC) AS rn
+              FROM t) WHERE rn = 1
+            ORDER BY url
+        """).df().drop(columns=["rn"], errors="ignore") \
+            .reset_index(drop=True)
+        assert got["url"].tolist() == want["url"].tolist()
+        assert got["ts_us"].tolist() == want["ts_us"].tolist()
+        assert got["v"].tolist() == want["v"].tolist()
+
+    def test_int_key_and_single_row(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import latest_snapshot
+
+        t = pa.table({"k": pa.array([5, 5, 7], pa.int64()),
+                      "ts": pa.array([1, 9, 3], pa.int64()),
+                      "s": pa.array(["old", "new", "only"])})
+        got = latest_snapshot(rd.from_arrow(t), key_col="k", ts_col="ts") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["s"].tolist() == ["new", "only"]
+        assert got["ts"].tolist() == [9, 3]

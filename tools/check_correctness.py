@@ -44,9 +44,10 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
                 if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-12, equal_nan=True):
                     issues.append(f"col {c}: float values differ")
             else:
-                if not (a.astype(object) == b.astype(object)).all():
-                    n = int((a.astype(object) != b.astype(object)).sum())
-                    issues.append(f"col {c}: {n} values differ")
+                ao, bo = a.astype(object), b.astype(object)
+                same = (ao == bo) | (a.isna() & b.isna())
+                if not same.all():
+                    issues.append(f"col {c}: {int((~same).sum())} values differ")
             if str(a.dtype) != str(b.dtype):
                 issues.append(f"col {c}: dtype {a.dtype} vs {b.dtype} (warn)")
     return issues
