@@ -2613,6 +2613,97 @@ def _q_join_full_outer(sf_dir: str):
     return joined.map_batches(fill_name, batch_format="pyarrow")
 
 
+def _c4_page(b, with_bullets: bool = False):
+    """Deterministic page synthesis shared by the curation queries and
+    their SQL oracles: literal left-to-right substring replaces (identical
+    semantics in Arrow ``replace_substring`` and DuckDB ``replace``) turn
+    the flat space-joined corpus text into newline-structured pages with
+    terminal punctuation, a javascript-bearing line class, ellipsis line
+    endings, optional bullet lines, and doc-level lorem-ipsum / ``{`` /
+    ``#`` markers keyed off ``doc_id`` residues."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    t = b.column("text")
+    if with_bullets:
+        t = pc2.replace_substring(t, " spark ", "\n- ")
+        t = pc2.replace_substring(t, " slow ", "…\n")
+    else:
+        t = pc2.replace_substring(t, " merge ", ".\n")
+        t = pc2.replace_substring(t, " join ", ".\n")
+        t = pc2.replace_substring(t, " window ", " javascript.\n")
+        t = pc2.replace_substring(t, " slow ", "…\n")
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    if with_bullets:
+        suffix = pa.array(
+            ["" if i % 13 else " # # #" for i in ids], pa.string()
+        )
+    else:
+        suffix = pa.array(
+            [("" if i % 97 else " lorem ipsum")
+             + ("" if i % 89 else " {") for i in ids],
+            pa.string(),
+        )
+    t = pc2.binary_join_element_wise(t, suffix, "")
+    return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+
+#: the synthesis above, as the SQL fragment both oracles share
+_C4_PAGE_SQL = """
+    SELECT doc_id,
+           replace(replace(replace(replace(text,
+               ' merge ', '.' || chr(10)),
+               ' join ', '.' || chr(10)),
+               ' window ', ' javascript.' || chr(10)),
+               ' slow ', '…' || chr(10))
+           || CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END
+           || CASE WHEN doc_id % 89 = 0 THEN ' {' ELSE '' END AS text
+    FROM documents
+"""
+
+_GOPHER_PAGE_SQL = """
+    SELECT doc_id,
+           replace(replace(text,
+               ' spark ', chr(10) || '- '),
+               ' slow ', '…' || chr(10))
+           || CASE WHEN doc_id % 13 = 0 THEN ' # # #' ELSE '' END AS text
+    FROM documents
+"""
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4 §2.2 line/page cleaning over synthesized newline-structured
+    pages (see _c4_page): per-line terminal-punctuation + ≥5-words +
+    no-javascript rules, per-doc ≥3-kept-lines + lorem-ipsum/{ drop.
+    Stateless map_batches — no shuffle; a doc never leaves its block."""
+    from studiocr_ray.datapipe.curation import c4_line_filter
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_c4_page, batch_format="pyarrow")
+        .map_batches(c4_line_filter, batch_format="pyarrow")
+    )
+
+
+def _q_gopher_filter(sf_dir: str):
+    """Gopher §A1.1 document-quality rules over synthesized pages with
+    bullet/ellipsis line classes and a symbol-heavy doc class; the
+    stopword set is instantiated to function words that occur in the
+    fixture vocabulary so the distinct-stopword rule actually varies."""
+    from studiocr_ray.datapipe.curation import gopher_quality_filter
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_c4_page, fn_kwargs={"with_bullets": True},
+                     batch_format="pyarrow")
+        .map_batches(
+            gopher_quality_filter,
+            fn_kwargs={"stopwords": ("the", "a", "data", "value")},
+            batch_format="pyarrow",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2784,6 +2875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_window": _q_cooc_window,
         "latest_crawl": _q_latest_crawl,
         "join_full_outer": _q_join_full_outer,
+        "c4_filter": _q_c4_filter,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -4990,6 +5083,74 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                   WHERE o_custkey % 10 IN (3, 4)) o
               ON c.c_custkey = o.o_custkey
+        """,
+        # round-5: C4 §2.2 line/page cleaning over synthesized pages
+        # (page synthesis = _C4_PAGE_SQL, byte-identical to _c4_page)
+        "c4_filter": f"""
+            WITH pages AS ({_C4_PAGE_SQL}),
+            k AS (
+              SELECT doc_id, text,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     list_filter(string_split(text, chr(10)), x ->
+                        regexp_matches(x, '[.!?"]$')
+                        AND len(list_filter(
+                              string_split_regex(x, '\\s+'),
+                              w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM pages)
+            SELECT doc_id,
+                   COALESCE(array_to_string(kept, chr(10)), '')
+                     AS text_clean,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(lower(text), '{{')) AS keep_doc
+            FROM k
+        """,
+        # round-5: Gopher §A1.1 quality rules over synthesized pages
+        # with bullet/ellipsis/symbol classes (_GOPHER_PAGE_SQL)
+        "gopher_filter": f"""
+            WITH pages AS ({_GOPHER_PAGE_SQL}),
+            w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM pages),
+            s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(list_sum(list_transform(words, x -> length(x)))
+                       AS DOUBLE) / len(words) ELSE 0.0 END
+                  AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(length(text) - length(replace(text, '#', ''))
+                       + length(text) - length(replace(text, '…', ''))
+                       AS DOUBLE) / len(words) ELSE 0.0 END
+                  AS symbol_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+                CAST(len(list_filter(lines, x ->
+                       starts_with(x, '- ') OR starts_with(x, '• ')))
+                     AS DOUBLE) / len(lines) AS bullet_frac,
+                CAST(len(list_filter(lines, x -> ends_with(x, '…')))
+                     AS DOUBLE) / len(lines) AS ellipsis_frac,
+                CAST(len(list_filter(['the', 'a', 'data', 'value'],
+                       sw -> list_contains(words, sw)))
+                     AS BIGINT) AS n_stop_hits
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_frac, bullet_frac, ellipsis_frac, n_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND n_stop_hits >= 2) AS keep
+            FROM s
         """,
     }
 

@@ -4549,3 +4549,117 @@ class TestLatestSnapshot:
             .to_pandas().sort_values("k").reset_index(drop=True)
         assert got["s"].tolist() == ["new", "only"]
         assert got["ts"].tolist() == [9, 3]
+
+
+class TestCurationFilters:
+    def test_c4_line_filter_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.curation import c4_line_filter
+
+        docs = [
+            (0, 'Good line with five words here.\nshort.\n'
+                'no terminal punct line here\n'
+                'Another good long line ends right!\n'
+                'Third long fine line ends here?\n'
+                'javascript heavy line ends with period five words.'),
+            (1, 'only { one line.'),
+            (2, 'lorem ipsum somewhere in this page.\n'
+                'A perfectly fine long line here.\n'
+                'B perfectly fine long line here.\n'
+                'C perfectly fine long line here.'),
+            (3, ''),
+            (4, 'Ends with quote and five words."\n'
+                'D perfectly fine long line here.\n'
+                'E perfectly fine long line here.'),
+        ]
+        t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                      "text": pa.array([d[1] for d in docs], pa.string())})
+        got = c4_line_filter(t).to_pandas()
+        want = duckdb.sql("""
+            WITH k AS (
+              SELECT doc_id, text,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     list_filter(string_split(text, chr(10)), x ->
+                        regexp_matches(x, '[.!?"]$')
+                        AND len(list_filter(string_split_regex(x, '\\s+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM t)
+            SELECT doc_id,
+                   COALESCE(array_to_string(kept, chr(10)), '')
+                     AS text_clean,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(lower(text), '{')) AS keep_doc
+            FROM k ORDER BY doc_id
+        """).df()
+        assert got.equals(want)
+        # the rules actually fired: doc 0 keeps exactly its 3 clean lines
+        assert got.loc[0, "n_lines_kept"] == 3 and bool(got.loc[0, "keep_doc"])
+        assert not got.loc[1, "keep_doc"]  # '{' page drop
+        assert not got.loc[2, "keep_doc"]  # lorem ipsum page drop
+
+    def test_gopher_filter_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.curation import gopher_quality_filter
+
+        docs2 = [
+            (0, " ".join(["the data value of good text"] * 12)),
+            (1, "- bullet line\n- another bullet\nthe data value here…"),
+            (2, " ".join(["# #"] * 40) + " the data"),
+            (3, ""),
+            (4, " ".join(["the"] * 60)),
+        ]
+        t2 = pa.table(
+            {"doc_id": pa.array([d[0] for d in docs2], pa.int64()),
+             "text": pa.array([d[1] for d in docs2], pa.string())})
+        got = gopher_quality_filter(
+            t2, stopwords=("the", "a", "data", "value")).to_pandas()
+        want = duckdb.sql("""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines FROM t2),
+            s AS (SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CASE WHEN len(words) > 0 THEN
+                 CAST(list_sum(list_transform(words, x -> length(x)))
+                      AS DOUBLE) / len(words) ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(words) > 0 THEN
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + length(text) - length(replace(text, '…', ''))
+                      AS DOUBLE) / len(words) ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(words) > 0 THEN
+                 CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+               CAST(len(list_filter(lines, x ->
+                      starts_with(x, '- ') OR starts_with(x, '• ')))
+                    AS DOUBLE) / len(lines) AS bullet_frac,
+               CAST(len(list_filter(lines, x -> ends_with(x, '…')))
+                    AS DOUBLE) / len(lines) AS ellipsis_frac,
+               CAST(len(list_filter(['the', 'a', 'data', 'value'],
+                      sw -> list_contains(words, sw)))
+                    AS BIGINT) AS n_stop_hits
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+                   bullet_frac, ellipsis_frac, n_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND n_stop_hits >= 2) AS keep
+            FROM s ORDER BY doc_id
+        """).df()
+        assert got.equals(want)
+        assert bool(got.loc[0, "keep"])          # clean doc survives
+        assert not got.loc[2, "keep"]            # symbol-ratio drop
+        assert not got.loc[4, "keep"]            # one distinct stopword
+        assert got.loc[1, "bullet_frac"] > 0 and got.loc[1, "ellipsis_frac"] > 0
