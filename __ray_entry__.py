@@ -2704,6 +2704,29 @@ def _q_gopher_filter(sf_dir: str):
     )
 
 
+def _q_vocab_oov(sf_dir: str):
+    """Tokenizer-style vocabulary build (top-20 corpus terms) + per-doc
+    OOV rate: count→broadcast→probe, the two-pass shape that serves real
+    BPE/unigram vocabularies at 100 TB."""
+    from studiocr_ray.datapipe.relational import vocab_oov
+
+    return vocab_oov(_docs(sf_dir), top_v=20)
+
+
+def _q_zscore_events(sf_dir: str):
+    """Within-group standardization of event values (z = (x-μ_g)/σ_g),
+    exact-integer moments via the corr_by_nation cents discipline."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import zscore_by_group
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return zscore_by_group(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2877,6 +2900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": _q_join_full_outer,
         "c4_filter": _q_c4_filter,
         "gopher_filter": _q_gopher_filter,
+        "vocab_oov": _q_vocab_oov,
+        "zscore_events": _q_zscore_events,
     }
 
 
@@ -5151,6 +5176,53 @@ def oracle_sql() -> dict[str, str]:
                     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                     AND n_stop_hits >= 2) AS keep
             FROM s
+        """,
+        # round-5: top-20 vocabulary + per-doc OOV rate (count desc,
+        # term asc tie-break matches the engine's deterministic sort)
+        "vocab_oov": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest({toks.format(src='lower(text)')}) AS term
+              FROM documents),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+              ORDER BY cnt DESC, term ASC LIMIT 20),
+            d AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN term IN (SELECT term FROM vocab)
+                         THEN 0 ELSE 1 END) AS n_oov
+              FROM tok GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN COALESCE(n_tokens, 0) > 0
+                        THEN CAST(n_oov AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS oov_rate
+            FROM documents LEFT JOIN d USING (doc_id)
+        """,
+        # round-5: within-group z-score; exact integer moments (cents
+        # quantization) + the same double expression tree as the engine
+        "zscore_events": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            g AS (
+              SELECT event_type, count(*) AS n, sum(cents) AS s,
+                     sum(cents * cents) AS ss
+              FROM e GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.cents,
+                   CASE WHEN CAST(g.ss AS DOUBLE) / g.n
+                             - (CAST(g.s AS DOUBLE) / g.n)
+                               * (CAST(g.s AS DOUBLE) / g.n) > 0
+                        THEN (CAST(e.cents AS DOUBLE)
+                              - CAST(g.s AS DOUBLE) / g.n)
+                             / sqrt(CAST(g.ss AS DOUBLE) / g.n
+                                    - (CAST(g.s AS DOUBLE) / g.n)
+                                      * (CAST(g.s AS DOUBLE) / g.n))
+                        ELSE 0.0 END AS z
+            FROM e JOIN g USING (event_type)
         """,
     }
 

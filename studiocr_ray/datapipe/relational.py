@@ -2927,3 +2927,160 @@ def cooc_window(ds, window: int = 2, min_count: int = 1,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("wb").map_groups(merge, batch_format="pyarrow")
+
+
+def vocab_oov(ds, top_v: int = 20, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Vocabulary build + per-doc out-of-vocabulary rate → ``(doc_id,
+    n_tokens, n_oov, oov_rate)``.
+
+    The tokenizer-training primitive: pass 1 computes corpus term
+    frequencies (``word_count``'s vocabulary-bounded partial + bucketed
+    merge — raw tokens never shuffle), keeps the ``top_v`` terms by
+    (count desc, term asc — deterministic), and broadcasts that tiny
+    vocabulary once via ``ray.put``; pass 2 is a stateless ``map_batches``
+    probing each doc's tokens with ONE hashed ``pc.index_in`` against the
+    broadcast list.  ``oov_rate`` is a single int/int double division, so
+    the DuckDB oracle reproduces it bit-exactly.
+
+    Scale shape: the broadcast side is ``top_v`` strings by construction
+    (a tokenizer vocabulary, not the corpus); pass 2 never leaves the
+    block.  The same two-pass count→broadcast→probe layout serves real
+    BPE/unigram vocabularies at 100 TB — only ``top_v`` grows."""
+    import ray
+
+    counts = word_count(ds, text_col=text_col)
+    top = counts.sort(["cnt", "term"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = pa.array([r["term"] for r in top], pa.string())
+    ref = ray.put(vocab)
+
+    class Oov:
+        def __init__(self):
+            self.vocab = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n_docs = batch.num_rows
+            flat, doc_idx = _flat_tokens(batch, text_col)
+            n_tokens = np.zeros(n_docs, np.int64)
+            n_oov = np.zeros(n_docs, np.int64)
+            if len(flat):
+                np.add.at(n_tokens, doc_idx, 1)
+                oov = pc.is_null(
+                    pc.index_in(flat, value_set=self.vocab)
+                ).to_numpy(zero_copy_only=False)
+                np.add.at(n_oov, doc_idx[oov], 1)
+            nt = n_tokens.astype(np.float64)
+            rate = np.divide(n_oov, nt, out=np.zeros(n_docs, np.float64),
+                             where=nt > 0)
+            return pa.table(
+                {id_col: batch.column(id_col),
+                 "n_tokens": pa.array(n_tokens, pa.int64()),
+                 "n_oov": pa.array(n_oov, pa.int64()),
+                 "oov_rate": pa.array(rate, pa.float64())}
+            )
+
+    return ds.map_batches(Oov, concurrency=(1, 8), batch_format="pyarrow")
+
+
+def zscore_by_group(ds, group_col: str = "event_type",
+                    value_col: str = "value", id_col: str = "event_id"):
+    """Within-group standardization → ``(event_id, group, cents, z)``:
+    z = (x - mean_g) / stddev_pop_g, the classic feature-normalization /
+    outlier-score operator.
+
+    Exactness contract (the corr_by_nation discipline): values quantize
+    to integer cents with the shared ``floor(x*100+0.5)`` rule, so the
+    distributed moment sums (n, Σc, Σc²) are exact integers and summation
+    order cannot perturb them; the final doubles come from the same
+    expression tree the oracle SQL uses (mean = s/n; var = ss/n - mean²;
+    z = (c - mean)/sqrt(var)), so IEEE rounding matches bit-for-bit.
+    Groups whose variance is 0 emit z = 0 rather than ±inf.
+
+    Scale shape: per-batch partial moments (≤ #groups rows per batch),
+    ONE tiny groupby merge, a driver collect bounded by the group-key
+    cardinality, one ``ray.put`` broadcast, then a stateless probe pass —
+    full rows never shuffle."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        c = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        d = _dict_encode(g)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        s = np.bincount(idx, weights=c, minlength=k).astype(np.int64)
+        ss = np.bincount(idx, weights=c * c, minlength=k).astype(np.int64)
+        return pa.table(
+            {group_col: d.dictionary,
+             "n": pa.array(n, pa.int64()),
+             "s": pa.array(s, pa.int64()),
+             "ss": pa.array(ss, pa.int64())}
+        )
+
+    moments = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n"), Sum("s"), Sum("ss"))
+        .take_all()
+    )
+    stats = {
+        r[group_col]: (int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(ss)"]))
+        for r in moments
+    }
+    ref = ray.put(stats)
+
+    class Z:
+        def __init__(self):
+            self.stats = ray.get(ref)
+            keys = sorted(self.stats)
+            self.keys = pa.array(keys, pa.string())
+            # double-cast each exact integer moment BEFORE dividing —
+            # SQL computes double(s)/double(n), and Python bigint
+            # true-division rounds differently once a moment passes 2^53
+            mean = np.array(
+                [np.float64(self.stats[k][1]) / np.float64(self.stats[k][0])
+                 for k in keys],
+                np.float64,
+            )
+            var = np.array(
+                [np.float64(self.stats[k][2]) / np.float64(self.stats[k][0])
+                 for k in keys],
+                np.float64,
+            ) - mean * mean
+            self.mean = mean
+            self.sd = np.sqrt(np.maximum(var, 0.0))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            g = batch.column(group_col)
+            idx = pc.index_in(g, value_set=self.keys)
+            if idx.null_count:
+                raise ValueError(
+                    f"zscore_by_group: unseen {group_col} value in probe "
+                    "pass (moments pass must cover the same dataset)")
+            ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            c = np.floor(
+                batch.column(value_col).to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64)
+            sd = self.sd[ix]
+            z = np.where(
+                sd > 0.0, (c - self.mean[ix]) / np.where(sd > 0, sd, 1.0),
+                0.0,
+            )
+            return pa.table(
+                {id_col: batch.column(id_col),
+                 group_col: g,
+                 "cents": pa.array(c, pa.int64()),
+                 "z": pa.array(z, pa.float64())}
+            )
+
+    return ds.map_batches(Z, concurrency=(1, 8), batch_format="pyarrow")

@@ -4663,3 +4663,73 @@ class TestCurationFilters:
         assert not got.loc[2, "keep"]            # symbol-ratio drop
         assert not got.loc[4, "keep"]            # one distinct stopword
         assert got.loc[1, "bullet_frac"] > 0 and got.loc[1, "ellipsis_frac"] > 0
+
+
+class TestVocabOov:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import vocab_oov
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a a a b b c rare1",
+                "b b a rare2 rare3",
+                "c c c c a",
+                "",
+            ], pa.string()),
+        })
+        got = vocab_oov(rd.from_arrow(t).repartition(2), top_v=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = duckdb.sql("""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                AS term FROM t),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+              ORDER BY cnt DESC, term ASC LIMIT 3),
+            d AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN term IN (SELECT term FROM vocab)
+                         THEN 0 ELSE 1 END) AS n_oov
+              FROM tok GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN COALESCE(n_tokens, 0) > 0
+                        THEN CAST(n_oov AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS oov_rate
+            FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        # vocabulary is {a, b, c}; rare tokens are OOV, empty doc is 0/0
+        assert got["n_oov"].tolist() == [1, 2, 0, 0]
+        assert got.loc[3, "oov_rate"] == 0.0
+
+
+class TestZscoreByGroup:
+    def test_zero_variance_and_values(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import zscore_by_group
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["x", "x", "x", "y", "y"]),
+            "value": pa.array([1.0, 2.0, 3.0, 7.5, 7.5], pa.float64()),
+        })
+        got = zscore_by_group(rd.from_arrow(t).repartition(2)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        # group x: cents 100,200,300 -> mean 200, sd sqrt(20000/3)
+        sd = np.sqrt((100.0**2 + 0.0 + 100.0**2) / 3.0)
+        assert np.allclose(got.loc[:2, "z"], [-100.0/sd, 0.0, 100.0/sd])
+        # zero-variance group emits z=0, not inf
+        assert got.loc[3:, "z"].tolist() == [0.0, 0.0]
+        assert got["cents"].tolist() == [100, 200, 300, 750, 750]
