@@ -2727,6 +2727,19 @@ def _q_zscore_events(sf_dir: str):
     return zscore_by_group(ev)
 
 
+def _q_orders_cube(sf_dir: str):
+    """CUBE(status, priority): all four grouping sets derived from one
+    bounded leaf aggregate — raw orders rows are read exactly once."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import orders_cube
+
+    return orders_cube(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2902,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "vocab_oov": _q_vocab_oov,
         "zscore_events": _q_zscore_events,
+        "orders_cube": _q_orders_cube,
     }
 
 
@@ -5223,6 +5237,16 @@ def oracle_sql() -> dict[str, str]:
                                       * (CAST(g.s AS DOUBLE) / g.n))
                         ELSE 0.0 END AS z
             FROM e JOIN g USING (event_type)
+        """,
+        # round-5: CUBE grouping sets; 'ALL' sentinel matches the engine
+        "orders_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
     }
 

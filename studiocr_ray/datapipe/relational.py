@@ -3084,3 +3084,92 @@ def zscore_by_group(ds, group_col: str = "event_type",
             )
 
     return ds.map_batches(Z, concurrency=(1, 8), batch_format="pyarrow")
+
+
+def orders_cube(ds):
+    """CUBE(o_orderstatus, o_orderpriority) over orders → order counts and
+    integer-cent totalprice sums at all FOUR grouping sets: leaf, per
+    status, per priority (the set ROLLUP lacks), and grand total —
+    rolled-up columns carry the sentinel ``'ALL'``.
+
+    Same scale shape as ``orders_rollup``: per-batch pre-aggregation to a
+    bounded leaf (|status| × |priority| ≈ 15 rows), one tiny groupby
+    merge, then every grouping set derived from the leaf aggregate itself
+    with Arrow ``group_by`` kernels — the raw rows are read exactly once
+    no matter how many grouping sets are requested.  Sums are integer
+    cents, exact under any accumulation order."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": cents,
+            }
+        ).group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return t.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "total_cents", "n_orders"]
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def cube(b: pa.Table) -> pa.Table:
+        # bounded input (the leaf aggregate); Arrow group_by per set
+        def agg(keys: list[str]) -> pa.Table:
+            if keys:
+                g = b.group_by(keys).aggregate(
+                    [("total_cents", "sum"), ("n_orders", "sum")]
+                )
+            else:
+                g = pa.table(
+                    {
+                        "total_cents_sum": pa.array(
+                            [pc.sum(b.column("total_cents")).as_py() or 0],
+                            pa.int64(),
+                        ),
+                        "n_orders_sum": pa.array(
+                            [pc.sum(b.column("n_orders")).as_py() or 0],
+                            pa.int64(),
+                        ),
+                    }
+                )
+            n = g.num_rows
+            cols = {}
+            for c in ("o_orderstatus", "o_orderpriority"):
+                cols[c] = (
+                    g.column(c) if c in g.column_names
+                    else pa.array(["ALL"] * n, pa.string())
+                )
+            cols["total_cents"] = g.column("total_cents_sum")
+            cols["n_orders"] = g.column("n_orders_sum")
+            return pa.table(cols)
+
+        sets = [
+            b.select(["o_orderstatus", "o_orderpriority",
+                      "total_cents", "n_orders"]),
+            agg(["o_orderstatus"]),
+            agg(["o_orderpriority"]),
+            agg([]),
+        ]
+        return pa.concat_tables(sets)
+
+    return leaf.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None
+    )

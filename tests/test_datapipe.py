@@ -4733,3 +4733,30 @@ class TestZscoreByGroup:
         # zero-variance group emits z=0, not inf
         assert got.loc[3:, "z"].tolist() == [0.0, 0.0]
         assert got["cents"].tolist() == [100, 200, 300, 750, 750]
+
+
+class TestOrdersCube:
+    def test_four_grouping_sets(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import orders_cube
+
+        t = pa.table({
+            "o_orderstatus": pa.array(["O", "O", "F"]),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"]),
+            "o_totalprice": pa.array([1.005, 2.0, 3.5], pa.float64()),
+        })
+        got = orders_cube(rd.from_arrow(t).repartition(2)).to_pandas() \
+            .sort_values(["o_orderstatus", "o_orderpriority"]) \
+            .reset_index(drop=True)
+        rows = {(r.o_orderstatus, r.o_orderpriority):
+                (r.total_cents, r.n_orders) for r in got.itertuples()}
+        # 3 leaf + 2 per-status + 2 per-priority + 1 grand = 8 rows
+        assert len(rows) == 8
+        # 1.005 is 1.00499999999999989 in binary -> floor(x*100+0.5)=100;
+        # the SQL oracle computes the identical double, so they agree
+        assert rows[("O", "1-URGENT")] == (100, 1)
+        assert rows[("F", "ALL")] == (350, 1)
+        assert rows[("ALL", "1-URGENT")] == (450, 2)  # the CUBE-only set
+        assert rows[("ALL", "ALL")] == (650, 3)
