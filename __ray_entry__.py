@@ -2529,41 +2529,57 @@ def _kcore_sql(k: int, rounds: int) -> str:
                   f"FROM {prev} GROUP BY a")
 
 
-def _q_latest_crawl(sf_dir: str):
-    """Crawl-recency dedup: every document explodes into 1 + (doc_id % 3)
-    deterministic recrawl rows of the same url (ts_us = doc_id·10⁶ +
-    k·86400·10⁶, text suffixed ' r{k}' for k>0 — the page changed between
-    crawls), then ``snapshot.latest_snapshot`` keeps only the newest crawl
-    per url.  The two-level argmax (per-batch partial, then a key-hash
-    bucketed merge) is the shape that holds when a year of recrawls of the
-    same 10¹²-url frontier streams through."""
+def _synth_crawls(b):
+    """Deterministic recrawl synthesis shared by the snapshot-family
+    queries and their SQL oracles: every document explodes into
+    1 + (doc_id % 3) crawl rows of the same url (ts_us = doc_id·10⁶ +
+    k·86400·10⁶, text suffixed ' r{k}' for k>0 — the page changed
+    between crawls)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc2
 
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    counts = (ids % 3 + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(ids)), counts)
+    starts = np.cumsum(counts) - counts
+    k = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+    texts = b.column("text").take(pa.array(idx))
+    suffix = pc2.binary_join_element_wise(
+        " r", pa.array(k.astype(str)), "")
+    bumped = pc2.binary_join_element_wise(texts, suffix, "")
+    url = pc2.binary_join_element_wise(
+        "https://docs.example/", pa.array(ids[idx].astype(str)), "")
+    ts = ids[idx] * 1_000_000 + k * 86_400_000_000
+    return pa.table({
+        "url": url,
+        "ts_us": pa.array(ts, pa.int64()),
+        "text": pc2.if_else(pa.array(k == 0), texts, bumped),
+    })
+
+
+def _q_latest_crawl(sf_dir: str):
+    """Crawl-recency dedup: ``snapshot.latest_snapshot`` keeps only the
+    newest synthesized recrawl per url.  The two-level argmax (per-batch
+    partial, then a key-hash bucketed merge) is the shape that holds when
+    a year of recrawls of the same 10¹²-url frontier streams through."""
     from studiocr_ray.datapipe.snapshot import latest_snapshot
 
-    def crawls(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        counts = (ids % 3 + 1).astype(np.int64)
-        idx = np.repeat(np.arange(len(ids)), counts)
-        starts = np.cumsum(counts) - counts
-        k = np.arange(int(counts.sum())) - np.repeat(starts, counts)
-        texts = b.column("text").take(pa.array(idx))
-        suffix = pc2.binary_join_element_wise(
-            " r", pa.array(k.astype(str)), "")
-        bumped = pc2.binary_join_element_wise(texts, suffix, "")
-        url = pc2.binary_join_element_wise(
-            "https://docs.example/", pa.array(ids[idx].astype(str)), "")
-        ts = ids[idx] * 1_000_000 + k * 86_400_000_000
-        return pa.table({
-            "url": url,
-            "ts_us": pa.array(ts, pa.int64()),
-            "text": pc2.if_else(pa.array(k == 0), texts, bumped),
-        })
-
-    crawl_ds = _docs(sf_dir).map_batches(crawls, batch_format="pyarrow")
+    crawl_ds = _docs(sf_dir).map_batches(_synth_crawls,
+                                         batch_format="pyarrow")
     return latest_snapshot(crawl_ds, key_col="url", ts_col="ts_us")
+
+
+def _q_scd2_history(sf_dir: str):
+    """SCD type-2 version history over the synthesized recrawls: every
+    crawl row gains valid_from / valid_to / is_current via one key-hash
+    bucketed exchange and a per-bucket vectorized sort + shifted
+    same-key compare — no window-function state, no per-key Python."""
+    from studiocr_ray.datapipe.snapshot import scd2_history
+
+    crawl_ds = _docs(sf_dir).map_batches(_synth_crawls,
+                                         batch_format="pyarrow")
+    return scd2_history(crawl_ds, key_col="url", ts_col="ts_us")
 
 
 def _q_join_full_outer(sf_dir: str):
@@ -2916,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov": _q_vocab_oov,
         "zscore_events": _q_zscore_events,
         "orders_cube": _q_orders_cube,
+        "scd2_history": _q_scd2_history,
     }
 
 
@@ -5247,6 +5264,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        # round-5: SCD2 history over the synthesized recrawls (same
+        # closed-form crawl synthesis as latest_crawl)
+        "scd2_history": """
+            WITH crawls AS (
+              SELECT 'https://docs.example/' || doc_id AS url,
+                     CAST(doc_id * 1000000
+                          + k.k * 86400000000 AS BIGINT) AS ts_us,
+                     CASE WHEN k.k = 0 THEN text
+                          ELSE text || ' r' || k.k END AS text
+              FROM documents, (SELECT unnest([0, 1, 2]) AS k) k
+              WHERE k.k <= doc_id % 3)
+            SELECT url, ts_us AS valid_from,
+                   LEAD(ts_us) OVER w AS valid_to,
+                   (LEAD(ts_us) OVER w IS NULL) AS is_current,
+                   text
+            FROM crawls
+            WINDOW w AS (PARTITION BY url ORDER BY ts_us)
         """,
     }
 

@@ -162,3 +162,69 @@ def latest_snapshot(ds, key_col: str = "url", ts_col: str = "warc_ts",
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "kb"
     ).map_groups(merge, batch_format="pyarrow")
+
+
+def scd2_history(ds, key_col: str = "url", ts_col: str = "warc_ts",
+                 num_buckets: int = 64):
+    """Slowly-changing-dimension (type 2) version history: every version
+    row gains ``valid_from`` (its own ``ts_col``), ``valid_to`` (the NEXT
+    version's timestamp, null while current) and ``is_current`` — the
+    full-history twin of ``latest_snapshot`` (which keeps only the newest
+    row).  The classic warehouse shape for "what did this url say at time
+    T" queries over a recurring crawl.
+
+    Scale shape: a key-hash bucketed groupby (B groups total, never one
+    per key) co-locates every version of a key, then each bucket does ONE
+    vectorized sort + one shifted same-key compare — no per-key Python,
+    no window-function state.  Full rows ride the exchange exactly once
+    (inherent: the output IS the history).  Ties on ``ts_col`` break
+    ascending on the remaining columns, so output is bit-deterministic."""
+    from ..functions.arrowutil import id_buckets, string_buckets
+
+    def _buckets(col):
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return string_buckets(col, num_buckets)
+        return id_buckets(col, num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "kb", pa.array(_buckets(batch.column(key_col)), pa.int32())
+        )
+
+    def hist(group: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc2
+
+        g = group.drop_columns(["kb"])
+        tie = [c for c in g.column_names if c not in (key_col, ts_col)]
+        order = [(key_col, "ascending"), (ts_col, "ascending")]
+        order += [(c, "ascending") for c in tie]
+        t = g.sort_by(order)
+        n = t.num_rows
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        same_next = np.zeros(n, bool)
+        if n > 1:
+            same_next[:-1] = pc2.equal(
+                keys.slice(0, n - 1), keys.slice(1, n)
+            ).to_numpy(zero_copy_only=False)
+        nxt = np.empty(n, dtype=ts.dtype)
+        if n > 1:
+            nxt[:-1] = ts[1:]
+        valid_to = pa.array(
+            np.where(same_next, nxt, 0), pa.int64(),
+            mask=~same_next,
+        )
+        cols = {key_col: keys,
+                "valid_from": pc.cast(t.column(ts_col), pa.int64()),
+                "valid_to": valid_to,
+                "is_current": pa.array(~same_next)}
+        for c in tie:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "kb"
+    ).map_groups(hist, batch_format="pyarrow")

@@ -4760,3 +4760,26 @@ class TestOrdersCube:
         assert rows[("F", "ALL")] == (350, 1)
         assert rows[("ALL", "1-URGENT")] == (450, 2)  # the CUBE-only set
         assert rows[("ALL", "ALL")] == (650, 3)
+
+
+class TestScd2History:
+    def test_validity_intervals(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import scd2_history
+
+        t = pa.table({
+            "url": pa.array(["a", "a", "a", "b"]),
+            "ts_us": pa.array([30, 10, 20, 5], pa.int64()),
+            "text": pa.array(["v3", "v1", "v2", "only"]),
+        })
+        got = scd2_history(rd.from_arrow(t).repartition(2),
+                           key_col="url", ts_col="ts_us") \
+            .to_pandas().sort_values(["url", "valid_from"]) \
+            .reset_index(drop=True)
+        assert got["valid_from"].tolist() == [10, 20, 30, 5]
+        assert got["valid_to"].tolist()[:2] == [20, 30]
+        assert got["valid_to"].isna().tolist() == [False, False, True, True]
+        assert got["is_current"].tolist() == [False, False, True, True]
+        assert got["text"].tolist() == ["v1", "v2", "v3", "only"]
