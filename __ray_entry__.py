@@ -2756,6 +2756,41 @@ def _q_orders_cube(sf_dir: str):
     ))
 
 
+def _q_overlap_orders(sf_dir: str):
+    """Keyed interval-overlap self-join: orders become intervals
+    [orderdate, orderdate + (orderkey%30+1) days) and every overlapping
+    pair within the same customer is emitted once (id_a < id_b).  One
+    key-hash bucketed exchange, per-bucket vectorized sweep — the
+    range-join member of the join family."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import overlap_pairs
+
+    def iv(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = b.column("o_orderdate").cast(pa.int64())
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        start = ts.to_numpy(zero_copy_only=False)
+        end = start + (k % 30 + 1) * 86_400_000_000
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "start_us": pa.array(start, pa.int64()),
+            "end_us": pa.array(end, pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(iv, batch_format="pyarrow")
+    return overlap_pairs(ds, key="o_custkey", id_col="o_orderkey",
+                         start="start_us", end="end_us")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2933,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _q_zscore_events,
         "orders_cube": _q_orders_cube,
         "scd2_history": _q_scd2_history,
+        "overlap_orders": _q_overlap_orders,
     }
 
 
@@ -5282,6 +5318,21 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM crawls
             WINDOW w AS (PARTITION BY url ORDER BY ts_us)
+        """,
+        # round-5: keyed interval-overlap self-join (range join)
+        "overlap_orders": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey,
+                     epoch_us(o_orderdate) AS start_us,
+                     epoch_us(o_orderdate)
+                       + (o_orderkey % 30 + 1) * 86400000000 AS end_us
+              FROM orders)
+            SELECT a.o_custkey, a.o_orderkey AS id_a,
+                   b.o_orderkey AS id_b
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.start_us < b.end_us AND b.start_us < a.end_us
         """,
     }
 

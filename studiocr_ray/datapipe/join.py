@@ -422,3 +422,84 @@ def broadcast_join(
         return out.combine_chunks()
 
     return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def overlap_pairs(
+    ds,
+    key: str,
+    id_col: str,
+    start: str,
+    end: str,
+    num_buckets: int = 64,
+):
+    """Keyed interval-overlap self-join → ``(key, id_a, id_b)`` for every
+    unordered pair of same-key rows whose half-open intervals
+    ``[start, end)`` overlap (``a.start < b.end AND b.start < a.end``),
+    with ``id_a < id_b`` — the range-join member of the join family
+    (as-of = nearest-earlier, range_count = point-in-interval count,
+    this = interval×interval pairs).
+
+    Scale shape: ONE key-hash bucketed exchange (B groups, never one per
+    key), then per bucket a single vectorized sweep: dictionary-encode
+    keys, sort by (key, start), and for every row count same-key
+    candidates with ``start_j < end_i`` via TWO composite searchsorted
+    probes over start-ranks (no per-key Python, no lexicographic loop);
+    candidates expand m×n and a final mask applies ``end_j > start_i``
+    and the ``id_i < id_j`` dedup (each overlapping pair is generated in
+    both directions, the id order keeps exactly one).  Hot keys cost
+    their own pair output — inherent to the semantics; bound upstream
+    (e.g. cap intervals per key) when a single key's pairs explode."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        out = batch.select([key, id_col, start, end])
+        jb = id_buckets(out.column(key), num_buckets)
+        return out.append_column("jb", pa.array(jb, pa.int32()))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["jb"])
+        n = g.num_rows
+        empty = pa.table({
+            key: pa.array([], g.schema.field(key).type),
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        d = _one(g.column(key)).dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column(start).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g.column(end).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((s, codes))
+        codes, s, e, ids = codes[order], s[order], e[order], ids[order]
+        # start-rank normalization keeps the composite key inside int64:
+        # code * (U+1) + rank(start), U = distinct starts in the bucket
+        uniq = np.unique(s)
+        U = len(uniq) + 1
+        comp = codes * U + np.searchsorted(uniq, s)
+        lo = np.searchsorted(comp, codes * U)                # key segment
+        hi = np.searchsorted(
+            comp, codes * U + np.searchsorted(uniq, e, side="left")
+        )  # same-key rows with start_j < end_i
+        counts = hi - lo
+        li = np.repeat(np.arange(n), counts)
+        off = np.arange(len(li)) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        ri = np.repeat(lo, counts) + off
+        keep = (e[ri] > s[li]) & (ids[li] < ids[ri])
+        li, ri = li[keep], ri[keep]
+        if not len(li):
+            return empty
+        keys_sorted = _one(g.column(key)).take(pa.array(order))
+        return pa.table({
+            key: keys_sorted.take(pa.array(li)),
+            "id_a": pa.array(ids[li], pa.int64()),
+            "id_b": pa.array(ids[ri], pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "jb"
+    ).map_groups(sweep, batch_format="pyarrow")

@@ -4783,3 +4783,59 @@ class TestScd2History:
         assert got["valid_to"].isna().tolist() == [False, False, True, True]
         assert got["is_current"].tolist() == [False, False, True, True]
         assert got["text"].tolist() == ["v1", "v2", "v3", "only"]
+
+
+class TestOverlapPairs:
+    def test_matches_duckdb_brute_force(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import overlap_pairs
+
+        rng = np.random.RandomState(3)
+        n = 300
+        t = pa.table({
+            "k": pa.array(rng.randint(0, 25, n).astype(np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(rng.randint(0, 1000, n).astype(np.int64)),
+        })
+        t = t.append_column(
+            "e", pa.array(t.column("s").to_numpy()
+                          + rng.randint(1, 120, n), pa.int64()))
+        got = overlap_pairs(rd.from_arrow(t).repartition(4), key="k",
+                            id_col="id", start="s", end="e") \
+            .to_pandas().sort_values(["k", "id_a", "id_b"]) \
+            .reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT a.k AS k, a.id AS id_a, b.id AS id_b
+            FROM t a JOIN t b
+              ON a.k = b.k AND a.id < b.id
+             AND a.s < b.e AND b.s < a.e
+            ORDER BY 1, 2, 3
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) > 50  # the fixture actually produces overlaps
+
+    def test_half_open_and_tiny_groups(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import overlap_pairs
+
+        # touching intervals [0,10) and [10,20) do NOT overlap; one-row
+        # keys and exact duplicates are handled
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "id": pa.array([10, 11, 12, 20, 30, 31], pa.int64()),
+            "s": pa.array([0, 10, 5, 0, 7, 7], pa.int64()),
+            "e": pa.array([10, 20, 6, 5, 9, 9], pa.int64()),
+        })
+        got = overlap_pairs(rd.from_arrow(t), key="k", id_col="id",
+                            start="s", end="e").to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pairs = list(zip(got["id_a"], got["id_b"]))
+        # (10,11) touch only; (10,12) overlap; (11,12) disjoint;
+        # 20 alone; (30,31) identical intervals overlap
+        assert pairs == [(10, 12), (30, 31)]
