@@ -2791,6 +2791,38 @@ def _q_overlap_orders(sf_dir: str):
                          start="start_us", end="end_us")
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark/allowed-lateness accounting: event times are jittered
+    backwards by (event_id % 7)·1.5 h (deterministic, SQL-shared) so
+    arrival order (event_id) and event time disagree; an event is late
+    when it lags the per-user running-max event time by > 1 h.  One
+    user-hash bucketed exchange + a vectorized segmented running max."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import late_events
+
+    def jitter(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc2
+
+        ts = pc2.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": pa.array(ts - (eid % 7) * 5_400_000_000, pa.int64()),
+        })
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(jitter, batch_format="pyarrow")
+    return late_events(ev, delay_us=3_600_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -2969,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "scd2_history": _q_scd2_history,
         "overlap_orders": _q_overlap_orders,
+        "late_events": _q_late_events,
     }
 
 
@@ -5333,6 +5366,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.o_custkey = b.o_custkey
              AND a.o_orderkey < b.o_orderkey
              AND a.start_us < b.end_us AND b.start_us < a.end_us
+        """,
+        # round-5: watermark late-data rule over jittered event times
+        "late_events": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts)
+                       - (event_id % 7) * 5400000000 AS ts_us
+              FROM events)
+            SELECT event_id, user_id, ts_us,
+                   max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS watermark_us,
+                   (ts_us < max(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - 3600000000) AS is_late
+            FROM e
         """,
     }
 

@@ -3173,3 +3173,69 @@ def orders_cube(ds):
     return leaf.repartition(1).map_batches(
         cube, batch_format="pyarrow", batch_size=None
     )
+
+
+def late_events(ds, delay_us: int = 3_600_000_000, num_buckets: int = 64):
+    """Watermark-style late-data detection → ``(event_id, user_id, ts_us,
+    watermark_us, is_late)``: per user, in ARRIVAL order (``event_id``),
+    an event is late iff its timestamp lags the running max event-time
+    seen so far by more than ``delay_us`` — the allowed-lateness rule a
+    streaming engine applies before dropping/side-outputting a record.
+
+    Scale shape: one user-hash bucketed exchange (B groups), then each
+    bucket does ONE vectorized pass: sort by (user, event_id), segmented
+    running max via rank-normalized composite keys (seg·(U+1)+rank keeps
+    ``np.maximum.accumulate`` monotone across segment resets AND inside
+    int64 — ranks, not raw epoch-µs, bound the product), map ranks back
+    to timestamps.  No per-user Python, no window-function state."""
+    from ..functions.arrowutil import id_buckets
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        ts = b.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = pc2.cast(ts, pa.int64())
+        out = pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_us": ts,
+        })
+        return out.append_column(
+            "ub", pa.array(id_buckets(out.column("user_id"), num_buckets),
+                           pa.int32())
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["ub"]).sort_by(
+            [("user_id", "ascending"), ("event_id", "ascending")]
+        )
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "watermark_us": pa.array([], pa.int64()),
+                "is_late": pa.array([], pa.bool_()),
+            })
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        seg = np.zeros(n, np.int64)
+        if n > 1:
+            seg[1:] = np.cumsum(users[1:] != users[:-1])
+        uniq = np.unique(ts)
+        rank = np.searchsorted(uniq, ts).astype(np.int64)
+        comp = seg * (len(uniq) + 1) + rank
+        runmax = uniq[np.maximum.accumulate(comp) - seg * (len(uniq) + 1)]
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "ts_us": g.column("ts_us"),
+            "watermark_us": pa.array(runmax, pa.int64()),
+            "is_late": pa.array(ts < runmax - delay_us),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "ub"
+    ).map_groups(mark, batch_format="pyarrow")

@@ -4839,3 +4839,29 @@ class TestOverlapPairs:
         # (10,11) touch only; (10,12) overlap; (11,12) disjoint;
         # 20 alone; (30,31) identical intervals overlap
         assert pairs == [(10, 12), (30, 31)]
+
+
+class TestLateEvents:
+    def test_watermark_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import late_events
+
+        H = 3_600_000_000
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            # user 7: 0h, 5h, 3.5h (late: 1.5h behind wm=5h), 5h-1h
+            # (exactly at the boundary -> NOT late, strict <)
+            "ts": pa.array([0, 5 * H, int(3.5 * H), 4 * H,
+                            2 * H, H], pa.int64()),
+        })
+        got = late_events(rd.from_arrow(t).repartition(2), delay_us=H) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert got["watermark_us"].tolist() == [
+            0, 5 * H, 5 * H, 5 * H, 2 * H, 2 * H]
+        assert got["is_late"].tolist() == [
+            False, False, True, False, False, False]
+        # user 8's second event is 1h behind its watermark — boundary,
+        # strict comparison keeps it on time
