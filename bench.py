@@ -206,6 +206,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["unigram_logprob_shuffle"] = time.perf_counter() - t0
 
+    # published curation rules over the whole corpus: C4 line filter +
+    # Gopher doc-quality filter, both stateless vectorized map_batches
+    # (a doc never leaves its block) — the cheapest corpus-wide pass in
+    # the suite and the one every training-data run repeats most often
+    from studiocr_ray.datapipe.curation import (
+        c4_line_filter,
+        gopher_quality_filter,
+    )
+
+    def _count_true(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            return pa.table({"n": pa.array(
+                [int(pc2.sum(b.column(col)).as_py() or 0)], pa.int64()
+            )})
+
+        return f
+
+    t0 = time.perf_counter()
+    c4 = corpus().map_batches(c4_line_filter, batch_format="pyarrow") \
+        .map_batches(_count_true("keep_doc"), batch_format="pyarrow") \
+        .sum("n")
+    gopher = corpus().map_batches(
+        gopher_quality_filter, batch_format="pyarrow"
+    ).map_batches(_count_true("keep"), batch_format="pyarrow").sum("n")
+    timings["curation_filters"] = time.perf_counter() - t0
+    del c4, gopher
+
     # global quality tiers: bounded-histogram percentiles over the corpus
     from studiocr_ray.datapipe.lm import quality_tiers
 
