@@ -2823,6 +2823,54 @@ def _q_late_events(sf_dir: str):
     return late_events(ev, delay_us=3_600_000_000)
 
 
+def _q_join_salted(sf_dir: str):
+    """Skew-mitigated join: events get a synthesized hot key (every
+    user_id % 10 == 0 remaps to key 7, making it ~15× hot; the remap is
+    SQL-shared bit-exactly) and join customer through
+    ``join.skew_join`` — hot keys detected by a pigeonhole counting
+    pass, their dimension rows broadcast, only the cold remainder pays
+    the bucketed exchange.  Result is identical to a plain inner join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import skew_join
+
+    def mk(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.where(u % 10 == 0, 7, u)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "join_key": pa.array(key, pa.int64()),
+        })
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(mk, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    return skew_join(
+        ev, cust, on="join_key", right_on="c_custkey",
+        left_cols=["event_id"], right_cols=["c_nationkey"],
+        hot_threshold=300, candidate_frac=0.02,
+    )
+
+
+def _q_embed_gram(sf_dir: str):
+    """Distributed Gram matrix Xᵀ X of the corpus embeddings (the
+    covariance / PCA building block): per-batch d×d int64 partials over
+    micro-unit-quantized components, exact big-int driver reduce, upper
+    triangle out.  Raw vectors never shuffle."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.embed import gram_matrix
+
+    return gram_matrix(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3002,6 +3050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2_history,
         "overlap_orders": _q_overlap_orders,
         "late_events": _q_late_events,
+        "join_salted": _q_join_salted,
+        "embed_gram": _q_embed_gram,
     }
 
 
@@ -5382,6 +5432,35 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
                       AND CURRENT ROW) - 3600000000) AS is_late
             FROM e
+        """,
+        # round-5: skew-mitigated join — oracle is the PLAIN inner join
+        # (skew handling is an execution strategy, not a semantics change)
+        "join_salted": """
+            SELECT CASE WHEN user_id % 10 = 0 THEN 7 ELSE user_id END
+                     AS join_key,
+                   event_id, c_nationkey
+            FROM events e
+            JOIN customer c
+              ON (CASE WHEN user_id % 10 = 0 THEN 7 ELSE user_id END)
+                   = c.c_custkey
+        """,
+        # round-5: Gram matrix of quantized embeddings, upper triangle
+        "embed_gram": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0
+                                       + 0.5) AS BIGINT)) AS q
+              FROM embeddings
+            )
+            SELECT CAST(t.i - 1 AS BIGINT) AS i,
+                   CAST(u.j - 1 AS BIGINT) AS j,
+                   CAST(sum(q.q[t.i] * q.q[u.j]) AS BIGINT) AS gram
+            FROM q
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS j) u
+            WHERE t.i <= u.j
+            GROUP BY 1, 2
         """,
     }
 

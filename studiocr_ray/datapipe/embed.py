@@ -1038,3 +1038,59 @@ def semdedup(
     return labeled.groupby("cluster").map_groups(
         prune_group, batch_format="pyarrow"
     )
+
+
+def gram_matrix(ds, col: str = "embedding") -> pa.Table:
+    """Distributed Gram matrix of the corpus embedding matrix X:
+    ``G = Xᵀ X`` over micro-unit-quantized components
+    (``floor(x*1e6+0.5)``, the k-means discipline above), returned as the
+    upper triangle ``(i, j, gram)`` with 0-based dims and exact int64
+    sums — the covariance / PCA building block (mean-center or normalize
+    downstream; G is the only pass over the data either needs).
+
+    Scale shape: each batch contributes ONE d×d int64 partial
+    (``Qᵀ @ Q`` — an integer matmul, d² ints regardless of batch rows),
+    so the reduce is O(batches × d²) and raw vectors never shuffle.  The
+    driver accumulates the tiny partials in exact Python big-ints and
+    raises if the total leaves int64 rather than wrapping silently (the
+    graph.py int64-budget precedent).  ``batch_size`` is pinned to 4096
+    so a per-batch partial stays far inside int64
+    (|q| ~ 1e6 → products ~ 1e12 → ≤ 4e15 per cell per batch)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize_matrix(batch, col)
+        g = (q.T @ q).reshape(-1)
+        return pa.table(
+            {"partial": pa.array([g.tolist()], pa.list_(pa.int64()))}
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    ).take_all()
+    empty = pa.table({
+        "i": pa.array([], pa.int64()),
+        "j": pa.array([], pa.int64()),
+        "gram": pa.array([], pa.int64()),
+    })
+    if not rows:
+        return empty
+    total = [0] * len(rows[0]["partial"])
+    for r in rows:
+        p = r["partial"]
+        for idx in range(len(total)):
+            total[idx] += int(p[idx])
+    d = int(round(len(total) ** 0.5))
+    if d * d != len(total):
+        raise ValueError(f"partial length {len(total)} is not square")
+    lim = np.iinfo(np.int64).max
+    if any(abs(v) > lim for v in total):
+        raise OverflowError(
+            "gram_matrix total left int64; reduce input magnitude or "
+            "accumulate in floats for approximate use"
+        )
+    iu, ju = np.triu_indices(d)
+    flat = np.asarray(total, dtype=np.int64).reshape(d, d)
+    return pa.table({
+        "i": pa.array(iu.astype(np.int64)),
+        "j": pa.array(ju.astype(np.int64)),
+        "gram": pa.array(flat[iu, ju]),
+    })

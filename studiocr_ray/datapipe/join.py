@@ -503,3 +503,137 @@ def overlap_pairs(
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "jb"
     ).map_groups(sweep, batch_format="pyarrow")
+
+
+def skew_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    hot_threshold: int = 10_000,
+    candidate_frac: float = 0.01,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+):
+    """Skew-mitigated inner equi-join: hot probe keys bypass the
+    all-to-all exchange through a broadcast of just their dimension rows,
+    the cold remainder goes through the bucketed :func:`hash_join`, and
+    the two branches union.  Result is bit-identical to a plain inner
+    join — skew handling is an execution strategy, not a semantics
+    change.
+
+    Hot detection is the heavy-hitters pigeonhole: one column-pruned
+    counting pass over the LEFT side emits per-batch keys holding at
+    least ``candidate_frac`` of their batch, candidates dedupe through a
+    small ``groupby`` (never the raw per-batch rows on the driver), and
+    a key is *hot* when its exact recount is ≥ ``hot_threshold``.  A key
+    globally hot but under ``candidate_frac`` in every batch is missed —
+    that is an efficiency miss only (it joins correctly on the cold
+    path), and such a key is by construction at most
+    ``candidate_frac × |left|`` rows anyway.
+
+    Scale shape: hot dimension rows are collected (|hot keys| × dup
+    factor rows — dimension-sized by assumption) and ``ray.put`` once;
+    hot fact rows stream through an Arrow acero join with zero exchange,
+    so the single-bucket serialization a hot key would impose on the
+    shuffle path never happens.  The left side is read twice (hot and
+    cold filters are separate column-pruned lineages) — two cheap pruned
+    scans in exchange for removing the skew bottleneck."""
+    import ray
+
+    right_on = right_on or on
+    frac = candidate_frac
+
+    def cand(batch: pa.Table) -> pa.Table:
+        k = _one(batch.column(on))
+        vc = pc.value_counts(k)
+        keys, cnts = vc.field("values"), vc.field("counts")
+        m = pc.greater_equal(
+            cnts, pa.scalar(max(1, int(frac * batch.num_rows)), pa.int64())
+        )
+        return pa.table({on: keys.filter(m), "cnt": cnts.filter(m)})
+
+    cands = (
+        left.select_columns([on])
+        .map_batches(cand, batch_format="pyarrow")
+        .groupby(on)
+        .sum("cnt")
+        .take_all()
+    )
+    hot = [r[on] for r in cands if r["sum(cnt)"] >= hot_threshold]
+    if not hot:
+        return hash_join(
+            left, right, on, right_on=right_on, how="inner",
+            left_cols=left_cols, right_cols=right_cols,
+            num_buckets=num_buckets, suffix=suffix,
+        )
+    key_type = left.schema().types[left.schema().names.index(on)]
+    hot_arr = pa.array(sorted(hot), key_type)
+    hot_ref = ray.put(hot_arr)
+    _cache: list = []
+
+    def _hot_values():
+        if not _cache:
+            _cache.append(
+                hot_ref if isinstance(hot_ref, pa.Array) else ray.get(hot_ref)
+            )
+        return _cache[0]
+
+    def split(batch: pa.Table, key: str, cols, keep_hot: bool) -> pa.Table:
+        out = _prune(batch, key, cols)
+        mask = pc.is_in(out.column(key), value_set=_hot_values())
+        return out.filter(mask if keep_hot else pc.invert(mask))
+
+    # hot dimension rows: small by assumption -> collect + broadcast
+    r_hot_ds = right.map_batches(
+        split, fn_kwargs={"key": right_on, "cols": right_cols,
+                          "keep_hot": True},
+        batch_format="pyarrow",
+    )
+    r_hot = pa.concat_tables(
+        [ray.get(ref) for ref in r_hot_ds.to_arrow_refs()]
+    ).combine_chunks()
+    hot_out = broadcast_join(
+        left.map_batches(
+            split, fn_kwargs={"key": on, "cols": left_cols,
+                              "keep_hot": True},
+            batch_format="pyarrow",
+        ),
+        r_hot, on, right_on=right_on, how="inner", suffix=suffix,
+    )
+    cold_out = hash_join(
+        left.map_batches(
+            split, fn_kwargs={"key": on, "cols": left_cols,
+                              "keep_hot": False},
+            batch_format="pyarrow",
+        ),
+        right.map_batches(
+            split, fn_kwargs={"key": right_on, "cols": right_cols,
+                              "keep_hot": False},
+            batch_format="pyarrow",
+        ),
+        on, right_on=right_on, how="inner",
+        left_cols=None, right_cols=None,  # already pruned by split
+        num_buckets=num_buckets, suffix=suffix,
+    )
+
+    # conform both branches to one canonical column order before union
+    l_sch = left.schema()
+    l_keep = (list(l_sch.names) if left_cols is None
+              else [on] + [c for c in left_cols if c != on])
+    r_sch = right.schema()
+    r_keep = (list(r_sch.names) if right_cols is None
+              else [right_on] + [c for c in right_cols if c != right_on])
+    r_payload = [c for c in r_keep if c != right_on]
+    all_names = l_keep + [
+        (c + suffix if c in l_keep else c) for c in r_payload
+    ]
+
+    def conform(batch: pa.Table) -> pa.Table:
+        return batch.select(all_names)
+
+    return hot_out.map_batches(conform, batch_format="pyarrow").union(
+        cold_out.map_batches(conform, batch_format="pyarrow")
+    )

@@ -4865,3 +4865,141 @@ class TestLateEvents:
             False, False, True, False, False, False]
         # user 8's second event is 1h behind its watermark — boundary,
         # strict comparison keeps it on time
+
+
+class TestSkewJoin:
+    def _skewed(self, np, pa):
+        rng = np.random.RandomState(7)
+        u = rng.randint(0, 40, 2000).astype(np.int64)
+        u[rng.rand(2000) < 0.4] = 5  # key 5 holds ~40% of the fact side
+        return pa.table({
+            "k": pa.array(u),
+            "eid": pa.array(np.arange(2000, dtype=np.int64)),
+        })
+
+    def test_matches_plain_join_with_hot_key(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import skew_join
+
+        fact = self._skewed(np, pa)
+        dim = pa.table({
+            "dk": pa.array(np.arange(40, dtype=np.int64)),
+            "payload": pa.array((np.arange(40) * 3).astype(np.int64)),
+        })
+        got = skew_join(
+            rd.from_arrow(fact).repartition(4),
+            rd.from_arrow(dim).repartition(2),
+            on="k", right_on="dk",
+            left_cols=["eid"], right_cols=["payload"],
+            hot_threshold=100, candidate_frac=0.05,
+        ).to_pandas().sort_values(["k", "eid"]).reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT f.k AS k, f.eid AS eid, d.payload AS payload
+            FROM fact f JOIN dim d ON f.k = d.dk
+            ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        assert len(got) == 2000
+
+    def test_hot_key_absent_from_dim_drops(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import skew_join
+
+        fact = self._skewed(np, pa)
+        dim = pa.table({  # no row for the hot key 5
+            "dk": pa.array([k for k in range(40) if k != 5], pa.int64()),
+            "payload": pa.array(
+                [k * 3 for k in range(40) if k != 5], pa.int64()),
+        })
+        got = skew_join(
+            rd.from_arrow(fact).repartition(4), rd.from_arrow(dim),
+            on="k", right_on="dk",
+            left_cols=["eid"], right_cols=["payload"],
+            hot_threshold=100, candidate_frac=0.05,
+        ).to_pandas()
+        n5 = int((fact.column("k").to_numpy() == 5).sum())
+        assert len(got) == 2000 - n5
+        assert not (got["k"] == 5).any()
+
+    def test_uniform_input_falls_back_to_hash_join(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import skew_join
+
+        rng = np.random.RandomState(11)
+        fact = pa.table({
+            "k": pa.array(rng.randint(0, 500, 1000).astype(np.int64)),
+            "eid": pa.array(np.arange(1000, dtype=np.int64)),
+        })
+        dim = pa.table({
+            "k": pa.array(np.arange(500, dtype=np.int64)),
+            "payload": pa.array(np.arange(500, dtype=np.int64) * 7),
+        })
+        got = skew_join(
+            rd.from_arrow(fact).repartition(3), rd.from_arrow(dim),
+            on="k", left_cols=["eid"], right_cols=["payload"],
+            hot_threshold=10_000, candidate_frac=0.01,
+        ).to_pandas().sort_values(["k", "eid"]).reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT f.k AS k, f.eid AS eid, d.payload AS payload
+            FROM fact f JOIN dim d USING (k) ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+
+class TestGramMatrix:
+    def test_matches_numpy_and_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import gram_matrix
+
+        rng = np.random.RandomState(5)
+        d, n = 6, 400
+        x = (rng.rand(n, d).astype(np.float32) * 2 - 1)
+        t = pa.table({"embedding": pa.array(
+            [row.tolist() for row in x],
+            pa.list_(pa.float32()))})
+        got = gram_matrix(
+            rd.from_arrow(t).repartition(5)).to_pandas() \
+            .sort_values(["i", "j"]).reset_index(drop=True)
+        q = np.floor(x.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(d)
+        assert got["gram"].to_numpy().tolist() == g[iu, ju].tolist()
+        want = duckdb.sql(f"""
+            WITH q AS (SELECT list_transform(embedding,
+                e -> CAST(floor(CAST(e AS DOUBLE)*1000000.0+0.5)
+                          AS BIGINT)) AS q FROM t)
+            SELECT CAST(a.i-1 AS BIGINT) AS i, CAST(b.j-1 AS BIGINT) AS j,
+                   CAST(sum(q.q[a.i]*q.q[b.j]) AS BIGINT) AS gram
+            FROM q
+            CROSS JOIN (SELECT unnest(range(1, {d+1})) AS i) a
+            CROSS JOIN (SELECT unnest(range(1, {d+1})) AS j) b
+            WHERE a.i <= b.j GROUP BY 1, 2 ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_empty_input(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import gram_matrix
+
+        t = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        out = gram_matrix(rd.from_arrow(t))
+        assert out.num_rows == 0
+        assert out.column_names == ["i", "j", "gram"]
