@@ -734,6 +734,90 @@ def append_extract(
     }
 
 
+def _compact_one_part(out_dir: str, part: int) -> dict:
+    """Rewrite one fragmented partition into a single parquet file:
+    staged write → rename-aside swap (crash leaves data in ``.old``) →
+    manifest updated LAST, the committer discipline of
+    :func:`_merge_append_part`.  Rows are preserved exactly (files concat
+    in sorted name order); metrics are untouched."""
+    import json
+
+    d = part_dir(out_dir, part)
+    names = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(d, n)) for n in names]
+    )
+    if "part" in t.column_names:
+        t = t.drop_columns(["part"])
+    tmp = d + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    fp = os.path.join(tmp, "data.parquet")
+    pq.write_table(t, fp)
+    fsize = os.path.getsize(fp)
+    old_dir = d + ".old"
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.replace(d, old_dir)
+    os.replace(tmp, d)
+    shutil.rmtree(old_dir)
+    prev = {}
+    try:
+        with open(manifest_path(out_dir, part)) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    write_manifest(out_dir, part, {
+        **prev,
+        "files": [{"name": "data.parquet", "bytes": fsize}],
+    })
+    return {"part": part, "files_before": len(names), "rows": t.num_rows,
+            "bytes": fsize}
+
+
+def compact_output(out_dir: str, min_files: int = 2,
+                   parts: list[int] | None = None) -> dict:
+    """Small-file compaction over an extracted corpus — the maintenance
+    answer to the small-file problem that incremental appends and
+    fine-grained write blocks create at 100 TB (a 10⁶-file corpus reads
+    an order of magnitude slower than the same bytes in right-sized
+    files).  Every COMPLETE partition currently holding ≥ ``min_files``
+    parquet files is rewritten into one file, one Ray task per partition
+    (partitions are independent; untouched partitions are never read),
+    each with the atomic rename-aside swap + manifest-last discipline, so
+    a crash mid-compaction loses nothing and a rerun just picks up the
+    still-fragmented remainder."""
+    import ray
+
+    t0 = time.perf_counter()
+    complete = {
+        int(m["part"]) for m in load_manifests(out_dir)
+        if m.get("status") == "complete"
+    }
+    todo = []
+    for p in sorted(complete if parts is None else
+                    (set(parts) & complete)):
+        d = part_dir(out_dir, p)
+        if not os.path.isdir(d):
+            continue
+        nf = sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+        if nf >= min_files:
+            todo.append(p)
+    if not todo:
+        return {"parts_compacted": 0, "files_before": 0,
+                "elapsed_sec": round(time.perf_counter() - t0, 3)}
+    one = ray.remote(num_cpus=1)(_compact_one_part)
+    results = ray.get([one.remote(out_dir, p) for p in todo])
+    return {
+        "parts_compacted": len(results),
+        "files_before": sum(r["files_before"] for r in results),
+        "rows": sum(r["rows"] for r in results),
+        "bytes": sum(r["bytes"] for r in results),
+        "elapsed_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
 def page_stats_dataset(out_dir: str):
     from ..stages.extract import PAGES_READ_COLUMNS
 

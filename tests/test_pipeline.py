@@ -796,3 +796,62 @@ class TestUpdateIndexTruncationGuard:
         run_index(out, max_postings=2)
         res = update_index(out, [1])
         assert res["mode"] == "full_rebuild"
+
+
+class TestCompaction:
+    def test_compact_fragmented_partitions(self, ray_session, pages_dir,
+                                           tmp_path):
+        """Small-file compaction: fragmented partitions collapse to one
+        file each, data and manifests/metrics are preserved exactly, and
+        a second compact is a no-op."""
+        import os
+
+        import pyarrow.parquet as pq
+        from studiocr_ray.pipelines.extract_pipeline import (
+            compact_output, corpus_metrics, docs_dataset,
+        )
+        from studiocr_ray.state.manifest import part_dir
+
+        out = str(tmp_path / "cmp")
+        run_extract(pages_dir, out, num_partitions=8)
+        before = docs_dataset(out).to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        metrics_before = corpus_metrics(out)
+
+        # fragment two partitions by splitting their file(s) in half
+        fragged = 0
+        for p in range(8):
+            d = part_dir(out, p)
+            if not os.path.isdir(d) or fragged == 2:
+                continue
+            t = pq.read_table(d)
+            if t.num_rows < 2:
+                continue
+            for n in os.listdir(d):
+                if n.endswith(".parquet"):
+                    os.remove(os.path.join(d, n))
+            h = t.num_rows // 2
+            pq.write_table(t.slice(0, h), os.path.join(d, "a.parquet"))
+            pq.write_table(t.slice(h), os.path.join(d, "b.parquet"))
+            fragged += 1
+        assert fragged == 2
+
+        s = compact_output(out)
+        assert s["parts_compacted"] == 2
+        assert s["files_before"] == 4
+        # one file per compacted partition; bytes accounted in manifests
+        for p in range(8):
+            d = part_dir(out, p)
+            if os.path.isdir(d):
+                files = [n for n in os.listdir(d) if n.endswith(".parquet")]
+                assert len(files) == 1
+
+        after = docs_dataset(out).to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        assert after.equals(before)
+        assert corpus_metrics(out) == metrics_before
+        # resume identity intact: no partition recomputes
+        r = run_extract(pages_dir, out, num_partitions=8)
+        assert r["parts_skipped"] == 8
+        # idempotent
+        assert compact_output(out)["parts_compacted"] == 0
