@@ -969,7 +969,8 @@ _PASSAGE_BASE = np.uint64(1000003)
 
 
 def _window_hash_rows(
-    batch: pa.Table, w: int, text_col: str, id_col: str, num_buckets: int
+    batch: pa.Table, w: int, text_col: str, id_col: str, num_buckets: int,
+    cache: dict | None = None, cache_cap: int = 1_000_000,
 ) -> pa.Table:
     """(id, pos, h, wb) rows — one per W-token window (stride 1) of every
     doc, h = polynomial hash of the window's md5-derived token hashes.
@@ -977,7 +978,10 @@ def _window_hash_rows(
     Vectorized: tokens come from ONE Arrow split, md5 runs once per
     DISTINCT token in the batch (dictionary encode), and the rolling
     accumulator is W vectorized uint64 passes over all windows at once —
-    never a per-window Python loop."""
+    never a per-window Python loop.  ``cache`` (used by the actor-pool
+    :class:`_WindowHasher`) memoizes token→hash across batches, bounded
+    by ``cache_cap`` entries (a full cache still serves hits; only
+    inserts stop)."""
     from .relational import _dict_encode, _flat_tokens
 
     id_arr = _flat_arr(batch.column(id_col))
@@ -991,9 +995,22 @@ def _window_hash_rows(
     if len(flat) == 0:
         return empty
     d = _dict_encode(flat)
-    vh = np.array(
-        [_stable64(t) for t in d.dictionary.to_pylist()], dtype=np.uint64
-    )
+    toks = d.dictionary.to_pylist()
+    if cache is None:
+        vh = np.fromiter(
+            (_stable64(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+    else:
+        vh = np.empty(len(toks), np.uint64)
+        grow = len(cache) < cache_cap
+        for i, t in enumerate(toks):
+            v = cache.get(t)
+            if v is None:
+                v = _stable64(t)
+                if grow:
+                    cache[t] = v
+                    grow = len(cache) < cache_cap
+            vh[i] = v
     th = vh[d.indices.to_numpy(zero_copy_only=False)]
     counts = np.bincount(doc_idx, minlength=batch.num_rows)
     m = np.maximum(counts - w + 1, 0)
@@ -1019,6 +1036,23 @@ def _window_hash_rows(
     )
 
 
+class _WindowHasher:
+    """Actor-pool form of :func:`_window_hash_rows`: a per-actor
+    token→hash cache so each DISTINCT token pays its md5 once per actor
+    lifetime, not once per batch — under the corpus Zipf distribution
+    most of every batch's dictionary is already cached after the first
+    few batches.  Output is bit-identical to the stateless form."""
+
+    def __init__(self, w: int, text_col: str, id_col: str,
+                 num_buckets: int, cache_cap: int = 1_000_000):
+        self.kw = dict(w=w, text_col=text_col, id_col=id_col,
+                       num_buckets=num_buckets, cache_cap=cache_cap)
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _window_hash_rows(batch, cache=self.cache, **self.kw)
+
+
 def _crossdoc_windows(group: pa.Table, id_col: str) -> pa.Table:
     """Within one hash bucket: keep windows whose hash occurs in ≥2
     DISTINCT docs (cross-document duplication only — internal repetition
@@ -1039,18 +1073,25 @@ def _crossdoc_windows(group: pa.Table, id_col: str) -> pa.Table:
     keep_run = codes[starts] != codes[ends]  # sorted ⇒ distinct ≥ 2
     kept = t.filter(pa.array(keep_run[run_id]))
     hx = kept.column("h").to_numpy(zero_copy_only=False)
+    # vectorized lowercase hex: big-endian byte view -> one hexlify ->
+    # fixed-width S16 reinterpret (identical to f"{v:016x}" per value)
+    import binascii
+
+    hs = np.frombuffer(
+        binascii.hexlify(hx.astype(">u8").tobytes()), dtype="S16"
+    )
     return pa.table(
         {
             id_col: kept.column(id_col),
             "pos": kept.column("pos"),
-            "gram_hash": pa.array([f"{v:016x}" for v in hx], pa.string()),
+            "gram_hash": pa.array(hs.astype("U16"), pa.string()),
         }
     )
 
 
 def duplicate_passages(
     ds, w: int = 8, text_col: str = "text", id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int = 64, concurrency=(1, 16),
 ):
     """Cross-document duplicate W-token passages (the fixed-width form of
     Lee et al. 2022's exact-substring dedup, bounded to width W so it
@@ -1059,14 +1100,18 @@ def duplicate_passages(
     distinct docs.
 
     Scale shape: ONE all-to-all of narrow (id, pos, uint64) rows — the
-    window strings never move; md5 runs per distinct token per batch, the
-    rolling hash is W vectorized passes.  The oracle recomputes the exact
-    hashes in SQL (md5 token hashes + HUGEINT mod-2^64 polynomial), so the
-    match is bit-exact, collisions included."""
+    window strings never move; token md5 is memoized per ACTOR (the
+    hashing stage is an actor pool: each distinct token hashes once per
+    actor lifetime, not once per batch), the rolling hash is W vectorized
+    passes.  The oracle recomputes the exact hashes in SQL (md5 token
+    hashes + HUGEINT mod-2^64 polynomial), so the match is bit-exact,
+    collisions included."""
     rows = ds.map_batches(
-        _window_hash_rows,
-        fn_kwargs={"w": w, "text_col": text_col, "id_col": id_col,
-                   "num_buckets": num_buckets},
+        _WindowHasher,
+        fn_constructor_kwargs={"w": w, "text_col": text_col,
+                               "id_col": id_col,
+                               "num_buckets": num_buckets},
+        concurrency=concurrency,
         batch_format="pyarrow",
     )
     return rows.groupby("wb").map_groups(

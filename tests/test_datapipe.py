@@ -5003,3 +5003,33 @@ class TestGramMatrix:
         out = gram_matrix(rd.from_arrow(t))
         assert out.num_rows == 0
         assert out.column_names == ["i", "j", "gram"]
+
+
+class TestWindowHasherCache:
+    def test_cache_and_cap_are_bit_identical(self):
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.dedup import (
+            _WindowHasher, _window_hash_rows,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array(["a", "b", "c"]),
+            "text": pa.array([
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "completely different words here now ok fine yes",
+            ]),
+        })
+        kw = dict(w=4, text_col="text", id_col="doc_id", num_buckets=8)
+        base = _window_hash_rows(t, **kw)
+        hasher = _WindowHasher(**kw)
+        assert hasher(t).equals(base)      # cold cache
+        assert hasher(t).equals(base)      # warm cache
+        assert len(hasher.cache) > 0
+        capped = _WindowHasher(**kw, cache_cap=0)
+        assert capped(t).equals(base)      # full-from-birth cache: no inserts
+        assert len(capped.cache) == 0
+        small = _WindowHasher(**kw, cache_cap=3)
+        assert small(t).equals(base)
+        assert len(small.cache) == 3
