@@ -2871,6 +2871,24 @@ def _q_embed_gram(sf_dir: str):
     ))
 
 
+def _q_moving_avg(sf_dir: str):
+    """Bounded-frame rolling mean per user (last 7 events): segmented
+    integer-cents cumsum difference inside one user-hash bucket
+    exchange; `mov_avg` is the single exact double division SQL
+    performs on the same integers."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import moving_avg_events
+
+    return moving_avg_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ),
+        k=7,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3052,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "join_salted": _q_join_salted,
         "embed_gram": _q_embed_gram,
+        "moving_avg": _q_moving_avg,
     }
 
 
@@ -5461,6 +5480,21 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest(range(1, 65)) AS j) u
             WHERE t.i <= u.j
             GROUP BY 1, 2
+        """,
+        # round-5: bounded-frame rolling mean (ROWS k-1 PRECEDING)
+        "moving_avg": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS wsum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS wn,
+                   CAST(sum(cents) OVER w AS DOUBLE)
+                     / (count(*) OVER w) AS mov_avg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
     }
 

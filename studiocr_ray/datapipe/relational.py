@@ -1477,6 +1477,85 @@ def window_events(ds, num_buckets: int = 64):
     )
 
 
+def moving_avg_events(ds, k: int = 7, num_buckets: int = 64):
+    """Per-user rolling mean over the last ``k`` events — the bounded-frame
+    member of the window family (``AVG(...) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``)
+    → ``(event_id, user_id, wsum_cents, wn, mov_avg)``.
+
+    Exactness: the frame sum is integer cents via a segmented
+    cumulative-sum difference (window sums are associativity-independent),
+    ``mov_avg`` is the single double division ``wsum/wn`` — the one IEEE
+    op SQL performs on the same exact integers.  Distribution shape:
+    identical to :func:`window_events` (one user-hash bucket exchange,
+    lexsort + numpy prefix kernels per bucket, no global sort; a skewed
+    user bounds one task at its own rows)."""
+    from ..functions.arrowutil import id_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cents": cents,
+                "bucket": pa.array(
+                    id_buckets(batch.column("user_id"), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def bucket_roll(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks()
+        d = _dict_encode(uid)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, codes))
+        codes_s, cents_s = codes[order], cents[order]
+        n = len(order)
+        user_change = np.concatenate(
+            ([True], codes_s[1:] != codes_s[:-1])
+        ) if n else np.array([], bool)
+        first_idx = np.maximum.accumulate(
+            np.where(user_change, np.arange(n), 0)
+        )
+        idx = np.arange(n)
+        start = np.maximum(first_idx, idx - k + 1)
+        cs = np.cumsum(cents_s)
+        prev = start - 1
+        wsum = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        wn = idx - start + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": uid.take(pa.array(order)),
+                "wsum_cents": pa.array(wsum, pa.int64()),
+                "wn": pa.array(wn.astype(np.int64), pa.int64()),
+                "mov_avg": pa.array(
+                    wsum.astype(np.float64) / wn, pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_roll, batch_format="pyarrow")
+    )
+
+
 def revenue_by_nation(
     sf_dir: str,
     region: str = "ASIA",

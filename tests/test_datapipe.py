@@ -5033,3 +5033,28 @@ class TestWindowHasherCache:
         small = _WindowHasher(**kw, cache_cap=3)
         assert small(t).equals(base)
         assert len(small.cache) == 3
+
+
+class TestMovingAvg:
+    def test_frame_and_boundaries(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import moving_avg_events
+
+        # user 1: values 100,200,300,400 (cents 10000,...); user 2: one
+        # event; negative value checks floor semantics (-1.5 -> -150)
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(np.arange(6) * 1_000_000, pa.timestamp("us")),
+            "value": pa.array([100.0, 200.0, 300.0, 400.0, -1.5, 2.0]),
+        })
+        got = moving_avg_events(rd.from_arrow(t).repartition(3), k=3) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert got["wsum_cents"].tolist() == [
+            10000, 30000, 60000, 90000, -150, 50]
+        assert got["wn"].tolist() == [1, 2, 3, 3, 1, 2]
+        assert got["mov_avg"].tolist() == [
+            10000.0, 15000.0, 20000.0, 30000.0, -150.0, 25.0]
