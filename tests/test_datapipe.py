@@ -5058,3 +5058,38 @@ class TestMovingAvg:
         assert got["wn"].tolist() == [1, 2, 3, 3, 1, 2]
         assert got["mov_avg"].tolist() == [
             10000.0, 15000.0, 20000.0, 30000.0, -150.0, 25.0]
+
+    def test_string_keys_and_suffix_collision(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import skew_join
+
+        rng = np.random.RandomState(2)
+        hosts = np.array([f"h{i}.example" for i in range(30)], dtype=object)
+        k = hosts[rng.randint(0, 30, 1500)]
+        k[rng.rand(1500) < 0.5] = "hot.example"
+        fact = pa.table({
+            "host": pa.array(k.tolist(), pa.string()),
+            "n": pa.array(np.arange(1500, dtype=np.int64)),
+        })
+        dim = pa.table({
+            "host": pa.array(
+                ["hot.example"] + [f"h{i}.example" for i in range(30)],
+                pa.string()),
+            # payload name collides with a left column -> suffixed
+            "n": pa.array(np.arange(31, dtype=np.int64) * 11),
+        })
+        got = skew_join(
+            rd.from_arrow(fact).repartition(4), rd.from_arrow(dim),
+            on="host", left_cols=["n"], right_cols=["n"],
+            hot_threshold=200, candidate_frac=0.05,
+        ).to_pandas().sort_values(["host", "n"]).reset_index(drop=True)
+        assert sorted(got.columns) == ["host", "n", "n_r"]
+        want = duckdb.sql("""
+            SELECT f.host AS host, f.n AS n, d.n AS n_r
+            FROM fact f JOIN dim d USING (host) ORDER BY 1, 2
+        """).df().reset_index(drop=True)
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
