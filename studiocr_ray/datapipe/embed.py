@@ -1057,6 +1057,10 @@ def gram_matrix(ds, col: str = "embedding") -> pa.Table:
     so a per-batch partial stays far inside int64
     (|q| ~ 1e6 → products ~ 1e12 → ≤ 4e15 per cell per batch)."""
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: contribute no partial row
+            return pa.table(
+                {"partial": pa.array([], pa.list_(pa.int64()))}
+            )
         q = _quantize_matrix(batch, col)
         g = (q.T @ q).reshape(-1)
         return pa.table(

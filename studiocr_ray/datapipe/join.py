@@ -550,8 +550,16 @@ def skew_join(
         k = _one(batch.column(on))
         vc = pc.value_counts(k)
         keys, cnts = vc.field("values"), vc.field("counts")
-        m = pc.greater_equal(
-            cnts, pa.scalar(max(1, int(frac * batch.num_rows)), pa.int64())
+        # null keys never enter the hot set (sorted() over None would
+        # crash); they flow to the cold path where hash_join raises its
+        # documented null-free-key error instead of a confusing sort
+        # failure here
+        m = pc.and_(
+            pc.greater_equal(
+                cnts,
+                pa.scalar(max(1, int(frac * batch.num_rows)), pa.int64()),
+            ),
+            pc.is_valid(keys),
         )
         return pa.table({on: keys.filter(m), "cnt": cnts.filter(m)})
 

@@ -5093,3 +5093,30 @@ class TestMovingAvg:
             FROM fact f JOIN dim d USING (host) ORDER BY 1, 2
         """).df().reset_index(drop=True)
         assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+    def test_hot_null_keys_fail_loudly_like_hash_join(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import skew_join
+
+        # nulls dominate the fact side; they must never enter the hot
+        # set (sorted() over None would crash before reaching any join)
+        # and instead hit hash_join's documented null-free-key error on
+        # the cold path
+        fact = pa.table({
+            "k": pa.array([None] * 600 + [1, 2, 3] * 100, pa.int64()),
+            "eid": pa.array(np.arange(900, dtype=np.int64)),
+        })
+        dim = pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "p": pa.array([10, 20, 30], pa.int64()),
+        })
+        with pytest.raises(Exception, match="null-free"):
+            skew_join(
+                rd.from_arrow(fact).repartition(3), rd.from_arrow(dim),
+                on="k", left_cols=["eid"], right_cols=["p"],
+                hot_threshold=50, candidate_frac=0.05,
+            ).to_pandas()
