@@ -2889,6 +2889,65 @@ def _q_moving_avg(sf_dir: str):
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Positional phrase search over the inverted index: postings carry
+    (page, block) token positions, so the classic positional intersect
+    answers exact-adjacency queries from the index alone."""
+    from studiocr_ray.pipelines.index_pipeline import index_dataset
+    from studiocr_ray.search import search_corpus_phrase
+
+    _, idx = _extraction(sf_dir)
+    return search_corpus_phrase(
+        index_dataset(idx, columns=["term", "urls", "postings"]),
+        "table scan",
+    )
+
+
+def _q_index_compressed(sf_dir: str):
+    """Delta-varint postings codec proof: encode → decode every index row,
+    then recompute df/tf FROM THE DECODED POSTINGS (not the stored
+    columns), so a hash match against the extract_index oracle certifies
+    the codec lossless end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from studiocr_ray.functions.varint import (
+        decode_postings_batch,
+        encode_postings_batch,
+    )
+    from studiocr_ray.pipelines.index_pipeline import index_dataset
+
+    _, idx = _extraction(sf_dir)
+    ds = index_dataset(idx, columns=["term", "postings"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        dec = decode_postings_batch(encode_postings_batch(batch))
+        posts = dec.column("postings").combine_chunks()
+        n = pc.list_value_length(posts).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = posts.flatten()
+        url_idx = flat.field("url_idx").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
+        nonempty = n > 0
+        df = np.zeros(len(n), np.int64)
+        if len(url_idx):
+            first = np.ones(len(url_idx), bool)
+            first[1:] = url_idx[1:] != url_idx[:-1]
+            first[starts[nonempty]] = True
+            df[nonempty] = np.add.reduceat(first, starts[nonempty])
+        return pa.table(
+            {"term": dec.column("term"), "df": pa.array(df, pa.int64()),
+             "tf": pa.array(n, pa.int64())}
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow").groupby(
+        "term"
+    ).aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3071,6 +3130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_salted": _q_join_salted,
         "embed_gram": _q_embed_gram,
         "moving_avg": _q_moving_avg,
+        "phrase_search": _q_phrase_search,
+        "index_compressed": _q_index_compressed,
     }
 
 
@@ -5495,6 +5556,32 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        # round-5: positional phrase search — the synthetic corpus
+        # normalizes each document to one layout page whose block ids are
+        # token positions, so phrase adjacency is adjacency in the
+        # whitespace token list
+        "phrase_search": """
+            WITH t AS (
+              SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT url FROM t
+            WHERE len(toks) >= 2
+              AND len(list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'table' AND toks[i+1] = 'scan')) > 0
+        """,
+        # round-5: delta-varint postings codec — df/tf recomputed from the
+        # DECODED postings must equal the plain index aggregate, so the
+        # oracle is extract_index's verbatim
+        "index_compressed": f"""
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (
+              SELECT doc_id, unnest({toks.format(src='lower(text)')}) AS term
+              FROM documents
+            ) GROUP BY term
         """,
     }
 

@@ -99,6 +99,124 @@ def search_corpus(
     return distinct_urls_ds(ds)
 
 
+def search_corpus_phrase(index_ds, phrase: str, num_buckets: int = 64):
+    """Positional PHRASE search across documents → Dataset of distinct urls
+    whose text contains the exact consecutive token sequence on ONE page.
+
+    Beyond the reference's any-word OCR search (ListDocuments.py:206-221):
+    index postings already carry each token's layout position (``page``,
+    ``block`` — within-page token index, index_pipeline._layout_flat), so
+    the classic positional-index intersect answers phrase queries without
+    re-reading the corpus.  Tokens match EXACTLY (lowered) — the phrase
+    contract is adjacency of whole tokens, not the single-word substring
+    rule — and adjacency never crosses a page boundary.
+
+    Scale shape: stage 1 filters index rows to the ≤k distinct query terms
+    (``pc.is_in`` over the term column — postings of non-query terms are
+    never exploded) and emits one narrow ``(url, page, apos=block-i, qi=i)``
+    row per occurrence of query-position i's term.  Stage 2 buckets by a
+    url hash; within a bucket one lexsort groups ``(url, page, apos)`` runs
+    and a run holding all k positions is a phrase hit at anchor ``apos``.
+    The single exchange moves rows ∝ Σ tf(query terms) — the positional
+    postings of the query terms alone — and a url's rows land in exactly
+    one bucket, so the per-group unique IS the global distinct."""
+    import numpy as np
+
+    from .functions.arrowutil import string_buckets
+
+    words = phrase.lower().split()
+    k = len(words)
+    if k == 0:
+        return search_corpus(index_ds, "")
+    pos_of: dict[str, list[int]] = {}
+    for i, w in enumerate(words):
+        pos_of.setdefault(w, []).append(i)
+    value_set = pa.array(sorted(pos_of), pa.string())
+    EMPTY = pa.table(
+        {
+            "pbucket": pa.array([], pa.int32()),
+            "url": pa.array([], pa.string()),
+            "page": pa.array([], pa.int32()),
+            "apos": pa.array([], pa.int64()),
+        }
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch.column("term"), value_set=value_set))
+        if hit.num_rows == 0:
+            return EMPTY
+        posts = hit.column("postings").combine_chunks()
+        n = pc.list_value_length(posts).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        flat = posts.flatten()
+        urls_list = hit.column("urls").combine_chunks()
+        u_off = urls_list.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u_off = u_off - u_off[0]  # flatten() is rebased to offset 0
+        rep = np.repeat(np.arange(hit.num_rows), n)
+        url_strings = (
+            urls_list.flatten().take(
+                pa.array(
+                    u_off[rep]
+                    + flat.field("url_idx").to_numpy(zero_copy_only=False)
+                )
+            )
+            if len(flat)
+            else pa.array([], pa.string())
+        )
+        pages = flat.field("page")
+        blocks = flat.field("block").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        starts = np.concatenate(([0], np.cumsum(n))).astype(np.int64)
+        terms = hit.column("term").to_pylist()  # ≤ k×URL_SHARDS rows
+        parts = []
+        for r, t in enumerate(terms):
+            s, e = int(starts[r]), int(starts[r + 1])
+            if s == e:
+                continue
+            u = url_strings.slice(s, e - s)
+            for qi in pos_of[t]:
+                parts.append(
+                    pa.table(
+                        {
+                            "pbucket": pa.array(
+                                string_buckets(u, num_buckets), pa.int32()
+                            ),
+                            "url": u,
+                            "page": pages.slice(s, e - s),
+                            "apos": pa.array(blocks[s:e] - qi, pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts) if parts else EMPTY
+
+    def matches(group: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(group.column("url").combine_chunks())
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pages = group.column("page").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        apos = group.column("apos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((apos, pages, codes))
+        c, p, a = codes[order], pages[order], apos[order]
+        neq = (c[1:] != c[:-1]) | (p[1:] != p[:-1]) | (a[1:] != a[:-1])
+        run_starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        run_len = np.diff(np.concatenate((run_starts, [len(c)])))
+        # a (url, page, apos) run holds one row per query position present
+        # (qi values are distinct within a run by construction), so
+        # run_len == k ⇔ every position matched ⇔ phrase hit at apos
+        hit_codes = np.unique(c[run_starts[run_len == k]])
+        return pa.table({"url": d.dictionary.take(pa.array(hit_codes))})
+
+    ex = index_ds.map_batches(explode, batch_format="pyarrow")
+    return ex.groupby("pbucket").map_groups(matches, batch_format="pyarrow")
+
+
 def search_corpus_indexed(
     index_dir: str,
     query: str,

@@ -1,6 +1,7 @@
 """Search parity tests (SURVEY.md §5): index + search vs brute-force oracle
 scans implementing the reference's literal semantics."""
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
@@ -89,6 +90,32 @@ class TestIndex:
             urls = [u for row_urls in g["urls"] for u in row_urls]
             assert int(g["df"].sum()) == len(set(urls))
 
+    def test_postings_codec_roundtrip(self, corpus):
+        """Delta-varint codec (functions/varint.py) is bit-exact on every
+        real index row and beats the raw fixed-width encoding."""
+        from studiocr_ray.functions.varint import (
+            decode_postings_batch,
+            encode_postings_batch,
+        )
+
+        _, idx_dir = corpus
+        raw = pa.concat_tables(
+            index_dataset(idx_dir, columns=["term", "postings"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ).combine_chunks()
+        enc = encode_postings_batch(raw)
+        dec = decode_postings_batch(enc)
+        assert dec.column("postings").to_pylist() == raw.column(
+            "postings"
+        ).to_pylist()
+        n_posts = sum(len(p) for p in raw.column("postings").to_pylist())
+        packed = sum(
+            enc.column(c).nbytes
+            for c in ("url_bin", "page_bin", "block_bin", "conf_bin")
+        )
+        assert packed < 16 * n_posts  # 4×int32 fixed-width baseline
+
     def test_max_postings_truncation(self, corpus, ray_session, tmp_path):
         out, _ = corpus
         info = run_index(out, index_dir=str(tmp_path / "idx"), max_postings=3)
@@ -139,6 +166,128 @@ class TestCorpusSearch:
             }
         )
         assert got == want and len(want) > 0
+
+
+def brute_force_phrase_search(blocks, phrase):
+    """Positional phrase oracle: consecutive BLOCK IDS (not merely list
+    order) on one page must spell the lowered phrase."""
+    words = phrase.lower().split()
+    k = len(words)
+    if k == 0:
+        return sorted(set(blocks.column("url").to_pylist()))
+    per_page: dict[tuple, list] = {}
+    for u, p, b, t in zip(
+        blocks.column("url").to_pylist(),
+        blocks.column("page").to_pylist(),
+        blocks.column("block").to_pylist(),
+        blocks.column("text").to_pylist(),
+    ):
+        per_page.setdefault((u, p), []).append((b, t.lower()))
+    hit = set()
+    for (u, _p), toks in per_page.items():
+        if u in hit:
+            continue
+        toks.sort()
+        for i in range(len(toks) - k + 1):
+            if all(
+                toks[i + j][1] == words[j]
+                and toks[i + j][0] == toks[i][0] + j
+                for j in range(k)
+            ):
+                hit.add(u)
+                break
+    return sorted(hit)
+
+
+class TestPhraseSearch:
+    def test_parity_and_nonempty(self, corpus, oracle_blocks):
+        """Pick a guaranteed-present adjacent pair from the oracle blocks so
+        the positive path is always exercised, then assert parity."""
+        from studiocr_ray.search import search_corpus_phrase
+
+        _, idx_dir = corpus
+        pairs = {}
+        for (u, p), toks in _pages_of(oracle_blocks).items():
+            for a, b in zip(toks, toks[1:]):
+                pairs.setdefault((a[1], b[1]), 0)
+                pairs[(a[1], b[1])] += 1
+        # a mid-frequency in-page bigram: present but not everywhere
+        phrase = " ".join(
+            sorted(pairs, key=lambda kv: (pairs[kv], kv))[len(pairs) // 2]
+        )
+        got = _urls(search_corpus_phrase(index_dataset(idx_dir), phrase))
+        want = brute_force_phrase_search(oracle_blocks, phrase)
+        assert got == want and 0 < len(want) < len(
+            set(oracle_blocks.column("url").to_pylist())
+        )
+
+    @pytest.mark.parametrize(
+        "phrase",
+        ["the world", "because each just", "zzz nope", "corn", "the the"],
+    )
+    def test_parity(self, corpus, oracle_blocks, phrase):
+        from studiocr_ray.search import search_corpus_phrase
+
+        _, idx_dir = corpus
+        got = _urls(search_corpus_phrase(index_dataset(idx_dir), phrase))
+        assert got == brute_force_phrase_search(oracle_blocks, phrase)
+
+    def test_single_word_is_exact_not_substring(self, corpus, oracle_blocks):
+        """'ecaus' substring-matches 'because' in word search but a PHRASE
+        of one token must match the whole token exactly."""
+        from studiocr_ray.search import search_corpus_phrase
+
+        _, idx_dir = corpus
+        got = _urls(search_corpus_phrase(index_dataset(idx_dir), "ecaus"))
+        assert got == []
+
+    def test_no_match_across_page_boundary(self, corpus, oracle_blocks):
+        """A last-token-of-page + first-token-of-next-page pair only counts
+        where it ALSO occurs inside one page — parity with the oracle's
+        per-page rule on such a pair (skip if the fixture has none)."""
+        from studiocr_ray.search import search_corpus_phrase
+
+        _, idx_dir = corpus
+        pages = _pages_of(oracle_blocks)
+        in_page = set()
+        for toks in pages.values():
+            in_page.update(
+                (a[1], b[1]) for a, b in zip(toks, toks[1:])
+            )
+        cross = None
+        by_doc: dict[str, list] = {}
+        for (u, p), toks in pages.items():
+            by_doc.setdefault(u, []).append((p, toks))
+        for u, pl in by_doc.items():
+            pl.sort()
+            for (p1, t1), (p2, t2) in zip(pl, pl[1:]):
+                cand = (t1[-1][1], t2[0][1])
+                if cand not in in_page:
+                    cross = cand
+                    break
+            if cross:
+                break
+        if cross is None:
+            pytest.skip("fixture has no page-crossing-only bigram")
+        got = _urls(
+            search_corpus_phrase(index_dataset(idx_dir), " ".join(cross))
+        )
+        assert got == []
+
+
+def _pages_of(blocks):
+    """(url, page) → [(block, lowered text)] sorted by block."""
+    per_page: dict[tuple, list] = {}
+    for u, p, b, t in zip(
+        blocks.column("url").to_pylist(),
+        blocks.column("page").to_pylist(),
+        blocks.column("block").to_pylist(),
+        blocks.column("text").to_pylist(),
+    ):
+        per_page.setdefault((u, p), []).append((b, t.lower()))
+    for toks in per_page.values():
+        toks.sort()
+    return per_page
 
 
 class TestInDocumentSearch:
