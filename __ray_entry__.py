@@ -2948,6 +2948,18 @@ def _q_index_compressed(sf_dir: str):
     ).aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
 
 
+def _q_robust_stats(sf_dir: str):
+    """Per-event-type median + MAD from one bounded cents histogram."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import robust_stats_by_group
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return robust_stats_by_group(events)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3132,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg": _q_moving_avg,
         "phrase_search": _q_phrase_search,
         "index_compressed": _q_index_compressed,
+        "robust_stats": _q_robust_stats,
     }
 
 
@@ -5573,6 +5586,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(toks) >= 2
               AND len(list_filter(range(1, len(toks)),
                     i -> toks[i] = 'table' AND toks[i+1] = 'scan')) > 0
+        """,
+        # round-5: per-group median + MAD, percentile-disc rank ceil(N/2)
+        # on integer cents for both (same rule as value_pctl_by_type)
+        "robust_stats": """
+            WITH e AS (
+              SELECT event_type AS g,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            med AS (
+              SELECT g, c AS med_c, n FROM (
+                SELECT g, c,
+                       row_number() OVER (PARTITION BY g ORDER BY c) AS rk,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM e)
+              WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+            ),
+            dev AS (
+              SELECT e.g, abs(e.c - m.med_c) AS d
+              FROM e JOIN med m ON e.g = m.g
+            ),
+            mad AS (
+              SELECT g, d AS mad_c FROM (
+                SELECT g, d,
+                       row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM dev)
+              WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+            )
+            SELECT m.g AS event_type, CAST(m.n AS BIGINT) AS n,
+                   m.med_c AS med_cents, a.mad_c AS mad_cents,
+                   CAST(m.med_c AS DOUBLE) / 100.0 AS median,
+                   CAST(a.mad_c AS DOUBLE) / 100.0 AS mad
+            FROM med m JOIN mad a ON m.g = a.g
         """,
         # round-5: delta-varint postings codec — df/tf recomputed from the
         # DECODED postings must equal the plain index aggregate, so the

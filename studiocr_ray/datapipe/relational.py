@@ -1896,6 +1896,74 @@ def grouped_value_percentiles(
     )
 
 
+def robust_stats_by_group(
+    ds, group_col: str = "event_type", value_col: str = "value",
+):
+    """EXACT per-group median + MAD (median absolute deviation) of a
+    2-decimal money column → ``(group, n, med_cents, mad_cents, median,
+    mad)`` — the robust-statistics outlier screen (median ± k·MAD), both
+    with percentile-disc semantics (value at 1-based rank ``ceil(N/2)``).
+
+    ONE distributed pass: the same bounded ``(group, cents)`` histogram as
+    :func:`grouped_value_percentiles`; the deviation distribution is then a
+    RELABELING of that histogram (each distinct cents value maps to
+    ``|cents - median|`` carrying its count), so MAD needs no second pass
+    over the data — the driver re-sorts the bounded histogram, never the
+    corpus."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(
+            np.floor(
+                batch.column(value_col).to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        t = pa.table(
+            {group_col: batch.column(group_col), "cents": cents}
+        ).group_by([group_col, "cents"]).aggregate([("cents", "count")])
+        return t.rename_columns([group_col, "cents", "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "cents"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |groups| × |distinct cents|
+        .sort_values([group_col, "cents"])
+    )
+    out = {k: [] for k in ("g", "n", "med", "mad")}
+    for g, sub in hist.groupby(group_col, sort=True):
+        vals = sub["cents"].to_numpy()
+        cnt = sub["cnt"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        k = max(1, math.ceil(0.5 * n))
+        med = int(vals[np.searchsorted(cum, k)])
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        cumd = cnt[order].cumsum()
+        mad = int(dev[order][np.searchsorted(cumd, k)])
+        out["g"].append(g)
+        out["n"].append(n)
+        out["med"].append(med)
+        out["mad"].append(mad)
+    return pa.table(
+        {
+            group_col: pa.array(out["g"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "med_cents": pa.array(out["med"], pa.int64()),
+            "mad_cents": pa.array(out["mad"], pa.int64()),
+            "median": pa.array(
+                np.asarray(out["med"], np.float64) / 100.0, pa.float64()
+            ),
+            "mad": pa.array(
+                np.asarray(out["mad"], np.float64) / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
 def funnel_counts(
     ds,
     first_type: str = "view",

@@ -967,6 +967,59 @@ class TestWindows:
         assert got["event_type"].tolist() == want["event_type"].tolist()
         assert got["cents"].tolist() == want["cents"].tolist()
 
+    def test_robust_stats_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import robust_stats_by_group
+
+        sf = "/root/testdata/sf0.001"
+        got = robust_stats_by_group(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["event_type", "value"])
+        ).to_pandas().sort_values("event_type").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value*100.0+0.5) AS BIGINT) AS cents
+                       FROM read_parquet('{sf}/events.parquet')),
+            med AS (SELECT event_type, quantile_disc(cents, 0.5) AS m,
+                           count(*) AS n
+                    FROM c GROUP BY event_type)
+            SELECT c.event_type, any_value(m) AS med,
+                   quantile_disc(abs(cents - m), 0.5) AS mad,
+                   any_value(n) AS n
+            FROM c JOIN med USING (event_type)
+            GROUP BY c.event_type ORDER BY 1
+        """).df().reset_index(drop=True)
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        assert got["med_cents"].tolist() == want["med"].tolist()
+        assert got["mad_cents"].tolist() == want["mad"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
+
+    def test_robust_stats_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import robust_stats_by_group
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["a"] * 3 + ["b"] * 4, pa.string()),
+                "value": pa.array(
+                    [1.0, 2.0, 100.0, 1.0, 2.0, 3.0, 100.0], pa.float64()
+                ),
+            }
+        )
+        got = robust_stats_by_group(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().set_index("event_type")
+        # a: cents [100,200,10000] → med 200 (rank 2 of 3), devs
+        # [100,0,9800] → mad 100; b: [100,200,300,10000] → med 200
+        # (rank 2 of 4), devs [100,0,100,9800] → mad 100
+        assert got.loc["a", "med_cents"] == 200 and got.loc["a", "mad_cents"] == 100
+        assert got.loc["b", "med_cents"] == 200 and got.loc["b", "mad_cents"] == 100
+        assert got.loc["a", "n"] == 3 and got.loc["b", "n"] == 4
+
     def test_fuzzy_pairs_semantics(self, ray_session):
         import pyarrow as pa
         import ray.data as rd
