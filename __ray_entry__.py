@@ -2960,6 +2960,22 @@ def _q_robust_stats(sf_dir: str):
     return robust_stats_by_group(events)
 
 
+def _q_concordance(sf_dir: str):
+    """KWIC windows for one term over the documents table, shuffle-free."""
+    import functools
+
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.text import concordance
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        functools.partial(concordance, term="table", width=3),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3145,6 +3161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "index_compressed": _q_index_compressed,
         "robust_stats": _q_robust_stats,
+        "concordance": _q_concordance,
     }
 
 
@@ -5619,6 +5636,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.med_c AS DOUBLE) / 100.0 AS median,
                    CAST(a.mad_c AS DOUBLE) / 100.0 AS mad
             FROM med m JOIN mad a ON m.g = a.g
+        """,
+        # round-5: KWIC concordance — ±3 whole tokens around each match,
+        # clipped at document bounds (1-based list ops, emitted 0-based)
+        "concordance": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id, toks,
+                     unnest(list_filter(range(1, len(toks) + 1),
+                                        i -> toks[i] = 'table')) AS p
+              FROM tk)
+            SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                   coalesce(array_to_string(
+                     list_slice(toks, greatest(1, p - 3), p - 1), ' '), '')
+                     AS before,
+                   coalesce(array_to_string(
+                     list_slice(toks, p + 1, least(len(toks), p + 3)), ' '),
+                     '') AS after
+            FROM m
         """,
         # round-5: delta-varint postings codec — df/tf recomputed from the
         # DECODED postings must equal the plain index aggregate, so the

@@ -440,3 +440,71 @@ def char_entropy(batch: pa.Table, text_col: str = "text",
         "ent_u": pa.array(ent_u, pa.int64()),
         "entropy": pa.array(entropy, pa.float64()),
     })
+
+
+def concordance(batch: pa.Table, term: str = "table", width: int = 3,
+                id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """KWIC (keyword-in-context) windows: one row per occurrence of
+    ``term`` (lowered whole-token match) → ``(doc_id, pos, before,
+    after)`` with the ±``width`` surrounding tokens joined by spaces,
+    clipped at document bounds — the corpus-QA concordance view.
+
+    Shuffle-free and fully vectorized: the batch tokenizes once
+    (relational._flat_tokens), match positions fall out of one
+    ``pc.equal`` mask, and both context windows are gathered with a
+    single take over the flat token array (ListArray offsets + one
+    ``pc.binary_join`` per side).  No Python loop touches a token."""
+    from .relational import _flat_tokens
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], batch.column(id_col).type),
+            "pos": pa.array([], pa.int64()),
+            "before": pa.array([], pa.string()),
+            "after": pa.array([], pa.string()),
+        }
+    )
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    n = len(flat)
+    if n == 0:
+        return empty
+    is_start = np.ones(n, bool)
+    is_start[1:] = doc_idx[1:] != doc_idx[:-1]
+    starts_idx = np.flatnonzero(is_start)
+    run_len = np.diff(np.concatenate((starts_idx, [n])))
+    doc_start = np.repeat(starts_idx, run_len)
+    doc_len = np.repeat(run_len, run_len)
+    pos = np.arange(n, dtype=np.int64) - doc_start
+    midx = np.flatnonzero(
+        pc.equal(flat, term.lower()).to_numpy(zero_copy_only=False)
+    )
+    if len(midx) == 0:
+        return empty
+
+    def side(lo: np.ndarray, hi: np.ndarray) -> pa.Array:
+        """space-joined tokens[lo:hi) per match, one gather + one join."""
+        cnt = hi - lo
+        offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+        take = (np.arange(int(offs[-1]), dtype=np.int64)
+                - np.repeat(offs[:-1], cnt) + np.repeat(lo, cnt))
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()).cast(pa.int32()),
+            flat.take(pa.array(take)),
+        )
+        return pc.binary_join(lst, " ")
+
+    lo_b = np.maximum(midx - width, doc_start[midx])
+    before = side(lo_b, midx)
+    hi_a = np.minimum(midx + 1 + width, doc_start[midx] + doc_len[midx])
+    after = side(midx + 1, hi_a)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(doc_idx[midx])),
+            "pos": pa.array(pos[midx], pa.int64()),
+            "before": before,
+            "after": after,
+        }
+    )

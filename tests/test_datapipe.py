@@ -1020,6 +1020,28 @@ class TestWindows:
         assert got.loc["b", "med_cents"] == 200 and got.loc["b", "mad_cents"] == 100
         assert got.loc["a", "n"] == 3 and got.loc["b", "n"] == 4
 
+    def test_concordance_semantics(self, ray_session):
+        import pyarrow as pa
+
+        from studiocr_ray.datapipe.text import concordance
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a Table scan and table", "table b", "no hits here"],
+                    pa.string(),
+                ),
+            }
+        )
+        got = concordance(t, term="table", width=2).to_pylist()
+        assert got == [
+            {"doc_id": 1, "pos": 1, "before": "a", "after": "scan and"},
+            {"doc_id": 1, "pos": 4, "before": "scan and", "after": ""},
+            {"doc_id": 2, "pos": 0, "before": "", "after": "b"},
+        ]
+        assert concordance(t, term="zzz", width=2).num_rows == 0
+
     def test_fuzzy_pairs_semantics(self, ray_session):
         import pyarrow as pa
         import ray.data as rd
