@@ -2976,6 +2976,38 @@ def _q_concordance(sf_dir: str):
     )
 
 
+def _q_user_paths(sf_dir: str):
+    """Top-k whole-journey paths: each user's events (ts, event_id)-
+    ordered event types joined with '>', counted, top-20 (n desc, path
+    asc).  One user-hash exchange; path concat is a zero-copy ListArray
+    + pc.binary_join, never per-user Python; the final top-k merges
+    batches×k partials, not the journey vocabulary."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import user_paths
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return user_paths(events, k=20)
+
+
+def _q_seq3_patterns(sf_dir: str):
+    """Order-3 sequential patterns: per-user consecutive event-type
+    3-grams counted globally — transition_counts lifted one order up;
+    the final aggregate is bounded by #types³, not corpus size."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import seq3_patterns
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return seq3_patterns(events)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3162,6 +3194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_compressed": _q_index_compressed,
         "robust_stats": _q_robust_stats,
         "concordance": _q_concordance,
+        "user_paths": _q_user_paths,
+        "seq3_patterns": _q_seq3_patterns,
     }
 
 
@@ -5667,6 +5701,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest({toks.format(src='lower(text)')}) AS term
               FROM documents
             ) GROUP BY term
+        """,
+        # round-5: whole-journey top-k — string_agg with a two-key ORDER
+        # BY matches the engine's (ts, event_id) sort exactly
+        "user_paths": """
+            WITH p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM events GROUP BY user_id
+            ),
+            c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+            SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: order-3 sequential patterns via two lags
+        "seq3_patterns": """
+            WITH w AS (
+              SELECT event_type AS t3,
+                     lag(event_type, 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                     lag(event_type, 2) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+              FROM events)
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
         """,
     }
 

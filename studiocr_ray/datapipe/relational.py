@@ -3386,3 +3386,140 @@ def late_events(ds, delay_us: int = 3_600_000_000, num_buckets: int = 64):
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "ub"
     ).map_groups(mark, batch_format="pyarrow")
+
+
+def user_paths(ds, k: int = 20, num_buckets: int = 64):
+    """Top-k most common per-user event-type journeys: every user's
+    events, ordered by ``(ts, event_id)``, concatenate into one
+    ``'>'``-joined path string; return the k most frequent paths as
+    ``(path, n_users)`` (ties broken path-ascending) — the funnel-free
+    whole-journey analogue of :func:`transition_counts` (which models the
+    same streams as order-2 Markov pairs; the reference's closest kin is
+    the per-document ordered page traversal,
+    /root/reference/StudiOCR/db.py:49-55).
+
+    Shape: ONE user-hash-bucketed exchange of narrow ``(user, ts, id,
+    type)`` rows (a user's whole stream lands in one bucket), per bucket
+    one sort + a ZERO-COPY ``ListArray`` reassembly over user-run offsets
+    + ``pc.binary_join`` (vectorized concat — no per-user Python) + a
+    bucket-local path count, then a path-keyed sum.  The sum's output is
+    bounded by #distinct journeys, which can approach #users at 100 TB,
+    so the top-k never collects it: each output batch emits its own
+    k-row partial and the driver merges ``batches × k`` rows (the
+    :func:`bm25_topk` / `ann_topk_brute` merge shape)."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    empty = pa.table({"path": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        vals = t.column("event_type").combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = (vals.chunk(0) if vals.num_chunks == 1
+                    else pa.concat_arrays(vals.chunks))
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        paths = pc.binary_join(lst, ">")
+        d = paths.dictionary_encode()
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
+        return pa.table({
+            "path": d.dictionary,
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("n_users", "descending"), ("path", "ascending")],
+        )
+        return batch.take(idx[: min(k, batch.num_rows)])
+
+    t = counted.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+    t = t.sort_values(["n_users", "path"], ascending=[False, True],
+                      kind="mergesort")
+    return pa.Table.from_pandas(
+        t.head(k).reset_index(drop=True)[["path", "n_users"]]
+    )
+
+
+def seq3_patterns(ds, num_buckets: int = 64):
+    """Per-user consecutive event-type 3-grams → ``(t1, t2, t3, n)`` —
+    :func:`transition_counts` lifted from order 2 to order 3 (sequential
+    pattern mining over the same ``(ts, event_id)``-ordered streams).
+
+    Same scale shape as the order-2 version: ONE user-hash-bucketed
+    exchange, per bucket one sort + a shifted same-user mask over TWO
+    steps + a bounded ``(t1, t2, t3, n)`` partial via a base-k packed
+    code, then a tiny final sum bounded by #types³ (not corpus size)."""
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "t3": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n < 3:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        ok = same[:-1] & same[1:]  # rows i, i+1, i+2 all one user
+        d = _dict_encode(t.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = len(d.dictionary)
+        tri = (codes[:-2] * kk + codes[1:-1]) * kk + codes[2:]
+        vals, cnts = np.unique(tri[ok], return_counts=True)
+        dic = d.dictionary
+        return pa.table({
+            "t1": dic.take(pa.array(vals // (kk * kk))),
+            "t2": dic.take(pa.array((vals // kk) % kk)),
+            "t3": dic.take(pa.array(vals % kk)),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -5195,3 +5195,94 @@ class TestMovingAvg:
                 on="k", left_cols=["eid"], right_cols=["p"],
                 hot_threshold=50, candidate_frac=0.05,
             ).to_pandas()
+
+
+class TestUserPaths:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import user_paths
+
+        sf = "/root/testdata/sf0.001"
+        got = user_paths(
+            rd.read_parquet(f"{sf}/events.parquet"), k=20
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM read_parquet('{sf}/events.parquet') GROUP BY user_id),
+            c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+            SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
+            ORDER BY n_users DESC, path LIMIT 20
+        """).df().reset_index(drop=True)
+        assert got["path"].tolist() == want["path"].tolist()
+        assert got["n_users"].tolist() == want["n_users"].tolist()
+
+    def test_hand_case_order_and_topk(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import user_paths
+
+        # three users; u1 and u2 share the path a>b (u2's arrives out of
+        # row order and must be (ts, event_id)-sorted back); u3 has a>c.
+        # ts ties on u2 break by event_id.
+        t = pa.table({
+            "event_id": pa.array([1, 2, 4, 3, 5, 6], pa.int64()),
+            "ts": pa.array([10, 20, 10, 10, 10, 20]).cast(
+                pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(["a", "b", "b", "a", "a", "c"]),
+        })
+        got = user_paths(
+            rd.from_arrow(t).repartition(4), k=1
+        ).to_pylist()
+        assert got == [{"path": "a>b", "n_users": 2}]
+
+
+class TestSeq3Patterns:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import seq3_patterns
+
+        sf = "/root/testdata/sf0.001"
+        got = seq3_patterns(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH w AS (
+              SELECT event_type AS t3,
+                     lag(event_type, 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                     lag(event_type, 2) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+              FROM read_parquet('{sf}/events.parquet'))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
+            ORDER BY t1, t2, t3
+        """).df().reset_index(drop=True)
+        assert got[["t1", "t2", "t3", "n"]].equals(want)
+
+    def test_no_cross_user_trigrams(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import seq3_patterns
+
+        # u1 has exactly one trigram; u2's two events must not chain
+        # with u1's even though they are adjacent in sorted order
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 5]).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d", "e"]),
+        })
+        got = seq3_patterns(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().to_dict("records")
+        assert got == [{"t1": "a", "t2": "b", "t3": "c", "n": 1}]
