@@ -3008,6 +3008,22 @@ def _q_seq3_patterns(sf_dir: str):
     return seq3_patterns(events)
 
 
+def _q_trigram_profile(sf_dir: str):
+    """Per-language top-k character trigrams — the n-gram language-ID
+    profile table.  ASCII rows count byte windows in one np.unique per
+    batch; the non-ASCII minority falls back to per-row codepoint
+    windows so output is always CHARACTER trigrams (substr parity)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.text import trigram_profile
+
+    return trigram_profile(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"]),
+        k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3196,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concordance": _q_concordance,
         "user_paths": _q_user_paths,
         "seq3_patterns": _q_seq3_patterns,
+        "trigram_profile": _q_trigram_profile,
     }
 
 
@@ -5714,6 +5731,21 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: per-lang char-trigram profile; substr is char-based,
+        # matching the engine's codepoint-window fallback semantics
+        "trigram_profile": """
+            WITH t AS (
+              SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+              FROM documents,
+                   unnest(generate_series(1, length(text) - 2)) AS u(i)
+            ),
+            c AS (SELECT lang, tri, count(*) AS n FROM t GROUP BY lang, tri),
+            r AS (SELECT lang, tri, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, tri) AS rn
+                  FROM c)
+            SELECT lang, tri, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 10
         """,
         # round-5: order-3 sequential patterns via two lags
         "seq3_patterns": """

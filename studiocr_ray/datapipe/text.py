@@ -508,3 +508,127 @@ def concordance(batch: pa.Table, term: str = "table", width: int = 3,
             "after": after,
         }
     )
+
+
+def trigram_profile(ds, k: int = 10, text_col: str = "text",
+                    lang_col: str = "lang"):
+    """Per-language character-trigram profile: the k most frequent
+    3-character windows of each language's corpus → ``(lang, tri, n)``
+    (ties broken trigram-ascending) — the classic n-gram language-ID
+    training table (the profile :func:`lang_id`'s stopword heuristic
+    stands in for; extends the reference's per-page char histogram,
+    /root/reference/StudiOCR/OcrPageData.py, from unigrams to trigrams).
+
+    Scale shape: each batch emits a ``(lang, tri, n)`` partial bounded
+    by its own distinct-trigram count (≤ rows·chars but in practice
+    ≪ the 2²⁴ byte-trigram space), then ONE vocabulary-bounded
+    ``groupby(lang, tri)`` sum and a driver top-k over the aggregate
+    (the :func:`~.relational.topk_terms` discipline — the aggregate is
+    profile-sized, not corpus-sized).
+
+    Vectorized path: ASCII rows (the overwhelming web-text majority —
+    checked per row with ``pc.string_is_ascii``) count BYTE windows via
+    one ``np.unique`` over packed uint32 codes, zero per-row Python;
+    non-ASCII rows fall back to per-row codepoint windows so the result
+    is always CHARACTER trigrams (the :func:`normalize_text` minority-
+    fallback discipline, keeping parity with SQL ``substr`` semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({lang_col: pa.array([], pa.string()),
+                      "tri": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lang = batch.column(lang_col)
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        ld = lang.dictionary_encode()
+        lcodes = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ldict = ld.dictionary
+
+        is_ascii = pc.string_is_ascii(text).to_numpy(zero_copy_only=False)
+        keys_parts, cnts_parts = [], []
+
+        a_idx = np.flatnonzero(is_ascii)
+        if a_idx.size:
+            a = text.take(pa.array(a_idx))  # compacted → offset-0 buffers
+            bufs = a.buffers()
+            offs = np.frombuffer(bufs[1], np.int32)[
+                a.offset:a.offset + len(a) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], np.uint8)[offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            lens = offs[1:] - offs[:-1]
+            m = np.maximum(lens - 2, 0)
+            total = int(m.sum())
+            if total:
+                rep = np.repeat(np.arange(a_idx.size), m)
+                base = np.repeat(offs[:-1], m)
+                krow = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+                p = base + krow
+                tri = (data[p].astype(np.int64) << 16) \
+                    | (data[p + 1].astype(np.int64) << 8) \
+                    | data[p + 2].astype(np.int64)
+                key = lcodes[a_idx][rep] * (1 << 24) + tri
+                kk, cc = np.unique(key, return_counts=True)
+                keys_parts.append(kk)
+                cnts_parts.append(cc)
+
+        # rare non-ASCII minority: per-row codepoint windows (character
+        # semantics — byte windows would split multibyte sequences)
+        na_idx = np.flatnonzero(~is_ascii)
+        na_rows: dict[tuple[int, str], int] = {}
+        if na_idx.size:
+            subs = text.take(pa.array(na_idx)).to_pylist()
+            for lc, s in zip(lcodes[na_idx], subs):
+                for i in range(len(s) - 2):
+                    kq = (int(lc), s[i:i + 3])
+                    na_rows[kq] = na_rows.get(kq, 0) + 1
+
+        if not keys_parts and not na_rows:
+            return empty
+
+        out_lang, out_tri, out_n = [], [], []
+        if keys_parts:
+            kk = np.concatenate(keys_parts)
+            cc = np.concatenate(cnts_parts)
+            lrows = (kk >> 24).astype(np.int64)
+            tcodes = kk & ((1 << 24) - 1)
+            m3 = np.empty((len(tcodes), 3), np.uint8)
+            m3[:, 0] = tcodes >> 16
+            m3[:, 1] = (tcodes >> 8) & 255
+            m3[:, 2] = tcodes & 255
+            tri_arr = pa.Array.from_buffers(
+                pa.binary(3), len(tcodes), [None, pa.py_buffer(m3.tobytes())]
+            ).cast(pa.string())
+            out_lang.append(ldict.take(pa.array(lrows)))
+            out_tri.append(tri_arr)
+            out_n.append(pa.array(cc.astype(np.int64), pa.int64()))
+        if na_rows:
+            ks = sorted(na_rows)
+            out_lang.append(ldict.take(pa.array([kq[0] for kq in ks])))
+            out_tri.append(pa.array([kq[1] for kq in ks], pa.string()))
+            out_n.append(pa.array([na_rows[kq] for kq in ks], pa.int64()))
+        return pa.table({
+            lang_col: pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                 for x in out_lang]),
+            "tri": pa.concat_arrays(out_tri),
+            "n": pa.concat_arrays(out_n),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([lang_col, "tri"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = agg.to_pandas()
+    t = t.sort_values([lang_col, "n", "tri"],
+                      ascending=[True, False, True], kind="mergesort")
+    t = t.groupby(lang_col, sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(t[[lang_col, "tri", "n"]])

@@ -5286,3 +5286,50 @@ class TestSeq3Patterns:
             rd.from_arrow(t).repartition(3)
         ).to_pandas().to_dict("records")
         assert got == [{"t1": "a", "t2": "b", "t3": "c", "n": 1}]
+
+
+class TestTrigramProfile:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import trigram_profile
+
+        sf = "/root/testdata/sf0.001"
+        got = trigram_profile(
+            rd.read_parquet(f"{sf}/documents.parquet"), k=5
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH t AS (
+              SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+              FROM read_parquet('{sf}/documents.parquet'),
+                   unnest(generate_series(1, length(text) - 2)) AS u(i)),
+            c AS (SELECT lang, tri, count(*) AS n FROM t GROUP BY lang, tri),
+            r AS (SELECT lang, tri, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, tri) AS rn
+                  FROM c)
+            SELECT lang, tri, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 5
+            ORDER BY lang, n DESC, tri
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_non_ascii_rows_count_characters_not_bytes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import trigram_profile
+
+        t = pa.table({
+            "text": pa.array(["abcé x", "abab", "xy"]),
+            "lang": pa.array(["fr", "en", "en"]),
+        })
+        got = trigram_profile(
+            rd.from_arrow(t).repartition(2), k=20
+        ).to_pandas()
+        fr = got[got["lang"] == "fr"]["tri"].tolist()
+        # character windows of 'abcé x' — a byte path would instead
+        # split the 2-byte é and emit mojibake windows
+        assert fr == ["abc", "bcé", "cé ", "é x"]
+        # the 2-char row contributes nothing
+        assert got["n"].sum() == 4 + 2
