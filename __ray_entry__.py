@@ -3024,6 +3024,19 @@ def _q_trigram_profile(sf_dir: str):
     )
 
 
+def _q_survivorship(sf_dir: str):
+    """Golden-record merge per url over the synthesized recrawls: crawl
+    span, version/distinct-text counts, longest length, newest text —
+    all from per-batch distinct-(key, text) partials + one key-hash
+    bucketed merge (distinct counting stays exact across batches because
+    the (key, text) identity itself rides to the merge)."""
+    from studiocr_ray.datapipe.snapshot import survivorship
+
+    crawl_ds = _docs(sf_dir).map_batches(_synth_crawls,
+                                         batch_format="pyarrow")
+    return survivorship(crawl_ds, key_col="url", ts_col="ts_us")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3213,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": _q_user_paths,
         "seq3_patterns": _q_seq3_patterns,
         "trigram_profile": _q_trigram_profile,
+        "survivorship": _q_survivorship,
     }
 
 
@@ -5731,6 +5745,35 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: golden-record survivorship over the synthesized
+        # recrawls (same crawl CTE as scd2_history's oracle); the newest
+        # text is pinned by a (ts desc, text desc) row_number so ties are
+        # deterministic on both sides
+        "survivorship": """
+            WITH crawls AS (
+              SELECT 'https://docs.example/' || doc_id AS url,
+                     CAST(doc_id * 1000000
+                          + k * 86400000000 AS BIGINT) AS ts_us,
+                     CASE WHEN k = 0 THEN text
+                          ELSE text || ' r' || k END AS text
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)
+            ),
+            latest AS (
+              SELECT url, text, row_number() OVER
+                (PARTITION BY url ORDER BY ts_us DESC, text DESC) AS rn
+              FROM crawls
+            )
+            SELECT c.url,
+                   min(c.ts_us) AS first_ts, max(c.ts_us) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS n_versions,
+                   CAST(count(DISTINCT c.text) AS BIGINT) AS n_texts,
+                   CAST(max(length(c.text)) AS BIGINT) AS max_len,
+                   any_value(l.text) AS latest_text
+            FROM crawls c
+            JOIN (SELECT url, text FROM latest WHERE rn = 1) l USING (url)
+            GROUP BY c.url
         """,
         # round-5: per-lang char-trigram profile; substr is char-based,
         # matching the engine's codepoint-window fallback semantics

@@ -228,3 +228,106 @@ def scd2_history(ds, key_col: str = "url", ts_col: str = "warc_ts",
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "kb"
     ).map_groups(hist, batch_format="pyarrow")
+
+
+def survivorship(ds, key_col: str = "url", ts_col: str = "ts_us",
+                 text_col: str = "text", num_buckets: int = 64):
+    """Golden-record merge over a recurring crawl: per ``key_col``, fuse
+    every version's fields into ONE survivor row — ``first_ts`` /
+    ``last_ts`` (crawl span), ``n_versions``, ``n_texts`` (distinct
+    contents), ``max_len`` (longest version), ``latest_text`` (content
+    of the newest version; ties on ``ts_col`` break text-descending so
+    output is bit-deterministic) — the MDM-style survivorship twin of
+    :func:`latest_snapshot` (which keeps a raw row) and
+    :func:`scd2_history` (which keeps them all).
+
+    Scale shape: the per-batch partial first collapses to DISTINCT
+    ``(key, text)`` rows carrying combinable stats (min/max ts, count,
+    len) — recrawls with unchanged content collapse before the exchange,
+    and distinct-text counting stays exact across batches because the
+    (key, text) identity itself rides to the merge.  Then ONE key-hash
+    bucketed groupby repeats the same vectorized sort + ``reduceat``
+    per bucket and folds texts per key.  No driver state, no per-key
+    Python."""
+    import pyarrow.compute as pc2
+
+    from ..functions.arrowutil import (first_of_run_mask, id_buckets,
+                                       string_buckets)
+
+    def _buckets(col):
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return string_buckets(col, num_buckets)
+        return id_buckets(col, num_buckets)
+
+    def _collapse(t: pa.Table, min_col: str, max_col: str, cnt_col: str,
+                  cnt_is_sum: bool) -> pa.Table:
+        """Distinct (key, text) rows with min/max ts and version count,
+        via one sort + reduceat."""
+        t = t.sort_by([(key_col, "ascending"), (text_col, "ascending"),
+                       (min_col, "ascending")])
+        keys = t.column(key_col)
+        texts = t.column(text_col)
+        starts = np.flatnonzero(first_of_run_mask([keys, texts]))
+        mn = np.minimum.reduceat(
+            t.column(min_col).to_numpy(zero_copy_only=False), starts)
+        mx = np.maximum.reduceat(
+            t.column(max_col).to_numpy(zero_copy_only=False), starts)
+        if cnt_is_sum:
+            cnt = np.add.reduceat(
+                t.column(cnt_col).to_numpy(zero_copy_only=False), starts)
+        else:
+            n = t.num_rows
+            cnt = np.diff(np.concatenate((starts, [n])))
+        sel = pa.array(starts.astype(np.int64))
+        return pa.table({
+            key_col: pc2.take(keys, sel),
+            text_col: pc2.take(texts, sel),
+            "min_ts": pa.array(mn, pa.int64()),
+            "max_ts": pa.array(mx, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, text_col])
+        t = t.set_column(t.column_names.index(ts_col), ts_col,
+                         pc2.cast(t.column(ts_col), pa.int64()))
+        t = t.rename_columns(
+            [{"%s" % ts_col: "min_ts"}.get(c, c) for c in t.column_names])
+        t = t.append_column("max_ts", t.column("min_ts"))
+        out = _collapse(t, "min_ts", "max_ts", "cnt", cnt_is_sum=False)
+        return out.append_column(
+            "kb", pa.array(_buckets(out.column(key_col)), pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = _collapse(group.drop_columns(["kb"]), "min_ts", "max_ts",
+                      "cnt", cnt_is_sum=True)
+        # per-key fold over the distinct-text rows: newest-first order
+        # puts each key's survivor text at its run head
+        g = g.sort_by([(key_col, "ascending"), ("max_ts", "descending"),
+                       (text_col, "descending")])
+        keys = g.column(key_col)
+        starts = np.flatnonzero(first_of_run_mask([keys]))
+        ends = np.concatenate((starts[1:], [g.num_rows]))
+        mn = np.minimum.reduceat(
+            g.column("min_ts").to_numpy(zero_copy_only=False), starts)
+        mx = np.maximum.reduceat(
+            g.column("max_ts").to_numpy(zero_copy_only=False), starts)
+        nv = np.add.reduceat(
+            g.column("cnt").to_numpy(zero_copy_only=False), starts)
+        lens = pc2.utf8_length(g.column(text_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ml = np.maximum.reduceat(lens, starts)
+        sel = pa.array(starts.astype(np.int64))
+        return pa.table({
+            key_col: pc2.take(keys, sel),
+            "first_ts": pa.array(mn, pa.int64()),
+            "last_ts": pa.array(mx, pa.int64()),
+            "n_versions": pa.array(nv, pa.int64()),
+            "n_texts": pa.array(ends - starts, pa.int64()),
+            "max_len": pa.array(ml, pa.int64()),
+            "latest_text": pc2.take(g.column(text_col), sel),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "kb"
+    ).map_groups(merge, batch_format="pyarrow")

@@ -5333,3 +5333,76 @@ class TestTrigramProfile:
         assert fr == ["abc", "bcé", "cé ", "é x"]
         # the 2-char row contributes nothing
         assert got["n"].sum() == 4 + 2
+
+
+class TestSurvivorship:
+    def test_matches_duckdb_on_synth_crawls(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+        from studiocr_ray.datapipe.snapshot import survivorship
+
+        sf = "/root/testdata/sf0.001"
+        crawls = e._docs(sf).map_batches(e._synth_crawls,
+                                         batch_format="pyarrow")
+        got = survivorship(crawls).to_pandas().sort_values(
+            "url").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH crawls AS (
+              SELECT 'https://docs.example/' || doc_id AS url,
+                     CAST(doc_id * 1000000
+                          + k * 86400000000 AS BIGINT) AS ts_us,
+                     CASE WHEN k = 0 THEN text
+                          ELSE text || ' r' || k END AS text
+              FROM read_parquet('{sf}/documents.parquet'),
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)),
+            latest AS (
+              SELECT url, text, row_number() OVER
+                (PARTITION BY url ORDER BY ts_us DESC, text DESC) AS rn
+              FROM crawls)
+            SELECT c.url, min(c.ts_us) AS first_ts,
+                   max(c.ts_us) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS n_versions,
+                   CAST(count(DISTINCT c.text) AS BIGINT) AS n_texts,
+                   CAST(max(length(c.text)) AS BIGINT) AS max_len,
+                   any_value(l.text) AS latest_text
+            FROM crawls c
+            JOIN (SELECT url, text FROM latest WHERE rn = 1) l USING (url)
+            GROUP BY c.url ORDER BY c.url
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_distinct_texts_exact_across_batches(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import survivorship
+
+        # the same (url, text) pair recurs in DIFFERENT batches: a
+        # partial that pre-counted distincts per batch would double-count
+        t = pa.table({
+            "url": pa.array(["u"] * 6, pa.string()),
+            "ts_us": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(["a", "a", "b", "a", "b", "c"]),
+        })
+        got = survivorship(
+            rd.from_arrow(t).repartition(6)
+        ).to_pandas().to_dict("records")
+        assert got == [{
+            "url": "u", "first_ts": 1, "last_ts": 6, "n_versions": 6,
+            "n_texts": 3, "max_len": 1, "latest_text": "c",
+        }]
+
+    def test_latest_tie_breaks_text_descending(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.snapshot import survivorship
+
+        t = pa.table({
+            "url": pa.array(["u", "u"], pa.string()),
+            "ts_us": pa.array([5, 5], pa.int64()),
+            "text": pa.array(["aa", "zz"]),
+        })
+        got = survivorship(rd.from_arrow(t).repartition(2)).to_pandas()
+        assert got["latest_text"].tolist() == ["zz"]
