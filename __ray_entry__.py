@@ -3037,6 +3037,23 @@ def _q_survivorship(sf_dir: str):
     return survivorship(crawl_ds, key_col="url", ts_col="ts_us")
 
 
+def _q_embed_pca(sf_dir: str):
+    """Top principal direction via power iteration on the distributed
+    exact Gram matrix — the only corpus pass is gram_matrix's d×d
+    partials; the iteration runs on the tiny d×d result.  Iterative
+    spectral math has no ANSI-SQL form, so (like bpe_stats /
+    compression_stats) this entry is rows-only for the driver; the
+    bit-exact numpy twin is asserted in pytest."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.embed import power_iteration
+
+    return power_iteration(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3227,6 +3244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq3_patterns": _q_seq3_patterns,
         "trigram_profile": _q_trigram_profile,
         "survivorship": _q_survivorship,
+        # rows-only driver check (iterative spectral math, no SQL form;
+        # numpy-twin-exact in pytest — the bpe_stats precedent)
+        "embed_pca": _q_embed_pca,
     }
 
 

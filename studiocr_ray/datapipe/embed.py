@@ -1098,3 +1098,50 @@ def gram_matrix(ds, col: str = "embedding") -> pa.Table:
         "j": pa.array(ju.astype(np.int64)),
         "gram": pa.array(flat[iu, ju]),
     })
+
+
+def power_iteration(ds, col: str = "embedding", iters: int = 50):
+    """Top principal direction of the corpus embedding matrix via power
+    iteration on the (distributed, exact) Gram matrix — the PCA / spectral
+    building block on top of :func:`gram_matrix`.
+
+    Scale shape: the ONLY pass over the data is gram_matrix's (one d×d
+    int64 partial per batch, raw vectors never shuffle, exact big-int
+    reduce); the iteration itself runs on the driver over the tiny d×d
+    result — d is an embedding width (16–4096), so d² floats is
+    kilobytes no matter how many rows X has.  Deterministic: exact
+    integer G, fixed v₀ = 1/√d, fixed iteration count, float64
+    normalization — bit-identical on every run and cluster size.
+
+    Returns ``(dim, component, eigenvalue)``: the unit top eigenvector
+    (sign fixed so its largest-|·|-component is positive, the standard
+    sign convention) and the Rayleigh quotient ``vᵀGv`` in micro-unit²
+    scale, replicated per row for a flat schema."""
+    g = gram_matrix(ds, col=col)
+    if g.num_rows == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.float64()),
+                         "eigenvalue": pa.array([], pa.float64())})
+    iu = g.column("i").to_numpy(zero_copy_only=False)
+    ju = g.column("j").to_numpy(zero_copy_only=False)
+    val = g.column("gram").to_numpy(zero_copy_only=False).astype(np.float64)
+    d = int(iu.max()) + 1
+    G = np.zeros((d, d), np.float64)
+    G[iu, ju] = val
+    G[ju, iu] = val
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = G @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:  # X ≡ 0: keep v₀, eigenvalue 0
+            break
+        v = w / nrm
+    top = int(np.argmax(np.abs(v)))
+    if v[top] < 0:
+        v = -v
+    lam = float(v @ (G @ v))
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "component": pa.array(v, pa.float64()),
+        "eigenvalue": pa.array(np.full(d, lam), pa.float64()),
+    })

@@ -5406,3 +5406,48 @@ class TestSurvivorship:
         })
         got = survivorship(rd.from_arrow(t).repartition(2)).to_pandas()
         assert got["latest_text"].tolist() == ["zz"]
+
+
+class TestPowerIteration:
+    def test_bit_exact_numpy_twin(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import KMEANS_SCALE, power_iteration
+
+        sf = "/root/testdata/sf0.001"
+        got = power_iteration(
+            rd.read_parquet(f"{sf}/embeddings.parquet")
+        ).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        Q = np.floor(X * KMEANS_SCALE + 0.5).astype(np.int64)
+        # exact big-int gram, then the same fixed-v0 float64 iteration
+        G = (Q.T.astype(object) @ Q.astype(object)).astype(np.float64)
+        v = np.full(G.shape[0], 1.0 / np.sqrt(G.shape[0]))
+        for _ in range(50):
+            w = G @ v
+            v = w / np.linalg.norm(w)
+        top = int(np.argmax(np.abs(v)))
+        if v[top] < 0:
+            v = -v
+        assert np.array_equal(got["component"].to_numpy(), v)
+        assert got["eigenvalue"].iloc[0] == float(v @ (G @ v))
+        # and it really is (near) the top eigenvector
+        ev, evec = np.linalg.eigh(G)
+        assert abs(float(evec[:, -1] @ v)) > 0.99
+
+    def test_empty_and_zero_inputs(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import power_iteration
+
+        empty = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        assert power_iteration(rd.from_arrow(empty)).num_rows == 0
+        zeros = pa.table({
+            "embedding": pa.array([[0.0, 0.0]] * 3, pa.list_(pa.float32()))
+        })
+        got = power_iteration(rd.from_arrow(zeros)).to_pandas()
+        assert got["eigenvalue"].tolist() == [0.0, 0.0]
