@@ -3054,6 +3054,20 @@ def _q_embed_pca(sf_dir: str):
     )
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Association-rule support/confidence over (user, day) baskets of
+    distinct event types — one user-hash exchange, vectorized within-
+    basket pair expansion, type-vocabulary-bounded final sums."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import basket_pairs
+
+    return basket_pairs(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3247,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only driver check (iterative spectral math, no SQL form;
         # numpy-twin-exact in pytest — the bpe_stats precedent)
         "embed_pca": _q_embed_pca,
+        "basket_pairs": _q_basket_pairs,
     }
 
 
@@ -5765,6 +5780,23 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: market-basket support/confidence; both sides divide
+        # the same exact integers, so the doubles match bit-for-bit
+        "basket_pairs": """
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                              event_type FROM events),
+            p AS (SELECT a.event_type AS t1, c.event_type AS t2,
+                         CAST(count(*) AS BIGINT) AS n_baskets
+                  FROM b a JOIN b c USING (user_id, day)
+                  WHERE a.event_type < c.event_type GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY 1)
+            SELECT t1, t2, n_baskets, t1t.n AS n_t1, t2t.n AS n_t2,
+                   CAST(n_baskets AS DOUBLE) / t1t.n AS conf_1to2,
+                   CAST(n_baskets AS DOUBLE) / t2t.n AS conf_2to1
+            FROM p JOIN tot t1t ON p.t1 = t1t.event_type
+                   JOIN tot t2t ON p.t2 = t2t.event_type
         """,
         # round-5: golden-record survivorship over the synthesized
         # recrawls (same crawl CTE as scd2_history's oracle); the newest

@@ -3523,3 +3523,116 @@ def seq3_patterns(ds, num_buckets: int = 64):
         .groupby(["t1", "t2", "t3"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def basket_pairs(ds, num_buckets: int = 64):
+    """Market-basket co-occurrence: treating each ``(user, day)`` as a
+    basket of DISTINCT event types, count for every unordered type pair
+    ``t1 < t2`` how many baskets contain both, plus each type's own
+    basket count and the association confidences — the classic
+    support/confidence table of association-rule mining.
+
+    Shape: ONE user-hash-bucketed exchange of narrow ``(user, day,
+    type)`` rows (a user's baskets all land in one bucket); per bucket
+    one sort + first-of-run dedup to distinct basket membership, then a
+    fully vectorized within-run pair expansion (repeat/arange over run
+    lengths — no per-basket Python) into ``(t1, t2, n)`` partials
+    bounded by #types²; final sums are type-vocabulary-sized, and the
+    confidence join happens on that tiny table on the driver."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import first_of_run_mask, id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="day"),
+            pa.timestamp("us"),
+        )
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "day": day,
+            "event_type": batch.column("event_type"),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    pair_empty = pa.table({"t1": pa.array([], pa.string()),
+                           "t2": pa.array([], pa.string()),
+                           "kind": pa.array([], pa.int32()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("day", "ascending"),
+                           ("event_type", "ascending")])
+        if t.num_rows == 0:
+            return pair_empty
+        keep = first_of_run_mask([t.column("user_id"), t.column("day"),
+                                  t.column("event_type")])
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        new_basket = np.ones(n, bool)
+        new_basket[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        starts = np.flatnonzero(new_basket)
+        lens = np.diff(np.concatenate((starts, [n])))
+        d = _dict_encode(t.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = len(d.dictionary)
+
+        # per-type basket counts (each row is one distinct membership)
+        tv, tc = np.unique(codes, return_counts=True)
+
+        # vectorized i<j pair expansion within each run: element at
+        # in-run position p pairs with the (L-1-p) elements after it
+        pos_in_run = np.arange(n) - np.repeat(starts, lens)
+        reps = np.repeat(lens, lens) - 1 - pos_in_run
+        first = np.repeat(codes, reps)
+        seq_start = np.arange(n) + 1
+        base = np.repeat(seq_start, reps)
+        off = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = codes[base + off]
+        # membership rows are type-sorted within a basket → first < second
+        pv, pcnt = np.unique(first * kk + second, return_counts=True)
+
+        dic = d.dictionary
+        return pa.table({
+            "t1": pa.concat_arrays([
+                dic.take(pa.array(pv // kk)).cast(pa.string()),
+                dic.take(pa.array(tv)).cast(pa.string()),
+            ]),
+            "t2": pa.concat_arrays([
+                dic.take(pa.array(pv % kk)).cast(pa.string()),
+                dic.take(pa.array(tv)).cast(pa.string()),
+            ]),
+            "kind": pa.array(
+                np.concatenate((np.zeros(len(pv), np.int32),
+                                np.ones(len(tv), np.int32))), pa.int32()),
+            "n": pa.array(np.concatenate((pcnt, tc)).astype(np.int64),
+                          pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby(["t1", "t2", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded by #types² + #types
+
+    singles = agg[agg["kind"] == 1].set_index("t1")["n"]
+    pairs = agg[agg["kind"] == 0].copy()
+    pairs["n_t1"] = pairs["t1"].map(singles).astype(np.int64)
+    pairs["n_t2"] = pairs["t2"].map(singles).astype(np.int64)
+    pairs["conf_1to2"] = pairs["n"].astype(float) / pairs["n_t1"].astype(float)
+    pairs["conf_2to1"] = pairs["n"].astype(float) / pairs["n_t2"].astype(float)
+    pairs = pairs.rename(columns={"n": "n_baskets"})
+    pairs = pairs.sort_values(["t1", "t2"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pairs[["t1", "t2", "n_baskets", "n_t1", "n_t2",
+               "conf_1to2", "conf_2to1"]]
+    )

@@ -5451,3 +5451,57 @@ class TestPowerIteration:
         })
         got = power_iteration(rd.from_arrow(zeros)).to_pandas()
         assert got["eigenvalue"].tolist() == [0.0, 0.0]
+
+
+class TestBasketPairs:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import basket_pairs
+
+        sf = "/root/testdata/sf0.001"
+        got = basket_pairs(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                              event_type
+                       FROM read_parquet('{sf}/events.parquet')),
+            p AS (SELECT a.event_type AS t1, c.event_type AS t2,
+                         CAST(count(*) AS BIGINT) AS n_baskets
+                  FROM b a JOIN b c USING (user_id, day)
+                  WHERE a.event_type < c.event_type GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM b GROUP BY 1)
+            SELECT t1, t2, n_baskets, t1t.n AS n_t1, t2t.n AS n_t2,
+                   CAST(n_baskets AS DOUBLE) / t1t.n AS conf_1to2,
+                   CAST(n_baskets AS DOUBLE) / t2t.n AS conf_2to1
+            FROM p JOIN tot t1t ON p.t1 = t1t.event_type
+                   JOIN tot t2t ON p.t2 = t2t.event_type
+            ORDER BY t1, t2
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_hand_case_dedup_within_basket(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import basket_pairs
+
+        # u1 day0: a,a,b (dup a counts once) → pair (a,b); u1 day1: a
+        # alone (no pair); u2 day0: a,b → pair (a,b) again
+        day0, day1 = 0, 86_400_000_000
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([day0, day0 + 1, day0 + 2, day1, day0,
+                            day0 + 5]).cast(pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "b", "a", "a", "b"]),
+        })
+        got = basket_pairs(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().to_dict("records")
+        assert got == [{
+            "t1": "a", "t2": "b", "n_baskets": 2, "n_t1": 3, "n_t2": 2,
+            "conf_1to2": 2 / 3, "conf_2to1": 1.0,
+        }]
