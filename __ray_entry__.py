@@ -3068,6 +3068,34 @@ def _q_basket_pairs(sf_dir: str):
     )
 
 
+def _q_chi_square(sf_dir: str):
+    """lang × source contingency + chi-square contributions; counts are
+    distributed vocabulary-bounded partials, the float math runs on the
+    tiny cross-tab with pinned division order for bit parity."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import chi_square_table
+
+    return chi_square_table(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+    )
+
+
+def _q_conversion_lag(sf_dir: str):
+    """First-signup → first-subsequent-purchase latency per user; the
+    pre-exchange filter keeps only the two event types, then one
+    user-hash bucketed sort + reduceat first-picks."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import conversion_lag
+
+    return conversion_lag(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3262,6 +3290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numpy-twin-exact in pytest — the bpe_stats precedent)
         "embed_pca": _q_embed_pca,
         "basket_pairs": _q_basket_pairs,
+        "chi_square": _q_chi_square,
+        "conversion_lag": _q_conversion_lag,
     }
 
 
@@ -5780,6 +5810,40 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: chi-square independence screen; division order is
+        # pinned to the engine's ((r·c AS DOUBLE)/N, then (o-e)²/e)
+        "chi_square": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS observed
+                       FROM documents GROUP BY 1, 2),
+            rt AS (SELECT lang, sum(observed) AS r FROM c GROUP BY 1),
+            ct AS (SELECT source, sum(observed) AS cc FROM c GROUP BY 1),
+            n AS (SELECT sum(observed) AS n FROM c)
+            SELECT c.lang, c.source, c.observed,
+                   CAST(r * cc AS DOUBLE) / n AS expected,
+                   (CAST(observed AS DOUBLE) - CAST(r * cc AS DOUBLE) / n)
+                     * (CAST(observed AS DOUBLE)
+                        - CAST(r * cc AS DOUBLE) / n)
+                     / (CAST(r * cc AS DOUBLE) / n) AS contrib
+            FROM c JOIN rt USING (lang) JOIN ct USING (source), n
+        """,
+        # round-5: funnel latency (first signup → first purchase at or
+        # after it); users who never convert are absent on both sides
+        "conversion_lag": """
+            WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
+                              event_type
+                       FROM events
+                       WHERE event_type IN ('signup', 'purchase')),
+            f AS (SELECT user_id, min(ts) AS from_ts FROM e
+                  WHERE event_type = 'signup' GROUP BY 1),
+            t AS (SELECT e.user_id, min(e.ts) AS to_ts
+                  FROM e JOIN f USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts >= f.from_ts
+                  GROUP BY 1)
+            SELECT f.user_id, f.from_ts, t.to_ts,
+                   t.to_ts - f.from_ts AS lag_us
+            FROM f JOIN t USING (user_id)
         """,
         # round-5: market-basket support/confidence; both sides divide
         # the same exact integers, so the doubles match bit-for-bit

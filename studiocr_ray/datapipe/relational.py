@@ -3636,3 +3636,120 @@ def basket_pairs(ds, num_buckets: int = 64):
         pairs[["t1", "t2", "n_baskets", "n_t1", "n_t2",
                "conf_1to2", "conf_2to1"]]
     )
+
+
+def chi_square_table(ds, row_col: str = "lang", col_col: str = "source"):
+    """Contingency table + chi-square independence contributions for two
+    categorical columns → ``(row, col, observed, expected, contrib)``
+    (plus every cell's exact integer count) — the data-audit "is lang
+    independent of source?" screen over the documents table.
+
+    Shape: per-batch ``(row, col, n)`` partials (dictionary encode +
+    bincount, bounded by the category product), ONE vocabulary-sized
+    groupby sum, then the marginals and the float math on that tiny
+    table driver-side.  Division order is pinned (``(r·c AS DOUBLE)/N``
+    then ``(o-e)²/e``) so an oracle reproduces every double bit-for-bit.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        r = _dict_encode(batch.column(row_col))
+        c = _dict_encode(batch.column(col_col))
+        ri = r.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kc = len(c.dictionary)
+        vals, cnts = np.unique(ri * kc + ci, return_counts=True)
+        return pa.table({
+            row_col: r.dictionary.take(pa.array(vals // kc)),
+            col_col: c.dictionary.take(pa.array(vals % kc)),
+            "observed": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("observed", alias_name="observed"))
+    ).to_pandas()
+    rt = t.groupby(row_col)["observed"].sum()
+    ct = t.groupby(col_col)["observed"].sum()
+    n = int(t["observed"].sum())
+    r_marg = t[row_col].map(rt).astype(np.int64)
+    c_marg = t[col_col].map(ct).astype(np.int64)
+    expected = (r_marg * c_marg).astype(np.float64) / np.float64(n)
+    o = t["observed"].astype(np.float64)
+    t["expected"] = expected
+    t["contrib"] = (o - expected) * (o - expected) / expected
+    t = t.sort_values([row_col, col_col]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        t[[row_col, col_col, "observed", "expected", "contrib"]]
+    )
+
+
+def conversion_lag(ds, from_type: str = "signup", to_type: str = "purchase",
+                   num_buckets: int = 64):
+    """Time-to-conversion: for every user, the lag from their FIRST
+    ``from_type`` event to their first ``to_type`` event AT OR AFTER it
+    → ``(user_id, from_ts, to_ts, lag_us)``; users who never convert are
+    absent — the funnel-latency companion of :func:`funnel_counts`
+    (which counts stage reach but not time between stages).
+
+    Shape: the pre-exchange filter keeps only the two event types; ONE
+    user-hash-bucketed exchange of ``(user, ts, type)`` rows, per bucket
+    one sort + two ``reduceat``-style first-of-run picks and a
+    ``searchsorted``-free shifted scan — no per-user Python."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array([from_type, to_type]))
+        t = batch.filter(m).select(["user_id", "ts", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "from_ts": pa.array([], pa.int64()),
+                      "to_ts": pa.array([], pa.int64()),
+                      "lag_us": pa.array([], pa.int64())})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        is_from = pc.equal(t.column("event_type"), from_type).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        # first from_type position per user (n if none): argmax over the
+        # run of the is_from mask, guarded by any()
+        has_from = np.add.reduceat(is_from, starts) > 0
+        # positions of from events; first per run via minimum.reduceat
+        # over position-or-n
+        pos = np.where(is_from, np.arange(n), n)
+        first_from = np.minimum.reduceat(pos, starts)
+        # first to_type at or after first_from: same trick with the
+        # condition is_to & (pos >= first_from_of_my_run)
+        is_to = ~is_from
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        pos_to = np.where(is_to & (np.arange(n) >= first_from[run_of]),
+                          np.arange(n), n)
+        first_to = np.minimum.reduceat(pos_to, starts)
+        ok = has_from & (first_to < n)
+        ff, ft = first_from[ok], first_to[ok]
+        return pa.table({
+            "user_id": pa.array(uid[starts][ok], pa.int64()),
+            "from_ts": pa.array(ts[ff], pa.int64()),
+            "to_ts": pa.array(ts[ft], pa.int64()),
+            "lag_us": pa.array(ts[ft] - ts[ff], pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(per_bucket, batch_format="pyarrow")

@@ -5505,3 +5505,84 @@ class TestBasketPairs:
             "t1": "a", "t2": "b", "n_baskets": 2, "n_t1": 3, "n_t2": 2,
             "conf_1to2": 2 / 3, "conf_2to1": 1.0,
         }]
+
+
+class TestChiSquare:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import chi_square_table
+
+        sf = "/root/testdata/sf0.001"
+        got = chi_square_table(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS observed
+                       FROM read_parquet('{sf}/documents.parquet')
+                       GROUP BY 1, 2),
+            rt AS (SELECT lang, sum(observed) AS r FROM c GROUP BY 1),
+            ct AS (SELECT source, sum(observed) AS cc FROM c GROUP BY 1),
+            n AS (SELECT sum(observed) AS n FROM c)
+            SELECT c.lang, c.source, c.observed,
+                   CAST(r * cc AS DOUBLE) / n AS expected,
+                   (CAST(observed AS DOUBLE) - CAST(r * cc AS DOUBLE) / n)
+                     * (CAST(observed AS DOUBLE)
+                        - CAST(r * cc AS DOUBLE) / n)
+                     / (CAST(r * cc AS DOUBLE) / n) AS contrib
+            FROM c JOIN rt USING (lang) JOIN ct USING (source), n
+            ORDER BY lang, source
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+
+class TestConversionLag:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import conversion_lag
+
+        sf = "/root/testdata/sf0.001"
+        got = conversion_lag(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH e AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS ts, event_type
+                       FROM read_parquet('{sf}/events.parquet')
+                       WHERE event_type IN ('signup', 'purchase')),
+            f AS (SELECT user_id, min(ts) AS from_ts FROM e
+                  WHERE event_type = 'signup' GROUP BY 1),
+            t AS (SELECT e.user_id, min(e.ts) AS to_ts
+                  FROM e JOIN f USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts >= f.from_ts
+                  GROUP BY 1)
+            SELECT f.user_id, f.from_ts, t.to_ts,
+                   t.to_ts - f.from_ts AS lag_us
+            FROM f JOIN t USING (user_id) ORDER BY user_id
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_purchase_before_signup_does_not_count(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import conversion_lag
+
+        # u1 purchases BEFORE signing up, then again after → lag from
+        # signup (ts=10) to the later purchase (ts=30); u2 only
+        # purchases before signup → absent
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([5, 10, 30, 5, 10]).cast(pa.timestamp("us")),
+            "event_type": pa.array(
+                ["purchase", "signup", "purchase", "purchase", "signup"]),
+        })
+        got = conversion_lag(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().to_dict("records")
+        assert got == [
+            {"user_id": 1, "from_ts": 10, "to_ts": 30, "lag_us": 20}]
