@@ -3096,6 +3096,20 @@ def _q_conversion_lag(sf_dir: str):
     )
 
 
+def _q_hopping_distinct(sf_dir: str):
+    """Sliding COUNT DISTINCT of active users per hopping window; batch
+    pairs dedup locally, globally via one user-hash exchange, and only
+    bounded (window, n) partials reach the final sum."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import hopping_distinct_users
+
+    return hopping_distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3292,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "chi_square": _q_chi_square,
         "conversion_lag": _q_conversion_lag,
+        "hopping_distinct": _q_hopping_distinct,
     }
 
 
@@ -5810,6 +5825,18 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: sliding distinct users (60 min window, 15 min slide —
+        # same epoch-aligned windows as hopping_counts)
+        "hopping_distinct": """
+            SELECT window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT user_id,
+                         (epoch_us(ts) // 900000000) * 900000000
+                           - k * 900000000 AS window_start_us
+                  FROM events,
+                       unnest(generate_series(0, 3)) AS u(k))
+            GROUP BY 1
         """,
         # round-5: chi-square independence screen; division order is
         # pinned to the engine's ((r·c AS DOUBLE)/N, then (o-e)²/e)

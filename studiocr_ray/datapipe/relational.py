@@ -3753,3 +3753,69 @@ def conversion_lag(ds, from_type: str = "signup", to_type: str = "purchase",
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "bucket"
     ).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def hopping_distinct_users(ds, window_minutes: int = 60,
+                           slide_minutes: int = 15,
+                           num_buckets: int = 64):
+    """Sliding COUNT DISTINCT: how many distinct users were active in
+    each hopping window → ``(window_start_us, n_users)`` — the windowed
+    twin of :func:`distinct_users_per_type`, and the audience-size /
+    active-user curve every event pipeline wants.
+
+    Exact at scale without shuffling raw events twice: each batch first
+    collapses to its own distinct ``(user, window)`` pairs (np.unique on
+    packed codes), then ONE user-hash-bucketed exchange — a user's every
+    appearance lands in one bucket, so a per-bucket np.unique makes the
+    pairs globally distinct — and each bucket emits bounded
+    ``(window, n)`` partials for a tiny window-keyed final sum.  Raw
+    events never cross the wire; the exchange carries at most one row
+    per (user, window) per batch."""
+    assert window_minutes % slide_minutes == 0, \
+        "window must be a multiple of slide"
+    slide_us = slide_minutes * 60_000_000
+    nw = window_minutes // slide_minutes
+
+    from ..functions.arrowutil import id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        starts = (
+            base[:, None]
+            - np.arange(nw, dtype=np.int64)[None, :] * slide_us
+        ).reshape(-1)
+        users = np.repeat(uid, nw)
+        # distinct within the batch via one sort over packed pairs
+        pairs = np.stack((users, starts), axis=1)
+        pairs = np.unique(pairs, axis=0)
+        t = pa.table({
+            "user_id": pa.array(pairs[:, 0], pa.int64()),
+            "window_start_us": pa.array(pairs[:, 1], pa.int64()),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        w = group.column("window_start_us").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack((u, w), axis=1), axis=0)
+        wins, cnts = np.unique(pairs[:, 1], return_counts=True)
+        return pa.table({
+            "window_start_us": pa.array(wins, pa.int64()),
+            "n_users": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

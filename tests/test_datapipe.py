@@ -5586,3 +5586,46 @@ class TestConversionLag:
         ).to_pandas().to_dict("records")
         assert got == [
             {"user_id": 1, "from_ts": 10, "to_ts": 30, "lag_us": 20}]
+
+
+class TestHoppingDistinct:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import hopping_distinct_users
+
+        sf = "/root/testdata/sf0.001"
+        got = hopping_distinct_users(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values("window_start_us").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT user_id,
+                         (epoch_us(ts) // 900000000) * 900000000
+                           - k * 900000000 AS window_start_us
+                  FROM read_parquet('{sf}/events.parquet'),
+                       unnest(generate_series(0, 3)) AS u(k))
+            GROUP BY 1 ORDER BY 1
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_cross_batch_dedup(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import hopping_distinct_users
+
+        # the same user hits the same window from DIFFERENT batches —
+        # must count once; a second user doubles the window's count
+        t = pa.table({
+            "user_id": pa.array([7, 7, 9], pa.int64()),
+            "ts": pa.array([0, 1, 2]).cast(pa.timestamp("us")),
+        })
+        got = hopping_distinct_users(
+            rd.from_arrow(t).repartition(3),
+            window_minutes=30, slide_minutes=30,
+        ).to_pandas()
+        assert got["n_users"].tolist() == [2]
+        assert got["window_start_us"].tolist() == [0]
