@@ -3110,6 +3110,34 @@ def _q_hopping_distinct(sf_dir: str):
     )
 
 
+def _q_user_streaks(sf_dir: str):
+    """Gaps-and-islands engagement streaks: distinct active days per
+    user, island count, longest consecutive-day run — one user-hash
+    exchange of pre-deduped (user, day) pairs, reduceat per bucket."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import user_streaks
+
+    return user_streaks(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
+def _q_twap(sf_dir: str):
+    """Time-weighted average value per user-day (value holds until the
+    next event, last holds to midnight) — integer cents × µs dot
+    product per day, single pinned double division."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import twap_by_user_day
+
+    return twap_by_user_day(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3307,6 +3335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi_square": _q_chi_square,
         "conversion_lag": _q_conversion_lag,
         "hopping_distinct": _q_hopping_distinct,
+        "user_streaks": _q_user_streaks,
+        "twap": _q_twap,
     }
 
 
@@ -5825,6 +5855,41 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: gaps-and-islands streaks (dense_rank island trick; the
+        # engine's shifted day-difference compare is the same partition)
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            g AS (SELECT user_id, day,
+                         day - dense_rank() OVER
+                           (PARTITION BY user_id ORDER BY day) AS grp
+                  FROM d),
+            i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM i GROUP BY user_id
+        """,
+        # round-5: per-user-day TWAP; integer cents×µs sums, the single
+        # double division last, matching the engine's order
+        "twap": """
+            WITH e AS (
+              SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_id,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                     CAST(floor(value * 100.0) AS BIGINT) AS cents
+              FROM events),
+            w AS (SELECT user_id, day_us, cents, ts,
+                         coalesce(lead(ts) OVER
+                           (PARTITION BY user_id, day_us
+                            ORDER BY ts, event_id),
+                           day_us + 86400000000) AS nxt
+                  FROM e)
+            SELECT user_id, CAST(day_us AS BIGINT) AS day_us,
+                   CAST(sum(cents * (nxt - ts)) AS DOUBLE)
+                     / CAST(sum(nxt - ts) AS DOUBLE) / 100.0 AS twap
+            FROM w GROUP BY user_id, day_us
         """,
         # round-5: sliding distinct users (60 min window, 15 min slide —
         # same epoch-aligned windows as hopping_counts)

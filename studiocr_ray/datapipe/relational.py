@@ -3819,3 +3819,143 @@ def hopping_distinct_users(ds, window_minutes: int = 60,
         .groupby("window_start_us")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def user_streaks(ds, num_buckets: int = 64):
+    """Gaps-and-islands: per user, the longest streak of CONSECUTIVE
+    active days, the number of activity islands, and total distinct
+    active days → ``(user_id, n_days, n_islands, longest_streak)`` —
+    the classic engagement-streak query.
+
+    Shape: ONE user-hash-bucketed exchange of distinct ``(user, day)``
+    pairs (batches pre-dedup, so the exchange carries at most one row
+    per user-day per batch); per bucket one sort, island boundaries from
+    a shifted day-difference compare, and per-user maxima via
+    ``np.maximum.reduceat`` — no per-user Python, no window functions."""
+    from ..functions.arrowutil import id_buckets
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ts // day_us
+        pairs = np.unique(np.stack((uid, day), axis=1), axis=0)
+        t = pa.table({
+            "user_id": pa.array(pairs[:, 0], pa.int64()),
+            "day": pa.array(pairs[:, 1], pa.int64()),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_days": pa.array([], pa.int64()),
+                      "n_islands": pa.array([], pa.int64()),
+                      "longest_streak": pa.array([], pa.int64())})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return empty
+        pairs = np.unique(np.stack((u, d), axis=1), axis=0)
+        u, d = pairs[:, 0], pairs[:, 1]
+        n = len(u)
+        new_user = np.ones(n, bool)
+        new_user[1:] = u[1:] != u[:-1]
+        # island starts: new user OR a gap of more than one day
+        new_island = new_user.copy()
+        new_island[1:] |= d[1:] != d[:-1] + 1
+        isl_starts = np.flatnonzero(new_island)
+        isl_lens = np.diff(np.concatenate((isl_starts, [n])))
+        user_starts = np.flatnonzero(new_user)
+        # per-user fold over islands: each island belongs to the user of
+        # its first row
+        isl_user_idx = np.searchsorted(user_starts, isl_starts, "right") - 1
+        isl_run_starts = np.flatnonzero(
+            np.concatenate(([True], isl_user_idx[1:] != isl_user_idx[:-1])))
+        longest = np.maximum.reduceat(isl_lens, isl_run_starts)
+        n_islands = np.diff(
+            np.concatenate((isl_run_starts, [len(isl_lens)])))
+        n_days = np.diff(np.concatenate((user_starts, [n])))
+        return pa.table({
+            "user_id": pa.array(u[user_starts], pa.int64()),
+            "n_days": pa.array(n_days.astype(np.int64), pa.int64()),
+            "n_islands": pa.array(n_islands.astype(np.int64), pa.int64()),
+            "longest_streak": pa.array(longest.astype(np.int64),
+                                       pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def twap_by_user_day(ds, num_buckets: int = 64):
+    """Time-weighted average value per (user, day): each event's value
+    "holds" until the user's next event that day; the last event of the
+    day holds to midnight → ``(user_id, day_us, twap)``.  The market-
+    data TWAP shape (piecewise-constant integral / elapsed time) over
+    the events table.
+
+    Exactness discipline: values quantize to integer cents, durations
+    are integer microseconds, the weighted sum is one int64 dot product
+    per user-day (cents × µs ≤ ~1e4·8.6e10 ≈ 1e15 per day — inside
+    int64), and the single double division is pinned LAST so an oracle
+    reproduces it bit-for-bit.  Days with one event degenerate to that
+    event's value.  ONE user-hash exchange; per bucket one sort + one
+    ``reduceat``."""
+    from ..functions.arrowutil import id_buckets
+
+    day_us = 86_400_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "value"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()),
+        )
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "day_us": pa.array([], pa.int64()),
+                      "twap": pa.array([], pa.float64())})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        day = (ts // day_us) * day_us
+        last = np.ones(n, bool)
+        last[:-1] = (uid[:-1] != uid[1:]) | (day[:-1] != day[1:])
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[last] = day[last] + day_us  # holds to midnight
+        dur = nxt - ts
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))))
+        wsum = np.add.reduceat(cents * dur, starts)
+        tsum = np.add.reduceat(dur, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "day_us": pa.array(day[starts], pa.int64()),
+            "twap": pa.array(
+                wsum.astype(np.float64) / tsum.astype(np.float64)
+                / np.float64(100.0),
+                pa.float64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(per_bucket, batch_format="pyarrow")

@@ -5629,3 +5629,106 @@ class TestHoppingDistinct:
         ).to_pandas()
         assert got["n_users"].tolist() == [2]
         assert got["window_start_us"].tolist() == [0]
+
+
+class TestUserStreaks:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import user_streaks
+
+        sf = "/root/testdata/sf0.001"
+        got = user_streaks(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM read_parquet('{sf}/events.parquet')),
+            g AS (SELECT user_id, day,
+                         day - dense_rank() OVER
+                           (PARTITION BY user_id ORDER BY day) AS grp
+                  FROM d),
+            i AS (SELECT user_id, grp, count(*) AS len
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM i GROUP BY user_id ORDER BY user_id
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import user_streaks
+
+        day = 86_400_000_000
+        # u1 active days {0,1,2, 5,6, 9} → islands 3, longest 3
+        ts = [0, day, 2 * day, 5 * day, 6 * day, 9 * day, 9 * day + 5]
+        t = pa.table({
+            "user_id": pa.array([1] * 7, pa.int64()),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+        })
+        got = user_streaks(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().to_dict("records")
+        assert got == [{"user_id": 1, "n_days": 6, "n_islands": 3,
+                        "longest_streak": 3}]
+
+
+class TestTwap:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import twap_by_user_day
+
+        sf = "/root/testdata/sf0.001"
+        got = twap_by_user_day(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values(["user_id", "day_us"]).reset_index(
+            drop=True)
+        want = duckdb.sql(f"""
+            WITH e AS (
+              SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_id,
+                     (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                     CAST(floor(value * 100.0) AS BIGINT) AS cents
+              FROM read_parquet('{sf}/events.parquet')),
+            w AS (SELECT user_id, day_us, cents, ts,
+                         coalesce(lead(ts) OVER
+                           (PARTITION BY user_id, day_us
+                            ORDER BY ts, event_id),
+                           day_us + 86400000000) AS nxt
+                  FROM e)
+            SELECT user_id, CAST(day_us AS BIGINT) AS day_us,
+                   CAST(sum(cents * (nxt - ts)) AS DOUBLE)
+                     / CAST(sum(nxt - ts) AS DOUBLE) / 100.0 AS twap
+            FROM w GROUP BY user_id, day_us ORDER BY user_id, day_us
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_single_event_day_holds_to_midnight(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import twap_by_user_day
+
+        # one event at noon, value 3.0 → holds to midnight → twap 3.0;
+        # a second day with values 1.0 (half day) then 5.0 (half day)
+        # → twap 3.0 as well
+        day = 86_400_000_000
+        half = day // 2
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([half, day, day + half]).cast(
+                pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "value": pa.array([3.0, 1.0, 5.0], pa.float64()),
+        })
+        got = twap_by_user_day(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().sort_values("day_us")
+        assert got["twap"].tolist() == [3.0, 3.0]
