@@ -3138,6 +3138,31 @@ def _q_twap(sf_dir: str):
     )
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the same deterministic synthetic
+    webgraph as ``triangles`` (undirected-deduped).  Common-neighbor
+    weights are integer floor(1e9/ln(deg)) so pair sums are exact; the
+    oracle regenerates the graph and the identical weighting."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import adamic_adar
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return adamic_adar(docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3337,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_distinct": _q_hopping_distinct,
         "user_streaks": _q_user_streaks,
         "twap": _q_twap,
+        "adamic_adar": _q_adamic_adar,
     }
 
 
@@ -5855,6 +5881,36 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: Adamic–Adar over the triangles webgraph; integer
+        # floor(1e9/ln(deg)) weights make the pair sums exact
+        "adamic_adar": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+            und AS (SELECT DISTINCT least(src,dst) AS a,
+                                    greatest(src,dst) AS b
+                    FROM raw WHERE src <> dst),
+            adj AS (SELECT a AS c, b AS u FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT c, count(*) AS dg FROM adj GROUP BY c),
+            w AS (SELECT c, CAST(floor(1000000000.0
+                                       / ln(CAST(dg AS DOUBLE)))
+                                 AS BIGINT) AS wu
+                  FROM deg WHERE dg >= 2),
+            p AS (SELECT x.u AS u, y.u AS v, w.wu
+                  FROM adj x JOIN adj y USING (c) JOIN w USING (c)
+                  WHERE x.u < y.u)
+            SELECT u, v, CAST(sum(wu) AS BIGINT) AS score_u,
+                   CAST(CAST(sum(wu) AS DOUBLE)
+                        / 1000000000.0 AS DOUBLE) AS score
+            FROM p GROUP BY u, v
         """,
         # round-5: gaps-and-islands streaks (dense_rank island trick; the
         # engine's shifted day-difference compare is the same partition)

@@ -5732,3 +5732,75 @@ class TestTwap:
             rd.from_arrow(t).repartition(2)
         ).to_pandas().sort_values("day_us")
         assert got["twap"].tolist() == [3.0, 3.0]
+
+
+class TestAdamicAdar:
+    def test_matches_duckdb_on_webgraph(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+
+        import __ray_entry__ as e
+        from studiocr_ray.datapipe.graph import adamic_adar
+
+        sf = "/root/testdata/sf0.001"
+        docs = e._docs(sf).select_columns(["doc_id"])
+        n = docs.count()
+
+        def edges(batch):
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = np.repeat(d, 3)
+            dst = np.stack(
+                [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+            ).reshape(-1)
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        got = adamic_adar(
+            docs.map_batches(edges, batch_format="pyarrow")
+        ).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH ids AS (SELECT doc_id
+                         FROM read_parquet('{sf}/documents.parquet')),
+            e0 AS (SELECT doc_id AS src, (doc_id+1)%{n} AS dst FROM ids
+                   UNION ALL SELECT doc_id, (doc_id+2)%{n} FROM ids
+                   UNION ALL SELECT doc_id, (doc_id*3+1)%{n} FROM ids),
+            und AS (SELECT DISTINCT least(src,dst) AS a,
+                                    greatest(src,dst) AS b
+                    FROM e0 WHERE src <> dst),
+            adj AS (SELECT a AS c, b AS u FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT c, count(*) AS dg FROM adj GROUP BY c),
+            w AS (SELECT c, CAST(floor(1000000000.0
+                                       / ln(CAST(dg AS DOUBLE)))
+                                 AS BIGINT) AS wu
+                  FROM deg WHERE dg >= 2),
+            p AS (SELECT x.u AS u, y.u AS v, w.wu
+                  FROM adj x JOIN adj y USING (c) JOIN w USING (c)
+                  WHERE x.u < y.u)
+            SELECT u, v, CAST(sum(wu) AS BIGINT) AS score_u,
+                   CAST(CAST(sum(wu) AS DOUBLE)
+                        / 1000000000.0 AS DOUBLE) AS score
+            FROM p GROUP BY u, v ORDER BY u, v
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_hand_case_path_graph(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        import numpy as np
+
+        from studiocr_ray.datapipe.graph import adamic_adar
+
+        # path 1-2-3 (+ a duplicate and a self-loop to exercise canon):
+        # only common neighbor is 2 (deg 2) for the pair (1,3)
+        t = pa.table({
+            "src": pa.array([1, 2, 2, 3, 4], pa.int64()),
+            "dst": pa.array([2, 3, 1, 2, 4], pa.int64()),
+        })
+        got = adamic_adar(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().to_dict("records")
+        wu = int(np.floor(1e9 / np.log(2.0)))
+        assert got == [{"u": 1, "v": 3, "score_u": wu,
+                        "score": wu / 1e9}]
