@@ -3163,6 +3163,36 @@ def _q_adamic_adar(sf_dir: str):
     return adamic_adar(docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_smb_join(sf_dir: str):
+    """Sort-merge-bucket join end to end: bucket-write orders and
+    customer by key hash (the one shuffle, paid at write time), then an
+    exchange-FREE join — one independent task per matching jb=<b>
+    directory pair.  Result is plain inner-join semantics, so the SQL
+    oracle is the ordinary join."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.join import bucket_write, smb_join
+
+    root = os.path.join(
+        _CACHE_ROOT, "smb",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    bucket_write(
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        os.path.join(root, "orders"), on="o_custkey", num_buckets=16,
+        cols=["o_orderkey", "o_totalprice"])
+    bucket_write(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        os.path.join(root, "cust"), on="c_custkey", num_buckets=16,
+        cols=["c_name"])
+    return smb_join(os.path.join(root, "orders"),
+                    os.path.join(root, "cust"), on="o_custkey",
+                    right_on="c_custkey", num_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3363,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "twap": _q_twap,
         "adamic_adar": _q_adamic_adar,
+        "smb_join": _q_smb_join,
     }
 
 
@@ -5881,6 +5912,11 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: SMB join result is plain inner-join semantics
+        "smb_join": """
+            SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         # round-5: Adamic–Adar over the triangles webgraph; integer
         # floor(1e9/ln(deg)) weights make the pair sums exact

@@ -645,3 +645,103 @@ def skew_join(
     return hot_out.map_batches(conform, batch_format="pyarrow").union(
         cold_out.map_batches(conform, batch_format="pyarrow")
     )
+
+
+def bucket_write(ds, path: str, on: str, num_buckets: int = 64,
+                 cols: list[str] | None = None) -> str:
+    """Bucketed (hive-partitioned) write: key-hash each row and write
+    one ``jb=<b>`` directory per bucket — the storage half of the
+    sort-merge-bucket (SMB) pattern.  Pay the shuffle ONCE at write
+    time; every later :func:`smb_join` between tables bucketed with the
+    SAME ``num_buckets`` and key hash is exchange-free.
+
+    Columns are pruned before the write (pass ``cols`` at scale); the
+    bucket id is derived from :func:`~.functions.arrowutil.id_buckets`,
+    the same hash every bucketed exchange in the engine uses, so a
+    bucket-written table is also drop-in co-partitioned with the
+    in-flight side of any hash_join-family operator."""
+    def tag(batch: pa.Table) -> pa.Table:
+        t = _prune(batch, on, cols)
+        return t.append_column(
+            "jb", pa.array(id_buckets(t.column(on), num_buckets),
+                           pa.int32()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["jb"])
+    return path
+
+
+def smb_join(left_path: str, right_path: str, on: str,
+             num_buckets: int = 64, right_on: str | None = None,
+             suffix: str = "_r"):
+    """Shuffle-free join of two :func:`bucket_write`-bucketed tables →
+    Dataset of inner-joined rows.  Because both sides were hash-bucketed
+    on the join key with the same ``num_buckets``, matching keys can
+    only live in matching ``jb=<b>`` directories — so the join is one
+    INDEPENDENT task per bucket (read both small bucket dirs, one local
+    hash join), with no all-to-all anywhere.  This is the Hive/Iceberg
+    sort-merge-bucket join shape: the 100 TB win is that N downstream
+    joins against the same bucketed fact table cost zero additional
+    shuffles (the write amortizes the only exchange).
+
+    The per-bucket driver is a Dataset of bucket ids fanned out via
+    ``map_batches(batch_size=1)`` — Ray Data schedules/retries each
+    bucket like any other block, and a failed bucket re-reads only its
+    own two directories (resume granularity = bucket)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    right_on = right_on or on
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("jb").to_pylist():
+            lp = os.path.join(left_path, f"jb={b}")
+            rp = os.path.join(right_path, f"jb={b}")
+            if not (os.path.isdir(lp) and os.path.isdir(rp)):
+                continue  # a hash bucket one side never populated
+            lt = pq.read_table(lp)
+            rt = pq.read_table(rp)
+            if rt.num_rows == 0 or lt.num_rows == 0:
+                continue
+            if right_on != on:
+                rt = rt.rename_columns(
+                    [on if c == right_on else c for c in rt.column_names])
+            out.append(lt.join(rt, keys=on, join_type="inner",
+                               right_suffix=suffix))
+        if not out:
+            # schema-stable empty result derived from the file footers
+            ls = pq.read_schema(
+                next(_first_file(left_path)))
+            rs = pq.read_schema(next(_first_file(right_path)))
+            names = list(ls.names)
+            fields = list(ls)
+            for f in rs:
+                nm = on if f.name == right_on else f.name
+                if nm == on:
+                    continue
+                if nm in names:
+                    nm = nm + suffix
+                names.append(nm)
+                fields.append(pa.field(nm, f.type))
+            return pa.table(
+                {f.name if f.name in ls.names else f.name: pa.array([], f.type)
+                 for f in fields})
+        return pa.concat_tables(out, promote_options="default")
+
+    buckets = rd.from_items(
+        [{"jb": b} for b in range(num_buckets)]
+    ).repartition(num_buckets)
+    return buckets.map_batches(join_bucket, batch_size=1,
+                               batch_format="pyarrow")
+
+
+def _first_file(root):
+    import os
+
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                yield os.path.join(dirpath, f)

@@ -5804,3 +5804,63 @@ class TestAdamicAdar:
         wu = int(np.floor(1e9 / np.log(2.0)))
         assert got == [{"u": 1, "v": 3, "score_u": wu,
                         "score": wu / 1e9}]
+
+
+class TestSmbJoin:
+    def test_matches_plain_join(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import bucket_write, smb_join
+
+        sf = "/root/testdata/sf0.001"
+        bucket_write(
+            rd.read_parquet(f"{sf}/orders.parquet"),
+            str(tmp_path / "orders"), on="o_custkey", num_buckets=8,
+            cols=["o_orderkey", "o_totalprice"])
+        bucket_write(
+            rd.read_parquet(f"{sf}/customer.parquet"),
+            str(tmp_path / "cust"), on="c_custkey", num_buckets=8,
+            cols=["c_name"])
+        got = smb_join(str(tmp_path / "orders"), str(tmp_path / "cust"),
+                       on="o_custkey", right_on="c_custkey",
+                       num_buckets=8).to_pandas()
+        want = duckdb.sql(f"""
+            SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+        """).df()
+
+        def canon(df):
+            df = df[sorted(df.columns)]
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        assert canon(got).equals(canon(want))
+
+    def test_bucket_layout_and_copartition(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import bucket_write, smb_join
+        from studiocr_ray.functions.arrowutil import id_buckets
+
+        t = pa.table({"k": pa.array(range(100), pa.int64()),
+                      "p": pa.array(range(100), pa.int64())})
+        bucket_write(rd.from_arrow(t), str(tmp_path / "a"), on="k",
+                     num_buckets=4)
+        # every written row sits in the directory its key hashes to
+        for b in range(4):
+            d = str(tmp_path / "a" / f"jb={b}")
+            if not os.path.isdir(d):
+                continue
+            part = pq.read_table(d)
+            assert (id_buckets(part.column("k"), 4) == b).all()
+        # joining a bucketed table with itself is the identity m×n join
+        got = smb_join(str(tmp_path / "a"), str(tmp_path / "a"), on="k",
+                       num_buckets=4).to_pandas().sort_values("k")
+        assert got["k"].tolist() == list(range(100))
+        assert got["p"].tolist() == got["p_r"].tolist()
