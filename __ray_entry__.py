@@ -3193,6 +3193,20 @@ def _q_smb_join(sf_dir: str):
                     right_on="c_custkey", num_buckets=16)
 
 
+def _q_sbo_logprob(sf_dir: str):
+    """Stupid-Backoff bigram scoring: pruned (≥2) bigram table so the
+    ln0.4 + unigram fallback actually fires; integer micro-nat terms
+    keep document sums order-free."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.lm import sbo_logprob
+
+    return sbo_logprob(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3394,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap": _q_twap,
         "adamic_adar": _q_adamic_adar,
         "smb_join": _q_smb_join,
+        "sbo_logprob": _q_sbo_logprob,
     }
 
 
@@ -5912,6 +5927,53 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: Stupid Backoff — pruned bigram LEFT JOIN, discounted
+        # unigram fallback; every term a floor(ln·1e6) integer
+        "sbo_logprob": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(range(1, len(toks)+1)) AS pos FROM base),
+            pairs AS (SELECT doc_id,
+                             lag(tok) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS t1,
+                             tok AS t2
+                      FROM tk QUALIFY t1 IS NOT NULL),
+            bc AS (SELECT t1, t2, count(*) AS c FROM pairs GROUP BY t1, t2
+                   HAVING count(*) >= 2),
+            uc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM tk),
+            per AS (
+              SELECT p.doc_id, count(*) AS n,
+                     sum(CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN bc.c IS NOT NULL
+                         THEN CAST(floor(ln(CAST(bc.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                            - CAST(floor(ln(CAST(u1.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                         ELSE CAST(floor(ln(0.4)*1000000.0) AS BIGINT)
+                            + CAST(floor(ln(CAST(u2.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                            - CAST(floor(ln(CAST((SELECT n FROM tot)
+                                                 AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                         END) AS lp
+              FROM pairs p
+              LEFT JOIN bc ON p.t1 = bc.t1 AND p.t2 = bc.t2
+              JOIN uc u1 ON p.t1 = u1.tok
+              JOIN uc u2 ON p.t2 = u2.tok
+              GROUP BY p.doc_id)
+            SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(per.nb, 0) AS BIGINT) AS n_backoff,
+                   CAST(coalesce(per.lp, 0) AS BIGINT) AS logprob_u,
+                   CASE WHEN coalesce(per.n, 0) > 0
+                        THEN CAST(per.lp AS DOUBLE)/per.n/1000000.0
+                        ELSE 0.0 END AS mean_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # round-5: SMB join result is plain inner-join semantics
         "smb_join": """

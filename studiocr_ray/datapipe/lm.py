@@ -670,3 +670,154 @@ def quality_tiers(ds, k: int = 4, text_col: str = "text"):
         return batch.append_column("tier", pa.array(tier, pa.int64()))
 
     return with_score.map_batches(tag, batch_format="pyarrow")
+
+
+def sbo_logprob(ds, text_col: str = "text", min_bigram: int = 2,
+                concurrency=(1, 8)):
+    """Stupid-Backoff bigram scoring (Brants et al., "Large Language
+    Models in Machine Translation", EMNLP 2007 §4): per adjacent pair,
+    ``ln c(t1,t2) − ln c(t1)`` when the bigram survived count pruning
+    (``c ≥ min_bigram``), else the discounted unigram fallback
+    ``ln 0.4 + ln c(t2) − ln N`` → ``(doc_id, n_pairs, n_backoff,
+    logprob_u, mean_logprob)``.  Unlike :func:`bigram_logprob` (pure
+    MLE, every in-corpus pair is "seen"), the pruned model actually
+    exercises the backoff path — singleton bigrams, the bulk of the
+    Zipf tail, score by their unigram evidence instead of a memorized
+    count of 1.
+
+    Same int64 micro-nat exactness as the rest of the module (every
+    term is a ``floor(ln(·)·1e6)`` integer, including the ln 0.4
+    discount, so document sums are order-free).  Broadcast strategy:
+    the PRUNED bigram table (≥ min_bigram, a small fraction of the full
+    pair vocabulary) and the unigram table ship via ``ray.put`` once
+    and live in actor state; the open-vocabulary twin would reuse
+    bigram_logprob's two bucket-merge exchanges with a COALESCE merge."""
+    import math
+
+    from .relational import word_count
+
+    uni = word_count(ds, text_col=text_col)
+
+    def bigram_count_partial(batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import string_buckets
+
+        pair_codes, _, _, pair_dict, _ = _flat_bigrams(batch, text_col)
+        if len(pair_codes) == 0:
+            return pa.table({"cb": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnts = np.bincount(pair_codes, minlength=len(pair_dict))
+        return pa.table(
+            {"cb": pa.array(string_buckets(pair_dict, 64), pa.int32()),
+             "term": pair_dict, "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    def bigram_count_merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("term"))
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("cnt").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        ).astype(np.int64)
+        t = pa.table({"term": d.dictionary, "cnt": pa.array(cnt, pa.int64())})
+        return t.filter(pa.array(cnt >= min_bigram))  # prune singletons
+
+    bi = ds.map_batches(
+        bigram_count_partial, batch_format="pyarrow"
+    ).groupby("cb").map_groups(bigram_count_merge, batch_format="pyarrow")
+
+    def collect(counts) -> pa.Table:
+        parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+        return (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"term": pa.array([], pa.string()),
+                           "cnt": pa.array([], pa.int64())})
+        )
+
+    bi_ref = ray.put(collect(bi))
+    uni_ref = ray.put(collect(uni))
+    alpha_u = math.floor(math.log(0.4) * _SCALE)
+
+    class Scorer:
+        def __init__(self):
+            def as_lp(tbl: pa.Table) -> dict:
+                lp = _log_micronats(
+                    tbl.column("cnt").to_numpy(
+                        zero_copy_only=False).astype(np.int64))
+                return dict(zip(tbl.column("term").to_pylist(),
+                                lp.tolist()))
+
+            bi_tbl = ray.get(bi_ref)
+            uni_tbl = ray.get(uni_ref)
+            self.bi = as_lp(bi_tbl)
+            self.uni = as_lp(uni_tbl)
+            total = int(uni_tbl.column("cnt").to_numpy(
+                zero_copy_only=False).sum()) if uni_tbl.num_rows else 0
+            self.n_lp = (math.floor(math.log(total) * _SCALE)
+                         if total else 0)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            n = batch.num_rows
+            flat, doc_idx = _flat_tokens(batch, text_col)
+            zeros = np.zeros(n, np.int64)
+            if len(flat) < 2:
+                return _sbo_result(ids, zeros, zeros, zeros)
+            d = _dict_encode(flat)
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            same = doc_idx[1:] == doc_idx[:-1]
+            if not same.any():
+                return _sbo_result(ids, zeros, zeros, zeros)
+            left = codes[:-1][same]
+            right = codes[1:][same]
+            dix = doc_idx[1:][same].astype(np.int64)
+            ndict = len(d.dictionary)
+            uk, pair_codes = np.unique(left * ndict + right,
+                                       return_inverse=True)
+            pair_dict = pc.binary_join_element_wise(
+                d.dictionary.take(pa.array(uk // ndict)),
+                d.dictionary.take(pa.array(uk % ndict)), " ")
+            # one probe per DISTINCT bigram / token (vocab-bounded)
+            bi_lp = np.array(
+                [self.bi.get(t, _MISS) for t in pair_dict.to_pylist()],
+                np.int64)[pair_codes]
+            uni_lp_tok = np.array(
+                [self.uni[t] for t in d.dictionary.to_pylist()], np.int64)
+            seen = bi_lp != _MISS
+            lp = np.where(
+                seen,
+                bi_lp - uni_lp_tok[left],
+                alpha_u + uni_lp_tok[right] - self.n_lp,
+            )
+            n_pairs = np.bincount(dix, minlength=n).astype(np.int64)
+            n_back = np.bincount(
+                dix, weights=~seen, minlength=n).astype(np.int64)
+            lp_sum = np.bincount(dix, weights=lp, minlength=n).astype(
+                np.int64)
+            return _sbo_result(ids, n_pairs, n_back, lp_sum)
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+_MISS = np.iinfo(np.int64).min
+
+
+def _sbo_result(ids, n_pairs, n_back, lp_u) -> pa.Table:
+    n_pairs = np.asarray(n_pairs)
+    lp_u = np.asarray(lp_u)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = lp_u.astype(np.float64) / n_pairs.astype(np.float64) / _SCALE
+    return pa.table({
+        "doc_id": ids,
+        "n_pairs": pa.array(n_pairs.astype(np.int64), pa.int64()),
+        "n_backoff": pa.array(np.asarray(n_back).astype(np.int64),
+                              pa.int64()),
+        "logprob_u": pa.array(lp_u.astype(np.int64), pa.int64()),
+        "mean_logprob": pa.array(
+            np.where(n_pairs > 0, mean, 0.0), pa.float64()),
+    })

@@ -5864,3 +5864,93 @@ class TestSmbJoin:
                        num_buckets=4).to_pandas().sort_values("k")
         assert got["k"].tolist() == list(range(100))
         assert got["p"].tolist() == got["p_r"].tolist()
+
+
+class TestSboLogprob:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import sbo_logprob
+
+        sf = "/root/testdata/sf0.001"
+        got = sbo_logprob(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM read_parquet('{sf}/documents.parquet')),
+            tk AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(range(1, len(toks)+1)) AS pos FROM base),
+            pairs AS (SELECT doc_id,
+                             lag(tok) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS t1,
+                             tok AS t2
+                      FROM tk QUALIFY t1 IS NOT NULL),
+            bc AS (SELECT t1, t2, count(*) AS c FROM pairs
+                   GROUP BY t1, t2 HAVING count(*) >= 2),
+            uc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM tk),
+            per AS (
+              SELECT p.doc_id, count(*) AS n,
+                     sum(CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END) AS nb,
+                     sum(CASE WHEN bc.c IS NOT NULL
+                         THEN CAST(floor(ln(CAST(bc.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                            - CAST(floor(ln(CAST(u1.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                         ELSE CAST(floor(ln(0.4)*1000000.0) AS BIGINT)
+                            + CAST(floor(ln(CAST(u2.c AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                            - CAST(floor(ln(CAST((SELECT n FROM tot)
+                                                 AS DOUBLE))
+                                         *1000000.0) AS BIGINT)
+                         END) AS lp
+              FROM pairs p
+              LEFT JOIN bc ON p.t1 = bc.t1 AND p.t2 = bc.t2
+              JOIN uc u1 ON p.t1 = u1.tok
+              JOIN uc u2 ON p.t2 = u2.tok
+              GROUP BY p.doc_id)
+            SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(per.nb, 0) AS BIGINT) AS n_backoff,
+                   CAST(coalesce(per.lp, 0) AS BIGINT) AS logprob_u,
+                   CASE WHEN coalesce(per.n, 0) > 0
+                        THEN CAST(per.lp AS DOUBLE)/per.n/1000000.0
+                        ELSE 0.0 END AS mean_logprob
+            FROM read_parquet('{sf}/documents.parquet') d
+            LEFT JOIN per USING (doc_id) ORDER BY doc_id
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        # the pruned model must actually exercise the backoff path
+        assert got["n_backoff"].sum() > 0
+
+    def test_backoff_hand_case(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.lm import sbo_logprob
+
+        # 'a b' occurs twice (survives pruning); 'b c' once (backs off)
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a b"]),
+        })
+        got = sbo_logprob(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().set_index("doc_id")
+        S = 1_000_000
+        # corpus: tokens a×2 b×2 c×1, N=5; bigram 'a b' c=2
+        ab = math.floor(math.log(2) * S) - math.floor(math.log(2) * S)
+        bc = (math.floor(math.log(0.4) * S)
+              + math.floor(math.log(1) * S)
+              - math.floor(math.log(5) * S))
+        assert got.loc[1, "n_pairs"] == 2
+        assert got.loc[1, "n_backoff"] == 1
+        assert got.loc[1, "logprob_u"] == ab + bc
+        assert got.loc[2, "n_backoff"] == 0
+        assert got.loc[2, "logprob_u"] == ab
