@@ -3207,6 +3207,33 @@ def _q_sbo_logprob(sf_dir: str):
     )
 
 
+def _q_cumulative_users(sf_dir: str):
+    """Running distinct-user growth curve — per-user first-seen day via
+    bucketed argmin, day-bounded counts, driver cumsum."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import cumulative_users
+
+    return cumulative_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    )
+
+
+def _q_churned_users(sf_dir: str):
+    """Inactivity screen: users whose last event trails the corpus max
+    by more than 12 hours — bucketed argmax + scalar Dataset.max."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import churned_users
+
+    return churned_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]),
+        inactive_hours=12,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3409,6 +3436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "smb_join": _q_smb_join,
         "sbo_logprob": _q_sbo_logprob,
+        "cumulative_users": _q_cumulative_users,
+        "churned_users": _q_churned_users,
     }
 
 
@@ -5927,6 +5956,35 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: running distinct-user growth (first-seen day per user,
+        # then a window cumsum over the tiny day table)
+        "cumulative_users": """
+            WITH f AS (SELECT user_id,
+                              min((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS first_day
+                       FROM events GROUP BY user_id),
+            d AS (SELECT first_day AS day_us,
+                         CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY first_day)
+            SELECT day_us, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day_us) AS BIGINT)
+                     AS cumulative_users
+            FROM d
+        """,
+        # round-5: churn screen vs the corpus max timestamp (hour units —
+        # the synthetic corpus spans ~30 days with near-daily activity)
+        "churned_users": """
+            WITH l AS (SELECT user_id,
+                              max(CAST(epoch_us(ts) AS BIGINT)) AS last_ts
+                       FROM events GROUP BY user_id),
+            m AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS mx
+                  FROM events)
+            SELECT user_id, last_ts,
+                   CAST((mx - last_ts) // 3600000000 AS BIGINT)
+                     AS hours_inactive
+            FROM l, m
+            WHERE (mx - last_ts) // 3600000000 > 12
         """,
         # round-5: Stupid Backoff — pruned bigram LEFT JOIN, discounted
         # unigram fallback; every term a floor(ln·1e6) integer

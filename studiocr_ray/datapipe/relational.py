@@ -3959,3 +3959,121 @@ def twap_by_user_day(ds, num_buckets: int = 64):
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "bucket"
     ).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def cumulative_users(ds, num_buckets: int = 64):
+    """Running distinct-user curve: for every active day, how many users
+    appeared that day for the FIRST time and how many distinct users the
+    corpus has seen up to and including it → ``(day_us, new_users,
+    cumulative_users)`` — the growth-accounting twin of
+    :func:`rolling_active_users` (which windows activity; this one never
+    forgets).
+
+    Shape: per-batch partial argmin (one row per user per batch), ONE
+    user-hash bucketed merge to the global first-seen day per user, a
+    day-keyed count bounded by #active-days, and the cumulative sum on
+    that tiny day table driver-side."""
+    from ..functions.arrowutil import id_buckets
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first = np.ones(len(u), bool)
+        first[1:] = u[1:] != u[:-1]
+        t = pa.table({"user_id": pa.array(u[first], pa.int64()),
+                      "first_day": pa.array(d[first], pa.int64())})
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        day = group.column("first_day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first = np.ones(len(u), bool)
+        if len(u) > 1:
+            first[1:] = u[1:] != u[:-1]
+        days, cnts = np.unique(d[first], return_counts=True)
+        return pa.table({"day_us": pa.array(days, pa.int64()),
+                         "new_users": pa.array(cnts.astype(np.int64),
+                                               pa.int64())})
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    ).to_pandas()  # bounded by #active days
+    per_day = per_day.sort_values("day_us").reset_index(drop=True)
+    per_day["cumulative_users"] = per_day["new_users"].cumsum()
+    return pa.Table.from_pandas(
+        per_day[["day_us", "new_users", "cumulative_users"]].astype(
+            {"new_users": np.int64, "cumulative_users": np.int64}))
+
+
+def churned_users(ds, inactive_hours: int = 12, num_buckets: int = 64):
+    """Churn screen: users whose LAST event is more than
+    ``inactive_hours`` before the corpus's maximum timestamp →
+    ``(user_id, last_ts, hours_inactive)`` — the retention ops
+    counterpart of :func:`conversion_lag`.
+
+    Shape: per-batch partial argmax (one row per user per batch), ONE
+    user-hash bucketed merge to the global last-seen timestamp, then a
+    stateless filter against the corpus max (a scalar computed by
+    ``Dataset.max`` — one tiny fold, not a sort)."""
+    from ..functions.arrowutil import id_buckets
+
+    hour_us = 3_600_000_000
+    corpus_max = ds.max("ts")
+    if corpus_max is None:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "last_ts": pa.array([], pa.int64()),
+                         "hours_inactive": pa.array([], pa.int64())})
+    max_us = int(pa.scalar(corpus_max).cast(pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((-ts, uid))
+        u, t = uid[order], ts[order]
+        first = np.ones(len(u), bool)
+        first[1:] = u[1:] != u[:-1]
+        out = pa.table({"user_id": pa.array(u[first], pa.int64()),
+                        "last_ts": pa.array(t[first], pa.int64())})
+        return out.append_column(
+            "bucket",
+            pa.array(id_buckets(out.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("last_ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-ts, uid))
+        u, t = uid[order], ts[order]
+        first = np.ones(len(u), bool)
+        if len(u) > 1:
+            first[1:] = u[1:] != u[:-1]
+        u, t = u[first], t[first]
+        inactive = (max_us - t) // hour_us
+        keep = inactive > inactive_hours
+        return pa.table({
+            "user_id": pa.array(u[keep], pa.int64()),
+            "last_ts": pa.array(t[keep], pa.int64()),
+            "hours_inactive": pa.array(inactive[keep].astype(np.int64),
+                                       pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(merge, batch_format="pyarrow")

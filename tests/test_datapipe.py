@@ -5954,3 +5954,81 @@ class TestSboLogprob:
         assert got.loc[1, "logprob_u"] == ab + bc
         assert got.loc[2, "n_backoff"] == 0
         assert got.loc[2, "logprob_u"] == ab
+
+
+class TestUserLifecycle:
+    def test_cumulative_users_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import cumulative_users
+
+        sf = "/root/testdata/sf0.001"
+        got = cumulative_users(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH f AS (SELECT user_id,
+                              min((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS first_day
+                       FROM read_parquet('{sf}/events.parquet')
+                       GROUP BY user_id),
+            d AS (SELECT first_day AS day_us,
+                         CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY first_day)
+            SELECT day_us, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day_us) AS BIGINT)
+                     AS cumulative_users
+            FROM d ORDER BY day_us
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert got["cumulative_users"].iloc[-1] == duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+
+    def test_churned_users_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import churned_users
+
+        sf = "/root/testdata/sf0.001"
+        got = churned_users(
+            rd.read_parquet(f"{sf}/events.parquet"), inactive_hours=12
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH l AS (SELECT user_id,
+                              max(CAST(epoch_us(ts) AS BIGINT)) AS last_ts
+                       FROM read_parquet('{sf}/events.parquet')
+                       GROUP BY user_id),
+            m AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS mx
+                  FROM read_parquet('{sf}/events.parquet'))
+            SELECT user_id, last_ts,
+                   CAST((mx - last_ts) // 3600000000 AS BIGINT)
+                     AS hours_inactive
+            FROM l, m
+            WHERE (mx - last_ts) // 3600000000 > 12
+            ORDER BY user_id
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) > 0  # the threshold must actually fire
+
+    def test_churn_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import churned_users
+
+        hour = 3_600_000_000
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 2 * hour, 19 * hour, 20 * hour]).cast(
+                pa.timestamp("us")),
+        })
+        got = churned_users(
+            rd.from_arrow(t).repartition(2), inactive_hours=14
+        ).to_pandas().to_dict("records")
+        # corpus max = hour 20; u1 last at hour 2 → 18 h inactive;
+        # u2 at hour 19 (1 h) and u3 at hour 20 (0) stay
+        assert got == [{"user_id": 1, "last_ts": 2 * hour,
+                        "hours_inactive": 18}]
