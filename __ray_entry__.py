@@ -3234,6 +3234,58 @@ def _q_churned_users(sf_dir: str):
     )
 
 
+def _q_filter_overlap(sf_dir: str):
+    """Quality-filter agreement matrix: run the C4 line rules AND the
+    Gopher document rules over the SAME synthesized bullet pages inside
+    one stateless map_batches (both are per-row transforms — no second
+    pass, no join), count the 2×2 (keep_c4, keep_gopher) cells per
+    batch, one tiny keyed sum.  The filter-calibration table every
+    curation pipeline wants before choosing thresholds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from studiocr_ray.datapipe.curation import (c4_line_filter,
+                                                gopher_quality_filter)
+
+    pages = _docs(sf_dir).map_batches(_c4_page, batch_format="pyarrow")
+
+    def both(batch: pa.Table) -> pa.Table:
+        c4 = c4_line_filter(batch).sort_by("doc_id")
+        go = gopher_quality_filter(
+            batch, stopwords=("the", "a", "data", "value")
+        ).sort_by("doc_id")
+        kc = c4.column("keep_doc").to_numpy(zero_copy_only=False)
+        kg = go.column("keep").to_numpy(zero_copy_only=False)
+        code = kc.astype(np.int64) * 2 + kg.astype(np.int64)
+        vals, cnts = np.unique(code, return_counts=True)
+        return pa.table({
+            "keep_c4": pa.array(vals // 2 == 1),
+            "keep_gopher": pa.array(vals % 2 == 1),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return pages.map_batches(both, batch_format="pyarrow").groupby(
+        ["keep_c4", "keep_gopher"]
+    ).aggregate(Sum("n", alias_name="n"))
+
+
+def _q_entry_events(sf_dir: str):
+    """First-touch attribution: each user's FIRST event type ((ts,
+    event_id)-ordered), counted per type with the user share — partial
+    argmin per batch, one user-hash merge, type-bounded final sum."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import entry_events
+
+    return entry_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3438,6 +3490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sbo_logprob": _q_sbo_logprob,
         "cumulative_users": _q_cumulative_users,
         "churned_users": _q_churned_users,
+        "filter_overlap": _q_filter_overlap,
+        "entry_events": _q_entry_events,
     }
 
 
@@ -5956,6 +6010,80 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: C4 × Gopher agreement matrix over the SAME non-bullet
+        # pages — both filters' oracle bodies over one page CTE
+        "filter_overlap": f"""
+            WITH pages AS ({_C4_PAGE_SQL}),
+            c4 AS (
+              SELECT doc_id,
+                     (len(list_filter(string_split(text, chr(10)), x ->
+                        regexp_matches(x, '[.!?"]$')
+                        AND len(list_filter(
+                              string_split_regex(x, '\\s+'),
+                              w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript'))) >= 3
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(lower(text), '{{')) AS keep_c4
+              FROM pages),
+            w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM pages),
+            s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(list_sum(list_transform(words, x -> length(x)))
+                       AS DOUBLE) / len(words) ELSE 0.0 END
+                  AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(length(text) - length(replace(text, '#', ''))
+                       + length(text) - length(replace(text, '…', ''))
+                       AS DOUBLE) / len(words) ELSE 0.0 END
+                  AS symbol_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  CAST(len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+                CAST(len(list_filter(lines, x ->
+                       starts_with(x, '- ') OR starts_with(x, '• ')))
+                     AS DOUBLE) / len(lines) AS bullet_frac,
+                CAST(len(list_filter(lines, x -> ends_with(x, '…')))
+                     AS DOUBLE) / len(lines) AS ellipsis_frac,
+                CAST(len(list_filter(['the', 'a', 'data', 'value'],
+                       sw -> list_contains(words, sw)))
+                     AS BIGINT) AS n_stop_hits
+              FROM w),
+            go AS (
+              SELECT doc_id,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND mean_word_len >= 3 AND mean_word_len <= 10
+                      AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                      AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                      AND n_stop_hits >= 2) AS keep_gopher
+              FROM s)
+            SELECT c4.keep_c4, go.keep_gopher,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c4 JOIN go USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        # round-5: first-touch attribution (argmin per user, type counts)
+        "entry_events": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                AS rn
+                       FROM events),
+            f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                  FROM r WHERE rn = 1 GROUP BY event_type),
+            t AS (SELECT sum(n_users) AS total FROM f)
+            SELECT event_type, n_users,
+                   CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS share
+            FROM f, t
         """,
         # round-5: running distinct-user growth (first-seen day per user,
         # then a window cumsum over the tiny day table)

@@ -4077,3 +4077,57 @@ def churned_users(ds, inactive_hours: int = 12, num_buckets: int = 64):
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "bucket"
     ).map_groups(merge, batch_format="pyarrow")
+
+
+def entry_events(ds, num_buckets: int = 64):
+    """First-touch attribution: each user's FIRST event type, counted →
+    ``(event_type, n_users, share)`` (share = n_users / total users as
+    one pinned double division) — the entry-page analysis over the
+    events table.
+
+    Shape: per-batch partial argmin keeps one (user, ts, id, type) row
+    per user per batch; ONE user-hash bucketed merge repeats the argmin
+    globally; the final count is type-bounded and the share math runs on
+    that tiny table driver-side."""
+    from ..functions.arrowutil import id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        first = np.ones(len(uid), bool)
+        first[1:] = uid[1:] != uid[:-1]
+        t = t.filter(pa.array(first))
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        first = np.ones(len(uid), bool)
+        if len(uid) > 1:
+            first[1:] = uid[1:] != uid[:-1]
+        t = t.filter(pa.array(first))
+        d = _dict_encode(t.column("event_type"))
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary))
+        return pa.table({
+            "event_type": d.dictionary,
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    ).to_pandas()  # bounded by #event types
+    total = int(agg["n_users"].sum())
+    agg["share"] = agg["n_users"].astype(np.float64) / np.float64(total)
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(agg[["event_type", "n_users", "share"]])

@@ -6032,3 +6032,44 @@ class TestUserLifecycle:
         # u2 at hour 19 (1 h) and u3 at hour 20 (0) stay
         assert got == [{"user_id": 1, "last_ts": 2 * hour,
                         "hours_inactive": 18}]
+
+
+class TestEntryEvents:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import entry_events
+
+        sf = "/root/testdata/sf0.001"
+        got = entry_events(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                AS rn
+                       FROM read_parquet('{sf}/events.parquet')),
+            f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                  FROM r WHERE rn = 1 GROUP BY event_type),
+            t AS (SELECT sum(n_users) AS total FROM f)
+            SELECT event_type, n_users,
+                   CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS share
+            FROM f, t ORDER BY event_type
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert abs(got["share"].sum() - 1.0) < 1e-12
+
+
+class TestFilterOverlap:
+    def test_all_four_cells_and_totals(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_filter_overlap(sf).to_pandas()
+        # the synthesized page classes exercise every agreement cell
+        assert len(got) == 4
+        n_docs = e._docs(sf).count()
+        assert got["n"].sum() == n_docs
