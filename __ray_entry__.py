@@ -3286,6 +3286,44 @@ def _q_entry_events(sf_dir: str):
     )
 
 
+def _q_rfm(sf_dir: str):
+    """RFM segmentation inputs per customer over orders — combinable
+    (argmax, count, cents-sum) partials + one customer-hash merge."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import rfm_metrics
+
+    return rfm_metrics(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    )
+
+
+def _synth_dups(b):
+    """Deterministic exact-duplicate injection shared with the SQL
+    oracle: every document appears 1 + (doc_id % 3) times with the SAME
+    text, so the family-size histogram has real mass at 1, 2 and 3."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    counts = (ids % 3 + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(ids)), counts)
+    return pa.table({"text": b.column("text").take(pa.array(idx))})
+
+
+def _q_dup_size_hist(sf_dir: str):
+    """Exact-duplicate family-size histogram over documents with
+    deterministic duplicate injection (each doc appears 1 + doc_id%3
+    times) — 128-bit digests, not texts, ride the exchange."""
+    from studiocr_ray.datapipe.relational import dup_size_hist
+
+    return dup_size_hist(
+        _docs(sf_dir).map_batches(_synth_dups, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3492,6 +3530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_users": _q_churned_users,
         "filter_overlap": _q_filter_overlap,
         "entry_events": _q_entry_events,
+        "rfm": _q_rfm,
+        "dup_size_hist": _q_dup_size_hist,
     }
 
 
@@ -6010,6 +6050,36 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: RFM per customer; integer cents, recency vs the
+        # corpus-max order date
+        "rfm": """
+            WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
+            a AS (SELECT o_custkey AS c_custkey,
+                         max(o_orderdate) AS last_o,
+                         CAST(count(*) AS BIGINT) AS frequency,
+                         CAST(sum(CAST(floor(o_totalprice * 100.0)
+                                       AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                  FROM orders GROUP BY 1)
+            SELECT c_custkey,
+                   CAST((epoch_us(mx) - epoch_us(last_o)) // 86400000000
+                        AS BIGINT) AS recency_days,
+                   frequency, monetary_cents
+            FROM a, m
+        """,
+        # round-5: exact-dup family sizes over the duplicate-injected
+        # corpus (same 1 + doc_id%3 explosion as the engine fixture);
+        # grouping by text IS grouping by md5(text)
+        "dup_size_hist": """
+            WITH dup AS (
+              SELECT text
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)),
+            fam AS (SELECT text, count(*) AS sz FROM dup GROUP BY text)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM fam GROUP BY sz
         """,
         # round-5: C4 × Gopher agreement matrix over the SAME non-bullet
         # pages — both filters' oracle bodies over one page CTE

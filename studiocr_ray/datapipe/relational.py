@@ -4131,3 +4131,137 @@ def entry_events(ds, num_buckets: int = 64):
     agg["share"] = agg["n_users"].astype(np.float64) / np.float64(total)
     agg = agg.sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(agg[["event_type", "n_users", "share"]])
+
+
+def rfm_metrics(ds, num_buckets: int = 64):
+    """RFM segmentation inputs per customer: Recency (days between the
+    customer's last order and the corpus's newest order), Frequency
+    (order count), Monetary (total price in exact integer cents) →
+    ``(c_custkey, recency_days, frequency, monetary_cents)`` — the
+    classic marketing-segmentation triple.
+
+    Shape: per-batch combinable partials (argmax date, count, cents sum
+    per customer in the batch), ONE customer-hash bucketed merge, and a
+    scalar ``Dataset.max`` fold for the corpus-max date — never a sort,
+    never a driver collect of customers."""
+    from ..functions.arrowutil import id_buckets
+
+    day_us = 86_400_000_000
+    mx = ds.max("o_orderdate")
+    max_us = int(pa.scalar(mx).cast(pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        dt = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck, dt, cents = ck[order], dt[order], cents[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        t = pa.table({
+            "c_custkey": pa.array(ck[starts], pa.int64()),
+            "last_us": pa.array(np.maximum.reduceat(dt, starts),
+                                pa.int64()),
+            "frequency": pa.array(
+                np.diff(np.concatenate((starts, [len(ck)]))).astype(
+                    np.int64), pa.int64()),
+            "monetary_cents": pa.array(np.add.reduceat(cents, starts),
+                                       pa.int64()),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("c_custkey"), num_buckets),
+                     pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        ck = group.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        lu = group.column("last_us").to_numpy(zero_copy_only=False)[order]
+        fr = group.column("frequency").to_numpy(zero_copy_only=False)[order]
+        mo = group.column("monetary_cents").to_numpy(
+            zero_copy_only=False)[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ck[1:] != ck[:-1])))
+        last = np.maximum.reduceat(lu, starts)
+        return pa.table({
+            "c_custkey": pa.array(ck[starts], pa.int64()),
+            "recency_days": pa.array((max_us - last) // day_us,
+                                     pa.int64()),
+            "frequency": pa.array(np.add.reduceat(fr, starts), pa.int64()),
+            "monetary_cents": pa.array(np.add.reduceat(mo, starts),
+                                       pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(merge, batch_format="pyarrow")
+
+
+def dup_size_hist(ds, text_col: str = "text", num_buckets: int = 64):
+    """Duplicate-family size distribution: group documents by exact
+    content (the full 128-bit md5 of the text — the exact-dedup key,
+    split into two int64 halves so no truncation ever merges families)
+    and histogram the family sizes → ``(cluster_size, n_clusters)`` —
+    the one-table answer to "how duplicated is this corpus?", the
+    summary the dedup family's per-pair outputs don't give directly.
+
+    Shape: per-batch partial (digest → count) rows, ONE digest-hash
+    bucketed merge to exact family sizes (the 16-byte digest, not the
+    text, rides the exchange), then a size-keyed count bounded by the
+    largest family."""
+    import hashlib
+
+    from ..functions.arrowutil import id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        d = txt.dictionary_encode()
+        # md5 once per DISTINCT text in the batch
+        m = len(d.dictionary)
+        hi = np.empty(m, np.uint64)
+        lo = np.empty(m, np.uint64)
+        for i, s in enumerate(d.dictionary.to_pylist()):
+            dig = hashlib.md5(s.encode("utf-8")).digest()
+            hi[i] = int.from_bytes(dig[:8], "big", signed=False)
+            lo[i] = int.from_bytes(dig[8:], "big", signed=False)
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=m)
+        t = pa.table({
+            "hi": pa.array(hi.view(np.int64), pa.int64()),
+            "lo": pa.array(lo.view(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("hi"), num_buckets),
+                     pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        hi = group.column("hi").to_numpy(zero_copy_only=False)
+        lo = group.column("lo").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo, hi))
+        hi, lo, n = hi[order], lo[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1]))))
+        sizes = np.add.reduceat(n, starts)
+        sv, sc = np.unique(sizes, return_counts=True)
+        return pa.table({
+            "cluster_size": pa.array(sv.astype(np.int64), pa.int64()),
+            "n_clusters": pa.array(sc.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )

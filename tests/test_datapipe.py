@@ -6073,3 +6073,73 @@ class TestFilterOverlap:
         assert len(got) == 4
         n_docs = e._docs(sf).count()
         assert got["n"].sum() == n_docs
+
+
+class TestRfm:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import rfm_metrics
+
+        sf = "/root/testdata/sf0.001"
+        got = rfm_metrics(
+            rd.read_parquet(f"{sf}/orders.parquet")
+        ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH m AS (SELECT max(o_orderdate) AS mx
+                       FROM read_parquet('{sf}/orders.parquet')),
+            a AS (SELECT o_custkey AS c_custkey,
+                         max(o_orderdate) AS last_o,
+                         CAST(count(*) AS BIGINT) AS frequency,
+                         CAST(sum(CAST(floor(o_totalprice * 100.0)
+                                       AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                  FROM read_parquet('{sf}/orders.parquet') GROUP BY 1)
+            SELECT c_custkey,
+                   CAST((epoch_us(mx) - epoch_us(last_o)) // 86400000000
+                        AS BIGINT) AS recency_days,
+                   frequency, monetary_cents
+            FROM a, m ORDER BY c_custkey
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+
+class TestDupSizeHist:
+    def test_matches_duckdb_on_injected_dups(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_dup_size_hist(sf).to_pandas().sort_values(
+            "cluster_size").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH dup AS (
+              SELECT text
+              FROM read_parquet('{sf}/documents.parquet'),
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)),
+            fam AS (SELECT text, count(*) AS sz FROM dup GROUP BY text)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM fam GROUP BY sz ORDER BY cluster_size
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) >= 3  # mass at sizes 1, 2 and 3 by construction
+
+    def test_cross_batch_families_merge(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dup_size_hist
+
+        # the same text in 5 different blocks must count as ONE family
+        # of 5, plus two singletons
+        t = pa.table({"text": pa.array(["same"] * 5 + ["x", "y"])})
+        got = dup_size_hist(
+            rd.from_arrow(t).repartition(7)
+        ).to_pandas().sort_values("cluster_size").reset_index(drop=True)
+        assert got.to_dict("records") == [
+            {"cluster_size": 1, "n_clusters": 2},
+            {"cluster_size": 5, "n_clusters": 1},
+        ]
