@@ -3324,6 +3324,20 @@ def _q_dup_size_hist(sf_dir: str):
     )
 
 
+def _q_length_concentration(sf_dir: str):
+    """Length-concentration curve (share of chars in the top-p% longest
+    docs, tie-inclusive) from one distinct-length-bounded histogram —
+    no per-document global ranking ever happens."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import length_concentration
+
+    return length_concentration(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["n_chars"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3532,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_events": _q_entry_events,
         "rfm": _q_rfm,
         "dup_size_hist": _q_dup_size_hist,
+        "length_concentration": _q_length_concentration,
     }
 
 
@@ -6050,6 +6065,32 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: tie-inclusive length concentration; LATERAL picks the
+        # first cum-docs crossing per percentile, matching the engine's
+        # searchsorted on the descending-length histogram
+        "length_concentration": """
+            WITH h AS (SELECT n_chars AS len, count(*) AS n_docs,
+                              sum(n_chars) AS sum_chars
+                       FROM documents GROUP BY 1),
+            c AS (SELECT len,
+                         sum(n_docs) OVER (ORDER BY len DESC) AS cum_docs,
+                         sum(sum_chars) OVER (ORDER BY len DESC)
+                           AS cum_chars
+                  FROM h),
+            t AS (SELECT count(*) AS n, sum(n_chars) AS ct
+                  FROM documents),
+            p AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct)
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   CAST(s.len AS BIGINT) AS len_cutoff,
+                   CAST(s.cum_docs AS BIGINT) AS n_docs,
+                   CAST(s.cum_chars AS DOUBLE)
+                     / (SELECT CAST(ct AS DOUBLE) FROM t) AS chars_share
+            FROM p, LATERAL (
+              SELECT len, cum_docs, cum_chars FROM c, t
+              WHERE cum_docs >= greatest(1, (t.n * p.pct) // 100)
+              ORDER BY cum_docs LIMIT 1
+            ) s
         """,
         # round-5: RFM per customer; integer cents, recency vs the
         # corpus-max order date

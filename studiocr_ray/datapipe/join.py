@@ -726,9 +726,8 @@ def smb_join(left_path: str, right_path: str, on: str,
                     nm = nm + suffix
                 names.append(nm)
                 fields.append(pa.field(nm, f.type))
-            return pa.table(
-                {f.name if f.name in ls.names else f.name: pa.array([], f.type)
-                 for f in fields})
+            return pa.table({nm: pa.array([], f.type)
+                             for nm, f in zip(names, fields)})
         return pa.concat_tables(out, promote_options="default")
 
     buckets = rd.from_items(

@@ -4265,3 +4265,57 @@ def dup_size_hist(ds, text_col: str = "text", num_buckets: int = 64):
         .groupby("cluster_size")
         .aggregate(Sum("n_clusters", alias_name="n_clusters"))
     )
+
+
+def length_concentration(ds, pcts=(1, 5, 10, 25, 50),
+                         len_col: str = "n_chars"):
+    """Corpus length-concentration curve: for each percentile p, the
+    length cutoff ``L_p`` (the value at the top-p% boundary of the
+    length distribution) and the EXACT share of total characters held
+    by documents with ``len ≥ L_p`` → ``(pct, len_cutoff, n_docs,
+    chars_share)`` — the "how much of my corpus is a few giant docs"
+    audit, tie-inclusive so the answer is deterministic without any
+    per-document global ranking.
+
+    Shape: one streaming pass builds a ``(len, n_docs, sum_chars)``
+    histogram whose size is bounded by DISTINCT length values (lengths
+    are small ints, not doc-cardinality), merged by one tiny keyed sum;
+    cutoffs and shares come from a cumsum over that histogram
+    driver-side.  The global sort a row-ranked top-p% would need never
+    happens."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(len_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        sums = vals * cnts  # every doc of length L contributes L chars
+        return pa.table({
+            "len": pa.array(vals, pa.int64()),
+            "n_docs": pa.array(cnts.astype(np.int64), pa.int64()),
+            "sum_chars": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    ).to_pandas().sort_values("len", ascending=False).reset_index(drop=True)
+    n_total = int(hist["n_docs"].sum())
+    c_total = int(hist["sum_chars"].sum())
+    cum_docs = hist["n_docs"].cumsum().to_numpy()
+    cum_chars = hist["sum_chars"].cumsum().to_numpy()
+    lens = hist["len"].to_numpy()
+    out = {"pct": [], "len_cutoff": [], "n_docs": [], "chars_share": []}
+    for p in pcts:
+        k = max(1, (n_total * p) // 100)
+        i = int(np.searchsorted(cum_docs, k, side="left"))
+        out["pct"].append(int(p))
+        out["len_cutoff"].append(int(lens[i]))
+        out["n_docs"].append(int(cum_docs[i]))
+        out["chars_share"].append(float(cum_chars[i]) / float(c_total))
+    return pa.table({
+        "pct": pa.array(out["pct"], pa.int64()),
+        "len_cutoff": pa.array(out["len_cutoff"], pa.int64()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "chars_share": pa.array(out["chars_share"], pa.float64()),
+    })

@@ -6143,3 +6143,84 @@ class TestDupSizeHist:
             {"cluster_size": 1, "n_clusters": 2},
             {"cluster_size": 5, "n_clusters": 1},
         ]
+
+
+class TestLengthConcentration:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import length_concentration
+
+        sf = "/root/testdata/sf0.001"
+        got = length_concentration(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH h AS (SELECT n_chars AS len, count(*) AS n_docs,
+                              sum(n_chars) AS sum_chars
+                       FROM read_parquet('{sf}/documents.parquet')
+                       GROUP BY 1),
+            c AS (SELECT len,
+                         sum(n_docs) OVER (ORDER BY len DESC) AS cum_docs,
+                         sum(sum_chars) OVER (ORDER BY len DESC)
+                           AS cum_chars
+                  FROM h),
+            t AS (SELECT count(*) AS n, sum(n_chars) AS ct
+                  FROM read_parquet('{sf}/documents.parquet')),
+            p AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct)
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   CAST(s.len AS BIGINT) AS len_cutoff,
+                   CAST(s.cum_docs AS BIGINT) AS n_docs,
+                   CAST(s.cum_chars AS DOUBLE)
+                     / (SELECT CAST(ct AS DOUBLE) FROM t) AS chars_share
+            FROM p, LATERAL (
+              SELECT len, cum_docs, cum_chars FROM c, t
+              WHERE cum_docs >= greatest(1, (t.n * p.pct) // 100)
+              ORDER BY cum_docs LIMIT 1
+            ) s ORDER BY pct
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        # monotone: deeper cuts hold more docs and more mass
+        assert got["n_docs"].is_monotonic_increasing
+        assert got["chars_share"].is_monotonic_increasing
+
+    def test_tie_inclusive_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import length_concentration
+
+        # ten docs, four of them tied at the max length 100: the top-10%
+        # cut (k=1) must include ALL FOUR tied docs
+        t = pa.table({"n_chars": pa.array([100] * 4 + [10] * 6,
+                                          pa.int64())})
+        got = length_concentration(
+            rd.from_arrow(t).repartition(3), pcts=(10,)
+        ).to_pandas().to_dict("records")
+        assert got == [{
+            "pct": 10, "len_cutoff": 100, "n_docs": 4,
+            "chars_share": 400 / 460,
+        }]
+
+    def test_empty_bucket_schema_stability(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.join import bucket_write, smb_join
+
+        # one key → one populated bucket dir per side; the other three
+        # bucket tasks hit the missing-dir path and must emit the same
+        # (suffixed) schema, or the union of blocks fails
+        l = pa.table({"k": pa.array([1], pa.int64()),
+                      "p": pa.array([10], pa.int64())})
+        r = pa.table({"k": pa.array([1], pa.int64()),
+                      "p": pa.array([20], pa.int64())})
+        bucket_write(rd.from_arrow(l), str(tmp_path / "l"), on="k",
+                     num_buckets=4)
+        bucket_write(rd.from_arrow(r), str(tmp_path / "r"), on="k",
+                     num_buckets=4)
+        got = smb_join(str(tmp_path / "l"), str(tmp_path / "r"), on="k",
+                       num_buckets=4).to_pandas()
+        assert sorted(got.columns) == ["k", "p", "p_r"]
+        assert got.to_dict("records") == [{"k": 1, "p": 10, "p_r": 20}]
