@@ -3338,6 +3338,41 @@ def _q_length_concentration(sf_dir: str):
     )
 
 
+def _synth_changes(b):
+    """Deterministic changelog shared with the SQL oracle: delete every
+    event_id ≡ 0 (mod 5); insert one row per event_id ≡ 0 (mod 7) at
+    ts + 1 day."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = b.column("event_id").to_numpy(zero_copy_only=False)
+    ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    dm = ids % 5 == 0
+    im = ids % 7 == 0
+    return pa.table({
+        "op": pa.array(["delete"] * int(dm.sum())
+                       + ["insert"] * int(im.sum()), pa.string()),
+        "ts_us": pa.array(
+            np.concatenate((ts[dm], ts[im] + 86_400_000_000)),
+            pa.int64()),
+    })
+
+
+def _q_incremental_daily(sf_dir: str):
+    """Materialized-view delta maintenance: daily counts updated by a
+    synthesized insert/delete changelog — signed (day, ±n) partials,
+    one tiny day-keyed sum; the oracle recomputes from scratch."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.cdc import incremental_daily
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts"])
+    changes = base.map_batches(_synth_changes, batch_format="pyarrow")
+    return incremental_daily(base, changes)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3547,6 +3582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm": _q_rfm,
         "dup_size_hist": _q_dup_size_hist,
         "length_concentration": _q_length_concentration,
+        "incremental_daily": _q_incremental_daily,
     }
 
 
@@ -6065,6 +6101,21 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: delta-maintained daily counts; the oracle recomputes
+        # from scratch over (base − deletes) ∪ inserts — equality proves
+        # the incremental path maintains the view exactly
+        "incremental_daily": """
+            WITH keep AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                          FROM events WHERE event_id % 5 <> 0),
+            ins AS (SELECT CAST(epoch_us(ts) + 86400000000 AS BIGINT)
+                             AS ts_us
+                    FROM events WHERE event_id % 7 = 0),
+            allr AS (SELECT ts_us FROM keep
+                     UNION ALL SELECT ts_us FROM ins)
+            SELECT (ts_us // 86400000000) * 86400000000 AS day_us,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM allr GROUP BY 1
         """,
         # round-5: tie-inclusive length concentration; LATERAL picks the
         # first cum-docs crossing per percentile, matching the engine's

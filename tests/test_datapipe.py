@@ -6224,3 +6224,53 @@ class TestLengthConcentration:
                        num_buckets=4).to_pandas()
         assert sorted(got.columns) == ["k", "p", "p_r"]
         assert got.to_dict("records") == [{"k": 1, "p": 10, "p_r": 20}]
+
+
+class TestIncrementalDaily:
+    def test_matches_scratch_recompute(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_incremental_daily(sf).to_pandas().sort_values(
+            "day_us").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH keep AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                          FROM read_parquet('{sf}/events.parquet')
+                          WHERE event_id % 5 <> 0),
+            ins AS (SELECT CAST(epoch_us(ts) + 86400000000 AS BIGINT)
+                             AS ts_us
+                    FROM read_parquet('{sf}/events.parquet')
+                    WHERE event_id % 7 = 0),
+            allr AS (SELECT ts_us FROM keep
+                     UNION ALL SELECT ts_us FROM ins)
+            SELECT (ts_us // 86400000000) * 86400000000 AS day_us,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM allr GROUP BY 1 ORDER BY 1
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_day_reaching_zero_drops_out(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.cdc import incremental_daily
+
+        day = 86_400_000_000
+        base = pa.table({
+            "ts": pa.array([0, 1, day]).cast(pa.timestamp("us")),
+        })
+        # delete BOTH day-0 rows, insert one on day 2
+        changes = pa.table({
+            "op": pa.array(["delete", "delete", "insert"]),
+            "ts_us": pa.array([0, 1, 2 * day], pa.int64()),
+        })
+        got = incremental_daily(
+            rd.from_arrow(base).repartition(2),
+            rd.from_arrow(changes).repartition(2),
+        ).to_pandas().sort_values("day_us").reset_index(drop=True)
+        assert got.to_dict("records") == [
+            {"day_us": day, "n": 1},
+            {"day_us": 2 * day, "n": 1},
+        ]
