@@ -6274,3 +6274,52 @@ class TestIncrementalDaily:
             {"day_us": day, "n": 1},
             {"day_us": 2 * day, "n": 1},
         ]
+
+
+class TestWriteSorted:
+    def test_global_order_and_row_preservation(self, ray_session,
+                                               tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sortedio import read_sorted, write_sorted
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        n_in = ds.count()
+        write_sorted(ds, str(tmp_path / "out"), key="n_chars",
+                     num_ranges=8)
+        seen, prev_max = [], None
+        for rid, t in read_sorted(str(tmp_path / "out")):
+            v = t.column("n_chars").to_numpy(zero_copy_only=False)
+            assert (np.diff(v) >= 0).all()
+            if prev_max is not None:
+                assert v.min() >= prev_max
+            prev_max = v.max()
+            seen.append(t)
+        import pyarrow as pa
+
+        allt = pa.concat_tables(seen)
+        assert allt.num_rows == n_in
+        # every doc survives exactly once
+        ids = np.sort(allt.column("doc_id").to_numpy(
+            zero_copy_only=False))
+        assert (ids == np.arange(n_in)).all()
+
+    def test_heavy_tie_collapses_ranges_not_rows(self, ray_session,
+                                                 tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sortedio import read_sorted, write_sorted
+
+        # one value dominating the distribution: equi-depth cuts all
+        # collapse onto it; rows must still all land somewhere, sorted
+        t = pa.table({"k": pa.array([7] * 95 + [1, 2, 3, 9, 10],
+                                    pa.int64())})
+        write_sorted(rd.from_arrow(t).repartition(4),
+                     str(tmp_path / "o"), key="k", num_ranges=8)
+        total = sum(tt.num_rows for _, tt in
+                    read_sorted(str(tmp_path / "o")))
+        assert total == 100
