@@ -440,6 +440,47 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).sum("n")
     timings["cdc_merge"] = time.perf_counter() - t0
 
+    # Stupid-Backoff scoring at corpus scale: the pruned-bigram count
+    # exchange + broadcast scorer over 1.2M docs (the round-5 LM stage)
+    from studiocr_ray.datapipe.lm import sbo_logprob
+
+    t0 = time.perf_counter()
+    sbo_logprob(corpus()).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["sbo_logprob"] = time.perf_counter() - t0
+
+    # SMB storage join at corpus scale: the write-time shuffle (both
+    # sides bucketed by url hash) then the exchange-FREE per-bucket join
+    from studiocr_ray.datapipe.join import bucket_write, smb_join
+
+    smb_root = os.path.join(os.path.dirname(out), "smb_bench")
+    shutil.rmtree(smb_root, ignore_errors=True)
+
+    def as_dim(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": pc2.utf8_length(b.column("text")),
+        })
+
+    t0 = time.perf_counter()
+    bucket_write(corpus(), os.path.join(smb_root, "fact"), on="doc_id",
+                 num_buckets=64, cols=[])
+    bucket_write(corpus().map_batches(as_dim, batch_format="pyarrow"),
+                 os.path.join(smb_root, "dim"), on="doc_id",
+                 num_buckets=64)
+    smb_join(os.path.join(smb_root, "fact"),
+             os.path.join(smb_root, "dim"), on="doc_id",
+             num_buckets=64).map_batches(
+        lambda b: pa.table({"n": pa.array([b.num_rows])}),
+        batch_format="pyarrow",
+    ).sum("n")
+    timings["smb_join"] = time.perf_counter() - t0
+    shutil.rmtree(smb_root, ignore_errors=True)
+
     docs = summary["docs"]
     shutil.rmtree(out, ignore_errors=True)
     return {
