@@ -3373,6 +3373,32 @@ def _q_incremental_daily(sf_dir: str):
     return incremental_daily(base, changes)
 
 
+def _q_anomaly_days(sf_dir: str):
+    """Robust daily-volume anomaly screen: day counts vs median ± 3·MAD
+    — integers end to end, so the flag is bit-deterministic."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import anomaly_days
+
+    return anomaly_days(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def _q_type_corr(sf_dir: str):
+    """Pairwise Pearson correlation of event types' daily-revenue
+    series — exact integer moments double-cast before one float
+    expression (the corr_by_nation discipline)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import type_corr
+
+    return type_corr(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type", "value"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3583,6 +3609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_hist": _q_dup_size_hist,
         "length_concentration": _q_length_concentration,
         "incremental_daily": _q_incremental_daily,
+        "anomaly_days": _q_anomaly_days,
+        "type_corr": _q_type_corr,
     }
 
 
@@ -6101,6 +6129,68 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: robust daily anomaly flag (lower-median + MAD over
+        # the bounded day table — quantile_disc matches the engine's
+        # (m-1)//2 rank convention)
+        "anomaly_days": """
+            WITH d AS (SELECT (epoch_us(ts) // 86400000000)
+                                * 86400000000 AS day_us,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1),
+            m AS (SELECT quantile_disc(n_events, 0.5) AS med FROM d),
+            md AS (SELECT quantile_disc(abs(n_events - med), 0.5) AS mad
+                   FROM d, m)
+            SELECT day_us, n_events, CAST(med AS BIGINT) AS med,
+                   CAST(mad AS BIGINT) AS mad,
+                   abs(n_events - med) > 3 * mad AS is_anomaly
+            FROM d, m, md
+        """,
+        # round-5: pairwise daily-revenue correlation; integer moments,
+        # sqrt division order mirrors the engine exactly
+        "type_corr": """
+            WITH e AS (SELECT (epoch_us(ts) // 86400000000)
+                                * 86400000000 AS day_us, event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents
+                       FROM events),
+            d AS (SELECT day_us, event_type,
+                         CAST(sum(cents) AS BIGINT) AS cents
+                  FROM e GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day_us FROM d),
+            types AS (SELECT DISTINCT event_type FROM d),
+            dense AS (SELECT days.day_us, types.event_type,
+                             coalesce(d.cents, 0) AS cents
+                      FROM days CROSS JOIN types
+                      LEFT JOIN d USING (day_us, event_type)),
+            mo AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                          count(*) AS m,
+                          sum(a.cents) AS sx, sum(b.cents) AS sy,
+                          sum(a.cents * b.cents) AS sxy,
+                          sum(a.cents * a.cents) AS sxx,
+                          sum(b.cents * b.cents) AS syy
+                   FROM dense a JOIN dense b USING (day_us)
+                   WHERE a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT t1, t2,
+                   CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             > 0
+                         AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             > 0
+                        THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt(CAST(m AS DOUBLE)
+                                    * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE)
+                                      * CAST(sx AS DOUBLE))
+                             / sqrt(CAST(m AS DOUBLE)
+                                    * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))
+                        ELSE 0.0 END AS corr
+            FROM mo
         """,
         # round-5: delta-maintained daily counts; the oracle recomputes
         # from scratch over (base − deletes) ∪ inserts — equality proves

@@ -9,6 +9,8 @@ Every groupby here follows the partial-aggregation pattern: combine inside
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4319,3 +4321,113 @@ def length_concentration(ds, pcts=(1, 5, 10, 25, 50),
         "n_docs": pa.array(out["n_docs"], pa.int64()),
         "chars_share": pa.array(out["chars_share"], pa.float64()),
     })
+
+
+def anomaly_days(ds, k: int = 3):
+    """Operational anomaly screen over the event stream: days whose
+    event count deviates from the corpus's median daily count by more
+    than ``k`` × MAD → ``(day_us, n_events, med, mad, is_anomaly)``
+    for every active day — the robust (outlier-immune) twin of a
+    z-score alert, built on the :func:`robust_stats_by_group`
+    median/MAD discipline.
+
+    Shape: one streaming pass of per-batch ``(day, n)`` partials, one
+    day-keyed sum bounded by #active-days, then median/MAD and the flag
+    on that tiny table driver-side — integers end to end, so the flag
+    is bit-deterministic."""
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        vals, cnts = np.unique(day, return_counts=True)
+        return pa.table({"day_us": pa.array(vals, pa.int64()),
+                         "n_events": pa.array(cnts.astype(np.int64),
+                                              pa.int64())})
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    ).to_pandas().sort_values("day_us").reset_index(drop=True)
+    n = t["n_events"].to_numpy()
+    # median = lower-median (rank ceil(m/2) of the sorted values), the
+    # robust_stats_by_group convention (quantile_disc 0.5)
+    s = np.sort(n)
+    med = int(s[(len(s) - 1) // 2])
+    dev = np.sort(np.abs(n - med))
+    mad = int(dev[(len(dev) - 1) // 2])
+    t["med"] = np.int64(med)
+    t["mad"] = np.int64(mad)
+    t["is_anomaly"] = np.abs(t["n_events"].to_numpy() - med) > k * mad
+    return pa.Table.from_pandas(
+        t[["day_us", "n_events", "med", "mad", "is_anomaly"]])
+
+
+def type_corr(ds):
+    """Pearson correlation between every PAIR of event types' daily
+    revenue series → ``(t1, t2, corr)`` for t1 < t2 — "do purchases and
+    clicks move together day to day?".  Exactness: the daily series are
+    integer cents sums; the pairwise moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are exact integers double-cast BEFORE the one float expression
+    (the :func:`corr_by_nation` discipline), so every corr is
+    bit-reproducible.
+
+    Shape: per-batch ``(day, type, cents)`` partials, one (day, type)-
+    keyed sum bounded by days × types, then the types²-sized pairwise
+    moment fold on that tiny table driver-side."""
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = _dict_encode(batch.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = len(d.dictionary)
+        key = day * kk + codes
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=cents, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({
+            "day_us": pa.array(uk // kk, pa.int64()),
+            "event_type": d.dictionary.take(pa.array(uk % kk)),
+            "cents": pa.array(sums, pa.int64()),
+        })
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    ).to_pandas()
+    # dense (day × type) matrix; a type with no events on a day is 0
+    piv = t.pivot_table(index="day_us", columns="event_type",
+                        values="cents", fill_value=0, aggfunc="sum")
+    piv = piv.sort_index()
+    types = sorted(piv.columns)
+    m = len(piv)
+    out = {"t1": [], "t2": [], "corr": []}
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            x = piv[types[i]].to_numpy().astype(np.int64)
+            y = piv[types[j]].to_numpy().astype(np.int64)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            cov = float(m) * float(sxy) - float(sx) * float(sy)
+            vx = float(m) * float(sxx) - float(sx) * float(sx)
+            vy = float(m) * float(syy) - float(sy) * float(sy)
+            # math.sqrt, not **0.5: pow(x, .5) is not guaranteed the
+            # IEEE sqrt the SQL side uses
+            c = (cov / math.sqrt(vx) / math.sqrt(vy)
+                 if vx > 0 and vy > 0 else 0.0)
+            out["t1"].append(types[i])
+            out["t2"].append(types[j])
+            out["corr"].append(c)
+    return pa.table({"t1": pa.array(out["t1"], pa.string()),
+                     "t2": pa.array(out["t2"], pa.string()),
+                     "corr": pa.array(out["corr"], pa.float64())})

@@ -6323,3 +6323,129 @@ class TestWriteSorted:
         total = sum(tt.num_rows for _, tt in
                     read_sorted(str(tmp_path / "o")))
         assert total == 100
+
+
+class TestAnomalyDays:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import anomaly_days
+
+        sf = "/root/testdata/sf0.001"
+        got = anomaly_days(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values("day_us").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH d AS (SELECT (epoch_us(ts) // 86400000000)
+                                * 86400000000 AS day_us,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM read_parquet('{sf}/events.parquet')
+                       GROUP BY 1),
+            m AS (SELECT quantile_disc(n_events, 0.5) AS med FROM d),
+            md AS (SELECT quantile_disc(abs(n_events - med), 0.5) AS mad
+                   FROM d, m)
+            SELECT day_us, n_events, CAST(med AS BIGINT) AS med,
+                   CAST(mad AS BIGINT) AS mad,
+                   abs(n_events - med) > 3 * mad AS is_anomaly
+            FROM d, m, md ORDER BY day_us
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_hand_case_flags_spike(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import anomaly_days
+
+        day = 86_400_000_000
+        # five quiet days of 10 events, one day of 100
+        ts = np.concatenate([np.full(10, d * day) + np.arange(10)
+                             for d in range(5)]
+                            + [np.full(100, 5 * day) + np.arange(100)])
+        t = pa.table({"ts": pa.array(ts, pa.int64()).cast(
+            pa.timestamp("us"))})
+        got = anomaly_days(
+            rd.from_arrow(t).repartition(4)
+        ).to_pandas().set_index("day_us")
+        assert not got.loc[0, "is_anomaly"]
+        assert bool(got.loc[5 * day, "is_anomaly"])
+
+
+class TestTypeCorr:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import type_corr
+
+        sf = "/root/testdata/sf0.001"
+        got = type_corr(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values(["t1", "t2"]).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH e AS (SELECT (epoch_us(ts) // 86400000000)
+                                * 86400000000 AS day_us, event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents
+                       FROM read_parquet('{sf}/events.parquet')),
+            d AS (SELECT day_us, event_type,
+                         CAST(sum(cents) AS BIGINT) AS cents
+                  FROM e GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day_us FROM d),
+            types AS (SELECT DISTINCT event_type FROM d),
+            dense AS (SELECT days.day_us, types.event_type,
+                             coalesce(d.cents, 0) AS cents
+                      FROM days CROSS JOIN types
+                      LEFT JOIN d USING (day_us, event_type)),
+            mo AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                          count(*) AS m,
+                          sum(a.cents) AS sx, sum(b.cents) AS sy,
+                          sum(a.cents * b.cents) AS sxy,
+                          sum(a.cents * a.cents) AS sxx,
+                          sum(b.cents * b.cents) AS syy
+                   FROM dense a JOIN dense b USING (day_us)
+                   WHERE a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT t1, t2,
+                   CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             > 0
+                         AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             > 0
+                        THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / sqrt(CAST(m AS DOUBLE)
+                                    * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE)
+                                      * CAST(sx AS DOUBLE))
+                             / sqrt(CAST(m AS DOUBLE)
+                                    * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))
+                        ELSE 0.0 END AS corr
+            FROM mo ORDER BY t1, t2
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_perfect_correlation_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import type_corr
+
+        day = 86_400_000_000
+        # y = 2x across three days → corr exactly 1.0
+        t = pa.table({
+            "ts": pa.array([0, 0, day, day, 2 * day, 2 * day]).cast(
+                pa.timestamp("us")),
+            "event_type": pa.array(["a", "b"] * 3),
+            "value": pa.array([1.0, 2.0, 2.0, 4.0, 3.0, 6.0],
+                              pa.float64()),
+        })
+        got = type_corr(rd.from_arrow(t).repartition(3)).to_pandas()
+        assert got["t1"].tolist() == ["a"] and got["t2"].tolist() == ["b"]
+        # float expression tree gives 1.0 up to one ulp of rounding
+        assert abs(got["corr"].iloc[0] - 1.0) < 1e-12
