@@ -3399,6 +3399,19 @@ def _q_type_corr(sf_dir: str):
     )
 
 
+def _q_embed_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile (count/mean/variance) from exact
+    integer micro-unit moments; two pinned float divisions at the end."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.embed import embed_dim_stats
+
+    return embed_dim_stats(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3611,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_daily": _q_incremental_daily,
         "anomaly_days": _q_anomaly_days,
         "type_corr": _q_type_corr,
+        "embed_dim_stats": _q_embed_dim_stats,
     }
 
 
@@ -6129,6 +6143,28 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: per-dim embedding profile; micro-unit quantization
+        # matches the engine's k-means discipline, divisions pinned last
+        "embed_dim_stats": """
+            WITH z AS (
+              SELECT unnest(embedding) AS e,
+                     unnest(range(len(embedding))) AS dim
+              FROM embeddings),
+            q AS (
+              SELECT CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
+                          AS BIGINT) AS qv,
+                     CAST(dim AS BIGINT) AS dim
+              FROM z),
+            g AS (SELECT dim, count(*) AS n, sum(qv) AS s,
+                         sum(qv * qv) AS ss
+                  FROM q GROUP BY dim)
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+                   (CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / 1000000.0 / 1000000.0 AS var
+            FROM g
         """,
         # round-5: robust daily anomaly flag (lower-median + MAD over
         # the bounded day table — quantile_disc matches the engine's

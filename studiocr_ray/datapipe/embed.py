@@ -1145,3 +1145,52 @@ def power_iteration(ds, col: str = "embedding", iters: int = 50):
         "component": pa.array(v, pa.float64()),
         "eigenvalue": pa.array(np.full(d, lam), pa.float64()),
     })
+
+
+def embed_dim_stats(ds, col: str = "embedding"):
+    """Per-dimension profile of the embedding matrix: count, mean and
+    population variance of every component → ``(dim, n, mean, var)`` —
+    the vector-column data-audit (dead dimensions, scale imbalance,
+    whitening inputs).
+
+    Exactness: components quantize to integer micro-units (the k-means
+    discipline), per-batch partials are exact int64 ``(n, Σq, Σq²)``
+    per dimension (|q| ≤ ~1e6 → q² ≤ 1e12, ~9e6 rows/batch inside
+    int64; the d-row partial is tiny), and the two float divisions are
+    pinned LAST so an oracle reproduces every double bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64())})
+        q = _quantize_matrix(batch, col)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, q.shape[0], np.int64)),
+            "s": pa.array(q.sum(axis=0).astype(np.int64)),
+            "ss": pa.array((q * q).sum(axis=0).astype(np.int64)),
+        })
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=4096)
+        .groupby("dim")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+    ).to_pandas().sort_values("dim").reset_index(drop=True)  # d rows
+    n = g["n"].to_numpy().astype(np.float64)
+    s = g["s"].to_numpy().astype(np.float64)
+    ss = g["ss"].to_numpy().astype(np.float64)
+    scale = np.float64(1e6)
+    mean = s / n / scale
+    var = (ss / n - (s / n) * (s / n)) / scale / scale
+    return pa.table({
+        "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+        "n": pa.array(g["n"].to_numpy(), pa.int64()),
+        "mean": pa.array(mean, pa.float64()),
+        "var": pa.array(var, pa.float64()),
+    })

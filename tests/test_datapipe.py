@@ -6449,3 +6449,38 @@ class TestTypeCorr:
         assert got["t1"].tolist() == ["a"] and got["t2"].tolist() == ["b"]
         # float expression tree gives 1.0 up to one ulp of rounding
         assert abs(got["corr"].iloc[0] - 1.0) < 1e-12
+
+
+class TestEmbedDimStats:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import embed_dim_stats
+
+        sf = "/root/testdata/sf0.001"
+        got = embed_dim_stats(
+            rd.read_parquet(f"{sf}/embeddings.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH z AS (
+              SELECT unnest(embedding) AS e,
+                     unnest(range(len(embedding))) AS dim
+              FROM read_parquet('{sf}/embeddings.parquet')),
+            q AS (
+              SELECT CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
+                          AS BIGINT) AS qv,
+                     CAST(dim AS BIGINT) AS dim
+              FROM z),
+            g AS (SELECT dim, count(*) AS n, sum(qv) AS s,
+                         sum(qv * qv) AS ss
+                  FROM q GROUP BY dim)
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+                   (CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                     / 1000000.0 / 1000000.0 AS var
+            FROM g ORDER BY dim
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+        assert (got["var"] >= 0).all()
