@@ -3412,6 +3412,40 @@ def _q_embed_dim_stats(sf_dir: str):
     )
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Declared-lang × predicted-lang confusion matrix (the lang_id
+    audit crosstab); langs²-bounded counting partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.text import lang_confusion
+
+    return lang_confusion(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"])
+    )
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication report over the duplicate-injected corpus
+    (same 1 + doc_id%3 explosion, source kept) — digests, never texts,
+    ride the exchange; one pinned division at the end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.relational import dup_rate_by_source
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = (ids % 3 + 1).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(len(ids)), counts))
+        return pa.table({"source": b.column("source").take(idx),
+                         "text": b.column("text").take(idx)})
+
+    return dup_rate_by_source(
+        _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3625,6 +3659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_days": _q_anomaly_days,
         "type_corr": _q_type_corr,
         "embed_dim_stats": _q_embed_dim_stats,
+        "lang_confusion": _q_lang_confusion,
+        "dup_rate_by_source": _q_dup_rate_by_source,
     }
 
 
@@ -6143,6 +6179,50 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: lang_id confusion crosstab — the lang_id oracle's
+        # scoring CTEs, grouped by (declared, predicted)
+        "lang_confusion": f"""
+            WITH prof(plang, w) AS (VALUES {prof_vals}),
+            tks AS (
+              SELECT doc_id, unnest({toks.format(src='lower(text)')})
+                       AS tok
+              FROM documents
+            ),
+            sc AS (
+              SELECT t.doc_id, p.plang, count(*) AS score
+              FROM tks t JOIN prof p ON t.tok = p.w
+              GROUP BY t.doc_id, p.plang
+            ),
+            best AS (
+              SELECT doc_id, plang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, plang ASC)
+                       AS rn
+              FROM sc
+            )
+            SELECT d.lang, coalesce(b.plang, 'und') AS pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+            GROUP BY 1, 2
+        """,
+        # round-5: per-source duplication report over the same
+        # duplicate-injected corpus as dup_size_hist (source kept)
+        "dup_rate_by_source": """
+            WITH dup AS (
+              SELECT source, text
+              FROM documents,
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)),
+            fam AS (SELECT source, text, count(*) AS n
+                    FROM dup GROUP BY 1, 2),
+            agg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM fam GROUP BY 1)
+            SELECT source, n_docs, n_distinct,
+                   1.0 - (CAST(n_distinct AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE)) AS dup_rate
+            FROM agg
         """,
         # round-5: per-dim embedding profile; micro-unit quantization
         # matches the engine's k-means discipline, divisions pinned last

@@ -4431,3 +4431,92 @@ def type_corr(ds):
     return pa.table({"t1": pa.array(out["t1"], pa.string()),
                      "t2": pa.array(out["t2"], pa.string()),
                      "corr": pa.array(out["corr"], pa.float64())})
+
+
+def dup_rate_by_source(ds, text_col: str = "text",
+                       source_col: str = "source", num_buckets: int = 64):
+    """Per-source duplication report: document count, distinct-content
+    count and the duplicate rate → ``(source, n_docs, n_distinct,
+    dup_rate)`` — "which source is feeding me copies?", the provenance
+    twin of :func:`dup_size_hist`.
+
+    Shape: per-batch (source, digest → count) partials (full 128-bit
+    digests, never the text), ONE digest-hash bucketed merge — a
+    content family lives in one bucket, so per-bucket family counting
+    is exact — emitting per-bucket per-source (n_docs, n_distinct)
+    partials, then a source-keyed sum and one pinned double division."""
+    import hashlib
+
+    from ..functions.arrowutil import id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sd = src.dictionary_encode()
+        si = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = txt.dictionary_encode()
+        m = len(d.dictionary)
+        hi = np.empty(m, np.uint64)
+        lo = np.empty(m, np.uint64)
+        for i, s in enumerate(d.dictionary.to_pylist()):
+            dig = hashlib.md5(s.encode("utf-8")).digest()
+            hi[i] = int.from_bytes(dig[:8], "big", signed=False)
+            lo[i] = int.from_bytes(dig[8:], "big", signed=False)
+        ti = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = si * m + ti
+        uk, cnts = np.unique(key, return_counts=True)
+        t = pa.table({
+            source_col: sd.dictionary.take(pa.array(uk // m)),
+            "hi": pa.array(hi.view(np.int64)[uk % m], pa.int64()),
+            "lo": pa.array(lo.view(np.int64)[uk % m], pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("hi"), num_buckets), pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        sd = group.column(source_col)
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        se = sd.dictionary_encode()
+        si = se.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = group.column("hi").to_numpy(zero_copy_only=False)
+        lo = group.column("lo").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo, hi, si))
+        si, hi, lo, n = si[order], hi[order], lo[order], n[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (si[1:] != si[:-1]) | (hi[1:] != hi[:-1])
+             | (lo[1:] != lo[:-1]))))
+        fam_src = si[starts]
+        fam_docs = np.add.reduceat(n, starts)
+        sv = np.unique(fam_src)
+        docs = np.zeros(len(sv), np.int64)
+        dist = np.zeros(len(sv), np.int64)
+        pos = np.searchsorted(sv, fam_src)
+        np.add.at(docs, pos, fam_docs)
+        np.add.at(dist, pos, 1)
+        return pa.table({
+            source_col: se.dictionary.take(pa.array(sv)),
+            "n_docs": pa.array(docs, pa.int64()),
+            "n_distinct": pa.array(dist, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_distinct", alias_name="n_distinct"))
+    ).to_pandas()  # bounded by #sources
+    agg["dup_rate"] = 1.0 - (agg["n_distinct"].astype(np.float64)
+                             / agg["n_docs"].astype(np.float64))
+    agg = agg.sort_values(source_col).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        agg[[source_col, "n_docs", "n_distinct", "dup_rate"]])

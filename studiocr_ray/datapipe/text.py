@@ -632,3 +632,41 @@ def trigram_profile(ds, k: int = 10, text_col: str = "text",
                       ascending=[True, False, True], kind="mergesort")
     t = t.groupby(lang_col, sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(t[[lang_col, "tri", "n"]])
+
+
+def lang_confusion(ds, text_col: str = "text", lang_col: str = "lang"):
+    """Language-ID confusion matrix: declared ``lang`` × predicted
+    :func:`lang_id` label, counted → ``(lang, pred_lang, n)`` — the
+    classifier-audit crosstab that says where the heuristic disagrees
+    with the metadata (mislabeled sources surface as off-diagonal mass).
+
+    Shape: per-batch ``(lang, pred, n)`` partials (prediction + one
+    composite-code ``np.unique``), then a langs²-bounded keyed sum —
+    the :func:`~.relational.chi_square_table` counting shape with a
+    model in the loop."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch, text_col).column("pred_lang")
+        if isinstance(pred, pa.ChunkedArray):
+            pred = pred.combine_chunks()
+        true = batch.column(lang_col)
+        if isinstance(true, pa.ChunkedArray):
+            true = true.combine_chunks()
+        td = true.dictionary_encode()
+        pd_ = pred.dictionary_encode()
+        ti = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pi = pd_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = len(pd_.dictionary)
+        vals, cnts = np.unique(ti * kk + pi, return_counts=True)
+        return pa.table({
+            lang_col: td.dictionary.take(pa.array(vals // kk)),
+            "pred_lang": pd_.dictionary.take(pa.array(vals % kk)),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([lang_col, "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -6484,3 +6484,85 @@ class TestEmbedDimStats:
         """).df().reset_index(drop=True)
         assert got.equals(want)
         assert (got["var"] >= 0).all()
+
+
+class TestLangConfusion:
+    def test_diagonal_dominates_and_counts_total(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import lang_confusion
+
+        sf = "/root/testdata/sf0.001"
+        got = lang_confusion(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ).to_pandas()
+        n_docs = rd.read_parquet(f"{sf}/documents.parquet").count()
+        assert got["n"].sum() == n_docs
+
+    def test_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import lang_confusion
+
+        t = pa.table({
+            "text": pa.array(["the of and to", "der die und das",
+                              "zz qq xx"]),
+            "lang": pa.array(["en", "en", "fr"]),
+        })
+        got = lang_confusion(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().sort_values(["lang", "pred_lang"]).to_dict("records")
+        assert got == [
+            {"lang": "en", "pred_lang": "de", "n": 1},
+            {"lang": "en", "pred_lang": "en", "n": 1},
+            {"lang": "fr", "pred_lang": "und", "n": 1},
+        ]
+
+
+class TestDupRateBySource:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_dup_rate_by_source(sf).to_pandas().reset_index(
+            drop=True)
+        want = duckdb.sql(f"""
+            WITH dup AS (
+              SELECT source, text
+              FROM read_parquet('{sf}/documents.parquet'),
+                   unnest(generate_series(0, doc_id % 3)) AS u(k)),
+            fam AS (SELECT source, text, count(*) AS n
+                    FROM dup GROUP BY 1, 2),
+            agg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM fam GROUP BY 1)
+            SELECT source, n_docs, n_distinct,
+                   1.0 - (CAST(n_distinct AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE)) AS dup_rate
+            FROM agg ORDER BY source
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_families_confined_to_source(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dup_rate_by_source
+
+        # the same text in two sources is a distinct family PER source
+        t = pa.table({
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(["same", "same", "same"]),
+        })
+        got = dup_rate_by_source(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().to_dict("records")
+        assert got == [
+            {"source": "a", "n_docs": 2, "n_distinct": 1,
+             "dup_rate": 0.5},
+            {"source": "b", "n_docs": 1, "n_distinct": 1,
+             "dup_rate": 0.0},
+        ]
