@@ -3446,6 +3446,21 @@ def _q_dup_rate_by_source(sf_dir: str):
     )
 
 
+def _q_dwell_pctl(sf_dir: str):
+    """Exact dwell-time percentiles per event type (minutes until the
+    same user's next event) from one user-hash exchange folding straight
+    into bounded (type, minutes) histogram partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import dwell_percentiles
+
+    return dwell_percentiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3661,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": _q_embed_dim_stats,
         "lang_confusion": _q_lang_confusion,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "dwell_pctl": _q_dwell_pctl,
     }
 
 
@@ -6179,6 +6195,25 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: dwell-time percentiles (quantile_disc list form, the
+        # grouped_value_percentiles oracle convention)
+        "dwell_pctl": """
+            WITH w AS (SELECT event_type,
+                              (lead(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+                               - epoch_us(ts)) // 60000000 AS minutes
+                       FROM events
+                       QUALIFY minutes IS NOT NULL),
+            q AS (SELECT event_type,
+                         quantile_disc(minutes,
+                                       [0.25, 0.50, 0.75, 0.95]) AS qs
+                  FROM w GROUP BY event_type)
+            SELECT event_type,
+                   unnest(CAST([25, 50, 75, 95] AS BIGINT[])) AS p,
+                   CAST(unnest(qs) AS BIGINT) AS minutes
+            FROM q
         """,
         # round-5: lang_id confusion crosstab — the lang_id oracle's
         # scoring CTEs, grouped by (declared, predicted)

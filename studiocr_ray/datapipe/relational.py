@@ -4520,3 +4520,81 @@ def dup_rate_by_source(ds, text_col: str = "text",
     agg = agg.sort_values(source_col).reset_index(drop=True)
     return pa.Table.from_pandas(
         agg[[source_col, "n_docs", "n_distinct", "dup_rate"]])
+
+
+def dwell_percentiles(ds, ps=(25, 50, 75, 95), num_buckets: int = 64):
+    """EXACT dwell-time percentiles per event type: the minutes until
+    the SAME user's next event (any type), attributed to the earlier
+    event's type → ``(event_type, p, minutes)`` with percentile-disc
+    semantics — "after a click, how long until the user does anything
+    again?".  A user's last event has no dwell and is excluded.
+
+    Shape: ONE user-hash-bucketed exchange of narrow ``(user, ts, id,
+    type)`` rows; per bucket one sort + a shifted same-user gap compute
+    folding straight into ``(type, minutes)`` histogram partials; the
+    final histogram is |types| × |distinct minute values| — bounded by
+    the corpus time span, not its row count (the
+    :func:`grouped_value_percentiles` discipline on a derived column).
+    """
+    import math
+
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "minutes": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n < 2:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        mins = (ts[1:] - ts[:-1]) // 60_000_000
+        d = _dict_encode(t.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[:-1][same]
+        mins = mins[same]
+        if len(mins) == 0:
+            return empty
+        mmax = int(mins.max()) + 1
+        vals, cnts = np.unique(codes * mmax + mins, return_counts=True)
+        return pa.table({
+            "event_type": d.dictionary.take(pa.array(vals // mmax)),
+            "minutes": pa.array((vals % mmax).astype(np.int64),
+                                pa.int64()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby(["event_type", "minutes"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas().sort_values(["event_type", "minutes"])
+    out_g, out_p, out_m = [], [], []
+    for g, sub in hist.groupby("event_type", sort=True):
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["minutes"].to_numpy()
+        n = int(cum[-1])
+        for p in ps:
+            k = max(1, math.ceil(p / 100.0 * n))
+            out_g.append(g)
+            out_p.append(int(p))
+            out_m.append(int(vals[np.searchsorted(cum, k)]))
+    return pa.table({
+        "event_type": pa.array(out_g, pa.string()),
+        "p": pa.array(out_p, pa.int64()),
+        "minutes": pa.array(out_m, pa.int64()),
+    })

@@ -6566,3 +6566,53 @@ class TestDupRateBySource:
             {"source": "b", "n_docs": 1, "n_distinct": 1,
              "dup_rate": 0.0},
         ]
+
+
+class TestDwellPercentiles:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dwell_percentiles
+
+        sf = "/root/testdata/sf0.001"
+        got = dwell_percentiles(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH w AS (SELECT event_type,
+                              (lead(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+                               - epoch_us(ts)) // 60000000 AS minutes
+                       FROM read_parquet('{sf}/events.parquet')
+                       QUALIFY minutes IS NOT NULL),
+            q AS (SELECT event_type,
+                         quantile_disc(minutes,
+                                       [0.25, 0.50, 0.75, 0.95]) AS qs
+                  FROM w GROUP BY event_type)
+            SELECT event_type,
+                   unnest(CAST([25, 50, 75, 95] AS BIGINT[])) AS p,
+                   CAST(unnest(qs) AS BIGINT) AS minutes
+            FROM q ORDER BY event_type, p
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_last_event_excluded(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dwell_percentiles
+
+        # u1: a at t0 → b at t0+10min (dwell of 'a' = 10); b is last
+        # (no dwell); u2: single event (no dwell at all)
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 600_000_000, 0]).cast(pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+        })
+        got = dwell_percentiles(
+            rd.from_arrow(t).repartition(2), ps=(50,)
+        ).to_pandas().to_dict("records")
+        assert got == [{"event_type": "a", "p": 50, "minutes": 10}]
