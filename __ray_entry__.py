@@ -3461,6 +3461,43 @@ def _q_dwell_pctl(sf_dir: str):
     )
 
 
+def _webgraph_edges(sf_dir: str):
+    """The triangles-family deterministic synthetic webgraph as a
+    Dataset of (src, dst) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).reshape(-1)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+def _q_degree_hist(sf_dir: str):
+    """Out-degree distribution of the synthetic webgraph — distinct
+    adjacency per src bucket, degree-keyed final sum."""
+    from studiocr_ray.datapipe.graph import degree_hist
+
+    return degree_hist(_webgraph_edges(sf_dir))
+
+
+def _q_reciprocity(sf_dir: str):
+    """Directed reciprocity of the synthetic webgraph — unordered-pair
+    co-partition, per-pair direction count, one pinned division."""
+    from studiocr_ray.datapipe.graph import reciprocity
+
+    return reciprocity(_webgraph_edges(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3677,6 +3714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "dwell_pctl": _q_dwell_pctl,
+        "degree_hist": _q_degree_hist,
+        "reciprocity": _q_reciprocity,
     }
 
 
@@ -6195,6 +6234,45 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # round-5: webgraph degree distribution (distinct non-loop
+        # out-edges per node)
+        "degree_hist": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        # round-5: webgraph reciprocity (distinct directed edges whose
+        # reverse also exists)
+        "reciprocity": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            r AS (SELECT count(*) AS nr
+                  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+            t AS (SELECT count(*) AS ne FROM e)
+            SELECT CAST(ne AS BIGINT) AS n_edges,
+                   CAST(nr AS BIGINT) AS n_reciprocal,
+                   CAST(nr AS DOUBLE) / CAST(ne AS DOUBLE) AS reciprocity
+            FROM t, r
         """,
         # round-5: dwell-time percentiles (quantile_disc list form, the
         # grouped_value_percentiles oracle convention)

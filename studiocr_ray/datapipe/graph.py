@@ -894,3 +894,111 @@ def adamic_adar(edges_ds, num_buckets: int = 64):
                               pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_hist(edges_ds, num_buckets: int = 64):
+    """Degree distribution of a directed graph: per out-degree value,
+    how many nodes have it → ``(degree, n_nodes)`` (distinct targets per
+    source; duplicate edges count once) — the first plot of any webgraph
+    audit.
+
+    Shape: per-batch distinct (src, dst) partials, ONE src-hash bucketed
+    merge (a node's whole adjacency lands in one bucket, so its distinct
+    out-degree is exact there), then a degree-keyed sum bounded by the
+    max degree."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutil import id_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        t = pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                      "dst": pa.array(pairs[:, 1], pa.int64())})
+        return t.append_column(
+            "sb", pa.array(id_buckets(t.column("src"), num_buckets),
+                           pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        _, counts = np.unique(pairs[:, 0], return_counts=True)
+        dv, dn = np.unique(counts, return_counts=True)
+        return pa.table({
+            "degree": pa.array(dv.astype(np.int64), pa.int64()),
+            "n_nodes": pa.array(dn.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(merge, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+
+
+def reciprocity(edges_ds, num_buckets: int = 64):
+    """Directed-graph reciprocity: of the distinct non-loop edges
+    u→v, what fraction have the reverse v→u → one row ``(n_edges,
+    n_reciprocal, reciprocity)`` — the link-spam / follow-back signal.
+
+    Shape: per-batch distinct edges tagged by UNORDERED pair hash, so
+    u→v and v→u always co-locate; per bucket a canonical-pair sort
+    counts, per unordered pair, whether one or both directions exist;
+    two tiny counters fold on the driver with the single pinned
+    division."""
+    from ..functions.arrowutil import first_of_run_mask, pair_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        t = pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                      "dst": pa.array(pairs[:, 1], pa.int64())})
+        return t.append_column(
+            "pb", pa.array(pair_buckets(
+                pa.array(np.minimum(pairs[:, 0], pairs[:, 1])),
+                pa.array(np.maximum(pairs[:, 0], pairs[:, 1])),
+                num_buckets), pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        # global distinct within the bucket (u→v may arrive from many
+        # batches)
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        new = np.ones(len(u), bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(u)])))
+        n_edges = int(len(u))
+        n_recip = int((sizes == 2).sum() * 2)
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_reciprocal": pa.array([n_recip], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(merge, batch_format="pyarrow")
+        .sum(["n_edges", "n_reciprocal"])
+    )
+    ne = int(sums["sum(n_edges)"])
+    nr = int(sums["sum(n_reciprocal)"])
+    return pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "n_reciprocal": pa.array([nr], pa.int64()),
+        "reciprocity": pa.array(
+            [float(nr) / float(ne) if ne else 0.0], pa.float64()),
+    })

@@ -6616,3 +6616,65 @@ class TestDwellPercentiles:
             rd.from_arrow(t).repartition(2), ps=(50,)
         ).to_pandas().to_dict("records")
         assert got == [{"event_type": "a", "p": 50, "minutes": 10}]
+
+
+class TestGraphAudit:
+    def test_degree_hist_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import degree_hist
+
+        # node 1 → {2,3} (dup edge + self-loop ignored); node 2 → {1}
+        t = pa.table({
+            "src": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "dst": pa.array([2, 2, 3, 1, 1], pa.int64()),
+        })
+        got = degree_hist(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().sort_values("degree").to_dict("records")
+        assert got == [{"degree": 1, "n_nodes": 1},
+                       {"degree": 2, "n_nodes": 1}]
+
+    def test_reciprocity_hand_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import reciprocity
+
+        # 1→2 and 2→1 reciprocate (even split across blocks); 1→3 not
+        t = pa.table({
+            "src": pa.array([1, 2, 1], pa.int64()),
+            "dst": pa.array([2, 1, 3], pa.int64()),
+        })
+        got = reciprocity(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().to_dict("records")
+        assert got == [{"n_edges": 3, "n_reciprocal": 2,
+                        "reciprocity": 2 / 3}]
+
+    def test_matches_duckdb_on_webgraph(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        n = e._docs(sf).count()
+        got = e._q_reciprocity(sf).to_pandas()
+        want = duckdb.sql(f"""
+            WITH ids AS (SELECT doc_id
+                         FROM read_parquet('{sf}/documents.parquet')),
+            raw AS (SELECT doc_id AS src, (doc_id+1)%{n} AS dst FROM ids
+                    UNION ALL SELECT doc_id, (doc_id+2)%{n} FROM ids
+                    UNION ALL SELECT doc_id, (doc_id*3+1)%{n} FROM ids),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            r AS (SELECT count(*) AS nr FROM e a
+                  JOIN e b ON a.src = b.dst AND a.dst = b.src),
+            t AS (SELECT count(*) AS ne FROM e)
+            SELECT CAST(ne AS BIGINT) AS n_edges,
+                   CAST(nr AS BIGINT) AS n_reciprocal,
+                   CAST(nr AS DOUBLE) / CAST(ne AS DOUBLE)
+                     AS reciprocity
+            FROM t, r
+        """).df()
+        assert got.equals(want)
