@@ -2031,6 +2031,50 @@ def _q_rank_bins(sf_dir: str):
     return global_rank_bins(ev, bins=10)
 
 
+def _temperature_sample_oracle() -> str:
+    """splitmix64-in-SQL (the _weighted_sample_oracle hi/lo HUGEINT
+    mulmod) + integer-quantized √-weights and exact integer
+    apportionment — bit-exact vs sample.temperature_sample."""
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    return f"""
+        WITH s1 AS (SELECT doc_id, source,
+              (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+                % 18446744073709551616::HUGEINT AS z
+            FROM documents),
+        s2 AS (SELECT doc_id, source,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                   13787848793156543929)} AS z FROM s1),
+        s3 AS (SELECT doc_id, source,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                   10723151780598845931)} AS z FROM s2),
+        h AS (SELECT doc_id, source,
+                     xor(z::UBIGINT, z::UBIGINT >> 31) AS hv FROM s3),
+        c AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+        w AS (SELECT source,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0)
+                          AS BIGINT) AS w
+              FROM c),
+        tot AS (SELECT sum(w) AS wsum,
+                       (SELECT CAST(floor(count(*) * 0.2) AS BIGINT)
+                        FROM h) AS b
+                FROM w),
+        q AS (SELECT source, greatest(1, (b * w) // wsum) AS q
+              FROM w, tot)
+        SELECT h.doc_id, h.source, h.hv
+        FROM h JOIN q USING (source)
+        QUALIFY row_number() OVER (PARTITION BY h.source
+                                   ORDER BY h.hv, h.doc_id) <= q
+    """
+
+
 def _weighted_sample_oracle(k: int) -> str:
     """splitmix64-in-SQL (same hi/lo HUGEINT mulmod as
     _cluster_split_oracle) + the integer-quantized Efraimidis-Spirakis
@@ -3498,6 +3542,21 @@ def _q_reciprocity(sf_dir: str):
     return reciprocity(_webgraph_edges(sf_dir))
 
 
+def _q_temperature_sample(sf_dir: str):
+    """√-temperature source sampling (τ = 0.5 mixture rule): integer-
+    quantized √-weights apportion the budget exactly; each source ships
+    its q_s smallest-splitmix64 docs — coordination-free and
+    cluster-shape-invariant."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sample import temperature_sample
+
+    return temperature_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3716,6 +3775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwell_pctl": _q_dwell_pctl,
         "degree_hist": _q_degree_hist,
         "reciprocity": _q_reciprocity,
+        "temperature_sample": _q_temperature_sample,
     }
 
 
@@ -6235,6 +6295,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(n_users AS BIGINT) AS n_users FROM c
             ORDER BY n_users DESC, path LIMIT 20
         """,
+        # round-5: √-temperature mixture sampling (integer-quantized
+        # weights, exact apportionment, splitmix64 pick order)
+        "temperature_sample": _temperature_sample_oracle(),
         # round-5: webgraph degree distribution (distinct non-loop
         # out-edges per node)
         "degree_hist": """

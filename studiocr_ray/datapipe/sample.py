@@ -401,3 +401,85 @@ def shuffle_rank(ds, id_col: str = "doc_id", num_ranges: int = 4096):
         .groupby("rng")
         .map_groups(rank_range, batch_format="pyarrow")
     )
+
+
+def temperature_sample(ds, budget_frac: float = 0.2,
+                       id_col: str = "doc_id", strat_col: str = "source",
+                       num_buckets: int = 32):
+    """√-temperature source sampling (the τ = 0.5 mixture rule used for
+    multilingual/multi-source LLM training sets: small sources are
+    upweighted relative to proportional sampling): with a total budget
+    ``B = floor(N · budget_frac)``, source *s* receives quota
+    ``q_s = max(1, (B · w_s) // Σw)`` where ``w_s = floor(√n_s · 1e6)``
+    — the √ weights are INTEGER-quantized before the sum, so the
+    apportionment is exact integer arithmetic with no float-summation
+    order anywhere — and contributes its ``q_s`` documents with the
+    smallest ``splitmix64(id)`` → ``(doc_id, source, hv)``.
+
+    Deterministic and coordination-free like
+    :func:`stratified_sample` (the keep rule is a pure function of the
+    row given the tiny per-source quota table); scale shape like
+    :func:`source_cap` (per-batch ≤ q_s combiner before ONE
+    source-hash exchange, so hot sources ship q_s rows per batch, never
+    their corpus share)."""
+    import math
+
+    from ..functions.arrowutil import string_buckets
+    from .relational import _dict_encode
+
+    counts = ds.groupby(strat_col).count().to_pandas()
+    counts = counts.sort_values(strat_col).reset_index(drop=True)
+    n_total = int(counts["count()"].sum())
+    budget = int(n_total * budget_frac)
+    ws = {
+        s: math.floor(math.sqrt(float(n)) * 1e6)
+        for s, n in zip(counts[strat_col], counts["count()"])
+    }
+    wsum = sum(ws.values())
+    quota = {s: max(1, (budget * w) // wsum) for s, w in ws.items()}
+
+    def keep_smallest(batch: pa.Table, emit_rank: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            out = batch.select([id_col, strat_col, "hv"])
+            return out
+        src = batch.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = _dict_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hv = batch.column("hv").to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, hv, codes))
+        t = batch.take(pa.array(perm))
+        c = codes[perm]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(perm)])))
+        rank = np.arange(len(perm)) - np.repeat(starts, runlen) + 1
+        k_of = np.array([quota[str(s)] for s in d.dictionary.to_pylist()],
+                        np.int64)
+        keep = rank <= k_of[c]
+        return t.filter(pa.array(keep)).select([id_col, strat_col, "hv"])
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hv = splitmix64(ids.astype(np.uint64))
+        t = pa.table({
+            id_col: batch.column(id_col),
+            strat_col: batch.column(strat_col),
+            # uint64 end to end: an int64 view would flip the order of
+            # hashes ≥ 2^63 (half of them)
+            "hv": pa.array(hv, pa.uint64()),
+        })
+        out = keep_smallest(t, emit_rank=False)
+        wb = (string_buckets(out.column(strat_col), num_buckets)
+              if out.num_rows else np.zeros(0, np.int32))
+        return out.append_column("wb", pa.array(wb, pa.int32()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return keep_smallest(group.drop_columns(["wb"]), emit_rank=True)
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -6678,3 +6678,49 @@ class TestGraphAudit:
             FROM t, r
         """).df()
         assert got.equals(want)
+
+
+class TestTemperatureSample:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        import __ray_entry__ as e
+        from studiocr_ray.datapipe.sample import temperature_sample
+
+        sf = "/root/testdata/sf0.001"
+        got = temperature_sample(
+            rd.read_parquet(f"{sf}/documents.parquet",
+                            columns=["doc_id", "source"])
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        sql = e._temperature_sample_oracle().replace(
+            "FROM documents",
+            f"FROM read_parquet('{sf}/documents.parquet')")
+        want = duckdb.sql(sql + " ORDER BY doc_id").df().reset_index(
+            drop=True)
+        got["hv"] = got["hv"].astype("uint64")
+        want["hv"] = want["hv"].astype("uint64")
+        assert got.equals(want)
+
+    def test_sqrt_upweights_small_sources(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import temperature_sample
+
+        # big source 900 docs, small 100 → proportional 20% gives 180/20;
+        # √-temperature gives 3:1 not 9:1 → small source keeps > 20
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+            "source": pa.array(["big"] * 900 + ["small"] * 100),
+        })
+        got = temperature_sample(
+            rd.from_arrow(t).repartition(5), budget_frac=0.2
+        ).to_pandas()
+        counts = got.groupby("source").size()
+        assert counts["small"] > 20  # upweighted vs proportional
+        assert counts["big"] + counts["small"] == len(got)
+        # quotas: w_big = √900·1e6 = 30e6, w_small = 10e6, B = 200 →
+        # big 150, small 50
+        assert counts["big"] == 150 and counts["small"] == 50
