@@ -3557,6 +3557,18 @@ def _q_temperature_sample(sf_dir: str):
     )
 
 
+def _q_neardup_size_hist(sf_dir: str):
+    """Near-dup cluster-size distribution (singletons included; the
+    doc-weighted total equals the corpus size) over the same
+    minhash→verify pairs as dup_clusters."""
+    from studiocr_ray.datapipe.dedup import (minhash_dedup_pairs,
+                                             neardup_size_hist)
+
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5,
+                                num_perm=64, bands=32)
+    return neardup_size_hist(_docs(sf_dir), pairs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3776,6 +3788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": _q_degree_hist,
         "reciprocity": _q_reciprocity,
         "temperature_sample": _q_temperature_sample,
+        "neardup_size_hist": _q_neardup_size_hist,
     }
 
 
@@ -6298,6 +6311,29 @@ def oracle_sql() -> dict[str, str]:
         # round-5: √-temperature mixture sampling (integer-quantized
         # weights, exact apportionment, splitmix64 pick order)
         "temperature_sample": _temperature_sample_oracle(),
+        # round-5: near-dup cluster-size histogram over the dup_clusters
+        # verified pairs; singletons = docs outside every pair
+        "neardup_size_hist": f"""
+            WITH RECURSIVE {{word_jaccard_cte}},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            clus AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+            sizes AS (SELECT rep, count(*) AS sz FROM clus GROUP BY rep),
+            hist AS (SELECT sz, count(*) AS n FROM sizes GROUP BY sz),
+            singl AS (SELECT count(*) AS n1 FROM documents d
+                      WHERE d.doc_id NOT IN (SELECT id FROM clus))
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(n AS BIGINT) AS n_clusters FROM hist
+            UNION ALL
+            SELECT 1, CAST(n1 AS BIGINT) FROM singl WHERE n1 > 0
+        """.format(word_jaccard_cte=word_jaccard_cte),
         # round-5: webgraph degree distribution (distinct non-loop
         # out-edges per node)
         "degree_hist": """

@@ -1937,3 +1937,40 @@ def containment_join(
         )
 
     return sims.map_batches(keep_true, batch_format="pyarrow")
+
+
+def neardup_size_hist(docs_ds, pairs, id_col: str = "doc_id"):
+    """Near-duplicate cluster-size distribution INCLUDING singletons →
+    ``(cluster_size, n_clusters)`` whose doc-weighted total is the
+    corpus size — the one-table "how clustered is my corpus under LSH"
+    summary on top of :func:`duplicate_clusters` /
+    :func:`duplicate_clusters_ds` (which emit per-doc labels but no
+    rollup).
+
+    ``pairs``: verified near-dup pairs (Table or Dataset — routed to
+    the driver union-find or the distributed label propagation
+    accordingly).  Multi-doc cluster sizes come from a label-keyed
+    count; singletons are ``docs.count() − |labeled docs|`` (never a
+    scan of the docs beyond that count)."""
+    if isinstance(pairs, pa.Table):
+        clus = duplicate_clusters(pairs)
+    else:
+        clus = duplicate_clusters_ds(pairs)
+    reps = clus.column("cluster_rep").to_numpy(zero_copy_only=False)
+    n_labeled = len(reps)
+    _, sizes = np.unique(reps, return_counts=True)
+    sv, sc = np.unique(sizes, return_counts=True)
+    n_docs = docs_ds.count()
+    singles = int(n_docs - n_labeled)
+    out_sz = sv.astype(np.int64).tolist()
+    out_n = sc.astype(np.int64).tolist()
+    if singles > 0:
+        if out_sz and out_sz[0] == 1:  # pairs imply sizes >= 2, but stay safe
+            out_n[0] += singles
+        else:
+            out_sz.insert(0, 1)
+            out_n.insert(0, singles)
+    return pa.table({
+        "cluster_size": pa.array(out_sz, pa.int64()),
+        "n_clusters": pa.array(out_n, pa.int64()),
+    })

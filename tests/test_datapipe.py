@@ -6724,3 +6724,48 @@ class TestTemperatureSample:
         # quotas: w_big = √900·1e6 = 30e6, w_small = 10e6, B = 200 →
         # big 150, small 50
         assert counts["big"] == 150 and counts["small"] == 50
+
+
+class TestNeardupSizeHist:
+    def test_mass_conservation_and_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_neardup_size_hist(sf).to_pandas()
+        n_docs = e._docs(sf).count()
+        # every document is in exactly one cluster (singletons included)
+        assert int((got["cluster_size"] * got["n_clusters"]).sum()) \
+            == n_docs
+        # full oracle parity runs through the documents VIEW, the
+        # driver's convention (the word_jaccard CTE references it in
+        # several spellings, so ad-hoc substitution is fragile)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            e.oracle_sql()["neardup_size_hist"]
+            + " ORDER BY cluster_size"
+        ).df()
+        g = got.sort_values("cluster_size").reset_index(drop=True)
+        assert g["cluster_size"].tolist() == \
+            want["cluster_size"].tolist()
+        assert g["n_clusters"].tolist() == want["n_clusters"].tolist()
+
+    def test_hand_case_singletons(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import neardup_size_hist
+
+        docs = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64())})
+        pairs = pa.table({"id_a": pa.array([1, 2], pa.int64()),
+                          "id_b": pa.array([2, 3], pa.int64())})
+        got = neardup_size_hist(
+            rd.from_arrow(docs).repartition(2), pairs
+        ).to_pandas().to_dict("records")
+        # {1,2,3} one 3-cluster; 4 and 5 singletons
+        assert got == [{"cluster_size": 1, "n_clusters": 2},
+                       {"cluster_size": 3, "n_clusters": 1}]
