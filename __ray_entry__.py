@@ -3569,6 +3569,20 @@ def _q_neardup_size_hist(sf_dir: str):
     return neardup_size_hist(_docs(sf_dir), pairs)
 
 
+def _q_source_scorecard(sf_dir: str):
+    """Per-source scorecard (docs, chars, mean length, mean quality) —
+    quality scores quantized to integers before summing so the rollup
+    is split-invariant; two pinned divisions on the tiny final table."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.text import source_scorecard
+
+    return source_scorecard(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3789,6 +3803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "temperature_sample": _q_temperature_sample,
         "neardup_size_hist": _q_neardup_size_hist,
+        "source_scorecard": _q_source_scorecard,
     }
 
 
@@ -6311,6 +6326,41 @@ def oracle_sql() -> dict[str, str]:
         # round-5: √-temperature mixture sampling (integer-quantized
         # weights, exact apportionment, splitmix64 pick order)
         "temperature_sample": _temperature_sample_oracle(),
+        # round-5: per-source scorecard — the quality_score oracle
+        # expression, floor·1e6-quantized per doc BEFORE the sum
+        "source_scorecard": f"""
+            WITH f AS (
+              SELECT source, length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha,
+                     len({toks.format(src='text')}) AS n_tokens,
+                     len(list_filter({toks.format(src='lower(text)')},
+                         x -> list_contains([{stop_list}], x)))
+                       AS n_stop
+              FROM documents),
+            q AS (SELECT source, n_chars,
+                    CAST(floor((
+                      0.5 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars
+                             ELSE 0.0 END)
+                    + 0.3 * least((CASE WHEN n_tokens > 0
+                               THEN CAST(n_stop AS DOUBLE) / n_tokens
+                               ELSE 0.0 END) * 3.0, 1.0)
+                    + 0.2 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                             THEN 1.0 ELSE 0.0 END)) * 1000000.0)
+                      AS BIGINT) AS q_u
+                  FROM f),
+            a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                         sum(q_u) AS qu
+                  FROM q GROUP BY 1)
+            SELECT source, n_docs, n_chars,
+                   CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     AS mean_chars,
+                   CAST(qu AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     / 1000000.0 AS mean_quality
+            FROM a
+        """,
         # round-5: near-dup cluster-size histogram over the dup_clusters
         # verified pairs; singletons = docs outside every pair
         "neardup_size_hist": f"""

@@ -670,3 +670,62 @@ def lang_confusion(ds, text_col: str = "text", lang_col: str = "lang"):
         .groupby([lang_col, "pred_lang"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def source_scorecard(ds, text_col: str = "text",
+                     source_col: str = "source"):
+    """Per-source corpus scorecard: document count, total/mean length
+    and mean quality score → ``(source, n_docs, n_chars, mean_chars,
+    mean_quality)`` — the one-page "which feeds are worth crawling"
+    rollup composing :func:`quality_score` with the per-source partial
+    discipline.
+
+    Exactness: per-doc quality scores quantize to ``floor(q·1e6)``
+    integers BEFORE summing (float Σ would be order-sensitive across
+    batch splits); per-batch partials are ``(source, n, Σchars, Σq_u)``
+    int64 rows, one source-keyed sum, two pinned double divisions on
+    the tiny final table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sd = src.dictionary_encode()
+        si = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(sd.dictionary)
+        q = quality_score(batch, text_col).column(
+            "quality_score").to_numpy(zero_copy_only=False)
+        q_u = np.floor(q * 1e6).astype(np.int64)
+        chars = pc.utf8_length(batch.column(text_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            source_col: sd.dictionary,
+            "n_docs": pa.array(np.bincount(si, minlength=k).astype(
+                np.int64), pa.int64()),
+            "n_chars": pa.array(np.bincount(
+                si, weights=chars, minlength=k).astype(np.int64),
+                pa.int64()),
+            "q_u": pa.array(np.bincount(
+                si, weights=q_u, minlength=k).astype(np.int64),
+                pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars", alias_name="n_chars"),
+                   Sum("q_u", alias_name="q_u"))
+    ).to_pandas().sort_values(source_col).reset_index(drop=True)
+    n = g["n_docs"].to_numpy().astype(np.float64)
+    return pa.table({
+        source_col: pa.array(g[source_col], pa.string()),
+        "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(g["n_chars"].to_numpy(), pa.int64()),
+        "mean_chars": pa.array(
+            g["n_chars"].to_numpy().astype(np.float64) / n, pa.float64()),
+        "mean_quality": pa.array(
+            g["q_u"].to_numpy().astype(np.float64) / n / np.float64(1e6),
+            pa.float64()),
+    })

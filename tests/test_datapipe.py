@@ -6769,3 +6769,37 @@ class TestNeardupSizeHist:
         # {1,2,3} one 3-cluster; 4 and 5 singletons
         assert got == [{"cluster_size": 1, "n_clusters": 2},
                        {"cluster_size": 3, "n_clusters": 1}]
+
+
+class TestSourceScorecard:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_source_scorecard(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            e.oracle_sql()["source_scorecard"] + " ORDER BY source"
+        ).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_split_invariance(self, ray_session):
+        import ray.data as rd
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        from studiocr_ray.datapipe.text import source_scorecard
+
+        a = source_scorecard(
+            rd.read_parquet(f"{sf}/documents.parquet")).to_pandas()
+        b = source_scorecard(
+            rd.read_parquet(f"{sf}/documents.parquet").repartition(13)
+        ).to_pandas()
+        # integer-quantized partials → identical bits at any split
+        assert a.equals(b)
