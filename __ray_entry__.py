@@ -3583,6 +3583,22 @@ def _q_source_scorecard(sf_dir: str):
     )
 
 
+def _q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 forecast-revenue aggregate: one stateless filtered
+    partial per batch (a single int64 reaches the driver); cents ×
+    basis-point products are exact so the sum is order-free."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q6_revenue
+
+    return q6_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3804,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "neardup_size_hist": _q_neardup_size_hist,
         "source_scorecard": _q_source_scorecard,
+        "q6_revenue": _q_q6_revenue,
     }
 
 
@@ -6326,6 +6343,24 @@ def oracle_sql() -> dict[str, str]:
         # round-5: √-temperature mixture sampling (integer-quantized
         # weights, exact apportionment, splitmix64 pick order)
         "temperature_sample": _temperature_sample_oracle(),
+        # round-5: TPC-H Q6 — exact cents × basis-point products
+        "q6_revenue": """
+            WITH f AS (
+              SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS cents,
+                     CAST(floor(l_discount * 10000.0 + 0.5)
+                          AS BIGINT) AS bp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+                      BETWEEN 200 AND 800
+                AND l_quantity < 24)
+            SELECT CAST(CAST(sum(cents * bp) AS DOUBLE)
+                        / 1000000.0 AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM f
+        """,
         # round-5: per-source scorecard — the quality_score oracle
         # expression, floor·1e6-quantized per doc BEFORE the sum
         "source_scorecard": f"""

@@ -4598,3 +4598,56 @@ def dwell_percentiles(ds, ps=(25, 50, 75, 95), num_buckets: int = 64):
         "p": pa.array(out_p, pa.int64()),
         "minutes": pa.array(out_m, pa.int64()),
     })
+
+
+def q6_revenue(ds, year: int = 1996, disc_lo: float = 0.02,
+               disc_hi: float = 0.08, max_qty: float = 24.0):
+    """TPC-H Q6 (forecast revenue change): one filtered aggregate
+    ``Σ extendedprice · discount`` over a shipdate year, a discount
+    band and a quantity cap → one row ``(revenue, n_items)``.
+
+    The canonical predicate-pushdown aggregate: the filter and the
+    per-batch partial run inside ONE stateless map_batches (a single
+    int64 per batch reaches the driver), and at the storage level the
+    shipdate predicate belongs in the parquet scan (`read_parquet`
+    row-group pruning) — this function applies it vectorized so the
+    semantics hold on any input.
+
+    Exactness: price → cents and discount → basis points are exact
+    2-decimal integers, so each item's contribution ``cents · bp`` is
+    an exact int64 (≤ 1e7 · 1e3) and the corpus sum is order-free;
+    revenue = the single pinned double division by 100·10000 at the
+    end."""
+    lo_us = np.datetime64(f"{year}-01-01").astype(
+        "datetime64[us]").astype(np.int64)
+    hi_us = np.datetime64(f"{year + 1}-01-01").astype(
+        "datetime64[us]").astype(np.int64)
+    bp_lo = int(round(disc_lo * 10000))
+    bp_hi = int(round(disc_hi * 10000))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc_bp = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 10000.0 + 0.5).astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        m = ((ship >= lo_us) & (ship < hi_us)
+             & (disc_bp >= bp_lo) & (disc_bp <= bp_hi)
+             & (qty < max_qty))
+        return pa.table({
+            "rev_u": pa.array([int((cents[m] * disc_bp[m]).sum())],
+                              pa.int64()),
+            "n_items": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["rev_u", "n_items"])
+    rev_u = int(sums["sum(rev_u)"])
+    return pa.table({
+        "revenue": pa.array([float(rev_u) / 1000000.0], pa.float64()),
+        "n_items": pa.array([int(sums["sum(n_items)"])], pa.int64()),
+    })

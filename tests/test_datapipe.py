@@ -6803,3 +6803,35 @@ class TestSourceScorecard:
         ).to_pandas()
         # integer-quantized partials → identical bits at any split
         assert a.equals(b)
+
+
+class TestQ6Revenue:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q6_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = q6_revenue(
+            rd.read_parquet(f"{sf}/lineitem.parquet")
+        ).to_pandas()
+        want = duckdb.sql(f"""
+            WITH f AS (
+              SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS cents,
+                     CAST(floor(l_discount * 10000.0 + 0.5)
+                          AS BIGINT) AS bp
+              FROM read_parquet('{sf}/lineitem.parquet')
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+                      BETWEEN 200 AND 800
+                AND l_quantity < 24)
+            SELECT CAST(CAST(sum(cents * bp) AS DOUBLE)
+                        / 1000000.0 AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM f
+        """).df()
+        assert got.equals(want)
+        assert got["n_items"].iloc[0] > 0  # the predicate must select
