@@ -2031,6 +2031,71 @@ def _q_rank_bins(sf_dir: str):
     return global_rank_bins(ev, bins=10)
 
 
+def _negative_pairs_oracle() -> str:
+    """splitmix64-in-SQL negatives + exact word-trigram Jaccard for the
+    generated (id, neg) pairs (LEFT JOIN keeps zero-overlap pairs)."""
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    return f"""
+        WITH s1 AS (SELECT doc_id,
+              (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+                % 18446744073709551616::HUGEINT AS z
+            FROM documents),
+        s2 AS (SELECT doc_id,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                   13787848793156543929)} AS z FROM s1),
+        s3 AS (SELECT doc_id,
+               {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                   10723151780598845931)} AS z FROM s2),
+        h AS (SELECT doc_id,
+                     xor(z::UBIGINT, z::UBIGINT >> 31) AS hv FROM s3),
+        cnt AS (SELECT count(*) AS n FROM documents),
+        p0 AS (SELECT doc_id AS id_a,
+                      CAST(hv % (SELECT n FROM cnt) AS BIGINT) AS id_b
+               FROM h
+               WHERE CAST(hv % (SELECT n FROM cnt) AS BIGINT) <> doc_id),
+        wtoks AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),
+                                                           '\\s+'),
+                                     x -> x <> '') AS tk
+                  FROM documents),
+        shn AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) = 0 THEN []
+                               WHEN len(tk) < 3
+                                 THEN [array_to_string(tk, ' ')]
+                               ELSE [array_to_string(tk[i:i+2], ' ')
+                                     for i in
+                                     generate_series(1, len(tk) - 2)]
+                          END) AS sh
+            FROM wtoks)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS i
+          FROM p0 p
+          JOIN shn a ON a.doc_id = p.id_a
+          JOIN shn b ON b.doc_id = p.id_b AND b.sh = a.sh
+          GROUP BY p.id_a, p.id_b
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+        FROM p0 p
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    """
+
+
 def _temperature_sample_oracle() -> str:
     """splitmix64-in-SQL (the _weighted_sample_oracle hi/lo HUGEINT
     mulmod) + integer-quantized √-weights and exact integer
@@ -3599,6 +3664,40 @@ def _q_q6_revenue(sf_dir: str):
     )
 
 
+def _q_negative_pairs(sf_dir: str):
+    """Deterministic random-NEGATIVE pair baseline: every doc pairs with
+    doc ``splitmix64(id) % N`` (self-pairs dropped) and the pair's EXACT
+    word-trigram Jaccard is computed by the same co-partitioned verify
+    the LSH family uses — the null-distribution table that calibrates
+    near-dup thresholds (real-pair scores must separate from this)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.dedup import _JaccardMetric, copartition_verify
+    from studiocr_ray.datapipe.sample import splitmix64
+
+    docs = _docs(sf_dir)
+    n = docs.count()
+
+    def mk_pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        neg = (splitmix64(ids.astype(np.uint64))
+               % np.uint64(n)).astype(np.int64)
+        keep = neg != ids
+        return pa.table({"id_a": pa.array(ids[keep], pa.int64()),
+                         "id_b": pa.array(neg[keep], pa.int64())})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
+    side = docs.map_batches(
+        lambda b: b.select(["doc_id", "text"]).rename_columns(
+            ["doc_id", "value"]),
+        batch_format="pyarrow",
+    )
+    return copartition_verify(pairs, side, _JaccardMetric("word", 3),
+                              "jaccard", id_type=pa.int64(),
+                              value_type=pa.string())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3821,6 +3920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_size_hist": _q_neardup_size_hist,
         "source_scorecard": _q_source_scorecard,
         "q6_revenue": _q_q6_revenue,
+        "negative_pairs": _q_negative_pairs,
     }
 
 
@@ -6343,6 +6443,8 @@ def oracle_sql() -> dict[str, str]:
         # round-5: √-temperature mixture sampling (integer-quantized
         # weights, exact apportionment, splitmix64 pick order)
         "temperature_sample": _temperature_sample_oracle(),
+        # round-5: random-negative Jaccard null distribution
+        "negative_pairs": _negative_pairs_oracle(),
         # round-5: TPC-H Q6 — exact cents × basis-point products
         "q6_revenue": """
             WITH f AS (

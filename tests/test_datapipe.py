@@ -6835,3 +6835,25 @@ class TestQ6Revenue:
         """).df()
         assert got.equals(want)
         assert got["n_items"].iloc[0] > 0  # the predicate must select
+
+
+class TestNegativePairs:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_negative_pairs(sf).to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["negative_pairs"]
+            + ") ORDER BY id_a, id_b"
+        ).df().reset_index(drop=True)
+        assert got.equals(want)
+        # the null distribution must sit far below near-dup territory
+        assert got["jaccard"].median() < 0.2
