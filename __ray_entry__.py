@@ -3698,6 +3698,21 @@ def _q_negative_pairs(sf_dir: str):
                               value_type=pa.string())
 
 
+def _q_last_touch(sf_dir: str):
+    """Last-touch revenue attribution: each purchase's cents credit the
+    immediately preceding event's type ('(none)' when the purchase
+    opens the stream) — one user-hash exchange, type-bounded sums."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import last_touch_attribution
+
+    return last_touch_attribution(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type", "value"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3921,6 +3936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_scorecard": _q_source_scorecard,
         "q6_revenue": _q_q6_revenue,
         "negative_pairs": _q_negative_pairs,
+        "last_touch": _q_last_touch,
     }
 
 
@@ -6445,6 +6461,22 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": _temperature_sample_oracle(),
         # round-5: random-negative Jaccard null distribution
         "negative_pairs": _negative_pairs_oracle(),
+        # round-5: last-touch attribution via lag over the user stream
+        "last_touch": """
+            WITH w AS (SELECT event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents,
+                              coalesce(lag(event_type) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                                '(none)') AS prev_type
+                       FROM events)
+            SELECT prev_type AS event_type,
+                   CAST(sum(cents) AS BIGINT) AS attributed_cents,
+                   CAST(count(*) AS BIGINT) AS n_conversions
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY prev_type
+        """,
         # round-5: TPC-H Q6 — exact cents × basis-point products
         "q6_revenue": """
             WITH f AS (

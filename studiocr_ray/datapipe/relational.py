@@ -4651,3 +4651,80 @@ def q6_revenue(ds, year: int = 1996, disc_lo: float = 0.02,
         "revenue": pa.array([float(rev_u) / 1000000.0], pa.float64()),
         "n_items": pa.array([int(sums["sum(n_items)"])], pa.int64()),
     })
+
+
+def last_touch_attribution(ds, revenue_type: str = "purchase",
+                           num_buckets: int = 64):
+    """Last-touch revenue attribution: every ``revenue_type`` event's
+    value (integer cents) is credited to the user's IMMEDIATELY
+    PRECEDING event's type → ``(event_type, attributed_cents,
+    n_conversions)`` — the marketing-attribution twin of
+    :func:`entry_events` (first-touch).  A purchase with no preceding
+    event credits the ``'(none)'`` bucket.
+
+    Shape: ONE user-hash-bucketed exchange of narrow rows, per bucket
+    one sort + a shifted same-user mask picking each revenue event's
+    predecessor type, a type-bounded ``(type, cents, n)`` partial, one
+    tiny keyed sum."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type",
+                          "value"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "attributed_cents": pa.array([], pa.int64()),
+                      "n_conversions": pa.array([], pa.int64())})
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        is_rev = pc.equal(t.column("event_type"), revenue_type).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = _dict_encode(t.column("event_type"))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        # predecessor type code; k = the '(none)' sentinel
+        prev = np.full(n, k, np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            prev[1:][same] = codes[:-1][same]
+        sel = np.flatnonzero(is_rev)
+        if sel.size == 0:
+            return empty
+        pc_codes = prev[sel]
+        csum = np.bincount(pc_codes, weights=cents[sel],
+                           minlength=k + 1).astype(np.int64)
+        ncnt = np.bincount(pc_codes, minlength=k + 1)
+        used = np.flatnonzero(ncnt)
+        names = pa.concat_arrays(
+            [d.dictionary.cast(pa.string()),
+             pa.array(["(none)"], pa.string())])
+        return pa.table({
+            "event_type": names.take(pa.array(used)),
+            "attributed_cents": pa.array(csum[used], pa.int64()),
+            "n_conversions": pa.array(ncnt[used].astype(np.int64),
+                                      pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("attributed_cents", alias_name="attributed_cents"),
+                   Sum("n_conversions", alias_name="n_conversions"))
+    )

@@ -6857,3 +6857,57 @@ class TestNegativePairs:
         assert got.equals(want)
         # the null distribution must sit far below near-dup territory
         assert got["jaccard"].median() < 0.2
+
+
+class TestLastTouch:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import last_touch_attribution
+
+        sf = "/root/testdata/sf0.001"
+        got = last_touch_attribution(
+            rd.read_parquet(f"{sf}/events.parquet")
+        ).to_pandas().sort_values("event_type").reset_index(drop=True)
+        want = duckdb.sql(f"""
+            WITH w AS (SELECT event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents,
+                              coalesce(lag(event_type) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                                '(none)') AS prev_type
+                       FROM read_parquet('{sf}/events.parquet'))
+            SELECT prev_type AS event_type,
+                   CAST(sum(cents) AS BIGINT) AS attributed_cents,
+                   CAST(count(*) AS BIGINT) AS n_conversions
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY prev_type ORDER BY prev_type
+        """).df().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_stream_opening_purchase_credits_none(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import last_touch_attribution
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 10, 0]).cast(pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase", "click"]),
+            "value": pa.array([1.0, 2.0, 9.0], pa.float64()),
+        })
+        got = last_touch_attribution(
+            rd.from_arrow(t).repartition(2)
+        ).to_pandas().sort_values("event_type").to_dict("records")
+        # u1's first purchase opens the stream → (none); the second is
+        # preceded by a purchase
+        assert got == [
+            {"event_type": "(none)", "attributed_cents": 100,
+             "n_conversions": 1},
+            {"event_type": "purchase", "attributed_cents": 200,
+             "n_conversions": 1},
+        ]
