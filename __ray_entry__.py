@@ -3713,6 +3713,41 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_q14_promo(sf_dir: str):
+    """TPC-H Q14 promotion-revenue share: the part-class dimension is a
+    1-bit-per-partkey broadcast; the month's revenue sums are exact
+    int64 ``cents·(10000−bp)`` products carried hi/lo."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q14_promo
+
+    return q14_promo(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"]),
+        sf_dir,
+    )
+
+
+def _q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 large-volume customers: integral-quantity partials per
+    orderkey, tiny HAVING set broadcast into an orders semi-join, then
+    a custkey-hash join to customer for the name."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q18_large_orders
+
+    return q18_large_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_totalprice"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -3937,6 +3972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": _q_q6_revenue,
         "negative_pairs": _q_negative_pairs,
         "last_touch": _q_last_touch,
+        "q14_promo": _q_q14_promo,
+        "q18_large_orders": _q_q18_large_orders,
     }
 
 
@@ -7148,6 +7185,49 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
             FROM w WHERE t1 IS NOT NULL GROUP BY t1, t2, t3
+        """,
+        # round-5: TPC-H Q14 — promo revenue share over one shipdate
+        # month, exact cents·(10000−bp) integer products
+        "q14_promo": """
+            WITH f AS (
+              SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS cents,
+                     CAST(floor(l_discount * 10000.0 + 0.5)
+                          AS BIGINT) AS bp,
+                     (p_type = 'PROMO') AS is_promo
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l_shipdate < TIMESTAMP '1996-10-01')
+            SELECT CAST(CAST(sum(CASE WHEN is_promo
+                                      THEN cents * (10000 - bp)
+                                      ELSE 0 END) AS DOUBLE)
+                        / 1000000.0 AS DOUBLE) AS promo_revenue,
+                   CAST(CAST(sum(cents * (10000 - bp)) AS DOUBLE)
+                        / 1000000.0 AS DOUBLE) AS total_revenue,
+                   CAST(100.0 * CAST(sum(CASE WHEN is_promo
+                                              THEN cents * (10000 - bp)
+                                              ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(cents * (10000 - bp)) AS DOUBLE)
+                        AS DOUBLE) AS promo_pct,
+                   CAST(sum(CASE WHEN is_promo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_promo,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM f
+        """,
+        # round-5: TPC-H Q18 — total-quantity HAVING filter, then
+        # orders ⋈ customer for the top-100 by totalprice
+        "q18_large_orders": """
+            WITH t AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM t
+            JOIN orders o ON t.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
     }
 

@@ -4728,3 +4728,182 @@ def last_touch_attribution(ds, revenue_type: str = "purchase",
         .aggregate(Sum("attributed_cents", alias_name="attributed_cents"),
                    Sum("n_conversions", alias_name="n_conversions"))
     )
+
+
+def q14_promo(lineitem_ds, sf_dir: str, month: str = "1996-09"):
+    """TPC-H Q14 (promotion effect): the share of one shipdate month's
+    revenue carried by promo-class parts → one row ``(promo_revenue,
+    total_revenue, promo_pct, n_promo, n_items)``.
+
+    Part class is the dimension-bitmap broadcast (the corr_by_nation /
+    orders_per_nation pattern): ``p_type == 'PROMO'`` packs to ONE BYTE
+    per part, shipped once via ``ray.put`` and indexed per batch — the
+    lineitem⋈part join never shuffles.  A lineitem partkey outside the
+    part table fails loudly (unknown-key precedent, corr_by_nation).
+
+    Exactness: revenue per item is the exact int64
+    ``cents · (10000 − bp)`` (≤ ~1e13 per item, so a large batch's sum
+    can exceed int64) — each partial therefore carries the per-item
+    product split hi/lo 32-bit like corr_by_nation's Σc², recombined as
+    a Python int after the merge.  The three output doubles are single
+    pinned expressions over the exact integers, matching the oracle's
+    expression tree bit-for-bit."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    is_promo_rows = pa.compute.equal(part.column("p_type"),
+                                     "PROMO").to_numpy(
+        zero_copy_only=False)
+    promo = np.zeros(int(pk.max()) + 1, np.bool_)
+    promo[pk[is_promo_rows]] = True
+    known = np.zeros(int(pk.max()) + 1, np.bool_)
+    known[pk] = True
+    ref = ray.put((promo, known))
+
+    lo_us = np.datetime64(f"{month}-01").astype(
+        "datetime64[us]").astype(np.int64)
+    mo = np.datetime64(f"{month}-01", "M") + np.timedelta64(1, "M")
+    hi_us = mo.astype("datetime64[us]").astype(np.int64)
+
+    class Partial:
+        def __init__(self):
+            self.promo, self.known = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (ship >= lo_us) & (ship < hi_us)
+            pks = batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)[m]
+            bad = (pks < 0) | (pks >= len(self.known))
+            if bad.any() or not self.known[pks].all():
+                unknown = pks[bad] if bad.any() else pks[~self.known[pks]]
+                raise ValueError(
+                    "q14_promo: lineitem l_partkey has no part row "
+                    f"(e.g. {int(unknown[0])})")
+            cents = np.floor(
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)[m] * 100.0 + 0.5
+            ).astype(np.int64)
+            bp = np.floor(
+                batch.column("l_discount").to_numpy(
+                    zero_copy_only=False)[m] * 10000.0 + 0.5
+            ).astype(np.int64)
+            rev = cents * (np.int64(10000) - bp)
+            hi, lo = rev >> np.int64(32), rev & np.int64(0xFFFFFFFF)
+            p = self.promo[pks]
+            return pa.table({
+                "t_hi": pa.array([int(hi.sum())], pa.int64()),
+                "t_lo": pa.array([int(lo.sum())], pa.int64()),
+                "p_hi": pa.array([int(hi[p].sum())], pa.int64()),
+                "p_lo": pa.array([int(lo[p].sum())], pa.int64()),
+                "n_promo": pa.array([int(p.sum())], pa.int64()),
+                "n_items": pa.array([int(m.sum())], pa.int64()),
+            })
+
+    sums = lineitem_ds.map_batches(
+        Partial, batch_format="pyarrow", concurrency=(1, 8)
+    ).sum(["t_hi", "t_lo", "p_hi", "p_lo", "n_promo", "n_items"])
+    total_u = (int(sums["sum(t_hi)"]) << 32) + int(sums["sum(t_lo)"])
+    promo_u = (int(sums["sum(p_hi)"]) << 32) + int(sums["sum(p_lo)"])
+    return pa.table({
+        "promo_revenue": pa.array([float(promo_u) / 1000000.0],
+                                  pa.float64()),
+        "total_revenue": pa.array([float(total_u) / 1000000.0],
+                                  pa.float64()),
+        "promo_pct": pa.array(
+            [100.0 * float(promo_u) / float(total_u)] if total_u
+            else [0.0], pa.float64()),
+        "n_promo": pa.array([int(sums["sum(n_promo)"])], pa.int64()),
+        "n_items": pa.array([int(sums["sum(n_items)"])], pa.int64()),
+    })
+
+
+def q18_large_orders(lineitem_ds, orders_ds, customer_ds,
+                     threshold: int = 250, k: int = 100):
+    """TPC-H Q18 (large-volume customers): orders whose TOTAL lineitem
+    quantity exceeds ``threshold``, with customer name — top ``k`` by
+    ``o_totalprice`` desc (orderkey tiebreak) →
+    ``(c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+    total_qty)``.
+
+    Scale shape: (1) lineitem pre-aggregates quantity per orderkey per
+    batch (np.unique+bincount partials — quantities are integral in
+    TPC-H), ONE small keyed sum merges them; (2) the HAVING filter makes
+    the qualifying set tiny (≲1e-2 of orders at threshold 250 — the
+    selectivity TPC-H designed Q18 around), so it broadcasts as sorted
+    key/total arrays via ``ray.put`` and orders semi-joins it per batch
+    with searchsorted — no orders-side shuffle; (3) the surviving orders
+    (≤ qualifying count) join customer by custkey-hash co-partition
+    (`join.hash_join` — customer is NOT broadcastable at scale).  The
+    driver materializes only the qualifying (orderkey, total) pairs and
+    the final ≤k rows.
+
+    o_totalprice passes through unmodified from parquet on both engine
+    and oracle sides, so the double compares bit-exact."""
+    import ray
+
+    from .join import hash_join
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "qty_part": pa.array(
+                np.bincount(inv, weights=q).astype(np.int64), pa.int64()),
+        })
+
+    totals = (
+        lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_part", alias_name="total_qty"))
+        .filter(expr=f"total_qty > {int(threshold)}")
+    )
+    qual = totals.to_arrow_refs()
+    parts = [t for t in ray.get(qual) if t.num_rows]
+    if not parts:
+        return pa.table({
+            "c_name": pa.array([], pa.string()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.int64()),
+        })
+    qt = pa.concat_tables(parts)
+    keys = qt.column("l_orderkey").to_numpy(zero_copy_only=False)
+    vals = qt.column("total_qty").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+
+    class SemiJoin:
+        def __init__(self):
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ok)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == ok
+            t = batch.select(["o_orderkey", "o_custkey", "o_orderdate",
+                              "o_totalprice"]).filter(pa.array(hit))
+            return t.append_column(
+                "total_qty", pa.array(self.vals[pos_c[hit]], pa.int64()))
+
+    qualified = orders_ds.map_batches(SemiJoin, batch_format="pyarrow",
+                                      concurrency=(1, 8))
+    joined = hash_join(
+        qualified, customer_ds, on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_totalprice",
+                   "total_qty"],
+        right_cols=["c_name"],
+    )
+    return joined.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(k)

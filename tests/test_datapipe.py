@@ -6911,3 +6911,81 @@ class TestLastTouch:
             {"event_type": "purchase", "attributed_cents": 200,
              "n_conversions": 1},
         ]
+
+
+class TestQ14Promo:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q14_promo(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "part"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q14_promo"]).df()
+        assert got.equals(want[got.columns])
+        assert got["n_items"].iloc[0] > 0
+        # the share must be a real mixture, not 0% or 100%
+        assert 0.0 < got["promo_pct"].iloc[0] < 100.0
+
+    def test_unknown_partkey_fails_loudly(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q14_promo
+
+        in_window = np.datetime64("1996-09-15", "us").astype(np.int64)
+        t = pa.table({
+            "l_partkey": pa.array([10**9], pa.int64()),
+            "l_shipdate": pa.array([in_window], pa.int64()).cast(
+                pa.timestamp("us")),
+            "l_extendedprice": pa.array([1.0], pa.float64()),
+            "l_discount": pa.array([0.0], pa.float64()),
+        })
+        with pytest.raises(Exception, match="no part row"):
+            q14_promo(rd.from_arrow(t), "/root/testdata/sf0.001"
+                      ).to_pandas()
+
+
+class TestQ18LargeOrders:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q18_large_orders(sf).to_pandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q18_large_orders"]).df()
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) > 0  # threshold must select at every sf
+        assert got.equals(want)
+
+    def test_empty_having_set(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q18_large_orders
+
+        sf = "/root/testdata/sf0.001"
+        got = q18_large_orders(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"]),
+            rd.read_parquet(f"{sf}/orders.parquet"),
+            rd.read_parquet(f"{sf}/customer.parquet"),
+            threshold=10**9,
+        )
+        df = got.to_pandas()
+        assert len(df) == 0
+        assert sorted(df.columns) == sorted(
+            ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice", "total_qty"])
