@@ -3713,6 +3713,34 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_fill_forward(sf_dir: str):
+    """LOCF imputation: each event carries the user's most recent
+    purchase cents (NULL before the first) — one user-hash exchange,
+    vectorized running-max forward fill per bucket."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import fill_forward_events
+
+    return fill_forward_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type", "value"])
+    )
+
+
+def _q_burst_users(sf_dir: str):
+    """Burst detection: events whose 2-back same-user predecessor falls
+    within 6 hours, counted per user — the scraper/rate-limit signal."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import burst_users
+
+    return burst_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"])
+    )
+
+
 def _q_q14_promo(sf_dir: str):
     """TPC-H Q14 promotion-revenue share: the part-class dimension is a
     1-bit-per-partkey broadcast; the month's revenue sums are exact
@@ -3974,6 +4002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch": _q_last_touch,
         "q14_promo": _q_q14_promo,
         "q18_large_orders": _q_q18_large_orders,
+        "fill_forward": _q_fill_forward,
+        "burst_users": _q_burst_users,
     }
 
 
@@ -7228,6 +7258,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON t.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        # round-5: LOCF forward fill of the last purchase cents per user
+        "fill_forward": """
+            SELECT event_id,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(floor(value * 100.0)
+                                             AS BIGINT) END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS carried_cents
+            FROM events
+        """,
+        # round-5: per-user count of 3-event runs inside a 6h window
+        "burst_users": """
+            WITH x AS (
+              SELECT user_id, epoch_us(ts) AS e,
+                     lag(epoch_us(ts), 2) OVER
+                       (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS p
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_bursts
+            FROM x
+            WHERE p IS NOT NULL
+              AND e - p <= CAST(21600 AS BIGINT) * 1000000
+            GROUP BY user_id
         """,
     }
 

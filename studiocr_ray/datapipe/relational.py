@@ -4907,3 +4907,121 @@ def q18_large_orders(lineitem_ds, orders_ds, customer_ds,
     )
     return joined.sort(["o_totalprice", "o_orderkey"],
                        descending=[True, False]).limit(k)
+
+
+def fill_forward_events(ds, carry_type: str = "purchase",
+                        num_buckets: int = 64):
+    """Last-observation-carried-forward (LOCF) imputation over user
+    event streams: every event carries the cents value of the user's
+    most recent ``carry_type`` event AT OR BEFORE it (its own, when it
+    is one) → ``(event_id, carried_cents)`` with NULL before the user's
+    first carry event — the gap-filling shape of feature
+    backfills/sessionized state.
+
+    Shape: ONE user-hash-bucketed exchange of ``(user_id, ts, event_id,
+    is_carry, cents)`` rows; per bucket one sort and a vectorized
+    forward-fill (running max of carry positions, reset at user
+    boundaries via a parallel running max of segment starts) — no
+    per-row Python, no driver materialization."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type",
+                          "value"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def fill(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "carried_cents": pa.array([], pa.int64())})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        is_c = pc.equal(t.column("event_type"), carry_type).to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        # last carry position ≤ i (global), and each row's segment start
+        last_carry = np.maximum.accumulate(np.where(is_c, idx, -1))
+        is_start = np.empty(n, np.bool_)
+        is_start[0] = True
+        is_start[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(is_start, idx, -1))
+        valid = last_carry >= seg_start
+        carried = np.where(valid, cents[np.maximum(last_carry, 0)], 0)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "carried_cents": pa.array(carried, pa.int64(),
+                                      mask=~valid),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill, batch_format="pyarrow")
+    )
+
+
+def burst_users(ds, k: int = 3, window_sec: int = 21600,
+                num_buckets: int = 64):
+    """Burst / bot-rate detection: per user, the number of events whose
+    ``k-1``-back predecessor (same user, (ts, event_id) order) lies
+    within ``window_sec`` — i.e. how many length-``k`` event runs fit
+    in the window → ``(user_id, n_bursts)`` for users with ≥ 1 burst.
+    The rate-limiter / scraper-detection primitive of web-scale event
+    logs.
+
+    Shape: one user-hash exchange of ``(user_id, ts_us, event_id)``,
+    per bucket one sort + a shifted same-user timestamp diff, per-user
+    bincount partial; users never split across buckets so no final
+    merge groupby is needed."""
+    from ..functions.arrowutil import id_buckets
+
+    win_us = np.int64(int(window_sec) * 1_000_000)
+    back = int(k) - 1
+    if back < 1:
+        raise ValueError("k must be >= 2")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def count(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_bursts": pa.array([], pa.int64())})
+        if n <= back:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hit = (uid[back:] == uid[:-back]) & \
+            (ts[back:] - ts[:-back] <= win_us)
+        if not hit.any():
+            return empty
+        hu = uid[back:][hit]
+        uniq, inv = np.unique(hu, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "n_bursts": pa.array(np.bincount(inv).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count, batch_format="pyarrow")
+    )

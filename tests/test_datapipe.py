@@ -6989,3 +6989,86 @@ class TestQ18LargeOrders:
         assert sorted(df.columns) == sorted(
             ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
              "o_totalprice", "total_qty"])
+
+
+class TestFillForward:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_fill_forward(sf).to_pandas().sort_values(
+            "event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["fill_forward"]
+            + ") ORDER BY event_id").df().reset_index(drop=True)
+        got["carried_cents"] = got["carried_cents"].astype("float64")
+        want["carried_cents"] = want["carried_cents"].astype("float64")
+        assert got.equals(want)
+        # both regimes must occur: pre-first-purchase NULLs and carries
+        assert got["carried_cents"].isna().any()
+        assert got["carried_cents"].notna().any()
+
+    def test_carry_and_reset_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import fill_forward_events
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 10, 20, 5, 15]).cast(pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(
+                ["click", "purchase", "view", "view", "purchase"]),
+            "value": pa.array([9.0, 2.5, 8.0, 7.0, 1.25], pa.float64()),
+        })
+        got = fill_forward_events(
+            rd.from_arrow(t).repartition(3)
+        ).to_pandas().sort_values("event_id")
+        assert list(got["carried_cents"].fillna(-1).astype(int)) == \
+            [-1, 250, 250, -1, 125]
+
+
+class TestBurstUsers:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_burst_users(sf).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["burst_users"]
+            + ") ORDER BY user_id").df().reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) > 0
+
+    def test_window_boundary_inclusive(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import burst_users
+
+        us = 1_000_000
+        t = pa.table({
+            "user_id": pa.array([7, 7, 7, 7, 8, 8, 8], pa.int64()),
+            "ts": pa.array([0, 5 * us, 10 * us, 100 * us,
+                            0, 11 * us, 30 * us]).cast(
+                pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        })
+        got = burst_users(rd.from_arrow(t).repartition(2), k=3,
+                          window_sec=10).to_pandas().sort_values(
+            "user_id").to_dict("records")
+        # user 7: (0,5,10) spans exactly 10s (inclusive) → 1 burst;
+        # (5,10,100) spans 95s → no.  user 8: 30s span → none.
+        assert got == [{"user_id": 7, "n_bursts": 1}]
