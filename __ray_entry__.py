@@ -3713,6 +3713,20 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Per-doc 5-gram novelty budget: distinct-gram count and how many
+    occur first (min doc_id) in this doc — md5 grams through one
+    gram-hash exchange, per-doc partials, tiny keyed sum."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.dedup import ngram_novelty
+
+    return ngram_novelty(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    )
+
+
 def _q_fill_forward(sf_dir: str):
     """LOCF imputation: each event carries the user's most recent
     purchase cents (NULL before the first) — one user-hash exchange,
@@ -4004,6 +4018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": _q_q18_large_orders,
         "fill_forward": _q_fill_forward,
         "burst_users": _q_burst_users,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -7284,6 +7299,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE p IS NOT NULL
               AND e - p <= CAST(21600 AS BIGINT) * 1000000
             GROUP BY user_id
+        """,
+        # round-5: per-doc distinct word-5-gram novelty (first occurrence
+        # = min doc_id); gram construction mirrors dedup._shingles
+        "ngram_novelty": """
+            WITH wtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) = 0 THEN []
+                                   WHEN len(tk) < 5
+                                     THEN [array_to_string(tk, ' ')]
+                                   ELSE [array_to_string(tk[i:i+4], ' ')
+                                         for i in
+                                         generate_series(1,
+                                                         len(tk) - 4)]
+                              END) AS sh
+                FROM wtoks)),
+            m AS (SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY sh)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN m.first_doc = g.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM g JOIN m USING (sh)
+            GROUP BY g.doc_id
         """,
     }
 

@@ -1974,3 +1974,83 @@ def neardup_size_hist(docs_ds, pairs, id_col: str = "doc_id"):
         "cluster_size": pa.array(out_sz, pa.int64()),
         "n_clusters": pa.array(out_n, pa.int64()),
     })
+
+
+def ngram_novelty(ds, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document n-gram novelty: for each doc, how many of its
+    DISTINCT word ``n``-grams occur for the FIRST time in the corpus
+    (first = smallest doc_id holding the gram) →
+    ``(doc_id, n_grams, n_novel)``.  The memorization/novelty audit of
+    a training corpus: a doc with ``n_novel ≪ n_grams`` is assembled
+    from text the corpus already contains (cf. the exact-substring
+    attribution of :func:`duplicate_passages`, which reports the
+    passages; this reports each doc's novelty budget).
+
+    Gram semantics are exactly :func:`_shingles` (lowercase, whitespace
+    tokens; a doc shorter than ``n`` tokens contributes its whole
+    token string; empty docs contribute nothing) so the SQL oracle's
+    textual grams agree.  Grams travel the exchange as full 16-byte
+    md5 digests — never the gram text — with first-doc attribution
+    exact under the documented 128-bit no-collision assumption.
+
+    Scale shape: per batch the distinct (gram-md5, doc_id) pairs are
+    emitted bucketed by digest prefix; ONE gram-hash exchange; each
+    bucket lexsorts its pairs (a gram lives in exactly one bucket, so
+    segment-first == global min doc_id), reduces to per-doc partial
+    counts (≤ docs·buckets tiny rows), and a final keyed sum merges
+    buckets.  No text and no doc list ever reaches the driver."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_keys, out_ids = [], []
+        for i, t in zip(ids, texts):
+            for g in _shingles(t, "word", n):
+                out_keys.append(hashlib.md5(g.encode()).digest())
+                out_ids.append(i)
+        key = pa.array(out_keys, pa.binary(16))
+        bucket = (
+            np.frombuffer(b"".join(out_keys), np.dtype(">u4"))[::4]
+            % np.uint32(num_buckets)
+        ).astype(np.int32) if out_keys else np.array([], np.int32)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "key": key,
+            "doc_id": pa.array(out_ids, pa.int64()),
+        })
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_novel": pa.array([], pa.int64())})
+        raw = b"".join(group.column("key").to_pylist())
+        k = np.frombuffer(raw, np.dtype(">u8")).reshape(m, 2)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, k[:, 1], k[:, 0]))
+        k1, k2, d = k[order, 0], k[order, 1], doc[order]
+        first = np.empty(m, np.bool_)
+        first[0] = True
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_grams": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+            "n_novel": pa.array(
+                np.bincount(inv, weights=first).astype(np.int64),
+                pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_novel", alias_name="n_novel"))
+    )

@@ -7072,3 +7072,46 @@ class TestBurstUsers:
         # user 7: (0,5,10) spans exactly 10s (inclusive) → 1 burst;
         # (5,10,100) spans 95s → no.  user 8: 30s span → none.
         assert got == [{"user_id": 7, "n_bursts": 1}]
+
+
+class TestNgramNovelty:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_ngram_novelty(sf).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["ngram_novelty"]
+            + ") ORDER BY doc_id").df().reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        # total novelty must equal total distinct grams in the corpus
+        assert (got["n_novel"] > 0).any()
+        assert (got["n_novel"] <= got["n_grams"]).all()
+
+    def test_duplicate_doc_has_zero_novelty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import ngram_novelty
+
+        base = "alpha beta gamma delta epsilon zeta eta"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, base, "tiny doc"], pa.string()),
+        })
+        got = ngram_novelty(rd.from_arrow(t).repartition(3)
+                            ).to_pandas().sort_values(
+            "doc_id").to_dict("records")
+        # doc 1: 3 grams, all first; doc 2 verbatim copy: 0 novel;
+        # doc 3 (<5 tokens): whole-doc gram, novel
+        assert got == [
+            {"doc_id": 1, "n_grams": 3, "n_novel": 3},
+            {"doc_id": 2, "n_grams": 3, "n_novel": 0},
+            {"doc_id": 3, "n_grams": 1, "n_novel": 1},
+        ]
