@@ -3713,6 +3713,33 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_leading_digit(sf_dir: str):
+    """Benford leading-digit distribution of event cents per type —
+    string-rendered first digit (never log10), bincount partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import leading_digit_dist
+
+    return leading_digit_dist(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+    )
+
+
+def _q_fold_variance(sf_dir: str):
+    """Deterministic jackknife folds (doc_id % 20): per-fold doc count,
+    token sum and fixed-point mean — the reproducible SE estimate for
+    corpus-mean statistics."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import fold_token_stats
+
+    return fold_token_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    )
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Per-doc 5-gram novelty budget: distinct-gram count and how many
     occur first (min doc_id) in this doc — md5 grams through one
@@ -4019,6 +4046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_forward": _q_fill_forward,
         "burst_users": _q_burst_users,
         "ngram_novelty": _q_ngram_novelty,
+        "leading_digit": _q_leading_digit,
+        "fold_variance": _q_fold_variance,
     }
 
 
@@ -7328,6 +7357,34 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
             FROM g JOIN m USING (sh)
             GROUP BY g.doc_id
+        """,
+        # round-5: Benford first-significant-digit audit on event cents
+        "leading_digit": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents
+                       FROM events)
+            SELECT event_type,
+                   CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c WHERE cents > 0
+            GROUP BY event_type, digit
+        """,
+        # round-5: doc_id%20 jackknife folds of the corpus token mean
+        "fold_variance": """
+            WITH t AS (
+              SELECT doc_id % 20 AS fold,
+                     len(list_filter(regexp_split_to_array(text,
+                                                           '\\s+'),
+                                     x -> x <> '')) AS ntok
+              FROM documents)
+            SELECT fold,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                   CAST((sum(ntok) * 1000000) // count(*) AS BIGINT)
+                     AS mean_tokens_u
+            FROM t GROUP BY fold
         """,
     }
 

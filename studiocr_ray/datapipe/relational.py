@@ -5025,3 +5025,95 @@ def burst_users(ds, k: int = 3, window_sec: int = 21600,
         .groupby("bucket")
         .map_groups(count, batch_format="pyarrow")
     )
+
+
+def leading_digit_dist(ds, value_col: str = "value",
+                       by_col: str = "event_type"):
+    """Benford-style leading-digit audit: the distribution of the first
+    significant digit of each row's integer cents, per ``by_col`` group
+    → ``(event_type, digit, n)`` — the fraud/synthetic-data screen for
+    value columns (Benford 1938; Nigrini's forensic-accounting usage).
+
+    Digit extraction is exact: cents = ``floor(value·100)`` (the
+    engine-wide cents rule) rendered to a decimal string, first char —
+    never ``log10`` (whose float rounding misclassifies powers of ten).
+    Rows with cents ≤ 0 are excluded (no leading significant digit).
+    Shape: one stateless map_batches partial (≤ groups·9 rows per
+    batch), one tiny keyed sum — no row-level shuffle."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        keep = cents > 0
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(pa.array(cents[keep], pa.int64()), pa.string()),
+            0, 1), pa.int64()).to_numpy(zero_copy_only=False)
+        grp = _dict_encode(batch.column(by_col).filter(pa.array(keep)))
+        codes = grp.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        k = len(grp.dictionary)
+        cell = codes * 9 + (d - 1)
+        cnt = np.bincount(cell, minlength=k * 9)
+        used = np.flatnonzero(cnt)
+        return pa.table({
+            by_col: grp.dictionary.cast(pa.string()).take(
+                pa.array(used // 9)),
+            "digit": pa.array(used % 9 + 1, pa.int64()),
+            "n": pa.array(cnt[used].astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([by_col, "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def fold_token_stats(ds, n_folds: int = 20, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Deterministic jackknife folds for corpus statistics: docs are
+    assigned to ``doc_id % n_folds`` and each fold reports its doc count,
+    total whitespace tokens, and fixed-point mean ``sum·10⁶ // n`` →
+    one row per fold.  The spread across folds is the cheap,
+    reproducible standard-error estimate for corpus-mean metrics (no
+    RNG, no resampling pass — the fold partition IS the bootstrap).
+
+    Shape: per-batch bincount partials (≤ n_folds rows each), one tiny
+    keyed sum; token semantics are the engine-wide whitespace-split
+    (``_flat_tokens``) so oracles and other token ops agree."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        _, doc_idx = _flat_tokens(batch, text_col)
+        tok_per_doc = np.bincount(doc_idx, minlength=len(ids)).astype(
+            np.int64)
+        fold = (ids % n_folds).astype(np.int64)
+        return pa.table({
+            "fold": pa.array(np.arange(n_folds, dtype=np.int64)),
+            "n_docs": pa.array(
+                np.bincount(fold, minlength=n_folds).astype(np.int64),
+                pa.int64()),
+            "sum_tokens": pa.array(
+                np.bincount(fold, weights=tok_per_doc,
+                            minlength=n_folds).astype(np.int64),
+                pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fold")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_tokens").to_numpy(zero_copy_only=False)
+        nz = n > 0  # folds with no docs mirror SQL GROUP BY (absent)
+        mean_u = (s[nz] * 1_000_000) // n[nz]
+        return batch.filter(pa.array(nz)).append_column(
+            "mean_tokens_u", pa.array(mean_u, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -7115,3 +7115,74 @@ class TestNgramNovelty:
             {"doc_id": 2, "n_grams": 3, "n_novel": 0},
             {"doc_id": 3, "n_grams": 1, "n_novel": 1},
         ]
+
+
+class TestLeadingDigit:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_leading_digit(sf).to_pandas().sort_values(
+            ["event_type", "digit"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["leading_digit"]
+            + ") ORDER BY event_type, digit").df().reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        assert set(got["digit"]).issubset(set(range(1, 10)))
+
+    def test_power_of_ten_not_misclassified(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import leading_digit_dist
+
+        # 10.00 → cents 1000 → digit 1 (a float log10 path can yield
+        # 2.9999… → digit 9 here); 0 and negatives are excluded
+        t = pa.table({
+            "event_type": pa.array(["a", "a", "a"], pa.string()),
+            "value": pa.array([10.0, 0.0, 99.99], pa.float64()),
+        })
+        got = leading_digit_dist(rd.from_arrow(t)).to_pandas(
+        ).sort_values("digit").to_dict("records")
+        assert got == [
+            {"event_type": "a", "digit": 1, "n": 1},
+            {"event_type": "a", "digit": 9, "n": 1},
+        ]
+
+
+class TestFoldVariance:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_fold_variance(sf).to_pandas().sort_values(
+            "fold").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["fold_variance"]
+            + ") ORDER BY fold").df().reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        assert len(got) == 20  # every fold populated at sf0.001
+
+    def test_split_invariance(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import fold_token_stats
+
+        sf = "/root/testdata/sf0.001"
+        a = fold_token_stats(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ).to_pandas().sort_values("fold").reset_index(drop=True)
+        b = fold_token_stats(
+            rd.read_parquet(f"{sf}/documents.parquet").repartition(11)
+        ).to_pandas().sort_values("fold").reset_index(drop=True)
+        assert a.equals(b)
