@@ -3713,6 +3713,28 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_self_join_size(sf_dir: str):
+    """Pre-join skew probe: exact per-key self-join blowup (c²) for the
+    top-5 event users with ppm share of the total — computed from
+    count partials, never a joined row."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import self_join_size
+
+    return self_join_size(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id"])
+    )
+
+
+def _q_footer_stats(sf_dir: str):
+    """Metadata-only profile of the documents table: row count and
+    doc_id range from parquet footers alone (no data pages decoded)."""
+    from studiocr_ray.datapipe.profile import footer_stats
+
+    return footer_stats(f"{sf_dir}/documents.parquet")
+
+
 def _q_leading_digit(sf_dir: str):
     """Benford leading-digit distribution of event cents per type —
     string-rendered first digit (never log10), bincount partials."""
@@ -4048,6 +4070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "leading_digit": _q_leading_digit,
         "fold_variance": _q_fold_variance,
+        "self_join_size": _q_self_join_size,
+        "footer_stats": _q_footer_stats,
     }
 
 
@@ -7385,6 +7409,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(ntok) * 1000000) // count(*) AS BIGINT)
                      AS mean_tokens_u
             FROM t GROUP BY fold
+        """,
+        # round-5: exact self-join blowup per key, top-5 with ppm share
+        "self_join_size": """
+            WITH c AS (SELECT user_id,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY user_id),
+            p AS (SELECT user_id, n_events,
+                         CAST(n_events * n_events AS BIGINT) AS pairs
+                  FROM c)
+            SELECT user_id, n_events, pairs,
+                   CAST(pairs::HUGEINT * 1000000
+                        // (SELECT sum(pairs::HUGEINT) FROM p)
+                        AS BIGINT) AS share_ppm
+            FROM p ORDER BY pairs DESC, user_id LIMIT 5
+        """,
+        # round-5: footer-only stats — the oracle necessarily scans,
+        # the engine must produce identical numbers WITHOUT scanning
+        "footer_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM documents
         """,
     }
 

@@ -31,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ray.data.aggregate import Max, Min, Sum
+
 from ..functions.arrowutil import id_buckets
 
 
@@ -212,3 +214,75 @@ def profile_columns(ds, cols: list[str], num_buckets: int = 32):
         .repartition(1)
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+def footer_stats(path: str, id_col: str = "doc_id",
+                 concurrency: int = 8):
+    """Metadata-only table statistics: row count and ``id_col`` min/max
+    read from PARQUET FOOTERS alone → one row ``(n_rows, min_id,
+    max_id)`` — zero data pages are decoded.
+
+    This is the planning primitive behind partition pruning and
+    manifest-level query answering (Iceberg/Delta manifests carry the
+    same triple): at 100 TB the footers are megabytes while the data is
+    the lake, so "how many rows / what key range" must never scan.
+    Shape: the FILE LIST is the dataset (``from_items``), each task
+    opens only its files' footers (``pyarrow.parquet.ParquetFile``),
+    and one tiny aggregate folds the per-file triples.  Raises if a
+    footer lacks ``id_col`` statistics (never silently rescans)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"footer_stats: no parquet files under {path}")
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        rows, lo, hi = [], [], []
+        for f in batch.column("file").to_pylist():
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema != id_col:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"footer_stats: {f} row group {g} has no "
+                            f"min/max statistics for {id_col!r}")
+                    fmin = st.min if fmin is None else min(fmin, st.min)
+                    fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is None:
+                raise ValueError(
+                    f"footer_stats: column {id_col!r} not in {f}")
+            rows.append(md.num_rows)
+            lo.append(fmin)
+            hi.append(fmax)
+        return pa.table({
+            "n_rows": pa.array(rows, pa.int64()),
+            "min_id": pa.array(lo, pa.int64()),
+            "max_id": pa.array(hi, pa.int64()),
+        })
+
+    per = rd.from_items(
+        [{"file": f} for f in files]
+    ).map_batches(per_file, batch_format="pyarrow",
+                  concurrency=min(concurrency, len(files)))
+    agg = per.aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Min("min_id", alias_name="min_id"),
+                        Max("max_id", alias_name="max_id"))
+    return pa.table({
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        "min_id": pa.array([int(agg["min_id"])], pa.int64()),
+        "max_id": pa.array([int(agg["max_id"])], pa.int64()),
+    })

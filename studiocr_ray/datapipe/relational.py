@@ -5117,3 +5117,67 @@ def fold_token_stats(ds, n_folds: int = 20, text_col: str = "text",
             "mean_tokens_u", pa.array(mean_u, pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def self_join_size(ds, key_col: str = "user_id", k: int = 5):
+    """Join-size / skew estimator: the exact cardinality each key would
+    contribute to a self-equi-join on ``key_col`` (``c²`` for a key
+    with ``c`` rows) → the top ``k`` keys by blowup, each with its
+    parts-per-million share of the total →
+    ``(user_id, n_events, pairs, share_ppm)``.
+
+    This is the planner probe run BEFORE a join to decide salting /
+    broadcast splits (cf. ``join.skew_join``'s hot-key threshold): a
+    key with share_ppm ≫ 1e6/num_buckets will straggle any
+    hash-partitioned join.  Computed without materializing a single
+    joined row: per-batch key-count partials, one keyed sum, then a
+    c² map — the total is carried hi/lo split so Σc² cannot overflow
+    int64 (c² itself is bounded by design: a key beyond ~3·10⁹ rows
+    overflows int64 pairs and raises rather than wraps)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ks, return_inverse=True)
+        return pa.table({
+            key_col: pa.array(uniq, pa.int64()),
+            "n_events": pa.array(np.bincount(inv).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_events").to_numpy(zero_copy_only=False)
+        if (c > 3_037_000_499).any():  # isqrt(int64 max)
+            raise ValueError("self_join_size: a key exceeds int64 pairs")
+        p = c * c
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_events": batch.column("n_events"),
+            "pairs": pa.array(p, pa.int64()),
+            "hi": pa.array(p >> np.int64(32), pa.int64()),
+            "lo": pa.array(p & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    squared = counts.map_batches(square, batch_format="pyarrow")
+    sums = squared.sum(["hi", "lo"])
+    if sums is None:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "pairs": pa.array([], pa.int64()),
+                         "share_ppm": pa.array([], pa.int64())})
+    total = (int(sums["sum(hi)"]) << 32) + int(sums["sum(lo)"])
+    top = squared.drop_columns(["hi", "lo"]).sort(
+        ["pairs", key_col], descending=[True, False]).limit(k)
+
+    def share(batch: pa.Table) -> pa.Table:
+        p = batch.column("pairs").to_numpy(zero_copy_only=False)
+        ppm = np.array([int(x) * 1_000_000 // total for x in p],
+                       np.int64)
+        return batch.append_column("share_ppm", pa.array(ppm, pa.int64()))
+
+    return top.map_batches(share, batch_format="pyarrow")

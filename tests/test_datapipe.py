@@ -7186,3 +7186,77 @@ class TestFoldVariance:
             rd.read_parquet(f"{sf}/documents.parquet").repartition(11)
         ).to_pandas().sort_values("fold").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestSelfJoinSize:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_self_join_size(sf).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["self_join_size"]
+            + ") ORDER BY user_id").df().reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        assert len(got) == 5
+        # shares are ppm of the FULL total, so top-5 sum below 1e6
+        assert got["share_ppm"].sum() <= 1_000_000
+
+    def test_known_blowup(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import self_join_size
+
+        t = pa.table({"user_id": pa.array([1] * 3 + [2] * 1, pa.int64())})
+        got = self_join_size(rd.from_arrow(t).repartition(2),
+                             k=2).to_pandas().to_dict("records")
+        # totals: 9 + 1 = 10 → shares 900000 / 100000
+        assert got == [
+            {"user_id": 1, "n_events": 3, "pairs": 9,
+             "share_ppm": 900000},
+            {"user_id": 2, "n_events": 1, "pairs": 1,
+             "share_ppm": 100000},
+        ]
+
+
+class TestFooterStats:
+    def test_matches_duckdb_without_scanning(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_footer_stats(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(e.oracle_sql()["footer_stats"]).df()
+        assert got.equals(want[got.columns])
+
+    def test_directory_of_files_and_missing_stats(self, ray_session,
+                                                  tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from studiocr_ray.datapipe.profile import footer_stats
+
+        d = tmp_path / "parts"
+        d.mkdir()
+        pq.write_table(pa.table({"doc_id": pa.array([5, 7], pa.int64())}),
+                       d / "a.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array([1, 9], pa.int64())}),
+                       d / "b.parquet")
+        got = footer_stats(str(d)).to_pandas().to_dict("records")
+        assert got == [{"n_rows": 4, "min_id": 1, "max_id": 9}]
+        pq.write_table(pa.table({"other": pa.array([1], pa.int64())}),
+                       d / "c.parquet")
+        with pytest.raises(Exception, match="not in"):
+            footer_stats(str(d)).to_pandas()
