@@ -3713,6 +3713,32 @@ def _q_last_touch(sf_dir: str):
     )
 
 
+def _q_bfs_depths(sf_dir: str):
+    """Crawl-radius BFS from node 0 over the deterministic synthetic
+    webgraph (pagerank's edge synthesis): iterative frontier semi-join
+    / visited anti-join rounds, per-depth counts only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import bfs_depths
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d * 3 + 1) % n, (d * 7 + 2) % n, (d + 1) % n], axis=1
+        ).ravel()
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    return bfs_depths(docs.map_batches(edges, batch_format="pyarrow"),
+                      seed=0, max_depth=8)
+
+
 def _q_self_join_size(sf_dir: str):
     """Pre-join skew probe: exact per-key self-join blowup (c²) for the
     top-5 event users with ppm share of the total — computed from
@@ -4072,6 +4098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fold_variance": _q_fold_variance,
         "self_join_size": _q_self_join_size,
         "footer_stats": _q_footer_stats,
+        "bfs_depths": _q_bfs_depths,
     }
 
 
@@ -7431,6 +7458,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS min_id,
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM documents
+        """,
+        # round-5: BFS min-depth profile from node 0 over the synthetic
+        # webgraph (same e CTE as pagerank); bounded path recursion
+        "bfs_depths": """
+            WITH RECURSIVE
+            nodes AS (SELECT doc_id AS v FROM documents),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            e0 AS (
+              SELECT v AS src, (v*3+1) % (SELECT n FROM nn) AS dst
+                FROM nodes
+              UNION SELECT v, (v*7+2) % (SELECT n FROM nn) FROM nodes
+              UNION SELECT v, (v+1) % (SELECT n FROM nn) FROM nodes),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            walk AS (
+              SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT)
+                       AS depth
+              UNION ALL
+              SELECT e.dst, walk.depth + 1
+              FROM walk JOIN e ON e.src = walk.node
+              WHERE walk.depth < 8),
+            md AS (SELECT node, min(depth) AS depth FROM walk
+                   GROUP BY node)
+            SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM md GROUP BY depth
         """,
     }
 

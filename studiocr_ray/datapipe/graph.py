@@ -1002,3 +1002,63 @@ def reciprocity(edges_ds, num_buckets: int = 64):
         "reciprocity": pa.array(
             [float(nr) / float(ne) if ne else 0.0], pa.float64()),
     })
+
+
+def bfs_depths(edges_ds, seed: int = 0, max_depth: int = 8):
+    """Breadth-first search from ``seed`` over a DIRECTED edge set →
+    ``(depth, n_nodes)``: how many nodes sit at each minimum distance
+    ``0 … max_depth`` — the reachability / crawl-radius profile of a
+    webgraph (the same frontier-expansion loop a distributed crawler
+    scheduler runs).
+
+    ``edges_ds``: (src, dst) int64 rows; duplicates and self-loops are
+    harmless (they never shorten a path).
+
+    Scale shape: broadcast-frontier BFS.  Edges are materialized ONCE
+    (object-store resident, spillable) and scanned once per round; the
+    frontier ships to every scan task as a single ``ray.put`` sorted
+    int64 array (one copy per node, zero-copy reads — never re-shipped
+    per batch) and each batch reduces to its DISTINCT newly-reached
+    ``dst`` before anything leaves the task, so the per-round exchange
+    is bounded by |new frontier|, not |E|.  Per-round dedup across
+    batches and the visited anti-set are sorted-array set ops on node
+    IDs only — 8 bytes/node, fine to |V| ≈ 10^9–10^10; beyond that
+    switch to the bucketed semi/anti-join formulation over a
+    `join.bucket_write` edge layout (same rounds, no broadcast).  Edges
+    never move; only node-ID sets do.
+    """
+    import ray
+
+    edges = edges_ds.materialize()
+    frontier = np.array([int(seed)], np.int64)
+    visited = frontier
+    out_depth, out_n = [0], [1]
+    for depth in range(1, max_depth + 1):
+        ref = ray.put(frontier)  # sorted; read zero-copy in each task
+
+        def expand(batch: pa.Table, ref=ref) -> pa.Table:
+            f = ray.get(ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            # membership via searchsorted against the sorted frontier
+            pos = np.searchsorted(f, src)
+            pos[pos == len(f)] = 0
+            hit = f[pos] == src
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)[hit]
+            return pa.table({"node": pa.array(np.unique(dst), pa.int64())})
+
+        # unique() of an all-empty round yields None (or [None])
+        uniq = edges.map_batches(
+            expand, batch_format="pyarrow").unique("node")
+        reached = np.array(
+            [v for v in (uniq or []) if v is not None], np.int64)
+        nxt = np.setdiff1d(reached, visited, assume_unique=False)
+        if nxt.size == 0:
+            break
+        out_depth.append(depth)
+        out_n.append(int(nxt.size))
+        visited = np.union1d(visited, nxt)
+        frontier = np.sort(nxt)
+    return pa.table({
+        "depth": pa.array(out_depth, pa.int64()),
+        "n_nodes": pa.array(out_n, pa.int64()),
+    })

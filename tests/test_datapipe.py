@@ -7260,3 +7260,43 @@ class TestFooterStats:
                        d / "c.parquet")
         with pytest.raises(Exception, match="not in"):
             footer_stats(str(d)).to_pandas()
+
+
+class TestBfsDepths:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_bfs_depths(sf).to_pandas().sort_values(
+            "depth").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(
+            "SELECT * FROM (" + e.oracle_sql()["bfs_depths"]
+            + ") ORDER BY depth").df().reset_index(drop=True)
+        assert got.equals(want[got.columns])
+        assert got["depth"].iloc[0] == 0 and got["n_nodes"].iloc[0] == 1
+        assert len(got) > 3  # several expansion rounds actually ran
+
+    def test_chain_graph_and_early_exhaustion(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import bfs_depths
+
+        # 0→1→2→3 chain plus an unreachable island 7→8
+        t = pa.table({
+            "src": pa.array([0, 1, 2, 7], pa.int64()),
+            "dst": pa.array([1, 2, 3, 8], pa.int64()),
+        })
+        got = bfs_depths(rd.from_arrow(t).repartition(2), seed=0,
+                         max_depth=8).to_pandas().to_dict("records")
+        assert got == [
+            {"depth": 0, "n_nodes": 1},
+            {"depth": 1, "n_nodes": 1},
+            {"depth": 2, "n_nodes": 1},
+            {"depth": 3, "n_nodes": 1},
+        ]
