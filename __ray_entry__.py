@@ -3715,8 +3715,8 @@ def _q_last_touch(sf_dir: str):
 
 def _q_bfs_depths(sf_dir: str):
     """Crawl-radius BFS from node 0 over the deterministic synthetic
-    webgraph (pagerank's edge synthesis): iterative frontier semi-join
-    / visited anti-join rounds, per-depth counts only."""
+    webgraph (pagerank's edge synthesis): broadcast-frontier rounds —
+    one vectorized edge scan per depth, per-depth counts only."""
     import numpy as np
     import pyarrow as pa
 
@@ -3737,6 +3737,114 @@ def _q_bfs_depths(sf_dir: str):
 
     return bfs_depths(docs.map_batches(edges, batch_format="pyarrow"),
                       seed=0, max_depth=8)
+
+
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 skeleton: segment-bitmap broadcast for orders⋈customer,
+    pre-aggregated revenue partials + orderkey-hash co-partition for
+    lineitem⋈orders, top-10 by exact integer revenue units."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q3_shipping
+
+    return q3_shipping(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        sf_dir,
+    )
+
+
+def _q_above_nation_avg(sf_dir: str):
+    """Correlated-subquery decorrelation: customers above their
+    nation's average balance via two streaming passes and an exact
+    integer cross-multiplication (cents·n > Σcents)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import above_nation_avg
+
+    return above_nation_avg(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey", "c_acctbal"])
+    )
+
+
+def _q_order_gaps(sf_dir: str):
+    """Inter-order gap histogram (whole days between a customer's
+    consecutive orders): one custkey-hash exchange, per-bucket sort +
+    shifted mask, bincount partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import order_gaps
+
+    return order_gaps(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_orderkey"])
+    )
+
+
+def _q_max_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency of [ts, ts+300s) event intervals:
+    boundary rows, ONE global sort, per-block (Σδ, max-prefix)
+    partials, driver folds partials only."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import max_concurrency
+
+    return max_concurrency(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def _q_kmv_users(sf_dir: str):
+    """K-Minimum-Values distinct-user sketch (k=256): per-batch k
+    smallest splitmix64 hashes, mergeable partials, bit-exact
+    (k−1)·2⁶⁴/h_k estimate."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sketch import kmv_distinct
+
+    return kmv_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        value_col="user_id", k=256,
+    )
+
+
+def _q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit: dangling-FK counts — broadcast
+    searchsorted membership for dimension edges, distinct-key anti
+    hash-join for the fact-fact lineitem→orders edge."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import fk_orphans
+
+    return fk_orphans(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey", "l_suppkey"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey"]),
+        sf_dir,
+    )
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary checkpoints: distinct tokens among doc_id <
+    N/{8,4,2,1} from ONE (token, min doc_id) shuffle — all checkpoints
+    priced from the same merged first-occurrence table."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import vocab_growth
+
+    return vocab_growth(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    )
 
 
 def _q_self_join_size(sf_dir: str):
@@ -4099,6 +4207,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_join_size": _q_self_join_size,
         "footer_stats": _q_footer_stats,
         "bfs_depths": _q_bfs_depths,
+        "q3_shipping": _q_q3_shipping,
+        "above_nation_avg": _q_above_nation_avg,
+        "order_gaps": _q_order_gaps,
+        "max_concurrency": _q_max_concurrency,
+        "kmv_users": _q_kmv_users,
+        "fk_orphans": _q_fk_orphans,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -7483,6 +7598,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes
             FROM md GROUP BY depth
         """,
+        # round-5: TPC-H Q3 skeleton (no o_shippriority column in this
+        # corpus); ORDER BY the exact integer revenue units like the
+        # engine's sort key
+        "q3_shipping": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                              AS BIGINT)
+                         * (10000 - CAST(floor(l_discount * 10000.0
+                                               + 0.5) AS BIGINT)))
+                       AS rev_u
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1996-06-15'
+              GROUP BY l_orderkey),
+            q AS (
+              SELECT o_orderkey, o_orderdate
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1996-06-15')
+            SELECT q.o_orderkey,
+                   CAST(rev.rev_u AS DOUBLE) / 1000000.0 AS revenue,
+                   q.o_orderdate
+            FROM rev JOIN q ON rev.l_orderkey = q.o_orderkey
+            ORDER BY rev.rev_u DESC, q.o_orderkey
+            LIMIT 10
+        """,
+        # round-5: correlated subquery decorrelated; exact integer
+        # cross-multiplication cents·n > Σcents, one double division
+        "above_nation_avg": """
+            WITH c AS (SELECT c_nationkey,
+                              CAST(floor(c_acctbal * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM customer),
+            a AS (SELECT c_nationkey, sum(cents) AS s,
+                         count(*) AS n
+                  FROM c GROUP BY 1)
+            SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(a.n AS BIGINT) AS n_customers,
+                   CAST(sum(CASE WHEN c.cents * a.n > a.s
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_above,
+                   CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                     AS avg_cents
+            FROM c JOIN a USING (c_nationkey)
+            GROUP BY a.c_nationkey, a.n, a.s
+        """,
+        # round-5: lead/lag inter-order gaps in whole days (exact µs
+        # integer floor division on both sides)
+        "order_gaps": """
+            WITH w AS (
+              SELECT epoch_us(o_orderdate) AS us,
+                     lag(epoch_us(o_orderdate)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders)
+            SELECT (us - prev) // 86400000000 AS gap_days,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE prev IS NOT NULL
+            GROUP BY 1
+        """,
+        # round-5: sweep-line peak concurrency; ROWS frame so the max
+        # over prefix sums is permutation-invariant within (t,delta)
+        # peer groups (all peers carry the same delta)
+        "max_concurrency": """
+            WITH b AS (
+              SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+              UNION ALL
+              SELECT epoch_us(ts) + 300000000, -1 FROM events),
+            r AS (SELECT sum(delta) OVER (
+                    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c
+                  FROM b)
+            SELECT CAST(coalesce(max(c), 0) AS BIGINT)
+                     AS max_concurrent
+            FROM r
+        """,
+        "kmv_users": _kmv_oracle(256),
+        # round-5: referential-integrity audit (dangling FK counts)
+        "fk_orphans": """
+            SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_orphans AS BIGINT) AS n_orphans
+            FROM (
+              SELECT 'customer.c_nationkey->nation' AS relation,
+                     (SELECT count(*) FROM customer) AS n_rows,
+                     (SELECT count(*) FROM customer c
+                      LEFT JOIN nation n
+                        ON c.c_nationkey = n.n_nationkey
+                      WHERE n.n_nationkey IS NULL) AS n_orphans
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                      WHERE p.p_partkey IS NULL)
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      WHERE s.s_suppkey IS NULL)
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_orderkey IS NULL)
+            )
+        """,
+        # round-5: Heaps-law vocabulary checkpoints; LEFT JOIN keeps
+        # zero-count thresholds like the engine's bincount partials
+        "vocab_growth": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS token
+              FROM documents),
+            m AS (SELECT token, min(doc_id) AS fd FROM t
+                  GROUP BY token),
+            nn AS (SELECT count(*) AS n FROM documents),
+            th AS (SELECT DISTINCT (SELECT n FROM nn) // d AS threshold
+                   FROM (VALUES (8), (4), (2), (1)) v(d))
+            SELECT th.threshold,
+                   CAST(count(m.token) AS BIGINT) AS n_tokens
+            FROM th LEFT JOIN m ON m.fd < th.threshold
+            GROUP BY th.threshold
+        """,
     }
 
 
@@ -7521,6 +7762,45 @@ def _cluster_split_oracle(val_frac: float) -> str:
                          < {thr}::HUGEINT
                     THEN 'val' ELSE 'train' END AS split
         FROM s3
+    """
+
+
+def _kmv_oracle(k: int = 256) -> str:
+    """splitmix64-in-SQL over events.user_id (hi/lo HUGEINT mulmods, the
+    stratified-sample oracle arithmetic), k smallest DISTINCT hashes,
+    and the SAME one-multiply-one-divide double estimate the engine
+    computes — bit-exact including the exhaustive (<k) fallback."""
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    return f"""
+        WITH s1 AS (SELECT (user_id::HUGEINT
+                            + 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT AS z
+                    FROM events),
+        s2 AS (SELECT {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                          13787848793156543929)} AS z FROM s1),
+        s3 AS (SELECT {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                          10723151780598845931)} AS z FROM s2),
+        h AS (SELECT DISTINCT xor(z::UBIGINT, z::UBIGINT >> 31) AS hv
+              FROM s3),
+        o AS (SELECT hv FROM h ORDER BY hv LIMIT {k}),
+        kth AS (SELECT max(hv) AS h_k, count(*) AS m FROM o)
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(CASE WHEN m >= {k} THEN h_k ELSE 0 END
+                    AS UBIGINT) AS kth_hash,
+               CASE WHEN m >= {k}
+                    THEN CAST({k - 1} AS DOUBLE)
+                         * 18446744073709551616.0
+                         / CAST(h_k AS DOUBLE)
+                    ELSE CAST(m AS DOUBLE) END AS est_distinct
+        FROM kth
     """
 
 

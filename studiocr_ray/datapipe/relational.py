@@ -5181,3 +5181,419 @@ def self_join_size(ds, key_col: str = "user_id", k: int = 5):
         return batch.append_column("share_ppm", pa.array(ppm, pa.int64()))
 
     return top.map_batches(share, batch_format="pyarrow")
+
+
+def q3_shipping(lineitem_ds, orders_ds, sf_dir: str,
+                segment: str = "BUILDING", date: str = "1996-06-15",
+                k: int = 10):
+    """TPC-H Q3 (shipping-priority skeleton): top-``k`` unshipped orders
+    of one market segment by outstanding revenue →
+    ``(o_orderkey, revenue, o_orderdate)``.  (This corpus's orders table
+    carries no o_shippriority column, so the output is the Q3 row minus
+    that constant-per-order passthrough.)
+
+    Scale shape, per join: customer is the dimension-bitmap broadcast
+    (one BYTE of segment-membership per custkey, the orders_per_nation
+    pattern) so orders ⋈ customer never shuffles; lineitem ⋈ orders is
+    the genuine fact-fact join — lineitem pre-aggregates revenue per
+    orderkey per batch (np.unique + bincount partials), ONE small keyed
+    sum merges them, and `join.hash_join` co-partitions the two
+    orderkey-keyed sides.  The top-k sort runs over the joined
+    (already HAVING-thin) qualifying set only.
+
+    Exactness: revenue units = Σ cents·(10000 − bp) are exact int64
+    (per-batch bincount sums stay < 2^53 — ≤ 7 items/order · 1e11/item);
+    the single double division by 1e6 happens after the global sum, so
+    the sort key is bit-identical to the SQL oracle's."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    seg = pc.equal(cust.column("c_mktsegment"), segment).to_numpy(
+        zero_copy_only=False)
+    in_seg = np.zeros(int(ck.max()) + 1, bool)
+    in_seg[ck[seg]] = True
+    seg_ref = ray.put(in_seg)
+    cut_us = int(np.datetime64(date).astype("datetime64[us]").astype(np.int64))
+
+    class OrderFilter:
+        def __init__(self):
+            self.in_seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cks = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (od < cut_us) & self.in_seg[cks]
+            return batch.select(["o_orderkey", "o_orderdate"]).filter(
+                pa.array(m))
+
+    qual_orders = orders_ds.map_batches(OrderFilter, batch_format="pyarrow",
+                                        concurrency=(1, 8))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = ship > cut_us
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+            * 100.0 + 0.5).astype(np.int64)
+        bp = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[m]
+            * 10000.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        rev = np.bincount(inv, weights=(cents * (10000 - bp)).astype(
+            np.float64)).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(uniq, pa.int64()),
+                         "rev_u": pa.array(rev, pa.int64())})
+
+    rev = (
+        lineitem_ds.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
+    )
+    joined = hash_join(rev, qual_orders, on="l_orderkey",
+                       right_on="o_orderkey", right_cols=["o_orderdate"])
+    top = joined.sort(["rev_u", "l_orderkey"],
+                      descending=[True, False]).limit(k)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rev_u = batch.column("rev_u").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "revenue": pa.array(rev_u.astype(np.float64) / 1e6,
+                                pa.float64()),
+            "o_orderdate": batch.column("o_orderdate"),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def above_nation_avg(customer_ds):
+    """Customers above their own nation's average account balance →
+    per-nation ``(c_nationkey, n_customers, n_above, avg_cents)`` — the
+    canonical correlated-subquery shape (`x > avg(x) over its group`)
+    decorrelated into two streaming passes.
+
+    Pass 1 folds each batch to ≤25 ``(nation, Σcents, n)`` partial rows
+    (bincount) and ONE tiny keyed sum produces the per-nation moments,
+    which broadcast as two dense arrays via ``ray.put``; pass 2
+    re-scans customer and tests ``cents·n > Σcents`` — EXACT integer
+    cross-multiplication, no float average ever compared (safe while
+    ``max|cents| · n < 2^63``, i.e. nations below ~9e9 customers at
+    1e6-cent balances).  ``avg_cents`` is the one double division,
+    performed identically on the oracle side."""
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        w = int(nk.max()) + 1 if nk.size else 1
+        s = np.bincount(nk, weights=cents.astype(np.float64),
+                        minlength=w).astype(np.int64)
+        n = np.bincount(nk, minlength=w)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "nk": pa.array(nz, pa.int64()),
+            "s": pa.array(s[nz], pa.int64()),
+            "n": pa.array(n[nz].astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        customer_ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("nk").aggregate(Sum("s", alias_name="s"),
+                                 Sum("n", alias_name="n"))
+    ).take_all()
+    if not agg:
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "n_customers": pa.array([], pa.int64()),
+                         "n_above": pa.array([], pa.int64()),
+                         "avg_cents": pa.array([], pa.float64())})
+    w = max(int(r["nk"]) for r in agg) + 1
+    sums = np.zeros(w, np.int64)
+    ns = np.zeros(w, np.int64)
+    for r in agg:
+        sums[int(r["nk"])], ns[int(r["nk"])] = int(r["s"]), int(r["n"])
+    ref = ray.put((sums, ns))
+
+    class Above:
+        def __init__(self):
+            self.sums, self.ns = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5).astype(np.int64)
+            above = cents * self.ns[nk] > self.sums[nk]
+            cnt = np.bincount(nk[above], minlength=len(self.ns))
+            nz = np.flatnonzero(cnt)
+            return pa.table({"nk": pa.array(nz, pa.int64()),
+                             "a": pa.array(cnt[nz].astype(np.int64),
+                                           pa.int64())})
+
+    above = (
+        customer_ds.map_batches(Above, batch_format="pyarrow",
+                                concurrency=(1, 8))
+        .groupby("nk").aggregate(Sum("a", alias_name="a"))
+    ).take_all()
+    a_of = {int(r["nk"]): int(r["a"]) for r in above}
+    nz = np.flatnonzero(ns)
+    return pa.table({
+        "c_nationkey": pa.array(nz, pa.int64()),
+        "n_customers": pa.array(ns[nz], pa.int64()),
+        "n_above": pa.array([a_of.get(int(k), 0) for k in nz], pa.int64()),
+        "avg_cents": pa.array(sums[nz].astype(np.float64)
+                              / ns[nz].astype(np.float64), pa.float64()),
+    })
+
+
+def order_gaps(orders_ds, num_buckets: int = 64):
+    """Inter-order gap distribution: whole days between each customer's
+    consecutive orders → ``(gap_days, n)`` — the lead/lag
+    repeat-behavior histogram (reorder cadence, churn-model feature).
+
+    Shape: ONE custkey-hash exchange of ``(custkey, orderdate,
+    orderkey)`` narrow rows; per bucket one sort + a shifted same-key
+    mask + integer-floor day division + one bincount partial; one tiny
+    keyed sum merges bucket histograms.  Gap = ``(us₂ − us₁) //
+    86 400 000 000`` — exact integer floor on both engine and oracle
+    sides (timestamps are µs int64s)."""
+    from ..functions.arrowutil import id_buckets
+
+    US_PER_DAY = 86_400_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_custkey", "o_orderdate", "o_orderkey"])
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("o_custkey"),
+                                          num_buckets), pa.int32()))
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("o_custkey", "ascending"),
+                           ("o_orderdate", "ascending"),
+                           ("o_orderkey", "ascending")])
+        if t.num_rows < 2:
+            return pa.table({"gap_days": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        same = ck[1:] == ck[:-1]
+        gaps = (us[1:] - us[:-1])[same] // US_PER_DAY
+        uniq, cnt = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_days": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (
+        orders_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(partial, batch_format="pyarrow")
+        .groupby("gap_days").aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def max_concurrency(events_ds, span_sec: int = 300):
+    """Peak concurrency: the maximum number of simultaneously-open
+    ``[ts, ts+span)`` intervals over the whole event stream → one row
+    ``(max_concurrent,)`` — the classic sweep-line / distributed
+    prefix-scan (capacity planning over sessions, connections, jobs).
+
+    Shape: each event emits two boundary rows ``(t, ±1)`` (half-open
+    intervals: at equal ``t`` the ``−1`` sorts first, so a closing
+    interval frees its slot before a new one opens); ONE global
+    ``Dataset.sort`` range-partitions the boundaries; each sorted block
+    folds to TWO ints — (block Σδ, block max-prefix) plus its first key
+    for ordering — and the driver's final scan is over per-block
+    partials only (running offset + block max), never rows.  Identical
+    to the oracle's ``max(sum(delta) OVER (ORDER BY t, delta ROWS
+    UNBOUNDED PRECEDING))``: within an equal-(t,δ) peer group the
+    prefix is monotonic, so the max is permutation-invariant."""
+    import ray
+
+    span_us = int(span_sec) * 1_000_000
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = np.concatenate([us, us + span_us])
+        d = np.concatenate([np.ones(len(us), np.int64),
+                            np.full(len(us), -1, np.int64)])
+        return pa.table({"t": pa.array(t, pa.int64()),
+                         "delta": pa.array(d, pa.int64())})
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("delta").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({"first_t": pa.array([], pa.int64()),
+                             "first_d": pa.array([], pa.int64()),
+                             "bsum": pa.array([], pa.int64()),
+                             "bmax": pa.array([], pa.int64())})
+        cs = np.cumsum(d)
+        return pa.table({
+            "first_t": pa.array([int(batch.column("t")[0].as_py())],
+                                pa.int64()),
+            "first_d": pa.array([int(d[0])], pa.int64()),
+            "bsum": pa.array([int(cs[-1])], pa.int64()),
+            "bmax": pa.array([int(cs.max())], pa.int64()),
+        })
+
+    parts = (
+        events_ds.map_batches(boundaries, batch_format="pyarrow")
+        .sort(["t", "delta"])
+        .map_batches(block_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    parts.sort(key=lambda r: (r["first_t"], r["first_d"]))
+    offset, best = 0, 0
+    for r in parts:
+        best = max(best, offset + int(r["bmax"]))
+        offset += int(r["bsum"])
+    return pa.table({"max_concurrent": pa.array([best], pa.int64())})
+
+
+def fk_orphans(lineitem_ds, orders_ds, customer_ds, sf_dir: str):
+    """Referential-integrity audit: dangling foreign-key counts across
+    the star schema → ``(relation, n_rows, n_orphans)`` — the
+    pre-ingest validation sweep every warehouse load runs.
+
+    Two shapes on purpose: true DIMENSION sides (customer→nation,
+    lineitem→part/supplier) broadcast a sorted key array once via
+    ``ray.put`` and each fact batch tests membership with searchsorted
+    (no shuffle — fine to ~1e8-key dimensions); the FACT-FACT edge
+    (lineitem→orders) cannot broadcast at scale, so it counts via
+    `join.hash_join(how='anti')` on the pre-deduplicated per-batch key
+    partials (the exchange carries distinct-per-batch keys + counts,
+    not raw lineitems)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    dims = {}
+    for tbl, col in (("nation", "n_nationkey"), ("part", "p_partkey"),
+                     ("supplier", "s_suppkey")):
+        keys = pq.read_table(f"{sf_dir}/{tbl}.parquet", columns=[col]) \
+            .column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dims[tbl] = ray.put(np.sort(keys))
+
+    def member_miss(ds, fk_col, dim_ref):
+        class M:
+            def __init__(self):
+                self.keys = ray.get(dim_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                v = batch.column(fk_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(self.keys, v)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                miss = self.keys[pos_c] != v
+                return pa.table({
+                    "n_rows": pa.array([len(v)], pa.int64()),
+                    "n_orphans": pa.array([int(miss.sum())], pa.int64()),
+                })
+
+        s = ds.map_batches(M, batch_format="pyarrow",
+                           concurrency=(1, 4)).sum(["n_rows", "n_orphans"])
+        if s is None:
+            return 0, 0
+        return int(s["sum(n_rows)"]), int(s["sum(n_orphans)"])
+
+    def key_partial(col):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            uniq, cnt = np.unique(v, return_counts=True)
+            return pa.table({"fk": pa.array(uniq, pa.int64()),
+                             "n": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+        return f
+
+    li_keys = (
+        lineitem_ds.map_batches(key_partial("l_orderkey"),
+                                batch_format="pyarrow")
+        .groupby("fk").aggregate(Sum("n", alias_name="n"))
+    )
+    ord_keys = orders_ds.map_batches(
+        lambda b: pa.table({"pk": b.column("o_orderkey")}),
+        batch_format="pyarrow")
+    dangling = hash_join(li_keys, ord_keys, on="fk", right_on="pk",
+                         how="anti")
+    miss_sum = dangling.sum("n")
+    li_ord_orphans = int(miss_sum) if miss_sum is not None else 0
+
+    rows = []
+    n, o = member_miss(customer_ds, "c_nationkey", dims["nation"])
+    rows.append(("customer.c_nationkey->nation", n, o))
+    n_li, o = member_miss(lineitem_ds, "l_partkey", dims["part"])
+    rows.append(("lineitem.l_partkey->part", n_li, o))
+    _, o = member_miss(lineitem_ds, "l_suppkey", dims["supplier"])
+    rows.append(("lineitem.l_suppkey->supplier", n_li, o))
+    rows.append(("lineitem.l_orderkey->orders", n_li, li_ord_orphans))
+    return pa.table({
+        "relation": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def vocab_growth(docs_ds, divisors: tuple = (8, 4, 2, 1),
+                 text_col: str = "text"):
+    """Vocabulary-growth (Heaps-law) checkpoints: the number of DISTINCT
+    lowercased whitespace tokens among documents ``doc_id < N/d`` for
+    each divisor ``d`` → ``(threshold, n_tokens)`` — the curve that
+    tells a corpus builder whether more data still buys vocabulary.
+
+    ONE pass, ONE shuffle regardless of checkpoint count: each batch
+    folds to ``(token, min doc_id)`` partials (np.minimum.at over
+    dictionary codes), a keyed Min merges them, and each merged block
+    bincounts its tokens' first-occurrence ids against ALL thresholds
+    at once — the K checkpoints cost K integers per block, not K
+    distinct-count jobs."""
+    from ray.data.aggregate import Min
+
+    n_docs = docs_ds.count()
+    thresholds = sorted({n_docs // d for d in divisors})
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
+        d = _dict_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.full(len(d.dictionary), np.iinfo(np.int64).max,
+                        np.int64)
+        np.minimum.at(first, codes, ids[doc_idx])
+        return pa.table({"token": d.dictionary.cast(pa.string()),
+                         "first_doc": pa.array(first, pa.int64())})
+
+    merged = (
+        docs_ds.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("token").aggregate(Min("first_doc",
+                                        alias_name="first_doc"))
+    )
+
+    thr = np.array(thresholds, np.int64)
+
+    def count_below(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False)
+        cnt = (fd[None, :] < thr[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"threshold": pa.array(thr, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    return (
+        merged.map_batches(count_below, batch_format="pyarrow")
+        .groupby("threshold").aggregate(Sum("n", alias_name="n_tokens"))
+    )

@@ -669,3 +669,44 @@ def heavy_hitters(ds, k: int = 50, text_col: str = "text"):
                        pa.scalar(total, pa.int64())))
 
     return agg.map_batches(keep_hot, batch_format="pyarrow")
+
+
+def kmv_distinct(ds, value_col: str = "user_id", k: int = 256):
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002)
+    over an int64 key column → one row ``(k, kth_hash, est_distinct)``.
+
+    Each batch folds to its ≤``k`` smallest DISTINCT ``splitmix64``
+    hashes (uint64), so the exchange carries at most ``k`` rows per
+    block no matter how many raw values flow through — the
+    mergeable-summary shape (a KMV from N partitions merges by
+    concat+sort+take-k, exactly what the driver fold does here over
+    per-block partials).  Estimate = ``(k−1) · 2⁶⁴ / h_k`` with ONE
+    double multiply and ONE divide in the same order as the SQL
+    oracle, so the float is bit-exact; when the stream has fewer than
+    ``k`` distinct hashes the sketch is exhaustive and the EXACT count
+    is returned with ``kth_hash = 0``.
+
+    splitmix64 is a bijection on uint64, so distinct hashes = distinct
+    keys exactly (no in-sketch collisions — the estimate's only error
+    is the order-statistic variance ≈ 1/√k)."""
+    from .sample import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hv = np.unique(splitmix64(v.astype(np.uint64)))
+        return pa.table({"hv": pa.array(hv[:k], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hv = np.unique(np.array([r["hv"] for r in parts], np.uint64))
+    if hv.size >= k:
+        kth = int(hv[k - 1])
+        est = (k - 1) * 18446744073709551616.0 / float(np.float64(kth))
+        n_est = est
+    else:
+        kth, n_est = 0, float(hv.size)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "kth_hash": pa.array([kth], pa.uint64()),
+        "est_distinct": pa.array([n_est], pa.float64()),
+    })
