@@ -3847,6 +3847,63 @@ def _q_vocab_growth(sf_dir: str):
     )
 
 
+def _q_skyline_orders(sf_dir: str):
+    """Pareto frontier of orders (max price, earliest date): per-block
+    local skylines merged + refined driver-side — no shuffle, the
+    exchange carries frontier candidates only."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import skyline_orders
+
+    return skyline_orders(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderdate"])
+    )
+
+
+def _q_rank_auc(sf_dir: str):
+    """Exact ROC-AUC (midrank Mann-Whitney U) of the token-count score
+    separating lang='en' docs: bounded score histogram partials, exact
+    integer U, one float division."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import rank_auc
+
+    return rank_auc(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"])
+    )
+
+
+def _q_ks_values(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D between purchase and click value
+    distributions: bounded cents histograms, exact cross-multiplied
+    integer CDF gap, one division."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import ks_values
+
+    return ks_values(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"])
+    )
+
+
+def _q_gini_customers(sf_dir: str):
+    """Gini coefficient of per-customer total spend: one groupby to
+    per-customer cents, one distributed sort, per-block hi/lo
+    rank-weighted-sum partials, exact big-int driver fold."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import gini_customers
+
+    return gini_customers(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    )
+
+
 def _q_self_join_size(sf_dir: str):
     """Pre-join skew probe: exact per-key self-join blowup (c²) for the
     top-5 event users with ppm share of the total — computed from
@@ -4214,6 +4271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users": _q_kmv_users,
         "fk_orphans": _q_fk_orphans,
         "vocab_growth": _q_vocab_growth,
+        "skyline_orders": _q_skyline_orders,
+        "rank_auc": _q_rank_auc,
+        "ks_values": _q_ks_values,
+        "gini_customers": _q_gini_customers,
     }
 
 
@@ -7723,6 +7784,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(m.token) AS BIGINT) AS n_tokens
             FROM th LEFT JOIN m ON m.fd < th.threshold
             GROUP BY th.threshold
+        """,
+        # round-5: 2-D skyline via the grouped-min window trick (no n²
+        # NOT EXISTS): survive iff date == group min AND every strictly
+        # higher price's min date is later
+        "skyline_orders": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     o_orderdate
+              FROM orders),
+            g AS (SELECT price_cents, min(o_orderdate) AS gmin
+                  FROM o GROUP BY 1),
+            gg AS (SELECT price_cents, gmin,
+                          min(gmin) OVER (
+                            ORDER BY price_cents DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_min
+                   FROM g)
+            SELECT o.o_orderkey, o.price_cents, o.o_orderdate
+            FROM o JOIN gg USING (price_cents)
+            WHERE o.o_orderdate = gg.gmin
+              AND (gg.prev_min IS NULL OR o.o_orderdate < gg.prev_min)
+        """,
+        # round-5: exact midrank AUC from the score histogram —
+        # u2 = Σ(2·cneg·pos + neg·pos), auc = u2 / (2·n_pos·n_neg)
+        "rank_auc": """
+            WITH s AS (
+              SELECT len(regexp_extract_all(text, '\\S+')) AS sc,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents),
+            h AS (SELECT sc, sum(pos) AS p, count(*) - sum(pos) AS ng
+                  FROM s GROUP BY sc),
+            w AS (SELECT p, ng,
+                         coalesce(sum(ng) OVER (
+                           ORDER BY sc
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cneg
+                  FROM h)
+            SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(ng) AS BIGINT) AS n_neg,
+                   CAST(sum(2 * cneg * p + ng * p) AS BIGINT) AS u2,
+                   CAST(sum(2 * cneg * p + ng * p) AS DOUBLE)
+                     / CAST(2 * sum(p) * sum(ng) AS DOUBLE) AS auc
+            FROM w
+        """,
+        # round-5: two-sample KS via exact cross-multiplied integer
+        # CDFs over the merged cents grid (HUGEINT-safe in SQL, Python
+        # big-ints in the engine)
+        "ks_values": """
+            WITH v AS (
+              SELECT CAST(floor(value * 100.0) AS BIGINT) AS c,
+                     event_type AS t
+              FROM events
+              WHERE event_type IN ('purchase', 'click')),
+            h AS (SELECT c,
+                         sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                           AS a,
+                         sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                           AS b
+                  FROM v GROUP BY c),
+            n AS (SELECT sum(a) AS na, sum(b) AS nb FROM h),
+            w AS (SELECT sum(a) OVER (ORDER BY c) AS ca,
+                         sum(b) OVER (ORDER BY c) AS cb
+                  FROM h)
+            SELECT CAST(n.na AS BIGINT) AS n_a,
+                   CAST(n.nb AS BIGINT) AS n_b,
+                   CAST(max(abs(ca * n.nb - cb * n.na)) AS DOUBLE)
+                     / CAST(n.na * n.nb AS DOUBLE) AS d
+            FROM w, n GROUP BY n.na, n.nb
+        """,
+        # round-5: Gini of per-customer spend; gini computed in the
+        # engine's exact float expression order
+        "gini_customers": """
+            WITH c AS (
+              SELECT o_custkey,
+                     sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                              AS BIGINT)) AS cents
+              FROM orders GROUP BY 1),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents) AS rn
+                  FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(sum(rn * cents) AS BIGINT) AS s1,
+                   2.0 * CAST(sum(rn * cents) AS DOUBLE)
+                     / CAST(count(*) * sum(cents) AS DOUBLE)
+                     - (count(*) + 1.0) / count(*) AS gini
+            FROM r
         """,
     }
 

@@ -5597,3 +5597,278 @@ def vocab_growth(docs_ds, divisors: tuple = (8, 4, 2, 1),
         merged.map_batches(count_below, batch_format="pyarrow")
         .groupby("threshold").aggregate(Sum("n", alias_name="n_tokens"))
     )
+
+
+def _pareto_filter(keys, cents, date_us):
+    """Vectorized 2-D skyline filter (maximize ``cents``, minimize
+    ``date_us``): a row survives iff no other row has cents ≥ / date ≤
+    with at least one strict.  Equal-(cents, date) duplicates all
+    survive.  O(n log n): one lexsort, one running min."""
+    order = np.lexsort((date_us, -cents))
+    c, t, k = cents[order], date_us[order], keys[order]
+    new_grp = np.empty(len(c), bool)
+    new_grp[0] = True
+    new_grp[1:] = c[1:] != c[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    first_idx = np.flatnonzero(new_grp)
+    runmin = np.minimum.accumulate(t)
+    prev_min = np.where(
+        first_idx > 0,
+        runmin[np.maximum(first_idx - 1, 0)],
+        np.iinfo(np.int64).max,
+    )
+    grp_min = t[first_idx]  # date-ascending within group → first is min
+    keep = (t == grp_min[grp_id]) & (t < prev_min[grp_id])
+    return k[keep], c[keep], t[keep]
+
+
+def skyline_orders(orders_ds):
+    """Pareto frontier (skyline) of orders — maximize ``o_totalprice``,
+    minimize ``o_orderdate`` ("cheapest-earliest dominance": which
+    orders are not beaten on BOTH price and recency?) →
+    ``(o_orderkey, price_cents, o_orderdate)``.
+
+    Shape: the classic distributed-skyline two-phase — any globally
+    undominated row is undominated within its own block, so
+    skyline(corpus) ⊆ ∪ per-block skylines; each block emits only its
+    local frontier (expected O(log n) rows on non-adversarial data)
+    and the driver refines the merged candidates with the SAME
+    vectorized filter.  No shuffle at all — the exchange carries
+    frontier candidates, never the fact table."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "date_us": pa.array([], pa.int64()),
+            })
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        dus = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k, c, t = _pareto_filter(keys, cents, dus)
+        return pa.table({
+            "o_orderkey": pa.array(k, pa.int64()),
+            "price_cents": pa.array(c, pa.int64()),
+            "date_us": pa.array(t, pa.int64()),
+        })
+
+    cand = orders_ds.map_batches(
+        local, batch_format="pyarrow"
+    ).to_pandas()  # bounded: union of per-block frontiers
+    if len(cand) == 0:
+        return pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        })
+    k, c, t = _pareto_filter(
+        cand["o_orderkey"].to_numpy(np.int64),
+        cand["price_cents"].to_numpy(np.int64),
+        cand["date_us"].to_numpy(np.int64),
+    )
+    return pa.table({
+        "o_orderkey": pa.array(k, pa.int64()),
+        "price_cents": pa.array(c, pa.int64()),
+        "o_orderdate": pa.array(t, pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def rank_auc(docs_ds, pos_lang: str = "en", text_col: str = "text"):
+    """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) of the
+    whitespace-token-count score separating ``lang == pos_lang``
+    documents from the rest → one row ``(n_pos, n_neg, u2, auc)`` —
+    "does length alone already classify English?", the ranking-metric
+    primitive every quality-classifier eval needs.
+
+    Shape: per-batch ``(score, is_pos) → count`` partials (score =
+    ``pc.count_substring_regex(text, '\\S+')``, the repo-wide
+    tokenizer), ONE bounded groupby over the score histogram, then the
+    driver computes ``U`` from cumulative-negative counts in exact
+    Python ints: ``u2 = Σ_s (2·cneg(<s)·pos(s) + neg(s)·pos(s))`` and
+    ``auc = u2 / (2·n_pos·n_neg)`` — midrank ties, one float division,
+    no row ever leaves its batch."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sc = pc.count_substring_regex(
+            batch.column(text_col), r"\S+"
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = pc.equal(
+            batch.column("lang"), pos_lang
+        ).fill_null(False).to_numpy(zero_copy_only=False)
+        key = sc * 2 + pos
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "score": pa.array(uk >> 1, pa.int64()),
+            "is_pos": pa.array((uk & 1).astype(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["score", "is_pos"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: distinct scores × 2
+        .sort_values(["score", "is_pos"])
+    )
+    pos_of, neg_of = {}, {}
+    for _, r in hist.iterrows():
+        (pos_of if int(r["is_pos"]) else neg_of)[int(r["score"])] = int(r["n"])
+    scores = sorted(set(pos_of) | set(neg_of))
+    u2, cneg = 0, 0
+    n_pos, n_neg = sum(pos_of.values()), sum(neg_of.values())
+    for s in scores:
+        p, g = pos_of.get(s, 0), neg_of.get(s, 0)
+        u2 += 2 * cneg * p + g * p
+        cneg += g
+    auc = float(u2) / float(2 * n_pos * n_neg) if n_pos and n_neg \
+        else float("nan")
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc": pa.array([auc], pa.float64()),
+    })
+
+
+def ks_values(events_ds, type_a: str = "purchase", type_b: str = "click"):
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two event types → one row ``(n_a, n_b, d)`` —
+    the drift / A-B-divergence test over metric streams.
+
+    Shape: per-batch bounded ``(cents, type) → count`` histograms
+    (cents = ``floor(value·100)``, the events-money discipline), one
+    small groupby, then the driver scans the merged value grid with
+    exact Python-int cross-multiplied CDFs: ``D = max |c_a·n_b −
+    c_b·n_a| / (n_a·n_b)`` — no float accumulates, arbitrary-precision
+    ints so the numerator cannot overflow at any scale, one final
+    division."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        side = np.where(et == type_a, 0, np.where(et == type_b, 1, -1))
+        keep = side >= 0
+        if not keep.any():
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        key = cents * 2 + side[keep]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cents": pa.array(uk >> 1, pa.int64()),
+            "side": pa.array((uk & 1).astype(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cents", "side"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: distinct cents × 2
+        .sort_values(["cents", "side"])
+    )
+    a_of, b_of = {}, {}
+    for _, r in hist.iterrows():
+        (b_of if int(r["side"]) else a_of)[int(r["cents"])] = int(r["n"])
+    n_a, n_b = sum(a_of.values()), sum(b_of.values())
+    ca = cb = 0
+    d_num = 0
+    for c in sorted(set(a_of) | set(b_of)):
+        ca += a_of.get(c, 0)
+        cb += b_of.get(c, 0)
+        d_num = max(d_num, abs(ca * n_b - cb * n_a))
+    d = float(d_num) / float(n_a * n_b) if n_a and n_b else float("nan")
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d": pa.array([d], pa.float64()),
+    })
+
+
+def gini_customers(orders_ds):
+    """Gini coefficient of per-customer total order spend → one row
+    ``(n_customers, total_cents, s1, gini)`` — the revenue-concentration
+    audit ("how unequal is spend across the customer base?").
+
+    Shape: ONE partial-aggregated groupby to the per-customer cents
+    table, ONE distributed ``Dataset.sort`` on cents, then each sorted
+    block folds to four ints — row count, Σcents, and the local
+    rank-weighted sum ``Σ i·xᵢ`` split hi/lo so int64 per-block partials
+    cannot overflow — and the driver combines blocks in key order with
+    arbitrary-precision Python ints (``Σ_global i·x = Σ_local i·x +
+    offset·Σx`` per block).  Ties are rank-stable: equal values commute
+    under any rank assignment, so the range-partitioned block order is
+    the only order that matters.  ``gini = 2·s1/(n·S) − (n+1)/n``,
+    computed in exactly that float expression order."""
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({"o_custkey": pa.array(uk, pa.int64()),
+                         "cents": pa.array(s, pa.int64())})
+
+    per_cust = (
+        orders_ds.map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("cents").to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("first", "last", "cnt", "s",
+                                       "s1_hi", "s1_lo")})
+        i = np.arange(1, len(x) + 1, dtype=np.int64)
+        p = i * x  # ≤ block_rows · max_cents; split so sums stay int64
+        return pa.table({
+            "first": pa.array([int(x[0])], pa.int64()),
+            "last": pa.array([int(x[-1])], pa.int64()),
+            "cnt": pa.array([len(x)], pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "s1_hi": pa.array([int((p >> np.int64(32)).sum())],
+                              pa.int64()),
+            "s1_lo": pa.array([int((p & np.int64(0xFFFFFFFF)).sum())],
+                              pa.int64()),
+        })
+
+    parts = (
+        per_cust.sort("cents")
+        .map_batches(block_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    parts.sort(key=lambda r: (r["first"], r["last"]))
+    n = total = s1 = 0
+    for r in parts:
+        local = (int(r["s1_hi"]) << 32) + int(r["s1_lo"])
+        s1 += local + n * int(r["s"])
+        n += int(r["cnt"])
+        total += int(r["s"])
+    if s1 >= 1 << 63:
+        raise OverflowError(
+            "gini_customers: s1 exceeds int64 output range; widen the "
+            "output column before running at this scale")
+    gini = (2.0 * float(s1) / float(n * total) - (n + 1.0) / n) \
+        if n and total else float("nan")
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([total], pa.int64()),
+        "s1": pa.array([s1], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    })
