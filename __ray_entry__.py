@@ -3904,6 +3904,49 @@ def _q_gini_customers(sf_dir: str):
     )
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Union-of-intervals coverage + island count via distributed
+    sweep-line: per-block prefix-level histograms folded with exact
+    integer offsets — partials only, never rows."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import interval_coverage
+
+    return interval_coverage(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def _q_key_islands(sf_dir: str):
+    """Gaps-and-islands audit of the o_orderkey keyspace: one sorted
+    exchange, five-int block partials, boundary stitch on the driver."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import key_islands
+
+    return key_islands(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey"])
+    )
+
+
+def _q_spearman_nation(sf_dir: str):
+    """Per-nation Spearman rank correlation (midrank ties) between
+    account balance and order count: joint value-domain histograms,
+    exact big-int rank moments, one sqrt per nation."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import spearman_nation
+
+    return spearman_nation(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_acctbal"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]),
+    )
+
+
 def _q_self_join_size(sf_dir: str):
     """Pre-join skew probe: exact per-key self-join blowup (c²) for the
     top-5 event users with ppm share of the total — computed from
@@ -4275,6 +4318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_auc": _q_rank_auc,
         "ks_values": _q_ks_values,
         "gini_customers": _q_gini_customers,
+        "interval_coverage": _q_interval_coverage,
+        "key_islands": _q_key_islands,
+        "spearman_nation": _q_spearman_nation,
     }
 
 
@@ -7873,6 +7919,93 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) * sum(cents) AS DOUBLE)
                      - (count(*) + 1.0) / count(*) AS gini
             FROM r
+        """,
+        # round-5: union-of-intervals coverage via merged islands;
+        # touching intervals are ONE island on both sides (engine
+        # sorts +1 before -1 at equal t; oracle tests s > prev_max)
+        "interval_coverage": """
+            WITH b AS (
+              SELECT epoch_us(ts) AS s,
+                     epoch_us(ts) + 300000000 AS e
+              FROM events),
+            w AS (SELECT s, e,
+                         max(e) OVER (
+                           ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                  FROM b),
+            g AS (SELECT s, e,
+                         CASE WHEN pm IS NULL OR s > pm
+                              THEN 1 ELSE 0 END AS ni
+                  FROM w),
+            i AS (SELECT s, e,
+                         sum(ni) OVER (ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM g),
+            agg AS (SELECT isl, max(e) - min(s) AS cov
+                    FROM i GROUP BY isl)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM events)
+                     AS n_intervals,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(cov) AS BIGINT) AS covered_us
+            FROM agg
+        """,
+        # round-5: gaps-and-islands over the sparse orderkey space
+        "key_islands": """
+            WITH s AS (SELECT o_orderkey AS k,
+                              lag(o_orderkey) OVER (ORDER BY o_orderkey)
+                                AS pk
+                       FROM orders)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(min(k) AS BIGINT) AS min_key,
+                   CAST(max(k) AS BIGINT) AS max_key,
+                   CAST(1 + sum(CASE WHEN pk IS NOT NULL AND k > pk + 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_islands,
+                   CAST(coalesce(sum(CASE WHEN pk IS NOT NULL
+                                          THEN k - pk - 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_missing
+            FROM s
+        """,
+        # round-5: midrank Spearman per nation; 2·midrank = min+max of
+        # row_number within the tie group, exact integer moments, the
+        # engine's num/sqrt(den) float expression
+        "spearman_nation": """
+            WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+                        FROM orders GROUP BY 1),
+            c AS (SELECT c_nationkey,
+                         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                           AS cents,
+                         coalesce(oc.n_orders, 0) AS n_orders
+                  FROM customer
+                  LEFT JOIN oc ON c_custkey = oc.o_custkey),
+            r AS (SELECT c_nationkey, cents, n_orders,
+                         row_number() OVER (PARTITION BY c_nationkey
+                                            ORDER BY cents) AS rx,
+                         row_number() OVER (PARTITION BY c_nationkey
+                                            ORDER BY n_orders) AS ry
+                  FROM c),
+            r2 AS (SELECT c_nationkey,
+                          min(rx) OVER (PARTITION BY c_nationkey, cents)
+                          + max(rx) OVER (PARTITION BY c_nationkey,
+                                          cents) AS x2,
+                          min(ry) OVER (PARTITION BY c_nationkey,
+                                        n_orders)
+                          + max(ry) OVER (PARTITION BY c_nationkey,
+                                          n_orders) AS y2
+                   FROM r),
+            m AS (SELECT c_nationkey, count(*) AS n,
+                         sum(x2) AS sx, sum(y2) AS sy,
+                         sum(x2 * y2) AS sxy, sum(x2 * x2) AS sxx,
+                         sum(y2 * y2) AS syy
+                  FROM r2 GROUP BY 1)
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(n AS BIGINT) AS n_customers,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy) AS DOUBLE))
+                     AS spearman
+            FROM m
         """,
     }
 

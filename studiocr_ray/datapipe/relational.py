@@ -5872,3 +5872,275 @@ def gini_customers(orders_ds):
         "s1": pa.array([s1], pa.int64()),
         "gini": pa.array([gini], pa.float64()),
     })
+
+
+def interval_coverage(events_ds, span_sec: int = 300):
+    """Total covered time of the UNION of ``[ts, ts+span)`` intervals,
+    plus the number of maximal covered runs (islands) → one row
+    ``(n_intervals, n_islands, covered_us)`` — "how much wall-clock had
+    at least one session open, in how many bursts?".
+
+    Shape: the sweep-line sibling of :func:`max_concurrency`, but the
+    covered-time predicate depends on the RUNNING count, which no block
+    knows locally — so each sorted block emits a bounded histogram
+    keyed by its LOCAL prefix level: (level → Σ internal gap µs) and
+    (pre-level → #island-start candidates), plus (first/last key, Σδ).
+    The driver folds per-block offsets ``c0``: a gap at local level L is
+    covered iff ``c0+L > 0``; an island starts where a ``+1`` lands on
+    pre-level ``-c0``; inter-block gaps are covered iff the running
+    count is positive.  Boundaries sort ``(t asc, δ DESC)`` so touching
+    intervals merge (count never dips to 0 at a shared endpoint),
+    matching the oracle's ``s > prev_max`` island semantics."""
+    import os
+
+    span_us = int(span_sec) * 1_000_000
+    empty = pa.table({
+        "bid": pa.array([], pa.int64()),
+        "first_t": pa.array([], pa.int64()),
+        "first_nd": pa.array([], pa.int64()),
+        "last_t": pa.array([], pa.int64()),
+        "last_nd": pa.array([], pa.int64()),
+        "bsum": pa.array([], pa.int64()),
+        "level": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+        "n_starts": pa.array([], pa.int64()),
+    })
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = np.concatenate([us, us + span_us])
+        d = np.concatenate([np.ones(len(us), np.int64),
+                            np.full(len(us), -1, np.int64)])
+        # nd = -δ so an ASCENDING (t, nd) sort puts +1 before −1 at
+        # equal t (touching intervals stay one island)
+        return pa.table({"t": pa.array(t, pa.int64()),
+                         "nd": pa.array(-d, pa.int64())})
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        nd = batch.column("nd").to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return empty
+        d = -nd
+        p = np.cumsum(d)
+        cov_lv, cov_gap = np.array([], np.int64), np.array([], np.int64)
+        if len(t) > 1:
+            gt = t[1:] - t[:-1]
+            lv = p[:-1]
+            cov_lv, inv = np.unique(lv, return_inverse=True)
+            cov_gap = np.bincount(
+                inv, weights=gt, minlength=len(cov_lv)
+            ).astype(np.int64)
+        pre = p - d
+        su, sc = np.unique(pre[d > 0], return_counts=True)
+        levels = np.union1d(cov_lv, su)
+        gap_of = dict(zip(cov_lv.tolist(), cov_gap.tolist()))
+        st_of = dict(zip(su.tolist(), sc.tolist()))
+        bid = int.from_bytes(os.urandom(8), "big", signed=True)
+        n = len(levels)
+        return pa.table({
+            "bid": pa.array([bid] * n, pa.int64()),
+            "first_t": pa.array([int(t[0])] * n, pa.int64()),
+            "first_nd": pa.array([int(nd[0])] * n, pa.int64()),
+            "last_t": pa.array([int(t[-1])] * n, pa.int64()),
+            "last_nd": pa.array([int(nd[-1])] * n, pa.int64()),
+            "bsum": pa.array([int(p[-1])] * n, pa.int64()),
+            "level": pa.array(levels, pa.int64()),
+            "gap_us": pa.array(
+                [gap_of.get(int(l), 0) for l in levels], pa.int64()),
+            "n_starts": pa.array(
+                [st_of.get(int(l), 0) for l in levels], pa.int64()),
+        })
+
+    rows = (
+        events_ds.map_batches(boundaries, batch_format="pyarrow")
+        .sort(["t", "nd"])
+        .map_batches(block_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .to_pandas()  # bounded: Σ per-block distinct prefix levels
+    )
+    if len(rows) == 0:
+        return pa.table({
+            "n_intervals": pa.array([0], pa.int64()),
+            "n_islands": pa.array([0], pa.int64()),
+            "covered_us": pa.array([0], pa.int64()),
+        })
+    # every +1 boundary lands in exactly one pre-level bucket, so the
+    # start-candidate total IS the interval count
+    n_intervals = int(rows["n_starts"].sum())
+    blocks = {}
+    for r in rows.itertuples(index=False):
+        blocks.setdefault(
+            (int(r.first_t), int(r.first_nd), int(r.last_t),
+             int(r.last_nd), int(r.bid)),
+            {"bsum": int(r.bsum), "hist": []},
+        )["hist"].append((int(r.level), int(r.gap_us), int(r.n_starts)))
+    c0 = covered = islands = 0
+    prev_last = None
+    for key in sorted(blocks):
+        b = blocks[key]
+        for lv, gap, st in b["hist"]:
+            if c0 + lv > 0:
+                covered += gap
+            if lv == -c0:
+                islands += st
+        if prev_last is not None and c0 > 0:
+            covered += key[0] - prev_last
+        c0 += b["bsum"]
+        prev_last = key[2]
+    return pa.table({
+        "n_intervals": pa.array([n_intervals], pa.int64()),
+        "n_islands": pa.array([islands], pa.int64()),
+        "covered_us": pa.array([covered], pa.int64()),
+    })
+
+
+def key_islands(orders_ds, key_col: str = "o_orderkey"):
+    """Gaps-and-islands audit of a (unique) key column → one row
+    ``(n_keys, min_key, max_key, n_islands, n_missing)`` — "how sparse
+    is the keyspace, in how many contiguous runs?" (TPC-H orderkeys use
+    8 of every 32, so this exercises a real gap structure).
+
+    Shape: ONE distributed sort of the bare key column; each sorted
+    block folds to five ints (count, first, last, internal island
+    breaks ``Σ[diffᵢ>1]``, internal missing ``Σ(diffᵢ−1)``); the driver
+    stitches adjacent blocks by comparing boundary keys — per-block
+    partials only, never rows."""
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("first", "last", "cnt",
+                                       "breaks", "missing")})
+        dif = np.diff(k)
+        return pa.table({
+            "first": pa.array([int(k[0])], pa.int64()),
+            "last": pa.array([int(k[-1])], pa.int64()),
+            "cnt": pa.array([len(k)], pa.int64()),
+            "breaks": pa.array([int((dif > 1).sum())], pa.int64()),
+            "missing": pa.array([int((dif - 1).sum())], pa.int64()),
+        })
+
+    parts = (
+        orders_ds.sort(key_col)
+        .map_batches(block_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    parts.sort(key=lambda r: (r["first"], r["last"]))
+    if not parts:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ("n_keys", "min_key", "max_key",
+                                   "n_islands", "n_missing")})
+    n = breaks = missing = 0
+    prev_last = None
+    for r in parts:
+        n += int(r["cnt"])
+        breaks += int(r["breaks"])
+        missing += int(r["missing"])
+        if prev_last is not None:
+            if int(r["first"]) > prev_last + 1:
+                breaks += 1
+                missing += int(r["first"]) - prev_last - 1
+        prev_last = int(r["last"])
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "min_key": pa.array([int(parts[0]["first"])], pa.int64()),
+        "max_key": pa.array([prev_last], pa.int64()),
+        "n_islands": pa.array([1 + breaks], pa.int64()),
+        "n_missing": pa.array([missing], pa.int64()),
+    })
+
+
+def spearman_nation(customer_ds, orders_ds):
+    """Per-nation Spearman rank correlation between a customer's account
+    balance and their order COUNT → ``(c_nationkey, n_customers,
+    spearman)`` — "does wealth rank-order with activity?", the
+    tie-aware monotone-dependence screen.
+
+    Shape: partial-aggregated order counts per custkey, ONE
+    ``join.hash_join(how='left')`` onto customer (a missing custkey is
+    0 orders), then per-batch JOINT histograms ``(nation, acctbal
+    cents, n_orders) → count`` reduced by one bounded groupby — the
+    driver never sees customers, only the value-domain-bounded cells.
+    Midranks come from the marginal cumsums (2·midrank = 2·cum_before
+    + cnt + 1, an exact int); the rank-moment fold is arbitrary-
+    precision Python ints and the ONLY float expression is
+    ``num / sqrt(den)`` (``math.sqrt`` for SQL parity)."""
+    from .join import hash_join
+
+    def order_counts(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk, pa.int64()),
+                         "n_orders": pa.array(cnt.astype(np.int64),
+                                              pa.int64())})
+
+    counts = (
+        orders_ds.map_batches(order_counts, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    joined = hash_join(
+        customer_ds, counts, on="c_custkey", right_on="o_custkey",
+        how="left", left_cols=["c_nationkey", "c_acctbal"],
+        right_cols=["n_orders"],
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        no = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        no = np.where(pd.isna(no), 0, no).astype(np.int64)
+        df = pd.DataFrame({"c_nationkey": nk.astype(np.int64),
+                           "cents": cents, "n_orders": no})
+        g = df.groupby(["c_nationkey", "cents", "n_orders"],
+                       sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["c_nationkey", "cents", "n_orders"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: nations × value-domain cells
+    )
+    out = {"c_nationkey": [], "n_customers": [], "spearman": []}
+    for nk, sub in hist.groupby("c_nationkey", sort=True):
+        cnt_of = {}
+        for r in sub.itertuples(index=False):
+            cnt_of[(int(r.cents), int(r.n_orders))] = int(r.cnt)
+        n = sum(cnt_of.values())
+        rx2, ry2 = {}, {}
+        for axis, rank_of in ((0, rx2), (1, ry2)):
+            marg = {}
+            for k, c in cnt_of.items():
+                marg[k[axis]] = marg.get(k[axis], 0) + c
+            cum = 0
+            for v in sorted(marg):
+                rank_of[v] = 2 * cum + marg[v] + 1
+                cum += marg[v]
+        sx = sy = sxy = sxx = syy = 0
+        for (cv, ov), c in cnt_of.items():
+            x, y = rx2[cv], ry2[ov]
+            sx += c * x
+            sy += c * y
+            sxy += c * x * y
+            sxx += c * x * x
+            syy += c * y * y
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        rho = float(num) / math.sqrt(float(den)) if den > 0 \
+            else float("nan")
+        out["c_nationkey"].append(int(nk))
+        out["n_customers"].append(n)
+        out["spearman"].append(rho)
+    return pa.table({
+        "c_nationkey": pa.array(out["c_nationkey"], pa.int64()),
+        "n_customers": pa.array(out["n_customers"], pa.int64()),
+        "spearman": pa.array(out["spearman"], pa.float64()),
+    })
