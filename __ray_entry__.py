@@ -3947,6 +3947,55 @@ def _q_spearman_nation(sf_dir: str):
     )
 
 
+def _q_q10_returns(sf_dir: str):
+    """Simplified TPC-H Q10: returned-lineitem revenue partials →
+    orderkey co-partition join → custkey rollup → distributed top-20;
+    dimension names attached after the cut (20 point lookups)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q10_returns
+
+    return q10_returns(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_returnflag",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        sf_dir,
+    )
+
+
+def _q_order_balance(sf_dir: str):
+    """Cross-table reconciliation: per-order lineitem gross cents vs
+    the header total via one full co-partition join, integer audit
+    counters summed from one-row-per-batch partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import order_balance_audit
+
+    return order_balance_audit(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"]),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_extendedprice"]),
+    )
+
+
+def _q_kmv_purchase_click(sf_dir: str):
+    """KMV intersection sketch: estimated users who both purchased and
+    clicked — ≤2k hash rows per block, driver-side union threshold,
+    bit-exact Beyer et al. estimate."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sketch import kmv_intersect
+
+    return kmv_intersect(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type"]),
+        k=256,
+    )
+
+
 def _q_self_join_size(sf_dir: str):
     """Pre-join skew probe: exact per-key self-join blowup (c²) for the
     top-5 event users with ppm share of the total — computed from
@@ -4321,6 +4370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "key_islands": _q_key_islands,
         "spearman_nation": _q_spearman_nation,
+        "q10_returns": _q_q10_returns,
+        "order_balance": _q_order_balance,
+        "kmv_purchase_click": _q_kmv_purchase_click,
     }
 
 
@@ -8007,6 +8059,62 @@ def oracle_sql() -> dict[str, str]:
                      AS spearman
             FROM m
         """,
+        # round-5: simplified Q10 — revenue from returned items, exact
+        # integer units, names attached post-cut
+        "q10_returns": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                              AS BIGINT)
+                         * (10000 - CAST(floor(l_discount * 10000.0
+                                               + 0.5) AS BIGINT)))
+                       AS rev_u
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_orderkey),
+            c AS (SELECT o_custkey, sum(rev_u) AS rev_u
+                  FROM rev JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1)
+            SELECT CAST(c.o_custkey AS BIGINT) AS c_custkey,
+                   cu.c_name, n.n_name,
+                   CAST(c.rev_u AS DOUBLE) / 1000000.0 AS revenue
+            FROM c
+            JOIN customer cu ON cu.c_custkey = c.o_custkey
+            JOIN nation n ON n.n_nationkey = cu.c_nationkey
+            ORDER BY c.rev_u DESC, c.o_custkey
+            LIMIT 20
+        """,
+        # round-5: order header vs lineitem rollup reconciliation
+        "order_balance": """
+            WITH li AS (SELECT l_orderkey,
+                               sum(CAST(floor(l_extendedprice * 100.0
+                                              + 0.5) AS BIGINT)) AS lc
+                        FROM lineitem GROUP BY 1),
+            o AS (SELECT o_orderkey,
+                         CAST(floor(o_totalprice * 100.0 + 0.5)
+                              AS BIGINT) AS oc
+                  FROM orders),
+            f AS (SELECT oc, lc
+                  FROM o FULL JOIN li ON o_orderkey = l_orderkey)
+            SELECT CAST(sum(CASE WHEN oc IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN oc IS NOT NULL AND lc IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_wo_lineitems,
+                   CAST(sum(CASE WHEN oc IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphan_lineitems,
+                   CAST(sum(CASE WHEN oc = lc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_match,
+                   CAST(sum(CASE WHEN oc IS NOT NULL AND lc IS NOT NULL
+                                  AND oc <> lc
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_mismatch,
+                   CAST(coalesce(sum(CASE WHEN oc IS NOT NULL
+                                           AND lc IS NOT NULL
+                                          THEN abs(oc - lc) END), 0)
+                        AS BIGINT) AS sum_abs_diff_cents
+            FROM f
+        """,
+        "kmv_purchase_click": _kmv2_oracle(256),
     }
 
 
@@ -8084,6 +8192,69 @@ def _kmv_oracle(k: int = 256) -> str:
                          / CAST(h_k AS DOUBLE)
                     ELSE CAST(m AS DOUBLE) END AS est_distinct
         FROM kth
+    """
+
+
+def _kmv2_oracle(k: int = 256) -> str:
+    """Two-sided KMV intersection oracle: the _kmv_oracle splitmix64
+    pipeline carrying a side tag, per-side k-minimum DISTINCT hash
+    sets, the union's k-minimum threshold, and the SAME
+    (m/k)·(k−1)·2⁶⁴/τ float expression order the engine computes —
+    bit-exact including the exhaustive (<k) fallback."""
+
+    def mm(a: str, b: int) -> str:
+        return (
+            f"((((({a}) >> 32) * {b}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT"
+            f" + ((({a}) % 4294967296::HUGEINT) * {b}::HUGEINT))"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    est = (f"CAST({k - 1} AS DOUBLE) * 18446744073709551616.0"
+           " / CAST({h} AS DOUBLE)")
+    return f"""
+        WITH src AS (SELECT user_id,
+                            CASE WHEN event_type = 'purchase' THEN 0
+                                 ELSE 1 END AS side
+                     FROM events
+                     WHERE event_type IN ('purchase', 'click')),
+        s1 AS (SELECT side,
+                      (user_id::HUGEINT + 11400714819323198485::HUGEINT)
+                      % 18446744073709551616::HUGEINT AS z
+               FROM src),
+        s2 AS (SELECT side, {mm("xor(z::UBIGINT, z::UBIGINT >> 30)::HUGEINT",
+                                13787848793156543929)} AS z FROM s1),
+        s3 AS (SELECT side, {mm("xor(z::UBIGINT, z::UBIGINT >> 27)::HUGEINT",
+                                10723151780598845931)} AS z FROM s2),
+        h AS (SELECT DISTINCT side, xor(z::UBIGINT, z::UBIGINT >> 31)
+                       AS hv
+              FROM s3),
+        ha AS (SELECT hv FROM h WHERE side = 0 ORDER BY hv LIMIT {k}),
+        hb AS (SELECT hv FROM h WHERE side = 1 ORDER BY hv LIMIT {k}),
+        u AS (SELECT hv FROM (SELECT hv FROM ha
+                              UNION SELECT hv FROM hb)
+              ORDER BY hv LIMIT {k}),
+        stats AS (SELECT (SELECT count(*) FROM u) AS cu,
+                         (SELECT max(hv) FROM u) AS t,
+                         (SELECT count(*) FROM u
+                          WHERE hv IN (SELECT hv FROM ha)
+                            AND hv IN (SELECT hv FROM hb)) AS m,
+                         (SELECT count(*) FROM ha) AS ca,
+                         (SELECT max(hv) FROM ha) AS ka,
+                         (SELECT count(*) FROM hb) AS cb,
+                         (SELECT max(hv) FROM hb) AS kb)
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(m AS BIGINT) AS m,
+               CASE WHEN ca >= {k} THEN {est.format(h='ka')}
+                    ELSE CAST(ca AS DOUBLE) END AS est_a,
+               CASE WHEN cb >= {k} THEN {est.format(h='kb')}
+                    ELSE CAST(cb AS DOUBLE) END AS est_b,
+               CASE WHEN cu >= {k}
+                    THEN CAST(m AS DOUBLE)
+                         * ({est.format(h='t')})
+                         / CAST({k} AS DOUBLE)
+                    ELSE CAST(m AS DOUBLE) END AS est_intersection
+        FROM stats
     """
 
 

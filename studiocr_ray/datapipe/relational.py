@@ -6144,3 +6144,166 @@ def spearman_nation(customer_ds, orders_ds):
         "n_customers": pa.array(out["n_customers"], pa.int64()),
         "spearman": pa.array(out["spearman"], pa.float64()),
     })
+
+
+def q10_returns(lineitem_ds, orders_ds, sf_dir: str, topn: int = 20):
+    """Simplified TPC-H Q10: top-``topn`` customers by revenue from
+    RETURNED lineitems (``l_returnflag = 'R'``) → ``(c_custkey, c_name,
+    n_name, revenue)`` — the canonical fact→fact→dimension join chain.
+
+    Shape: filter + per-batch revenue partials keyed by orderkey
+    (exact integer units, the Q3 discipline), ONE orderkey-hash
+    co-partition join onto the pruned orders projection, custkey
+    partials + ONE small groupby, distributed top-N sort; the two
+    dimension attaches (customer name, nation name) happen AFTER the
+    top-N cut — ``topn`` point lookups against the customer parquet
+    (row-group pruned at scale) and a 25-row nation table, never a
+    third exchange."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .join import hash_join
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), "R")
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 10000.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (10000 - disc)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=rev, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "rev_u": pa.array(s, pa.int64())})
+
+    rev = (
+        lineitem_ds.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
+    )
+    joined = hash_join(
+        rev, orders_ds, on="l_orderkey", right_on="o_orderkey",
+        how="inner", left_cols=["rev_u"], right_cols=["o_custkey"],
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        rv = batch.column("rev_u").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=rv, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({"o_custkey": pa.array(uk.astype(np.int64),
+                                               pa.int64()),
+                         "rev_u": pa.array(s, pa.int64())})
+
+    top = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
+        .sort(["rev_u", "o_custkey"], descending=[True, False])
+        .limit(topn)
+        .take_all()
+    )
+    keys = [int(r["o_custkey"]) for r in top]
+    import pyarrow.dataset as pads
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name",
+                                               "c_nationkey"],
+        filters=pads.field("c_custkey").isin(keys),
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                       cust.column("c_name").to_pylist()))
+    nk_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist()))
+    nname_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([name_of[k] for k in keys], pa.string()),
+        "n_name": pa.array([nname_of[nk_of[k]] for k in keys],
+                           pa.string()),
+        "revenue": pa.array(
+            [float(int(r["rev_u"])) / 1000000.0 for r in top],
+            pa.float64()),
+    })
+
+
+def order_balance_audit(orders_ds, lineitem_ds):
+    """Cross-table consistency audit: per-order Σ lineitem gross cents
+    vs the order header's ``o_totalprice`` cents → one row
+    ``(n_orders, n_wo_lineitems, n_orphan_lineitems, n_match,
+    n_mismatch, sum_abs_diff_cents)`` — the reconciliation sweep every
+    warehouse load runs between a fact table and its rollup header.
+
+    Shape: lineitem folds to per-orderkey gross-cents partials before
+    the exchange; ONE ``join.hash_join(how='full')`` co-partition
+    (both sides keyed by orderkey) so missing-either-side rows survive
+    with nulls; per-batch integer audit counters; the driver sums one
+    row per batch."""
+    from .join import hash_join
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=len(uk)).astype(
+            np.int64)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "li_cents": pa.array(s, pa.int64())})
+
+    li = (
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("li_cents", alias_name="li_cents"))
+    )
+    full = hash_join(
+        orders_ds, li, on="o_orderkey", right_on="l_orderkey",
+        how="full", left_cols=["o_totalprice"],
+        right_cols=["li_cents"],
+    )
+
+    def audit(batch: pa.Table) -> pa.Table:
+        op = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        lc = batch.column("li_cents").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        has_o = ~pd.isna(op)
+        has_l = ~pd.isna(lc)
+        oc = np.floor(np.where(has_o, op, 0.0) * 100.0 + 0.5).astype(
+            np.int64)
+        lci = np.where(has_l, lc, 0.0).astype(np.int64)
+        both = has_o & has_l
+        diff = np.abs(oc - lci)[both]
+        return pa.table({
+            "n_orders": pa.array([int(has_o.sum())], pa.int64()),
+            "n_wo_lineitems": pa.array([int((has_o & ~has_l).sum())],
+                                       pa.int64()),
+            "n_orphan_lineitems": pa.array([int((~has_o).sum())],
+                                           pa.int64()),
+            "n_match": pa.array([int((diff == 0).sum())], pa.int64()),
+            "n_mismatch": pa.array([int((diff != 0).sum())],
+                                   pa.int64()),
+            "sum_abs_diff_cents": pa.array([int(diff.sum())],
+                                           pa.int64()),
+        })
+
+    sums = full.map_batches(audit, batch_format="pyarrow").to_pandas()
+    cols = ["n_orders", "n_wo_lineitems", "n_orphan_lineitems",
+            "n_match", "n_mismatch", "sum_abs_diff_cents"]
+    return pa.table({c: pa.array([int(sums[c].sum())], pa.int64())
+                     for c in cols})

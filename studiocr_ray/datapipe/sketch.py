@@ -710,3 +710,73 @@ def kmv_distinct(ds, value_col: str = "user_id", k: int = 256):
         "kth_hash": pa.array([kth], pa.uint64()),
         "est_distinct": pa.array([n_est], pa.float64()),
     })
+
+
+def kmv_intersect(ds, value_col: str = "user_id",
+                  type_col: str = "event_type",
+                  type_a: str = "purchase", type_b: str = "click",
+                  k: int = 256):
+    """KMV set-OPERATION sketch: estimated distinct keys seen under
+    BOTH ``type_a`` and ``type_b`` → one row ``(k, m, est_a, est_b,
+    est_intersection)`` — "how many users both purchased and clicked?"
+    without ever shuffling keys.
+
+    Shape: one streaming pass; each batch folds to ≤``k`` smallest
+    distinct splitmix64 hashes PER SIDE (≤``2k`` rows per block); the
+    driver merges per-side sketches, forms the union's k-minimum set
+    K with threshold τ = max(K), counts ``m = |{h ∈ K : h ∈ A ∧ h ∈
+    B}|`` (valid because τ ≤ both per-side thresholds), and estimates
+    ``|A∩B| ≈ (m/k) · (k−1)·2⁶⁴/τ`` (Beyer et al. 2007) — float
+    expressions in the exact order the SQL oracle repeats, with the
+    exhaustive (<k) fallback returning the EXACT intersection count."""
+    from .sample import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sides, hashes = [], []
+        for side, tname in ((0, type_a), (1, type_b)):
+            m = et == tname
+            if m.any():
+                hv = np.unique(splitmix64(v[m].astype(np.uint64)))[:k]
+                sides.append(np.full(len(hv), side, np.int64))
+                hashes.append(hv)
+        if not sides:
+            return pa.table({"side": pa.array([], pa.int64()),
+                             "hv": pa.array([], pa.uint64())})
+        return pa.table({
+            "side": pa.array(np.concatenate(sides), pa.int64()),
+            "hv": pa.array(np.concatenate(hashes), pa.uint64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    side = parts["side"].to_numpy(np.int64)
+    hv = parts["hv"].to_numpy()  # uint64 preserved by pandas
+    ha = np.unique(hv[side == 0])[:k]
+    hb = np.unique(hv[side == 1])[:k]
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    in_a = np.isin(union, ha)
+    in_b = np.isin(union, hb)
+    m = int((in_a & in_b).sum())
+
+    def side_est(h):
+        if h.size >= k:
+            return (k - 1) * 18446744073709551616.0 / float(
+                np.float64(int(h[k - 1])))
+        return float(h.size)
+
+    if union.size >= k:
+        tau = int(union[k - 1])
+        est_union = (k - 1) * 18446744073709551616.0 / float(
+            np.float64(tau))
+        est_inter = float(m) * est_union / float(k)
+    else:
+        est_inter = float(m)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "est_a": pa.array([side_est(ha)], pa.float64()),
+        "est_b": pa.array([side_est(hb)], pa.float64()),
+        "est_intersection": pa.array([est_inter], pa.float64()),
+    })
