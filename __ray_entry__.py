@@ -4122,6 +4122,70 @@ def _q_q18_large_orders(sf_dir: str):
     )
 
 
+def _q_q13_custdist(sf_dir: str):
+    """TPC-H Q13 customer distribution: order-count partials → keyed
+    sum → histogram partials → tiny groupby; the zero-order bucket
+    from parquet metadata cardinality, never a customer scan."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q13_custdist
+
+    return q13_custdist(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]),
+        sf_dir,
+    )
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 top supplier: exact integer revenue rollup per
+    suppkey, materialized once for max + equality filter, winner
+    names as driver point lookups."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q15_top_supplier
+
+    return q15_top_supplier(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"]),
+        sf_dir,
+    )
+
+
+def _q_q17_small_qty(sf_dir: str):
+    """TPC-H Q17 small-quantity revenue (brand-only adaptation): the
+    correlated avg decorrelated into two broadcast-filtered lineitem
+    passes with the exact inequality 5·q·cnt < Σq."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q17_small_qty
+
+    return q17_small_qty(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"]),
+        sf_dir,
+    )
+
+
+def _q_q4_priority(sf_dir: str):
+    """TPC-H Q4 order-priority check (EXISTS adapted to a big-line
+    predicate): distinct-orderkey semi-join via one orderkey-hash
+    exchange, then a ≤5-row priority group-count."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q4_priority
+
+    return q4_priority(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4373,6 +4437,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returns": _q_q10_returns,
         "order_balance": _q_order_balance,
         "kmv_purchase_click": _q_kmv_purchase_click,
+        "q13_custdist": _q_q13_custdist,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_small_qty": _q_q17_small_qty,
+        "q4_priority": _q_q4_priority,
     }
 
 
@@ -8115,6 +8183,83 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "kmv_purchase_click": _kmv2_oracle(256),
+        # round-5: TPC-H Q13 adapted (no o_comment filter); zero-order
+        # customers enter via the LEFT JOIN
+        "q13_custdist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # round-5: TPC-H Q15 — exact integer 1e-4 revenue units; ties
+        # on the max all kept
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)
+                              * CAST(floor((1.0 - l_discount) * 100.0
+                                           + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_e4,
+                   CAST(r.total_revenue_e4 AS DOUBLE) / 10000.0
+                     AS total_revenue
+            FROM r JOIN supplier s USING (s_suppkey)
+            WHERE total_revenue_e4 = (SELECT max(total_revenue_e4)
+                                      FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        # round-5: TPC-H Q17 adapted (brand filter only — no
+        # p_container column); q < 0.2·avg(q) as exact integers:
+        # 5·q·cnt < Σq
+        "q17_small_qty": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#12'),
+                 st AS (SELECT l_partkey,
+                               CAST(sum(CAST(floor(l_quantity + 0.5)
+                                             AS BIGINT)) AS BIGINT)
+                                 AS sum_q,
+                               CAST(count(*) AS BIGINT) AS cnt
+                        FROM lineitem
+                        JOIN pk ON l_partkey = p_partkey
+                        GROUP BY 1)
+            SELECT CAST(coalesce(sum(
+                     CASE WHEN 5 * CAST(floor(l.l_quantity + 0.5)
+                                        AS BIGINT) * st.cnt < st.sum_q
+                          THEN CAST(floor(l.l_extendedprice * 100.0
+                                          + 0.5) AS BIGINT)
+                          ELSE 0 END), 0) AS BIGINT) AS total_cents,
+                   CAST(coalesce(sum(
+                     CASE WHEN 5 * CAST(floor(l.l_quantity + 0.5)
+                                        AS BIGINT) * st.cnt < st.sum_q
+                          THEN CAST(floor(l.l_extendedprice * 100.0
+                                          + 0.5) AS BIGINT)
+                          ELSE 0 END), 0) AS DOUBLE) / 700.0
+                     AS avg_yearly
+            FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+        """,
+        # round-5: TPC-H Q4 adapted — EXISTS(big lineitem) instead of
+        # the absent commit/receipt dates
+        "q4_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity >= 48)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
     }
 
 

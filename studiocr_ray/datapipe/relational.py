@@ -6307,3 +6307,310 @@ def order_balance_audit(orders_ds, lineitem_ds):
             "n_match", "n_mismatch", "sum_abs_diff_cents"]
     return pa.table({c: pa.array([int(sums[c].sum())], pa.int64())
                      for c in cols})
+
+
+def q13_custdist(orders_ds, sf_dir: str):
+    """TPC-H Q13 (customer distribution), adapted to the available
+    columns (no ``o_comment`` exclusion filter): orders per customer —
+    including zero-order customers — then the distribution
+    ``(c_count, custdist)`` sorted by custdist desc, c_count desc.
+
+    Scale shape: the left join never runs as a join.  Orders pre-count
+    per custkey per batch (np.unique partials), ONE keyed exchange sums
+    them (one row per active customer); the count histogram is again
+    partial-aggregated per block before a tiny second groupby (distinct
+    count values are bounded by max orders/customer, not by customers).
+    The zero-order bucket needs only customer CARDINALITY, which comes
+    from parquet row-group metadata — no customer-table scan, no
+    customer⨝orders exchange at any scale.  Assumes FK integrity
+    (every o_custkey exists in customer — audited by `fk_orphans`)."""
+    import pyarrow.parquet as pq
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "o_custkey": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    per_cust = (
+        orders_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cnt", alias_name="c_count"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_count").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("n", alias_name="custdist"))
+        .to_pandas()  # ≤ max-orders-per-customer rows — tiny
+    )
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    zero = int(n_cust) - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    hist = hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+    return pa.table({
+        "c_count": pa.array(hist["c_count"].astype(np.int64), pa.int64()),
+        "custdist": pa.array(hist["custdist"].astype(np.int64),
+                             pa.int64()),
+    })
+
+
+def q15_top_supplier(lineitem_ds, sf_dir: str,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01"):
+    """TPC-H Q15 (top supplier): per-supplier revenue over one quarter,
+    then the supplier(s) achieving the GLOBAL maximum (ties all kept) →
+    ``(s_suppkey, s_name, total_revenue_e4, total_revenue)``.
+
+    Scale shape: revenue accumulates as exact integer 1e-4 units per
+    suppkey per batch (np.add.at into int64 — order-free), ONE keyed
+    exchange sums partials to one row per supplier.  That rollup (key +
+    int64, ~1e6 rows even at 100 TB) is materialized ONCE so the global
+    max and the equality filter reuse it without recomputing the
+    lineitem scan; winner names resolve as driver point lookups against
+    the supplier parquet (winners are the argmax set — a handful)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi)
+        if not keep.any():
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "rev_part": pa.array([], pa.int64())})
+        idx = np.flatnonzero(keep)
+        sk = batch.column("l_suppkey").to_numpy(
+            zero_copy_only=False)[idx]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[idx]
+        disc = batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[idx]
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * np.floor((1.0 - disc) * 100.0 + 0.5).astype(np.int64))
+        uniq, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"s_suppkey": pa.array(uniq, pa.int64()),
+                         "rev_part": pa.array(acc, pa.int64())})
+
+    totals = (
+        lineitem_ds.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_part", alias_name="total_revenue_e4"))
+        .materialize()
+    )
+    mx = totals.max("total_revenue_e4")
+    if mx is None:  # empty window
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64()),
+            "total_revenue": pa.array([], pa.float64()),
+        })
+    win = totals.filter(
+        expr=f"total_revenue_e4 == {int(mx)}").to_pandas()
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", win["s_suppkey"].tolist())])
+    name_of = dict(zip(names.column("s_suppkey").to_pylist(),
+                       names.column("s_name").to_pylist()))
+    win = win.sort_values("s_suppkey").reset_index(drop=True)
+    e4 = win["total_revenue_e4"].astype(np.int64)
+    return pa.table({
+        "s_suppkey": pa.array(win["s_suppkey"].astype(np.int64),
+                              pa.int64()),
+        "s_name": pa.array([name_of[int(k)] for k in win["s_suppkey"]],
+                           pa.string()),
+        "total_revenue_e4": pa.array(e4, pa.int64()),
+        "total_revenue": pa.array(e4.to_numpy() / 10000.0, pa.float64()),
+    })
+
+
+def q17_small_qty(lineitem_ds, sf_dir: str, brand: str = "Brand#12"):
+    """TPC-H Q17 (small-quantity-order revenue), adapted: for one
+    brand's parts, the revenue of lineitems whose quantity is below
+    20% of that part's average lineitem quantity → ONE row
+    ``(total_cents, avg_yearly)`` with avg_yearly = cents/700.0
+    (the /7.0-years convention of Q17).  No container filter —
+    ``p_container`` does not exist in this schema.
+
+    The correlated inner aggregate is decorrelated into two lineitem
+    passes (the `above_nation_avg` discipline): pass 1 computes per-part
+    (Σqty, count) for the brand's parts only; pass 2 re-filters with the
+    EXACT integer inequality 5·q·cnt < Σqty (quantities are integral —
+    no float avg anywhere) and sums price cents.  The brand's partkey
+    set (~1/25 of parts) broadcasts once as sorted arrays via
+    ``ray.put`` (~32 MB per 1e8 parts); both passes are per-batch
+    vectorized with searchsorted membership — no shuffle at all."""
+    import pyarrow.parquet as pq
+    import ray
+
+    pk_tbl = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"],
+                           filters=[("p_brand", "==", brand)])
+    pks = np.sort(pk_tbl.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    pks_ref = ray.put(pks)
+
+    class QtyPartial:
+        def __init__(self):
+            self.pks = ray.get(pks_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            if len(self.pks) == 0:
+                hit = np.zeros(len(pk), np.bool_)
+            else:
+                pos_c = np.minimum(np.searchsorted(self.pks, pk),
+                                   len(self.pks) - 1)
+                hit = self.pks[pos_c] == pk
+            if not hit.any():
+                return pa.table({
+                    "l_partkey": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64())})
+            pk = pk[hit]
+            q = np.floor(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)[hit] + 0.5).astype(np.int64)
+            uniq, inv = np.unique(pk, return_inverse=True)
+            sq = np.zeros(len(uniq), np.int64)
+            np.add.at(sq, inv, q)
+            return pa.table({
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "sum_q": pa.array(sq, pa.int64()),
+                "cnt": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64())})
+
+    stats = (
+        lineitem_ds.map_batches(QtyPartial, batch_format="pyarrow",
+                                concurrency=(1, 8))
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_q", alias_name="sum_q"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # one row per brand part — small by construction
+    )
+    if len(stats) == 0:
+        return pa.table({
+            "total_cents": pa.array([0], pa.int64()),
+            "avg_yearly": pa.array([0.0], pa.float64()),
+        })
+    spk = stats["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(spk)
+    stats_ref = ray.put((spk[order],
+                         stats["sum_q"].to_numpy().astype(np.int64)[order],
+                         stats["cnt"].to_numpy().astype(np.int64)[order]))
+
+    class SmallQty:
+        def __init__(self):
+            self.pks, self.sum_q, self.cnt = ray.get(stats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            if len(self.pks) == 0:
+                return pa.table({"cents": pa.array([0], pa.int64())})
+            pos_c = np.minimum(np.searchsorted(self.pks, pk),
+                               len(self.pks) - 1)
+            hit = self.pks[pos_c] == pk
+            q = np.floor(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False) + 0.5).astype(np.int64)
+            small = hit & (5 * q * self.cnt[pos_c]
+                           < self.sum_q[pos_c])
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[small]
+            cents = int(np.floor(price * 100.0 + 0.5).astype(
+                np.int64).sum())
+            return pa.table({"cents": pa.array([cents], pa.int64())})
+
+    parts = lineitem_ds.map_batches(
+        SmallQty, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    total = int(parts["cents"].sum())
+    return pa.table({
+        "total_cents": pa.array([total], pa.int64()),
+        "avg_yearly": pa.array([total / 700.0], pa.float64()),
+    })
+
+
+def q4_priority(lineitem_ds, orders_ds,
+                date_from: str = "1997-01-01",
+                date_to: str = "1997-04-01",
+                qty_exists: int = 48):
+    """TPC-H Q4 (order-priority checking), adapted: count of orders per
+    priority over one quarter having AT LEAST ONE lineitem with
+    quantity ≥ ``qty_exists`` → ``(o_orderpriority, order_count)``
+    sorted by priority.  The original EXISTS predicate
+    (l_commitdate < l_receiptdate) uses columns absent from this
+    schema; the big-line predicate keeps Q4's exact shape — a
+    distinct-orderkey semi-join followed by a tiny group-count.
+
+    Scale shape: lineitem filters vectorized per batch and emits
+    per-batch-deduped orderkeys; orders prune to the quarter AT THE READ
+    and semi-join the qualifying keys through `join.hash_join(semi)` —
+    one orderkey-hash co-partition exchange, no broadcast assumption
+    (the qualifying set is a constant fraction of orders, too large to
+    ship to every task at 100 TB).  Priority counts then partial-
+    aggregate per batch into a ≤5-row groupby."""
+    from .join import hash_join
+
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(
+            zero_copy_only=False)[q >= qty_exists]
+        return pa.table({"l_orderkey": pa.array(np.unique(ok),
+                                                pa.int64())})
+
+    qual = lineitem_ds.map_batches(big_keys, batch_format="pyarrow")
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        return batch.select(["o_orderkey", "o_orderpriority"]).filter(
+            pa.array(keep))
+
+    window = orders_ds.map_batches(in_window, batch_format="pyarrow")
+    hits = hash_join(window, qual, on="o_orderkey",
+                     right_on="l_orderkey", how="semi",
+                     left_cols=["o_orderpriority"])
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority")
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        uniq, cnt = np.unique(
+            pr.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq.astype(str), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        hits.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="order_count"))
+        .to_pandas()  # ≤ 5 distinct priorities
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "order_count": pa.array(
+            out["order_count"].astype(np.int64), pa.int64()),
+    })

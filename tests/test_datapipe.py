@@ -7300,3 +7300,125 @@ class TestBfsDepths:
             {"depth": 2, "n_nodes": 1},
             {"depth": 3, "n_nodes": 1},
         ]
+
+
+class TestQ13Custdist:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q13_custdist(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q13_custdist"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.astype("int64").equals(w.astype("int64"))
+
+    def test_total_mass_is_customer_count(self, ray_session):
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q13_custdist(sf).to_pandas()
+        n_cust = pq.ParquetFile(
+            f"{sf}/customer.parquet").metadata.num_rows
+        assert int(got["custdist"].sum()) == n_cust
+
+
+class TestQ15TopSupplier:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q15_top_supplier(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q15_top_supplier"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_empty_window(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q15_top_supplier
+
+        sf = "/root/testdata/sf0.001"
+        got = q15_top_supplier(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"]),
+            sf, date_from="1911-01-01", date_to="1911-02-01",
+        ).to_pandas()
+        assert len(got) == 0
+        assert sorted(got.columns) == sorted(
+            ["s_suppkey", "s_name", "total_revenue_e4",
+             "total_revenue"])
+
+
+class TestQ17SmallQty:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q17_small_qty(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "part"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q17_small_qty"]).df()
+        assert len(got) == 1 and len(want) == 1
+        assert int(got["total_cents"][0]) == int(want["total_cents"][0])
+        assert float(got["avg_yearly"][0]) == float(
+            want["avg_yearly"][0])
+
+    def test_unknown_brand_is_zero(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q17_small_qty
+
+        sf = "/root/testdata/sf0.001"
+        got = q17_small_qty(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice"]),
+            sf, brand="Brand#none",
+        ).to_pandas()
+        assert int(got["total_cents"][0]) == 0
+        assert float(got["avg_yearly"][0]) == 0.0
+
+
+class TestQ4Priority:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q4_priority(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q4_priority"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.equals(w)
