@@ -4186,6 +4186,59 @@ def _q_q4_priority(sf_dir: str):
     )
 
 
+def _q_q7_volume(sf_dir: str):
+    """TPC-H Q7 volume shipping: dense-int8 nation broadcasts, both
+    sides pre-filter to the two nations before the single orderkey
+    exchange, exact 1e-4 revenue units."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q7_volume
+
+    return q7_volume(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        sf_dir,
+    )
+
+
+def _q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 important stock (lineitem adaptation): per-part cents
+    rollup materialized once for the exact integer above-mean threshold
+    value·n_parts > 2·total."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q11_important_parts
+
+    return q11_important_parts(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_extendedprice"]),
+        sf_dir,
+    )
+
+
+def _q_q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 adapted: above-positive-average balance (exact
+    cents·count > Σcents) ∧ no recent orders via custkey-hash anti
+    join, per-nation rollup."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q22_idle_customers
+
+    return q22_idle_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_acctbal"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4441,6 +4494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q_q15_top_supplier,
         "q17_small_qty": _q_q17_small_qty,
         "q4_priority": _q_q4_priority,
+        "q7_volume": _q_q7_volume,
+        "q11_important_parts": _q_q11_important_parts,
+        "q22_idle_customers": _q_q22_idle_customers,
     }
 
 
@@ -8245,6 +8301,84 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END), 0) AS DOUBLE) / 700.0
                      AS avg_yearly
             FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+        """,
+        # round-5: TPC-H Q7 — exact 1e-4 revenue units per nation pair
+        # and ship year
+        "q7_volume": """
+            SELECT supp_nation, cust_nation, l_year, revenue_e4,
+                   CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)
+                              * CAST(floor((1.0 - l_discount) * 100.0
+                                           + 0.5) AS BIGINT))
+                          AS BIGINT) AS revenue_e4
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                     OR (n1.n_name = 'NATION_7'
+                         AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2, 3)
+            ORDER BY 1, 2, 3
+        """,
+        # round-5: TPC-H Q11 adapted to lineitem — exact integer
+        # above-mean threshold value·n_parts > 2·total (HUGEINT headroom)
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY 1)
+            SELECT l_partkey, value_cents
+            FROM v
+            WHERE CAST(value_cents AS HUGEINT)
+                    * (SELECT count(*) FROM v)
+                  > 2 * (SELECT CAST(sum(value_cents) AS HUGEINT)
+                         FROM v)
+            ORDER BY value_cents DESC, l_partkey
+        """,
+        # round-5: TPC-H Q22 adapted — above-positive-average balance
+        # (exact cents·count > Σcents), no orders on/after the cutoff
+        "q22_idle_customers": """
+            WITH s AS (
+              SELECT CAST(sum(CASE WHEN c_acctbal > 0.0
+                                   THEN CAST(floor(c_acctbal * 100.0
+                                                   + 0.5) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS sc,
+                     CAST(sum(CASE WHEN c_acctbal > 0.0 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS n
+              FROM customer),
+            sel AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                       AS bal
+              FROM customer, s
+              WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                      * s.n > s.sc
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-09-01'))
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal) AS BIGINT) AS totacctbal_cents,
+                   CAST(sum(bal) AS DOUBLE) / 100.0 AS totacctbal
+            FROM sel JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         # round-5: TPC-H Q4 adapted — EXISTS(big lineitem) instead of
         # the absent commit/receipt dates

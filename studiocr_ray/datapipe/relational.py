@@ -6614,3 +6614,348 @@ def q4_priority(lineitem_ds, orders_ds,
         "order_count": pa.array(
             out["order_count"].astype(np.int64), pa.int64()),
     })
+
+
+def q7_volume(lineitem_ds, orders_ds, sf_dir: str,
+              nation_a: str = "NATION_3", nation_b: str = "NATION_7",
+              date_from: str = "1995-01-01",
+              date_to: str = "1997-01-01"):
+    """TPC-H Q7 (volume shipping): revenue between two nations by
+    (supplier nation, customer nation, ship year) →
+    ``(supp_nation, cust_nation, l_year, revenue_e4, revenue)``.
+
+    Scale shape (the `revenue_by_nation` decomposition): supplier and
+    customer nationkeys broadcast once as dense int8 arrays (1 byte per
+    key); lineitem pre-filters to the two supplier nations + date window
+    and pre-aggregates ``(l_orderkey, supp_is_a, l_year)`` integer
+    revenue partials per batch; orders map to ``(o_orderkey, cust nation
+    flag)`` keeping only the two customer nations — so the one
+    lineitem⨝orders orderkey-hash exchange carries ONLY
+    qualifying narrow rows (~(2/25)² of lineitem at uniform nations).
+    The final groupby has ≤ 2·years rows.  Revenue sums in exact
+    integer 1e-4 units."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    key_of = {n: int(k) for k, n in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist())}
+    if nation_a not in key_of or nation_b not in key_of:
+        raise ValueError(f"unknown nation {nation_a!r}/{nation_b!r}")
+    ka, kb = key_of[nation_a], key_of[nation_b]
+
+    def dense_nation(path, key_col, nk_col):
+        t = pq.read_table(path, columns=[key_col, nk_col])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        nks = t.column(nk_col).to_numpy(zero_copy_only=False)
+        arr = np.full(int(keys.max()) + 1, -1, np.int8)
+        arr[keys] = nks.astype(np.int8)
+        return arr
+
+    supp_ref = ray.put(dense_nation(f"{sf_dir}/supplier.parquet",
+                                    "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(dense_nation(f"{sf_dir}/customer.parquet",
+                                    "c_custkey", "c_nationkey"))
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+
+    class LinePartial:
+        def __init__(self):
+            self.nation_of = ray.get(supp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sd = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            sk = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)
+            if (sk < 0).any() or (sk >= len(self.nation_of)).any():
+                raise ValueError("unknown supplier key in lineitem")
+            nk = self.nation_of[sk]
+            keep = ((sd >= lo) & (sd < hi)
+                    & ((nk == ka) | (nk == kb)))
+            if not keep.any():
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "supp_a": pa.array([], pa.int8()),
+                    "l_year": pa.array([], pa.int64()),
+                    "rev_part": pa.array([], pa.int64())})
+            idx = np.flatnonzero(keep)
+            ok = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[idx]
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[idx]
+            disc = batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[idx]
+            rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+                   * np.floor((1.0 - disc) * 100.0 + 0.5).astype(
+                       np.int64))
+            yr = sd[idx].astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            sa = (nk[idx] == ka).astype(np.int64)
+            # pack (orderkey, supp_a, year) into one partial key:
+            # years fit 16 bits, supp flag 1 bit
+            packed = (ok << 17) | (sa << 16) | (yr & 0xFFFF)
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, rev)
+            return pa.table({
+                "l_orderkey": pa.array(uniq >> 17, pa.int64()),
+                "supp_a": pa.array(((uniq >> 16) & 1).astype(np.int8),
+                                   pa.int8()),
+                "l_year": pa.array((uniq & 0xFFFF).astype(np.int64),
+                                   pa.int64()),
+                "rev_part": pa.array(acc, pa.int64())})
+
+    class OrderSide:
+        def __init__(self):
+            self.nation_of = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck < 0).any() or (ck >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck]
+            keep = (nk == ka) | (nk == kb)
+            t = batch.select(["o_orderkey"]).filter(pa.array(keep))
+            return t.append_column(
+                "cust_a", pa.array((nk[keep] == ka).astype(np.int8),
+                                   pa.int8()))
+
+    lines = lineitem_ds.map_batches(LinePartial,
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    ords = orders_ds.map_batches(OrderSide, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    joined = hash_join(lines, ords, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["supp_a", "l_year", "rev_part"],
+                       right_cols=["cust_a"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        sa = batch.column("supp_a").to_numpy(zero_copy_only=False)
+        ca = batch.column("cust_a").to_numpy(zero_copy_only=False)
+        keep = sa != ca  # (A,B) or (B,A) only
+        if not keep.any():
+            return pa.table({
+                "supp_a": pa.array([], pa.int8()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_part": pa.array([], pa.int64())})
+        idx = np.flatnonzero(keep)
+        yr = batch.column("l_year").to_numpy(zero_copy_only=False)[idx]
+        rev = batch.column("rev_part").to_numpy(
+            zero_copy_only=False)[idx]
+        packed = (sa[idx].astype(np.int64) << 16) | yr
+        uniq, inv = np.unique(packed, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({
+            "supp_a": pa.array((uniq >> 16).astype(np.int8), pa.int8()),
+            "l_year": pa.array(uniq & 0xFFFF, pa.int64()),
+            "rev_part": pa.array(acc, pa.int64())})
+
+    out = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["supp_a", "l_year"])
+        .aggregate(Sum("rev_part", alias_name="revenue_e4"))
+        .to_pandas()  # ≤ 2·years rows
+    )
+    sa = out["supp_a"].to_numpy().astype(bool)
+    e4 = out["revenue_e4"].astype(np.int64)
+    res = pd.DataFrame({
+        "supp_nation": np.where(sa, nation_a, nation_b),
+        "cust_nation": np.where(sa, nation_b, nation_a),
+        "l_year": out["l_year"].astype(np.int64),
+        "revenue_e4": e4,
+    }).sort_values(["supp_nation", "cust_nation", "l_year"]
+                   ).reset_index(drop=True)
+    return pa.table({
+        "supp_nation": pa.array(res["supp_nation"], pa.string()),
+        "cust_nation": pa.array(res["cust_nation"], pa.string()),
+        "l_year": pa.array(res["l_year"], pa.int64()),
+        "revenue_e4": pa.array(res["revenue_e4"], pa.int64()),
+        "revenue": pa.array(res["revenue_e4"].to_numpy() / 10000.0,
+                            pa.float64()),
+    })
+
+
+def q11_important_parts(lineitem_ds, sf_dir: str,
+                        nation: str = "NATION_7", mult: int = 2):
+    """TPC-H Q11 (important stock), adapted to lineitem (no partsupp
+    table): per-part shipped value — extendedprice cents from suppliers
+    of one nation — keeping parts whose total exceeds ``mult``× the
+    MEAN per-part value → ``(l_partkey, value_cents)`` sorted by value
+    desc, partkey asc.  (Q11's fixed fraction of the global total is
+    scaled by 1/SF in the spec; anchoring to the mean keeps the
+    selectivity scale-invariant without an SF parameter.)
+
+    The threshold is evaluated in EXACT integer arithmetic:
+    value·n_parts > mult·total, rearranged driver-side to
+    value > (mult·total)//n_parts (valid because value is integral).  Scale
+    shape: supplier nationkeys broadcast dense int8; per-part cents
+    partials (np.add.at) → ONE keyed exchange; the per-part rollup
+    (key + int64) is materialized once so the global total and the
+    threshold filter reuse it without a second lineitem scan."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    key_of = {n: int(k) for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+    if nation not in key_of:
+        raise ValueError(f"unknown nation {nation!r}")
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+    nk = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
+    nation_of[sk] = nk.astype(np.int8)
+    ref = ray.put(nation_of)
+    want = key_of[nation]
+
+    class ValuePartial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)
+            if (s < 0).any() or (s >= len(self.nation_of)).any():
+                raise ValueError("unknown supplier key in lineitem")
+            keep = self.nation_of[s] == want
+            if not keep.any():
+                return pa.table({
+                    "l_partkey": pa.array([], pa.int64()),
+                    "cents_part": pa.array([], pa.int64())})
+            pk = batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)[keep]
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[keep]
+            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            uniq, inv = np.unique(pk, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, cents)
+            return pa.table({
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "cents_part": pa.array(acc, pa.int64())})
+
+    per_part = (
+        lineitem_ds.map_batches(ValuePartial, batch_format="pyarrow",
+                                concurrency=(1, 8))
+        .groupby("l_partkey")
+        .aggregate(Sum("cents_part", alias_name="value_cents"))
+        .materialize()
+    )
+    total = per_part.sum("value_cents")
+    if total is None:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value_cents": pa.array([], pa.int64())})
+    n_parts = per_part.count()
+    thresh = (mult * int(total)) // n_parts
+    return (per_part.filter(expr=f"value_cents > {thresh}")
+            .sort(["value_cents", "l_partkey"],
+                  descending=[True, False]))
+
+
+def q22_idle_customers(customer_ds, orders_ds, sf_dir: str,
+                       cutoff: str = "2000-09-01"):
+    """TPC-H Q22 (global sales opportunity), adapted to the available
+    columns: customers whose account balance exceeds the average
+    POSITIVE balance and who placed NO order on/after ``cutoff``
+    (recent-inactivity stand-in for the absent phone-prefix filter),
+    rolled up per nation →
+    ``(n_name, numcust, totacctbal_cents, totacctbal)``.
+
+    The correlated average decorrelates into one (Σcents, count) pass
+    over customer; the selection compares cents·count > Σcents — exact
+    integers, no float average anywhere.  The NOT-EXISTS runs as a
+    custkey-hash ANTI join (`join.hash_join(anti)`) against recent
+    orderers (a constant fraction of customers — NOT broadcastable at
+    scale); nation names resolve from the ≤25-row dimension driver-side.
+    """
+    import pyarrow.parquet as pq
+
+    from .join import hash_join
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({
+            "sum_cents": pa.array([int(pos.sum())], pa.int64()),
+            "n_pos": pa.array([len(pos)], pa.int64())})
+
+    sums = customer_ds.map_batches(
+        bal_partial, batch_format="pyarrow").sum(
+            ["sum_cents", "n_pos"])
+    if sums is None or not int(sums["sum(n_pos)"]):
+        sc, npos = 0, 0
+    else:
+        sc, npos = int(sums["sum(sum_cents)"]), int(sums["sum(n_pos)"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        keep = (cents * npos) > sc if npos else np.zeros(
+            len(cents), np.bool_)
+        t = batch.select(["c_custkey", "c_nationkey"]).filter(
+            pa.array(keep))
+        return t.append_column("bal_cents",
+                               pa.array(cents[keep], pa.int64()))
+
+    lo = np.datetime64(cutoff, "us").astype("int64")
+
+    def recent(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(
+            zero_copy_only=False)[od >= lo]
+        return pa.table({"o_custkey": pa.array(np.unique(ck),
+                                               pa.int64())})
+
+    sel = customer_ds.map_batches(rich, batch_format="pyarrow")
+    rec = orders_ds.map_batches(recent, batch_format="pyarrow")
+    idle = hash_join(sel, rec, on="c_custkey", right_on="o_custkey",
+                     how="anti",
+                     left_cols=["c_nationkey", "bal_cents"])
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bal = batch.column("bal_cents").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, bal)
+        return pa.table({
+            "c_nationkey": pa.array(uniq, pa.int64()),
+            "numcust": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+            "bal": pa.array(acc, pa.int64())})
+
+    out = (
+        idle.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("bal", alias_name="totacctbal_cents"))
+        .to_pandas()  # ≤ 25 nations
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["n_name"] = [name_of[int(k)] for k in out["c_nationkey"]]
+    out = out.sort_values("n_name").reset_index(drop=True)
+    cents = out["totacctbal_cents"].astype(np.int64)
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "numcust": pa.array(out["numcust"].astype(np.int64),
+                            pa.int64()),
+        "totacctbal_cents": pa.array(cents, pa.int64()),
+        "totacctbal": pa.array(cents.to_numpy() / 100.0, pa.float64()),
+    })

@@ -7422,3 +7422,128 @@ class TestQ4Priority:
         w = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(g) > 0
         assert g.equals(w)
+
+
+class TestQ7Volume:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q7_volume(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "supplier",
+                  "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q7_volume"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_unknown_nation_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q7_volume
+
+        sf = "/root/testdata/sf0.001"
+        with pytest.raises(ValueError, match="unknown nation"):
+            q7_volume(
+                rd.read_parquet(f"{sf}/lineitem.parquet"),
+                rd.read_parquet(f"{sf}/orders.parquet"),
+                sf, nation_a="ATLANTIS", nation_b="NATION_3")
+
+
+class TestQ11ImportantParts:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        # sf0.01: NATION_7 has suppliers and 100+ parts qualify
+        sf = "/root/testdata/sf0.01"
+        got = e._q_q11_important_parts(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier", "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q11_important_parts"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.astype("int64").equals(w.astype("int64"))
+
+    def test_mult_zero_keeps_every_part(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q11_important_parts
+
+        sf = "/root/testdata/sf0.001"
+        got = q11_important_parts(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"]),
+            sf, nation="NATION_3", mult=0).to_pandas()
+        n = duckdb.sql(
+            f"SELECT count(DISTINCT l_partkey) FROM "
+            f"read_parquet('{sf}/lineitem.parquet') l "
+            f"JOIN read_parquet('{sf}/supplier.parquet') s "
+            f"  ON l.l_suppkey = s.s_suppkey "
+            f"JOIN read_parquet('{sf}/nation.parquet') n "
+            f"  ON s.s_nationkey = n.n_nationkey "
+            f"WHERE n.n_name = 'NATION_3'").fetchone()[0]
+        assert len(got) == n > 0
+
+
+class TestQ22IdleCustomers:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q22_idle_customers(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders", "nation"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(e.oracle_sql()["q22_idle_customers"]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_future_cutoff_means_everyone_idle(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q22_idle_customers
+
+        sf = "/root/testdata/sf0.001"
+        got = q22_idle_customers(
+            rd.read_parquet(f"{sf}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey",
+                                     "c_acctbal"]),
+            rd.read_parquet(f"{sf}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"]),
+            sf, cutoff="2150-01-01").to_pandas()
+        # with no recent orders, the anti join keeps every
+        # above-average customer
+        n = duckdb.sql(f"""
+            WITH s AS (SELECT sum(CASE WHEN c_acctbal > 0.0 THEN
+                         CAST(floor(c_acctbal*100.0+0.5) AS BIGINT)
+                         ELSE 0 END) sc,
+                       sum(CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0
+                           END) n
+                       FROM read_parquet('{sf}/customer.parquet'))
+            SELECT count(*) FROM
+              read_parquet('{sf}/customer.parquet'), s
+            WHERE CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) * s.n
+                  > s.sc""").fetchone()[0]
+        assert int(got["numcust"].sum()) == n > 0
