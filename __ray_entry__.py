@@ -4239,6 +4239,71 @@ def _q_q22_idle_customers(sf_dir: str):
     )
 
 
+def _q_q2_min_cost(sf_dir: str):
+    """TPC-H Q2 min-cost supplier (lineitem as the supply relation):
+    associative per-batch argmin candidates → one partkey groupby →
+    winner names via suppkey-hash join."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q2_min_cost
+
+    return q2_min_cost(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_extendedprice"]),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+        sf_dir,
+    )
+
+
+def _q_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 supplier count per (brand, type, size): deduped pair
+    partials → partkey-hash join with part attrs → distinct-supplier
+    two-stage count."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q16_supplier_cnt
+
+    return q16_supplier_cnt(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey"]),
+        sf_dir,
+    )
+
+
+def _q_q19_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19 disjunctive-predicate revenue: dense 2-byte part
+    attribute broadcast, whole disjunction vectorized per batch,
+    exact 1e-4 revenue units."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q19_disjunct_revenue
+
+    return q19_disjunct_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        sf_dir,
+    )
+
+
+def _q_q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 adapted: >20% per-part shipment concentration via the
+    pair rollup re-joined to its own part totals, exact integer
+    cross-multiplied inequality."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q20_excess_suppliers
+
+    return q20_excess_suppliers(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey",
+                                 "l_quantity"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4497,6 +4562,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume": _q_q7_volume,
         "q11_important_parts": _q_q11_important_parts,
         "q22_idle_customers": _q_q22_idle_customers,
+        "q2_min_cost": _q_q2_min_cost,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q19_disjunct_revenue": _q_q19_disjunct_revenue,
+        "q20_excess_suppliers": _q_q20_excess_suppliers,
     }
 
 
@@ -8379,6 +8448,82 @@ def oracle_sql() -> dict[str, str]:
             FROM sel JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        # round-5: TPC-H Q2 adapted — min observed price per filtered
+        # part, ties to the smallest suppkey
+        "q2_min_cost": """
+            WITH cand AS (
+              SELECT l_partkey,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS cents,
+                     l_suppkey
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'STANDARD' AND p_size <= 15),
+            m AS (SELECT l_partkey,
+                         CAST(min(cents) AS BIGINT) AS min_cents
+                  FROM cand GROUP BY 1)
+            SELECT m.l_partkey AS p_partkey,
+                   m.min_cents AS min_price_cents,
+                   CAST(min(c.l_suppkey) AS BIGINT) AS s_suppkey,
+                   min(s.s_name) AS s_name
+            FROM m
+            JOIN cand c ON c.l_partkey = m.l_partkey
+                       AND c.cents = m.min_cents
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+            ORDER BY 1
+        """,
+        # round-5: TPC-H Q16 adapted — lineitem as the supply relation,
+        # one brand excluded (no s_comment complaint filter)
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # round-5: TPC-H Q19 adapted — three (brand, qty, size)
+        # conjunctions OR-ed, exact 1e-4 revenue units
+        "q19_disjunct_revenue": """
+            SELECT CAST(coalesce(sum(
+                     CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT)
+                     * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                            AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+                   CAST(coalesce(sum(
+                     CAST(floor(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT)
+                     * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                            AS BIGINT)), 0) AS DOUBLE) / 10000.0
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1
+                     AND 11 AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10
+                     AND 20 AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20
+                     AND 30 AND p_size BETWEEN 1 AND 15)
+        """,
+        # round-5: TPC-H Q20 adapted — >20% per-part shipment
+        # concentration, exact 5·sq > total
+        "q20_excess_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                          AS BIGINT) AS sq
+              FROM lineitem GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+                   FROM ps GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM ps
+            JOIN pt USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE 5 * sq > tq
+            ORDER BY s_suppkey
         """,
         # round-5: TPC-H Q4 adapted — EXISTS(big lineitem) instead of
         # the absent commit/receipt dates

@@ -6803,21 +6803,24 @@ def q11_important_parts(lineitem_ds, sf_dir: str,
     import pyarrow.parquet as pq
     import ray
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    key_of = {n: int(k) for k, n in zip(
-        nat.column("n_nationkey").to_pylist(),
-        nat.column("n_name").to_pylist())}
-    if nation not in key_of:
-        raise ValueError(f"unknown nation {nation!r}")
-    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
-    nk = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
-    nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
-    nation_of[sk] = nk.astype(np.int8)
-    ref = ray.put(nation_of)
-    want = key_of[nation]
+    if nation is not None:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        key_of = {n: int(k) for k, n in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist())}
+        if nation not in key_of:
+            raise ValueError(f"unknown nation {nation!r}")
+        sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+        nk = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+        nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
+        nation_of[sk] = nk.astype(np.int8)
+        ref = ray.put(nation_of)
+        want = key_of[nation]
+    else:
+        ref, want = ray.put(None), None
 
     class ValuePartial:
         def __init__(self):
@@ -6958,4 +6961,367 @@ def q22_idle_customers(customer_ds, orders_ds, sf_dir: str,
                             pa.int64()),
         "totacctbal_cents": pa.array(cents, pa.int64()),
         "totacctbal": pa.array(cents.to_numpy() / 100.0, pa.float64()),
+    })
+
+
+def q2_min_cost(lineitem_ds, supplier_ds, sf_dir: str,
+                ptype: str = "STANDARD", max_size: int = 15):
+    """TPC-H Q2 (minimum-cost supplier), adapted to lineitem as the
+    supply relation (no partsupp table, so "cost" is the minimum
+    OBSERVED extendedprice): for each part of one type with
+    p_size ≤ ``max_size``, the supplier that shipped it cheapest —
+    ties broken to the smallest suppkey →
+    ``(p_partkey, min_price_cents, s_suppkey, s_name)`` sorted by
+    partkey.
+
+    Distributed argmin: each batch emits ONE candidate row per local
+    partkey (lexsort by cents, then suppkey — the global tie-break is
+    associative over batch winners), one partkey-hash groupby picks the
+    global winner per part with the same lexsort.  The filtered partkey
+    set broadcasts as a sorted array (a ~1/(6·~3) slice of parts);
+    winner names attach through `join.hash_join` — supplier is NOT
+    broadcastable at scale."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    pk_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filters=[("p_type", "==", ptype), ("p_size", "<=", max_size)])
+    pks = np.sort(pk_tbl.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    pks_ref = ray.put(pks)
+
+    class Candidates:
+        def __init__(self):
+            self.pks = ray.get(pks_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            if len(self.pks) == 0:
+                hit = np.zeros(len(pk), np.bool_)
+            else:
+                pos = np.minimum(np.searchsorted(self.pks, pk),
+                                 len(self.pks) - 1)
+                hit = self.pks[pos] == pk
+            if not hit.any():
+                return pa.table({
+                    "l_partkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64())})
+            idx = np.flatnonzero(hit)
+            pk = pk[idx]
+            cents = np.floor(batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[idx] * 100.0 + 0.5).astype(
+                    np.int64)
+            sk = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)[idx]
+            order = np.lexsort((sk, cents, pk))
+            pk, cents, sk = pk[order], cents[order], sk[order]
+            first = np.empty(len(pk), np.bool_)
+            first[0] = True
+            first[1:] = pk[1:] != pk[:-1]
+            return pa.table({
+                "l_partkey": pa.array(pk[first], pa.int64()),
+                "cents": pa.array(cents[first], pa.int64()),
+                "l_suppkey": pa.array(sk[first], pa.int64())})
+
+    def pick(group: pa.Table) -> pa.Table:
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, cents, pk))
+        pk, cents, sk = pk[order], cents[order], sk[order]
+        first = np.empty(len(pk), np.bool_)
+        if len(pk):
+            first[0] = True
+            first[1:] = pk[1:] != pk[:-1]
+        return pa.table({
+            "p_partkey": pa.array(pk[first], pa.int64()),
+            "min_price_cents": pa.array(cents[first], pa.int64()),
+            "s_suppkey": pa.array(sk[first], pa.int64())})
+
+    winners = (
+        lineitem_ds.map_batches(Candidates, batch_format="pyarrow",
+                                concurrency=(1, 8))
+        .groupby("l_partkey")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    named = hash_join(winners, supplier_ds, on="s_suppkey",
+                      left_cols=["p_partkey", "min_price_cents"],
+                      right_cols=["s_name"])
+    return named.sort("p_partkey").select_columns(
+        ["p_partkey", "min_price_cents", "s_suppkey", "s_name"])
+
+
+def q16_supplier_cnt(lineitem_ds, sf_dir: str,
+                     exclude_brand: str = "Brand#5"):
+    """TPC-H Q16 (part/supplier relationship), adapted to lineitem as
+    the supply relation (no partsupp) and without the supplier-
+    complaint exclusion (no s_comment column): distinct suppliers that
+    shipped each (brand, type, size) excluding one brand →
+    ``(p_brand, p_type, p_size, supplier_cnt)`` sorted by count desc,
+    then brand/type/size.
+
+    Scale shape: THREE cheap exchanges, each over already-deduped
+    partials — (1) distinct (partkey, suppkey) pairs (per-batch unique
+    first, so the exchange carries ≤ one row per pair per batch);
+    (2) pairs ⨝ part attributes by partkey hash (`join.hash_join` —
+    the part table is NOT broadcast); (3) distinct
+    (brand, type, size, suppkey) then a ≤|brands·types·sizes|-row
+    count.  No step ships raw lineitem rows."""
+    import ray.data as rd
+
+    from .join import hash_join
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        arr = np.stack([pk, sk], axis=1)
+        uniq = np.unique(arr, axis=0)
+        return pa.table({
+            "l_partkey": pa.array(uniq[:, 0], pa.int64()),
+            "l_suppkey": pa.array(uniq[:, 1], pa.int64())})
+
+    pairs = (
+        lineitem_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    part_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    attributed = hash_join(
+        pairs, part_ds, on="l_partkey", right_on="p_partkey",
+        left_cols=["l_suppkey"],
+        right_cols=["p_brand", "p_type", "p_size"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.not_equal(batch.column("p_brand"),
+                                         exclude_brand))
+
+    distinct = (
+        attributed.map_batches(keep, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("_n", "count")])
+        return t.rename_columns(
+            ["n_part" if c == "_n_count" else c
+             for c in t.column_names])
+
+    out = (
+        distinct.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("n_part", alias_name="supplier_cnt"))
+        .to_pandas()  # ≤ brands·types·sizes rows
+    ).sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                  ascending=[False, True, True, True]
+                  ).reset_index(drop=True)
+    return pa.table({
+        "p_brand": pa.array(out["p_brand"], pa.string()),
+        "p_type": pa.array(out["p_type"], pa.string()),
+        "p_size": pa.array(out["p_size"].astype(np.int32), pa.int32()),
+        "supplier_cnt": pa.array(out["supplier_cnt"].astype(np.int64),
+                                 pa.int64()),
+    })
+
+
+def q19_disjunct_revenue(lineitem_ds, sf_dir: str,
+                         conds: tuple = (("Brand#12", 1, 11, 1, 5),
+                                         ("Brand#23", 10, 20, 1, 10),
+                                         ("Brand#15", 20, 30, 1, 15))):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted
+    to the available part columns (no container/shipmode): revenue of
+    lineitems matching ANY of three (brand, quantity range, size range)
+    conjunctions → ONE row ``(revenue_e4, revenue)``.
+
+    Each ``conds`` entry is (brand, qty_lo, qty_hi, size_lo, size_hi),
+    all bounds inclusive.  Part attributes broadcast ONCE as dense
+    per-partkey int8 arrays (brand code + size — 2 bytes/part, the
+    corr_by_nation dimension-bitmap discipline); the whole disjunction
+    evaluates vectorized per batch; exact integer 1e-4 revenue."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    bcode = {b: i for i, b in enumerate(brands)}
+    bc = np.array([bcode[b] for b in part.column("p_brand").to_pylist()],
+                  np.int8)
+    sz = part.column("p_size").to_numpy(zero_copy_only=False).astype(
+        np.int8)
+    brand_of = np.full(int(pk.max()) + 1, -1, np.int8)
+    size_of = np.zeros(int(pk.max()) + 1, np.int8)
+    brand_of[pk] = bc
+    size_of[pk] = sz
+    want = [(bcode.get(b, -2), qlo, qhi, slo, shi)
+            for b, qlo, qhi, slo, shi in conds]
+    ref = ray.put((brand_of, size_of))
+
+    class Rev:
+        def __init__(self):
+            self.brand_of, self.size_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lpk = batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)
+            if (lpk < 0).any() or (lpk >= len(self.brand_of)).any():
+                raise ValueError("lineitem l_partkey has no part row")
+            b = self.brand_of[lpk]
+            s = self.size_of[lpk]
+            q = np.floor(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False) + 0.5).astype(np.int64)
+            keep = np.zeros(len(lpk), np.bool_)
+            for code, qlo, qhi, slo, shi in want:
+                keep |= ((b == code) & (q >= qlo) & (q <= qhi)
+                         & (s >= slo) & (s <= shi))
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[keep]
+            disc = batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[keep]
+            rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+                   * np.floor((1.0 - disc) * 100.0 + 0.5).astype(
+                       np.int64))
+            return pa.table({"rev": pa.array([int(rev.sum())],
+                                             pa.int64())})
+
+    parts = lineitem_ds.map_batches(Rev, batch_format="pyarrow",
+                                    concurrency=(1, 8)).to_pandas()
+    total = int(parts["rev"].sum())
+    return pa.table({
+        "revenue_e4": pa.array([total], pa.int64()),
+        "revenue": pa.array([total / 10000.0], pa.float64()),
+    })
+
+
+def q20_excess_suppliers(lineitem_ds, sf_dir: str,
+                         nation: str | None = None,
+                         share_num: int = 1, share_den: int = 5):
+    """TPC-H Q20 (potential part promotion), adapted to lineitem as the
+    supply relation: suppliers — optionally restricted to one nation —
+    that shipped MORE THAN ``share_num/share_den`` (default 20%) of the
+    total shipped quantity of at least one part →
+    ``(s_suppkey, s_name)`` sorted by suppkey.  The concentration
+    test replaces the original availqty > half-of-shipped predicate
+    (no partsupp table); the exactness is integral quantities and the
+    cross-multiplied inequality den·sq > num·total.
+
+    Scale shape: per-(partkey, suppkey) quantity partials → ONE
+    pair-keyed exchange; per-part totals derive from THAT rollup (a
+    second tiny groupby over one-row-per-pair data, not a second
+    lineitem scan); totals re-join the pair rollup partkey-hash
+    co-partitioned.  The winner set (≤ suppliers) resolves names via
+    driver point lookups."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    if nation is not None:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        key_of = {n: int(k) for k, n in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist())}
+        if nation not in key_of:
+            raise ValueError(f"unknown nation {nation!r}")
+        sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+        nk = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+        nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
+        nation_of[sk] = nk.astype(np.int8)
+        ref = ray.put(nation_of)
+        want = key_of[nation]
+    else:
+        ref, want = ray.put(None), None
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk_ = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = np.floor(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        arr = np.stack([pk, sk_], axis=1)
+        uniq, inv = np.unique(arr, axis=0, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, q)
+        return pa.table({
+            "l_partkey": pa.array(uniq[:, 0], pa.int64()),
+            "l_suppkey": pa.array(uniq[:, 1], pa.int64()),
+            "sq": pa.array(acc, pa.int64())})
+
+    pair_qty = (
+        lineitem_ds.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("sq", alias_name="sq"))
+        .materialize()  # one row per (part, supplier) pair
+    )
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sq = batch.column("sq").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, sq)
+        return pa.table({"l_partkey": pa.array(uniq, pa.int64()),
+                         "tq": pa.array(acc, pa.int64())})
+
+    totals = (
+        pair_qty.map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("tq", alias_name="tq"))
+    )
+    joined = hash_join(pair_qty, totals, on="l_partkey",
+                       left_cols=["l_suppkey", "sq"],
+                       right_cols=["tq"])
+
+    class Winners:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk_ = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)
+            sq = batch.column("sq").to_numpy(zero_copy_only=False)
+            tq = batch.column("tq").to_numpy(zero_copy_only=False)
+            keep = share_den * sq > share_num * tq
+            if self.nation_of is not None:
+                ok = (sk_ >= 0) & (sk_ < len(self.nation_of))
+                keep &= ok & (self.nation_of[np.minimum(
+                    sk_, len(self.nation_of) - 1)] == want)
+            return pa.table({
+                "s_suppkey": pa.array(np.unique(sk_[keep]), pa.int64())})
+
+    win = (
+        joined.map_batches(Winners, batch_format="pyarrow",
+                           concurrency=(1, 8))
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    if len(win) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string())})
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", win["s_suppkey"].tolist())]
+    ) if len(win) else None
+    name_of = (dict(zip(names.column("s_suppkey").to_pylist(),
+                        names.column("s_name").to_pylist()))
+               if names is not None else {})
+    win = win.sort_values("s_suppkey").reset_index(drop=True)
+    return pa.table({
+        "s_suppkey": pa.array(win["s_suppkey"].astype(np.int64),
+                              pa.int64()),
+        "s_name": pa.array([name_of[int(k)] for k in win["s_suppkey"]],
+                           pa.string()),
     })

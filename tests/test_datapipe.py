@@ -7547,3 +7547,118 @@ class TestQ22IdleCustomers:
             WHERE CAST(floor(c_acctbal*100.0+0.5) AS BIGINT) * s.n
                   > s.sc""").fetchone()[0]
         assert int(got["numcust"].sum()) == n > 0
+
+
+def _registry_parity(name, tables, sf="/root/testdata/sf0.001"):
+    """Run queries()[name] and oracle_sql()[name] over the same parquet
+    views; return (got, want) canonical frames."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    return g, w
+
+
+class TestQ2MinCost:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("q2_min_cost",
+                                ("lineitem", "part", "supplier"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_tie_breaks_to_min_suppkey(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q2_min_cost
+
+        sf = "/root/testdata/sf0.001"
+        # same part + price offered by suppliers 9 and 2 → winner 2
+        li = pa.table({
+            "l_partkey": pa.array([7, 7, 7], pa.int64()),
+            "l_suppkey": pa.array([9, 2, 5], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 10.0, 11.0],
+                                        pa.float64()),
+        })
+        sup = pa.table({
+            "s_suppkey": pa.array([2, 5, 9], pa.int64()),
+            "s_name": pa.array(["s2", "s5", "s9"], pa.string()),
+        })
+        import pyarrow.parquet as pq_mod
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        # reuse the real part table filter by pointing at a part dir
+        # containing one matching part row
+        part = pa.table({
+            "p_partkey": pa.array([7], pa.int64()),
+            "p_type": pa.array(["STANDARD"], pa.string()),
+            "p_size": pa.array([3], pa.int32()),
+        })
+        pq_mod.write_table(part, os.path.join(d, "part.parquet"))
+        got = q2_min_cost(rd.from_arrow(li), rd.from_arrow(sup),
+                          d).to_pandas()
+        assert len(got) == 1
+        assert int(got["s_suppkey"][0]) == 2
+        assert int(got["min_price_cents"][0]) == 1000
+
+
+class TestQ16SupplierCnt:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("q16_supplier_cnt",
+                                ("lineitem", "part"))
+        assert len(g) > 0
+        g["p_size"] = g["p_size"].astype("int64")
+        w["p_size"] = w["p_size"].astype("int64")
+        assert g.equals(w)
+
+
+class TestQ19DisjunctRevenue:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("q19_disjunct_revenue",
+                                ("lineitem", "part"))
+        assert int(g["revenue_e4"][0]) == int(w["revenue_e4"][0])
+        assert float(g["revenue"][0]) == float(w["revenue"][0])
+        assert int(g["revenue_e4"][0]) > 0
+
+
+class TestQ20ExcessSuppliers:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("q20_excess_suppliers",
+                                ("lineitem", "supplier"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_unknown_nation_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q20_excess_suppliers
+
+        sf = "/root/testdata/sf0.001"
+        with pytest.raises(ValueError, match="unknown nation"):
+            q20_excess_suppliers(
+                rd.read_parquet(f"{sf}/lineitem.parquet"),
+                sf, nation="ATLANTIS")
+
+    def test_nation_filter_subsets(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q20_excess_suppliers
+
+        sf = "/root/testdata/sf0.001"
+        li = lambda: rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"])
+        all_w = q20_excess_suppliers(li(), sf).to_pandas()
+        nat_w = q20_excess_suppliers(li(), sf,
+                                     nation="NATION_3").to_pandas()
+        assert set(nat_w["s_suppkey"]) <= set(all_w["s_suppkey"])
