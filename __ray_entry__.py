@@ -4304,6 +4304,45 @@ def _q_q20_excess_suppliers(sf_dir: str):
     )
 
 
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 national market share: dense part-type / nation
+    broadcasts, both sides pre-filter before the one orderkey
+    exchange, share as a ratio of exact int64 sums."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q8_market_share
+
+    return q8_market_share(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey",
+                                 "l_suppkey", "l_extendedprice",
+                                 "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        sf_dir,
+    )
+
+
+def _q_q9_profit(sf_dir: str):
+    """TPC-H Q9 product profit (retailprice-cost adaptation): 5-byte
+    part dimension broadcast, packed (orderkey, nation) partials, one
+    orderkey exchange, exact integer profit."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q9_profit
+
+    return q9_profit(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey",
+                                 "l_suppkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4566,6 +4605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q19_disjunct_revenue": _q_q19_disjunct_revenue,
         "q20_excess_suppliers": _q_q20_excess_suppliers,
+        "q8_market_share": _q_q8_market_share,
+        "q9_profit": _q_q9_profit,
     }
 
 
@@ -8524,6 +8565,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE 5 * sq > tq
             ORDER BY s_suppkey
+        """,
+        # round-5: TPC-H Q8 adapted — market share of NATION_3
+        # suppliers in ASIA-customer STANDARD-part sales, per year
+        "q8_market_share": """
+            SELECT o_year, nation_rev_e4, total_rev_e4,
+                   CAST(nation_rev_e4 AS DOUBLE)
+                     / CAST(total_rev_e4 AS DOUBLE) AS mkt_share
+            FROM (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                   THEN rev ELSE 0 END) AS BIGINT)
+                       AS nation_rev_e4,
+                     CAST(sum(rev) AS BIGINT) AS total_rev_e4
+              FROM (SELECT l_orderkey, l_suppkey,
+                           CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT)
+                           * CAST(floor((1.0 - l_discount) * 100.0
+                                        + 0.5) AS BIGINT) AS rev
+                    FROM lineitem
+                    JOIN part ON l_partkey = p_partkey
+                    WHERE p_type = 'STANDARD') l
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region   ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1)
+            ORDER BY 1
+        """,
+        # round-5: TPC-H Q9 adapted — cost = retailprice·qty (no
+        # partsupp), parts by p_name substring, exact 1e-4 profit
+        "q9_profit": """
+            SELECT nation, o_year, profit_e4,
+                   CAST(profit_e4 AS DOUBLE) / 10000.0 AS profit
+            FROM (
+              SELECT sn.n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(sum(
+                       CAST(floor(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)
+                       * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                              AS BIGINT)
+                       - CAST(floor(p_retailprice * 100.0 + 0.5)
+                              AS BIGINT)
+                         * CAST(floor(l_quantity + 0.5) AS BIGINT)
+                         * 100) AS BIGINT) AS profit_e4
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE p_name LIKE '%red%'
+              GROUP BY 1, 2)
+            ORDER BY 1, 2
         """,
         # round-5: TPC-H Q4 adapted — EXISTS(big lineitem) instead of
         # the absent commit/receipt dates

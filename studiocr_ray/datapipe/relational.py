@@ -7325,3 +7325,333 @@ def q20_excess_suppliers(lineitem_ds, sf_dir: str,
         "s_name": pa.array([name_of[int(k)] for k in win["s_suppkey"]],
                            pa.string()),
     })
+
+
+def q8_market_share(lineitem_ds, orders_ds, sf_dir: str,
+                    region: str = "ASIA", ptype: str = "STANDARD",
+                    supp_nation: str = "NATION_3",
+                    date_from: str = "1995-01-01",
+                    date_to: str = "1997-01-01"):
+    """TPC-H Q8 (national market share), adapted to the available part
+    columns (type filter instead of the three-level p_type hierarchy):
+    among sales of one part TYPE to customers of one REGION over two
+    years, the revenue share supplied by ``supp_nation``, per order
+    year → ``(o_year, nation_rev_e4, total_rev_e4, mkt_share)``.
+
+    Scale shape: part type codes and supplier nations broadcast as
+    dense per-key int8 arrays (1 byte per part / supplier — the
+    corr_by_nation dimension discipline); lineitem pre-filters to the
+    type and pre-aggregates (orderkey → rev_all, rev_nation) exact-
+    integer partials; orders pre-filter to the window AND the region's
+    customers (customer nationkey dense int8 + a ≤25-entry region map)
+    before the single orderkey-hash exchange.  The share divides two
+    exact int64 sums — bit-reproducible."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    types = sorted(set(part.column("p_type").to_pylist()))
+    tcode = {t: i for i, t in enumerate(types)}
+    if ptype not in tcode:
+        raise ValueError(f"unknown part type {ptype!r}")
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    type_of = np.full(int(pk.max()) + 1, -1, np.int8)
+    type_of[pk] = np.array(
+        [tcode[t] for t in part.column("p_type").to_pylist()], np.int8)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = {int(k) for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist()) if n == region}
+    if not rkeys:
+        raise ValueError(f"unknown region {region!r}")
+    nkey_of = {n: int(k) for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}
+    if supp_nation not in nkey_of:
+        raise ValueError(f"unknown nation {supp_nation!r}")
+    region_nations = {
+        int(k) for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_regionkey").to_pylist())
+        if int(r) in rkeys}
+    want_sn = nkey_of[supp_nation]
+
+    def dense(path, key_col, nk_col):
+        t = pq.read_table(path, columns=[key_col, nk_col])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        nks = t.column(nk_col).to_numpy(zero_copy_only=False)
+        arr = np.full(int(keys.max()) + 1, -1, np.int8)
+        arr[keys] = nks.astype(np.int8)
+        return arr
+
+    refs = ray.put((type_of,
+                    dense(f"{sf_dir}/supplier.parquet", "s_suppkey",
+                          "s_nationkey"),
+                    dense(f"{sf_dir}/customer.parquet", "c_custkey",
+                          "c_nationkey")))
+    tc = tcode[ptype]
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+    in_region = np.zeros(26, np.bool_)
+    for k in region_nations:
+        in_region[k] = True
+
+    class LinePartial:
+        def __init__(self):
+            self.type_of, self.supp_nat, _ = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lpk = batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)
+            if (lpk < 0).any() or (lpk >= len(self.type_of)).any():
+                raise ValueError("lineitem l_partkey has no part row")
+            keep = self.type_of[lpk] == tc
+            if not keep.any():
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "rev_all": pa.array([], pa.int64()),
+                    "rev_nat": pa.array([], pa.int64())})
+            idx = np.flatnonzero(keep)
+            ok = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[idx]
+            sk = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)[idx]
+            if (sk < 0).any() or (sk >= len(self.supp_nat)).any():
+                raise ValueError("unknown supplier key in lineitem")
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[idx]
+            disc = batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[idx]
+            rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+                   * np.floor((1.0 - disc) * 100.0 + 0.5).astype(
+                       np.int64))
+            is_nat = self.supp_nat[sk] == want_sn
+            uniq, inv = np.unique(ok, return_inverse=True)
+            rall = np.zeros(len(uniq), np.int64)
+            rnat = np.zeros(len(uniq), np.int64)
+            np.add.at(rall, inv, rev)
+            np.add.at(rnat, inv, np.where(is_nat, rev, 0))
+            return pa.table({
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "rev_all": pa.array(rall, pa.int64()),
+                "rev_nat": pa.array(rnat, pa.int64())})
+
+    class OrderSide:
+        def __init__(self):
+            _, _, self.cust_nat = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck < 0).any() or (ck >= len(self.cust_nat)).any():
+                raise ValueError("unknown customer key in orders")
+            cn = self.cust_nat[ck]
+            keep = ((od >= lo) & (od < hi) & (cn >= 0)
+                    & in_region[np.maximum(cn, 0)])
+            idx = np.flatnonzero(keep)
+            yr = od[idx].astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy(
+                        zero_copy_only=False)[idx], pa.int64()),
+                "o_year": pa.array(yr, pa.int64())})
+
+    lines = lineitem_ds.map_batches(LinePartial,
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    ords = orders_ds.map_batches(OrderSide, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    joined = hash_join(lines, ords, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["rev_all", "rev_nat"],
+                       right_cols=["o_year"])
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        yr = batch.column("o_year").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(yr, return_inverse=True)
+        rall = np.zeros(len(uniq), np.int64)
+        rnat = np.zeros(len(uniq), np.int64)
+        np.add.at(rall, inv, batch.column("rev_all").to_numpy(
+            zero_copy_only=False))
+        np.add.at(rnat, inv, batch.column("rev_nat").to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "o_year": pa.array(uniq, pa.int64()),
+            "rev_all": pa.array(rall, pa.int64()),
+            "rev_nat": pa.array(rnat, pa.int64())})
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("rev_nat", alias_name="nation_rev_e4"),
+                   Sum("rev_all", alias_name="total_rev_e4"))
+        .to_pandas()  # ≤ years rows
+    ).sort_values("o_year").reset_index(drop=True)
+    nat_e4 = out["nation_rev_e4"].astype(np.int64)
+    tot_e4 = out["total_rev_e4"].astype(np.int64)
+    return pa.table({
+        "o_year": pa.array(out["o_year"].astype(np.int64), pa.int64()),
+        "nation_rev_e4": pa.array(nat_e4, pa.int64()),
+        "total_rev_e4": pa.array(tot_e4, pa.int64()),
+        "mkt_share": pa.array(
+            nat_e4.to_numpy() / tot_e4.to_numpy().astype(np.float64),
+            pa.float64()),
+    })
+
+
+def q9_profit(lineitem_ds, orders_ds, sf_dir: str,
+              token: str = "red"):
+    """TPC-H Q9 (product-type profit), adapted: cost is
+    p_retailprice·quantity (no partsupp.ps_supplycost), parts filtered
+    by a p_name substring; profit per (supplier nation, order year) →
+    ``(nation, o_year, profit_e4, profit)``.
+
+    profit_e4 = Σ exact-integer (price_e2·disc_e2 − retail_e2·qty·100)
+    — order-free int64 arithmetic on both engine and oracle sides.
+    Scale shape: the part dimension broadcasts ONCE as a dense
+    name-match bitmap + int32 retail cents (5 bytes/part — the
+    dimension-broadcast cap documented at `corr_by_nation`); supplier
+    nations as dense int8; lineitem pre-aggregates
+    (orderkey, nation) → profit partials; the single orderkey-hash
+    exchange joins order years; final groupby is ≤ nations·years."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    match = pc.match_substring(part.column("p_name"),
+                               token).to_numpy(zero_copy_only=False)
+    retail = np.floor(part.column("p_retailprice").to_numpy(
+        zero_copy_only=False) * 100.0 + 0.5).astype(np.int32)
+    match_of = np.zeros(int(pk.max()) + 1, np.bool_)
+    retail_of = np.zeros(int(pk.max()) + 1, np.int32)
+    match_of[pk] = match
+    retail_of[pk] = retail
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(sk.max()) + 1, -1, np.int8)
+    nation_of[sk] = sup.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    refs = ray.put((match_of, retail_of, nation_of))
+
+    class LinePartial:
+        def __init__(self):
+            self.match_of, self.retail_of, self.nation_of = \
+                ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lpk = batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)
+            if (lpk < 0).any() or (lpk >= len(self.match_of)).any():
+                raise ValueError("lineitem l_partkey has no part row")
+            keep = self.match_of[lpk]
+            if not keep.any():
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "nation": pa.array([], pa.int8()),
+                    "profit_part": pa.array([], pa.int64())})
+            idx = np.flatnonzero(keep)
+            sk_ = batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False)[idx]
+            if (sk_ < 0).any() or (sk_ >= len(self.nation_of)).any():
+                raise ValueError("unknown supplier key in lineitem")
+            nk = self.nation_of[sk_]
+            ok = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[idx]
+            q = np.floor(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)[idx] + 0.5).astype(np.int64)
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[idx]
+            disc = batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[idx]
+            rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+                   * np.floor((1.0 - disc) * 100.0 + 0.5).astype(
+                       np.int64))
+            cost = (self.retail_of[lpk[idx]].astype(np.int64) * q
+                    * 100)
+            profit = rev - cost
+            packed = (ok << 5) | nk.astype(np.int64)  # ≤25 nations
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, profit)
+            return pa.table({
+                "l_orderkey": pa.array(uniq >> 5, pa.int64()),
+                "nation": pa.array((uniq & 31).astype(np.int8),
+                                   pa.int8()),
+                "profit_part": pa.array(acc, pa.int64())})
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        yr = od.astype("datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_year": pa.array(yr, pa.int64())})
+
+    lines = lineitem_ds.map_batches(LinePartial,
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    ords = orders_ds.map_batches(order_year, batch_format="pyarrow")
+    joined = hash_join(lines, ords, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["nation", "profit_part"],
+                       right_cols=["o_year"])
+
+    def ny_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nation").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        yr = batch.column("o_year").to_numpy(zero_copy_only=False)
+        packed = (yr << 5) | nk
+        uniq, inv = np.unique(packed, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, batch.column("profit_part").to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "nation_key": pa.array(uniq & 31, pa.int64()),
+            "o_year": pa.array(uniq >> 5, pa.int64()),
+            "profit_part": pa.array(acc, pa.int64())})
+
+    out = (
+        joined.map_batches(ny_partial, batch_format="pyarrow")
+        .groupby(["nation_key", "o_year"])
+        .aggregate(Sum("profit_part", alias_name="profit_e4"))
+        .to_pandas()  # ≤ nations·years rows
+    )
+    if len(out) == 0:
+        return pa.table({
+            "nation": pa.array([], pa.string()),
+            "o_year": pa.array([], pa.int64()),
+            "profit_e4": pa.array([], pa.int64()),
+            "profit": pa.array([], pa.float64()),
+        })
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["nation"] = [name_of[int(k)] for k in out["nation_key"]]
+    out = out.sort_values(["nation", "o_year"]).reset_index(drop=True)
+    e4 = out["profit_e4"].astype(np.int64)
+    return pa.table({
+        "nation": pa.array(out["nation"], pa.string()),
+        "o_year": pa.array(out["o_year"].astype(np.int64), pa.int64()),
+        "profit_e4": pa.array(e4, pa.int64()),
+        "profit": pa.array(e4.to_numpy() / 10000.0, pa.float64()),
+    })

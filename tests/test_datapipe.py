@@ -7662,3 +7662,60 @@ class TestQ20ExcessSuppliers:
         nat_w = q20_excess_suppliers(li(), sf,
                                      nation="NATION_3").to_pandas()
         assert set(nat_w["s_suppkey"]) <= set(all_w["s_suppkey"])
+
+
+class TestQ8MarketShare:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity(
+            "q8_market_share",
+            ("lineitem", "orders", "customer", "supplier", "nation",
+             "region", "part"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_share_bounded(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_q8_market_share("/root/testdata/sf0.001").to_pandas()
+        assert ((got["mkt_share"] >= 0.0)
+                & (got["mkt_share"] <= 1.0)).all()
+        assert (got["nation_rev_e4"] <= got["total_rev_e4"]).all()
+
+    def test_unknown_region_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q8_market_share
+
+        sf = "/root/testdata/sf0.001"
+        with pytest.raises(ValueError, match="unknown region"):
+            q8_market_share(
+                rd.read_parquet(f"{sf}/lineitem.parquet"),
+                rd.read_parquet(f"{sf}/orders.parquet"),
+                sf, region="NARNIA")
+
+
+class TestQ9Profit:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity(
+            "q9_profit",
+            ("lineitem", "orders", "supplier", "nation", "part"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_no_matching_parts_is_empty(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q9_profit
+
+        sf = "/root/testdata/sf0.001"
+        got = q9_profit(
+            rd.read_parquet(f"{sf}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_suppkey", "l_quantity",
+                                     "l_extendedprice", "l_discount"]),
+            rd.read_parquet(f"{sf}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate"]),
+            sf, token="zzz-no-such-token").to_pandas()
+        assert len(got) == 0
+        assert sorted(got.columns) == sorted(
+            ["nation", "o_year", "profit_e4", "profit"])
