@@ -4343,6 +4343,56 @@ def _q_q9_profit(sf_dir: str):
     )
 
 
+def _q_dau_wau(sf_dir: str):
+    """DAU / trailing-7-day-WAU stickiness: the rolling distinct count
+    as per-user coverage-interval diffs — one user exchange, tiny
+    day groupby, driver prefix sum."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import dau_wau
+
+    return dau_wau(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention triangle: first-active-week cohorts ×
+    week offsets, one user exchange, vectorized run math."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import cohort_retention
+
+    return cohort_retention(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the synthetic
+    webgraph (same synthesis twin as triangles): per-center wedge
+    counting + composite-key semi join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import clustering_coefficient
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return clustering_coefficient(
+        docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4607,6 +4657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_suppliers": _q_q20_excess_suppliers,
         "q8_market_share": _q_q8_market_share,
         "q9_profit": _q_q9_profit,
+        "dau_wau": _q_dau_wau,
+        "cohort_retention": _q_cohort_retention,
+        "clustering_coeff": _q_clustering_coeff,
     }
 
 
@@ -8565,6 +8618,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE 5 * sq > tq
             ORDER BY s_suppkey
+        """,
+        # round-5: DAU / trailing-7-day WAU stickiness per active day
+        "dau_wau": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch(ts) / 86400)
+                                    AS BIGINT) AS day
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud)
+            SELECT d.day,
+                   CAST((SELECT count(*) FROM ud u
+                         WHERE u.day = d.day) AS BIGINT) AS dau,
+                   CAST((SELECT count(DISTINCT user_id) FROM ud u
+                         WHERE u.day BETWEEN d.day - 6 AND d.day)
+                        AS BIGINT) AS wau,
+                   CAST((SELECT count(*) FROM ud u
+                         WHERE u.day = d.day) AS DOUBLE)
+                     / CAST((SELECT count(DISTINCT user_id) FROM ud u
+                             WHERE u.day BETWEEN d.day - 6 AND d.day)
+                            AS DOUBLE) AS stickiness
+            FROM days d
+            ORDER BY d.day
+        """,
+        # round-5: weekly cohort-retention triangle (epoch weeks)
+        "cohort_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch(ts) / 604800)
+                                    AS BIGINT) AS wk
+                        FROM events),
+            fw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+            SELECT cw AS cohort_week,
+                   CAST(wk - cw AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM uw JOIN fw USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # round-5: per-node clustering coefficient over the synthetic
+        # webgraph (triangles' edge CTE, per-corner counting)
+        "clustering_coeff": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+              FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v FROM e)
+                    GROUP BY 1),
+            corners AS (
+              SELECT a.u AS node FROM e a
+              JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u
+                                            AND c.v = b.v
+              UNION ALL
+              SELECT a.v FROM e a
+              JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u
+                                            AND c.v = b.v
+              UNION ALL
+              SELECT b.v FROM e a
+              JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u
+                                            AND c.v = b.v),
+            tri AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+                    FROM corners GROUP BY 1)
+            SELECT deg.node, CAST(coalesce(tri.tri, 0) AS BIGINT)
+                     AS tri,
+                   deg.deg,
+                   CASE WHEN deg.deg > 1
+                        THEN (2.0 * coalesce(tri.tri, 0))
+                             / CAST(deg.deg * (deg.deg - 1)
+                                    AS DOUBLE)
+                        ELSE 0.0 END AS coeff
+            FROM deg LEFT JOIN tri ON deg.node = tri.node
+            ORDER BY deg.node
         """,
         # round-5: TPC-H Q8 adapted — market share of NATION_3
         # suppliers in ASIA-customer STANDARD-part sales, per year

@@ -1062,3 +1062,148 @@ def bfs_depths(edges_ds, seed: int = 0, max_depth: int = 8):
         "depth": pa.array(out_depth, pa.int64()),
         "n_nodes": pa.array(out_n, pa.int64()),
     })
+
+
+def clustering_coefficient(edges_ds, num_buckets: int = 64):
+    """Per-node local clustering coefficient over an undirected graph:
+    for every node, its triangle count, degree, and
+    ``2·tri / (deg·(deg−1))`` → ``(node, tri, deg, coeff)`` (coeff 0.0
+    when deg < 2).  Input is a Dataset of (src, dst) rows — direction,
+    duplicates and self-loops are normalized away here.
+
+    The wedge-check algorithm of :func:`triangle_count` (Suri &
+    Vassilvitskii, WWW 2011), kept per-CENTER instead of globally
+    summed: t(w) = closed wedges centered at w, because a wedge
+    (a–w–b) closed by edge (a,b) IS a triangle containing w.  Stages:
+    (1) canonical-dedup edges (one pair-keyed exchange); (2) degrees
+    from edge partials (node-keyed sum); (3) adjacency buckets emit all
+    neighbor pairs per center vectorized (ranges trick — no per-node
+    Python); (4) wedge⨝edge SEMI join via `hash_join_multi` on the
+    composite (u, v) key; (5) per-center count, LEFT-joined onto
+    degrees so wedge-free nodes keep tri = 0.  Skew caveat: wedge count
+    is Σ deg² — a celebrity node needs the SV degree-split refinement
+    before this runs on power-law graphs."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.arrowutil import id_buckets
+    from .join import hash_join, hash_join_multi
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        uniq = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table({"u": pa.array(uniq[:, 0], pa.int64()),
+                         "v": pa.array(uniq[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused by degrees, wedges and the semi join
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+    )
+
+    def adj(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        t = pa.table({"node": pa.array(node, pa.int64()),
+                      "nbr": pa.array(nbr, pa.int64())})
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("node"),
+                                          num_buckets), pa.int32()))
+
+    def wedges(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("node", "ascending"),
+                           ("nbr", "ascending")])
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        n = len(node)
+        if n == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "center": pa.array([], pa.int64())})
+        is_start = np.empty(n, np.bool_)
+        is_start[0] = True
+        is_start[1:] = node[1:] != node[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(is_start, idx, -1))
+        local = idx - seg  # position within the node's run
+        # each element j pairs with every EARLIER element of its run:
+        # j contributes `local[j]` pairs (the ranges trick, no loop)
+        total = int(local.sum())
+        if total == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "center": pa.array([], pa.int64())})
+        j = np.repeat(idx, local)
+        csum = np.concatenate([[0], np.cumsum(local)[:-1]])
+        i = (np.arange(total, dtype=np.int64)
+             - np.repeat(csum, local) + np.repeat(seg, local))
+        a, b = nbr[i], nbr[j]
+        return pa.table({
+            "u": pa.array(np.minimum(a, b), pa.int64()),
+            "v": pa.array(np.maximum(a, b), pa.int64()),
+            "center": pa.array(node[j], pa.int64())})
+
+    wedge_ds = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    closed = hash_join_multi(wedge_ds, edges, on=["u", "v"],
+                             how="semi", left_cols=["center"])
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("center").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "t": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    tri = (
+        closed.map_batches(tri_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="tri"))
+    )
+    both = hash_join(degrees, tri, on="node", how="left",
+                     left_cols=["deg"], right_cols=["tri"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        tri_col = batch.column("tri")
+        if isinstance(tri_col, pa.ChunkedArray):
+            tri_col = tri_col.combine_chunks()
+        tri_ = tri_col.fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denom = deg * (deg - 1)
+        coeff = np.where(denom > 0, (2.0 * tri_) / np.maximum(
+            denom, 1).astype(np.float64), 0.0)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "tri": pa.array(tri_, pa.int64()),
+            "deg": pa.array(deg.astype(np.int64), pa.int64()),
+            "coeff": pa.array(coeff, pa.float64())})
+
+    return both.map_batches(finish, batch_format="pyarrow")

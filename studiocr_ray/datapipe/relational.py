@@ -7655,3 +7655,179 @@ def q9_profit(lineitem_ds, orders_ds, sf_dir: str,
         "profit_e4": pa.array(e4, pa.int64()),
         "profit": pa.array(e4.to_numpy() / 10000.0, pa.float64()),
     })
+
+
+def dau_wau(events_ds, window_days: int = 7, num_buckets: int = 64):
+    """DAU / trailing-WAU stickiness per day: for every day with ≥1
+    event, the count of distinct active users (DAU), the count of
+    distinct users active in the trailing ``window_days`` window (WAU),
+    and their ratio → ``(day, dau, wau, stickiness)`` with ``day`` as
+    integer epoch-days (the `retention` convention).
+
+    The trailing-distinct-count never runs as a per-day distinct: ONE
+    user-hash exchange of per-batch-deduped (user, day) pairs; per
+    bucket, each user's active-day set becomes a union of coverage
+    intervals [d, d+w-1] (vectorized segment merge — gap > w starts a
+    new segment) emitted as +1/−1 DIFF rows, plus per-day DAU counts;
+    a tiny day-keyed groupby sums partials and the driver prefix-sums
+    the ≤(span·days) diff rows — WAU(d) = Σ diffs ≤ d.  No step holds
+    more than one bucket's pairs in memory; the driver sees only
+    per-day aggregates."""
+    from ..functions.arrowutil import id_buckets
+
+    w = int(window_days)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = (batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000).astype(np.int64)
+        arr = np.stack([uid, day], axis=1)
+        uniq = np.unique(arr, axis=0)
+        t = pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                      "day": pa.array(uniq[:, 1], pa.int64())})
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("user_id"),
+                                          num_buckets), pa.int32()))
+
+    def cover(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"),
+                           ("day", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "dau": pa.array([], pa.int64()),
+                             "diff": pa.array([], pa.int64())})
+        keep = np.empty(n, np.bool_)  # global dedup (bucket owns user)
+        keep[0] = True
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        n = len(uid)
+        new_user = np.empty(n, np.bool_)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, np.bool_)
+        gap[0] = True
+        gap[1:] = (day[1:] - day[:-1]) > w
+        seg_start = new_user | gap
+        # segment end day = day right before the NEXT start (or last)
+        seg_end_idx = np.flatnonzero(seg_start)
+        ends = np.append(seg_end_idx[1:] - 1, n - 1)
+        rows_day = np.concatenate([day, day[seg_start],
+                                   day[ends] + w])
+        rows_dau = np.concatenate([np.ones(n, np.int64),
+                                   np.zeros(len(seg_end_idx) * 2,
+                                            np.int64)])
+        rows_diff = np.concatenate([np.zeros(n, np.int64),
+                                    np.ones(len(seg_end_idx),
+                                            np.int64),
+                                    -np.ones(len(seg_end_idx),
+                                             np.int64)])
+        uniq, inv = np.unique(rows_day, return_inverse=True)
+        dau = np.zeros(len(uniq), np.int64)
+        dif = np.zeros(len(uniq), np.int64)
+        np.add.at(dau, inv, rows_dau)
+        np.add.at(dif, inv, rows_diff)
+        return pa.table({"day": pa.array(uniq, pa.int64()),
+                         "dau": pa.array(dau, pa.int64()),
+                         "diff": pa.array(dif, pa.int64())})
+
+    out = (
+        events_ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cover, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"),
+                   Sum("diff", alias_name="diff"))
+        .to_pandas()  # ≤ span-days + w rows
+    ).sort_values("day").reset_index(drop=True)
+    if len(out) == 0:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "dau": pa.array([], pa.int64()),
+                         "wau": pa.array([], pa.int64()),
+                         "stickiness": pa.array([], pa.float64())})
+    wau = out["diff"].astype(np.int64).cumsum()
+    keep = out["dau"].to_numpy() > 0
+    day = out["day"].to_numpy()[keep]
+    dau = out["dau"].to_numpy().astype(np.int64)[keep]
+    wau = wau.to_numpy()[keep]
+    return pa.table({
+        "day": pa.array(day, pa.int64()),
+        "dau": pa.array(dau, pa.int64()),
+        "wau": pa.array(wau, pa.int64()),
+        "stickiness": pa.array(dau / wau.astype(np.float64),
+                               pa.float64()),
+    })
+
+
+def cohort_retention(events_ds, num_buckets: int = 64):
+    """Weekly cohort-retention triangle: users grouped by their FIRST
+    active week (epoch-week), counted at every later active week →
+    ``(cohort_week, week_offset, users)`` — the full matrix behind
+    `retention`'s fixed d1/d7 probes.
+
+    ONE user-hash exchange of per-batch-deduped (user, week) pairs;
+    per bucket the cohort week and offsets derive vectorized from the
+    sorted runs (segment-start propagation — no per-user Python); the
+    final (cohort, offset) groupby is ≤ weeks² rows."""
+    from ..functions.arrowutil import id_buckets
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        wk = (batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // (86_400_000_000 * 7)).astype(
+                np.int64)
+        arr = np.stack([uid, wk], axis=1)
+        uniq = np.unique(arr, axis=0)
+        t = pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                      "wk": pa.array(uniq[:, 1], pa.int64())})
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("user_id"),
+                                          num_buckets), pa.int32()))
+
+    def offsets(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"),
+                           ("wk", "ascending")])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = t.column("wk").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "cohort_week": pa.array([], pa.int64()),
+                "week_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        keep = np.empty(n, np.bool_)
+        keep[0] = True
+        keep[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        uid, wk = uid[keep], wk[keep]
+        n = len(uid)
+        is_start = np.empty(n, np.bool_)
+        is_start[0] = True
+        is_start[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(is_start, idx, -1))
+        cohort = wk[seg]
+        off = wk - cohort
+        packed = (cohort << 16) | off  # offsets fit 16 bits (weeks)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(uniq >> 16, pa.int64()),
+            "week_offset": pa.array(uniq & 0xFFFF, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        events_ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(offsets, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="users"))
+        .to_pandas()  # ≤ weeks² rows
+    ).sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    return pa.table({
+        "cohort_week": pa.array(out["cohort_week"].astype(np.int64),
+                                pa.int64()),
+        "week_offset": pa.array(out["week_offset"].astype(np.int64),
+                                pa.int64()),
+        "users": pa.array(out["users"].astype(np.int64), pa.int64()),
+    })

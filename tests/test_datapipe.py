@@ -7719,3 +7719,88 @@ class TestQ9Profit:
         assert len(got) == 0
         assert sorted(got.columns) == sorted(
             ["nation", "o_year", "profit_e4", "profit"])
+
+
+class TestDauWau:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("dau_wau", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_window_one_means_wau_equals_dau(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dau_wau
+
+        sf = "/root/testdata/sf0.001"
+        got = dau_wau(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["user_id", "ts"]),
+            window_days=1).to_pandas()
+        assert (got["dau"] == got["wau"]).all()
+        assert (got["stickiness"] == 1.0).all()
+
+    def test_wau_monotone_vs_window(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import dau_wau
+
+        sf = "/root/testdata/sf0.001"
+        ev = lambda: rd.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "ts"])
+        w7 = dau_wau(ev(), window_days=7).to_pandas()
+        w14 = dau_wau(ev(), window_days=14).to_pandas()
+        m = w7.merge(w14, on="day", suffixes=("_7", "_14"))
+        assert (m["wau_14"] >= m["wau_7"]).all()
+
+
+class TestCohortRetention:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("cohort_retention", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_offset_zero_mass_is_cohort_size(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_cohort_retention(sf).to_pandas()
+        zero = got[got["week_offset"] == 0]
+        # offset-0 users per cohort = users whose first week is that
+        # cohort; total over cohorts = distinct users
+        n_users = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+        assert int(zero["users"].sum()) == n_users
+        # retention can't exceed the cohort size at any offset
+        m = got.merge(zero[["cohort_week", "users"]],
+                      on="cohort_week", suffixes=("", "_cohort"))
+        assert (m["users"] <= m["users_cohort"]).all()
+
+
+class TestClusteringCoeff:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("clustering_coeff", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_triangle_graph(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import clustering_coefficient
+
+        # K3 plus a pendant node: coeffs 1, 1, 1/3·? — node 3 attaches
+        # to node 0 only, so node 0 has deg 3, tri 1 → coeff 1/3
+        edges = pa.table({
+            "src": pa.array([0, 1, 2, 3, 0], pa.int64()),
+            "dst": pa.array([1, 2, 0, 0, 1], pa.int64()),  # dup 0-1
+        })
+        got = clustering_coefficient(
+            rd.from_arrow(edges)).to_pandas().sort_values(
+                "node").reset_index(drop=True)
+        assert got["node"].tolist() == [0, 1, 2, 3]
+        assert got["tri"].tolist() == [1, 1, 1, 0]
+        assert got["deg"].tolist() == [3, 2, 2, 1]
+        assert got["coeff"].tolist() == [1.0 / 3.0, 1.0, 1.0, 0.0]
