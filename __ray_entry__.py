@@ -4393,6 +4393,40 @@ def _q_clustering_coeff(sf_dir: str):
         docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_winnow_fp(sf_dir: str):
+    """Winnowing fingerprints (SIGMOD'03): 5-gram md5-polynomial
+    hashes, window-4 rightmost-tie minima, per-doc summary — fully
+    doc-local, zero shuffle."""
+    from studiocr_ray.datapipe.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=5, w=4)
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity of the synthetic webgraph: exact int64
+    degree moments over both edge orientations, Pearson r from
+    Python-int arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import degree_assortativity
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return degree_assortativity(
+        docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4660,6 +4694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau": _q_dau_wau,
         "cohort_retention": _q_cohort_retention,
         "clustering_coeff": _q_clustering_coeff,
+        "winnow_fp": _q_winnow_fp,
+        "assortativity": _q_assortativity,
     }
 
 
@@ -8618,6 +8654,88 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE 5 * sq > tq
             ORDER BY s_suppkey
+        """,
+        # round-5: winnowing fingerprints (k=5 grams, window w=4,
+        # rightmost-tie minima) — md5-polynomial gram hashes shared
+        # with dup_passages
+        "winnow_fp": f"""
+            WITH tk AS (SELECT doc_id,
+                               {toks.format(src='lower(text)')} AS tk
+                        FROM documents),
+            th AS (SELECT doc_id,
+                          [('0x' || substring(md5(t), 1, 16))::UBIGINT
+                           for t in tk] AS hs
+                   FROM tk),
+            g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         {_passage_acc_sql(5)} AS h
+                  FROM th,
+                       UNNEST(generate_series(1, len(hs) - 4))
+                         AS t(i)),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams
+                  FROM g GROUP BY 1),
+            wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s
+                     FROM n,
+                          UNNEST(generate_series(
+                            1, greatest(n_kgrams - 3, 1))) AS t(i)),
+            wm AS (SELECT w.doc_id, w.s, min(g.h) AS mh
+                   FROM wins w
+                   JOIN g ON g.doc_id = w.doc_id
+                         AND g.pos BETWEEN w.s AND w.s + 3
+                   GROUP BY 1, 2),
+            sel AS (SELECT DISTINCT wm.doc_id,
+                           (SELECT max(g2.pos) FROM g g2
+                            WHERE g2.doc_id = wm.doc_id
+                              AND g2.pos BETWEEN wm.s AND wm.s + 3
+                              AND g2.h = wm.mh) AS sel_pos
+                    FROM wm)
+            SELECT n.doc_id, n.n_kgrams,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   lower(lpad(to_hex(CAST(min(g.h) AS UBIGINT)),
+                              16, '0')) AS min_fp_hash
+            FROM sel
+            JOIN g ON g.doc_id = sel.doc_id AND g.pos = sel.sel_pos
+            JOIN n ON n.doc_id = sel.doc_id
+            GROUP BY 1, 2
+        """,
+        # round-5: degree assortativity over the synthetic webgraph —
+        # exact integer moments, both orientations
+        "assortativity": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+              FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v FROM e)
+                    GROUP BY 1),
+            inc AS (
+              SELECT du.deg AS j, dv.deg AS k
+              FROM e JOIN deg du ON e.u = du.node
+                     JOIN deg dv ON e.v = dv.node
+              UNION ALL
+              SELECT dv.deg, du.deg
+              FROM e JOIN deg du ON e.u = du.node
+                     JOIN deg dv ON e.v = dv.node)
+            SELECT CAST(count(*) AS BIGINT) AS m_inc,
+                   CAST(sum(j) AS BIGINT) AS sum_j,
+                   CAST(sum(j*k) AS BIGINT) AS sum_jk,
+                   CAST(sum(j*j) AS BIGINT) AS sum_j2,
+                   CAST(CAST(count(*) AS HUGEINT) * sum(j*k)
+                        - CAST(sum(j) AS HUGEINT) * sum(j)
+                        AS DOUBLE)
+                   / CAST(CAST(count(*) AS HUGEINT) * sum(j*j)
+                          - CAST(sum(j) AS HUGEINT) * sum(j)
+                          AS DOUBLE) AS r
+            FROM inc
         """,
         # round-5: DAU / trailing-7-day WAU stickiness per active day
         "dau_wau": """

@@ -1207,3 +1207,96 @@ def clustering_coefficient(edges_ds, num_buckets: int = 64):
             "coeff": pa.array(coeff, pa.float64())})
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(edges_ds, num_buckets: int = 64):
+    """Degree assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002) of an undirected graph: the Pearson
+    correlation of end-point degrees over all DIRECTED edge incidences
+    (each undirected edge counted in both orientations) → ONE row
+    ``(m_inc, sum_j, sum_jk, sum_j2, r)``.
+
+    Every moment is an exact int64 sum (degrees are integers;
+    Σjk ≤ M·deg_max² needs the same int64 budget as `hits_int`), and
+    ``r`` derives driver-side from Python-int arithmetic — no float
+    accumulation, so the value is bit-identical across partitionings.
+    By j↔k symmetry of the incidence list, Σj = Σk and Σj² = Σk², so
+    three sums suffice.  Shape: canonical edge dedup (pair-keyed
+    exchange), degree rollup (node-keyed sum), then degrees attach to
+    both end points via two node-hash joins and the moments reduce
+    from one-row-per-batch partials."""
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        uniq = np.unique(np.stack([np.minimum(s, d),
+                                   np.maximum(s, d)], axis=1), axis=0)
+        return pa.table({"u": pa.array(uniq[:, 0], pa.int64()),
+                         "v": pa.array(uniq[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused: degrees + both joins
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+    )
+    with_u = hash_join(edges, degrees, on="u", right_on="node",
+                       left_cols=["v"], right_cols=["deg"],
+                       num_buckets=num_buckets)
+    both = hash_join(with_u, degrees, on="v", right_on="node",
+                     left_cols=["deg"], right_cols=["deg"],
+                     num_buckets=num_buckets, suffix="_v")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        j = batch.column("deg").to_numpy(zero_copy_only=False)
+        kk = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        # both orientations: (j,k) and (k,j)
+        return pa.table({
+            "m_inc": pa.array([2 * len(j)], pa.int64()),
+            "sum_j": pa.array([int(j.sum() + kk.sum())], pa.int64()),
+            "sum_jk": pa.array([int(2 * (j * kk).sum())], pa.int64()),
+            "sum_j2": pa.array([int((j * j).sum()
+                                    + (kk * kk).sum())], pa.int64()),
+        })
+
+    sums = both.map_batches(moments, batch_format="pyarrow").sum(
+        ["m_inc", "sum_j", "sum_jk", "sum_j2"])
+    if sums is None or not int(sums["sum(m_inc)"]):
+        return pa.table({"m_inc": pa.array([0], pa.int64()),
+                         "sum_j": pa.array([0], pa.int64()),
+                         "sum_jk": pa.array([0], pa.int64()),
+                         "sum_j2": pa.array([0], pa.int64()),
+                         "r": pa.array([0.0], pa.float64())})
+    m = int(sums["sum(m_inc)"])
+    sj = int(sums["sum(sum_j)"])
+    sjk = int(sums["sum(sum_jk)"])
+    sj2 = int(sums["sum(sum_j2)"])
+    num = m * sjk - sj * sj
+    den = m * sj2 - sj * sj
+    r = float(num) / float(den) if den else 0.0
+    return pa.table({"m_inc": pa.array([m], pa.int64()),
+                     "sum_j": pa.array([sj], pa.int64()),
+                     "sum_jk": pa.array([sjk], pa.int64()),
+                     "sum_j2": pa.array([sj2], pa.int64()),
+                     "r": pa.array([r], pa.float64())})

@@ -7804,3 +7804,77 @@ class TestClusteringCoeff:
         assert got["tri"].tolist() == [1, 1, 1, 0]
         assert got["deg"].tolist() == [3, 2, 2, 1]
         assert got["coeff"].tolist() == [1.0 / 3.0, 1.0, 1.0, 0.0]
+
+
+class TestWinnowFingerprints:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("winnow_fp", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_density_guarantee(self, ray_session):
+        # winnowing picks ≥ 1 fingerprint per window of w consecutive
+        # grams ⇒ n_fp ≥ ceil(n_windows / w) and ≤ n_windows; also
+        # every doc with ≥1 gram gets ≥1 fingerprint
+        import __ray_entry__ as e
+
+        got = e._q_winnow_fp("/root/testdata/sf0.001").to_pandas()
+        assert (got["n_fingerprints"] >= 1).all()
+        assert (got["n_fingerprints"]
+                <= np.maximum(got["n_kgrams"] - 3, 1)).all()
+
+    def test_hand_rolled_rightmost_tie(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import winnow_fingerprints
+
+        # k=1, w=3: text of one repeated token → every gram hash equal
+        # → each window's rightmost position selected → positions
+        # 2,3,4 for 5 tokens → 3 fingerprints
+        docs = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["x x x x x"], pa.string()),
+        })
+        got = winnow_fingerprints(rd.from_arrow(docs), k=1,
+                                  w=3).to_pandas()
+        assert int(got["n_kgrams"][0]) == 5
+        assert int(got["n_fingerprints"][0]) == 3
+
+    def test_short_doc_gets_one_fingerprint(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.dedup import winnow_fingerprints
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f", "tiny"], pa.string()),
+        })
+        got = winnow_fingerprints(rd.from_arrow(docs), k=5,
+                                  w=4).to_pandas().sort_values(
+                                      "doc_id").reset_index(drop=True)
+        # doc 1: 6 tokens → 2 grams < w → exactly 1 fingerprint;
+        # doc 2: <5 tokens → no grams → omitted
+        assert got["doc_id"].tolist() == [1]
+        assert int(got["n_kgrams"][0]) == 2
+        assert int(got["n_fingerprints"][0]) == 1
+
+
+class TestAssortativity:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("assortativity", ("documents",))
+        assert len(g) == 1
+        assert g.equals(w)
+
+    def test_star_graph_is_disassortative(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import degree_assortativity
+
+        # star K1,4: every edge joins deg-4 hub to deg-1 leaf → r = -1
+        edges = pa.table({
+            "src": pa.array([0, 0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        })
+        got = degree_assortativity(rd.from_arrow(edges)).to_pandas()
+        assert int(got["m_inc"][0]) == 8
+        assert float(got["r"][0]) == -1.0
