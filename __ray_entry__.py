@@ -4427,6 +4427,43 @@ def _q_assortativity(sf_dir: str):
         docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (SIGIR'09) of the length and
+    distinct-token rankings: two bounded-histogram global
+    row_numbers, exact rational num/den RRF, top-20."""
+    from studiocr_ray.datapipe.relational import rrf_fusion
+
+    return rrf_fusion(_docs(sf_dir))
+
+
+def _q_yoy_revenue(sf_dir: str):
+    """Year-over-year order revenue per customer nation: dense int8
+    nation broadcast, packed integer partials, driver-side LAG on
+    the ≤ nations·years rollup."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import yoy_revenue
+
+    return yoy_revenue(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"]),
+        sf_dir,
+    )
+
+
+def _q_bounce_rate(sf_dir: str):
+    """Per-day session bounce rate: sessionize boundary rule, run-
+    length session sizes, one user exchange + tiny day groupby."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import bounce_rate
+
+    return bounce_rate(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4696,6 +4733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "winnow_fp": _q_winnow_fp,
         "assortativity": _q_assortativity,
+        "rrf_fusion": _q_rrf_fusion,
+        "yoy_revenue": _q_yoy_revenue,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -8736,6 +8776,83 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(sum(j) AS HUGEINT) * sum(j)
                           AS DOUBLE) AS r
             FROM inc
+        """,
+        # round-5: reciprocal-rank fusion — exact rational
+        # num/den = (a+b)/(a·b) with a = 60+r1, b = 60+r2
+        "rrf_fusion": f"""
+            WITH m AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(list_distinct(
+                       {toks.format(src='lower(text)')}))
+                          AS BIGINT) AS n_types
+              FROM documents),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY n_chars DESC,
+                                            doc_id) AS r1,
+                         row_number() OVER (ORDER BY n_types DESC,
+                                            doc_id) AS r2
+                  FROM m)
+            SELECT doc_id, CAST(r1 AS BIGINT) AS r1,
+                   CAST(r2 AS BIGINT) AS r2,
+                   CAST((60 + r1) + (60 + r2) AS BIGINT) AS rrf_num,
+                   CAST((60 + r1) * (60 + r2) AS BIGINT) AS rrf_den,
+                   CAST((60 + r1) + (60 + r2) AS DOUBLE)
+                     / CAST((60 + r1) * (60 + r2) AS DOUBLE) AS rrf
+            FROM r
+            ORDER BY rrf DESC, doc_id
+            LIMIT 20
+        """,
+        # round-5: YoY revenue per customer nation (LAG over the
+        # yearly rollup; first year NULL)
+        "yoy_revenue": """
+            WITH y AS (
+              SELECT n_name,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, o_year, rev_cents,
+                   CAST(lag(rev_cents) OVER
+                        (PARTITION BY n_name ORDER BY o_year)
+                        AS DOUBLE) AS prev_cents,
+                   CAST(rev_cents AS DOUBLE)
+                     / CAST(lag(rev_cents) OVER
+                            (PARTITION BY n_name ORDER BY o_year)
+                            AS DOUBLE) AS yoy_ratio
+            FROM y
+            ORDER BY n_name, o_year
+        """,
+        # round-5: per-day session bounce rate (sessionize gap rule)
+        "bounce_rate": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS sid
+                  FROM x),
+            g AS (SELECT user_id, sid, min(ts) AS start_ts,
+                         count(*) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(floor(epoch(start_ts) / 86400) AS BIGINT)
+                     AS day,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS bounce_rate
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # round-5: DAU / trailing-7-day WAU stickiness per active day
         "dau_wau": """

@@ -7831,3 +7831,275 @@ def cohort_retention(events_ds, num_buckets: int = 64):
                                 pa.int64()),
         "users": pa.array(out["users"].astype(np.int64), pa.int64()),
     })
+
+
+def _rank_desc_bounded(ds, value_col: str, id_col: str,
+                       rank_name: str, num_buckets: int = 64):
+    """EXACT global dense row_number by (``value_col`` DESC, id ASC)
+    over a BOUNDED-domain integer value column → ``(id, rank)`` — the
+    `global_rank_bins` two-pass shape (value histogram broadcast +
+    one value-keyed exchange), flipped descending."""
+    import ray
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64),
+                                       pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the value domain
+        .sort_values("v", ascending=False).reset_index(drop=True)
+    )
+    offs = np.concatenate(([0], np.cumsum(hist["n"].to_numpy())[:-1]))
+    off_ref = ray.put(dict(zip(hist["v"].astype(int),
+                               offs.astype(int))))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col),
+                      "v": pa.array(v, pa.int64())})
+        return t.append_column(
+            "bucket",
+            pa.array(((v.view(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+                      >> np.uint64(32)).astype(np.uint64)
+                     % np.uint64(num_buckets), pa.int32()))
+
+    _cache: list = []
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        if not _cache:
+            import ray as _ray
+
+            _cache.append(_ray.get(off_ref))
+        offset = _cache[0]
+        t = group.sort_by([("v", "descending"), (id_col, "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(v)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col),
+                             rank_name: pa.array([], pa.int64())})
+        change = np.concatenate(([True], v[1:] != v[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0))
+        local = np.arange(n) - run_start
+        base = np.zeros(n, np.int64)
+        base[change] = np.array([offset[int(c)] for c in v[change]],
+                                np.int64)
+        base = np.maximum.accumulate(base * change)
+        return pa.table({
+            id_col: t.column(id_col),
+            rank_name: pa.array(base + local + 1, pa.int64())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+def rrf_fusion(docs_ds, kconst: int = 60, topk: int = 20,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of two document rankings — by ``n_chars`` and by distinct-token
+    count (both DESC, id tiebreak) → top-``topk``
+    ``(doc_id, r1, r2, rrf_num, rrf_den, rrf)``.
+
+    RRF(d) = Σᵢ 1/(k+rᵢ(d)) is kept EXACT as the rational
+    num/den = ((k+r1)+(k+r2)) / ((k+r1)·(k+r2)); the float ``rrf``
+    derives from those two int64s, so engine and oracle produce the
+    identical double.  Both rankings are `_rank_desc_bounded` two-pass
+    global row_numbers (no global sort); the fusion is one doc-hash
+    join; only the ≤topk result reaches the driver."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        codes = (_dict_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            if len(flat) else np.empty(0, np.int64))
+        n_types = np.zeros(batch.num_rows, np.int64)
+        if len(codes):
+            pairs = np.unique(np.stack(
+                [doc_idx.astype(np.int64), codes], axis=1), axis=0)
+            np.add.at(n_types, pairs[:, 0], 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": batch.column("n_chars").cast(pa.int64()),
+            "n_types": pa.array(n_types, pa.int64())})
+
+    m = docs_ds.map_batches(metrics,
+                            batch_format="pyarrow").materialize()
+    r1 = _rank_desc_bounded(m.select_columns([id_col, "n_chars"]),
+                            "n_chars", id_col, "r1")
+    r2 = _rank_desc_bounded(m.select_columns([id_col, "n_types"]),
+                            "n_types", id_col, "r2")
+    both = hash_join(r1, r2, on=id_col, left_cols=["r1"],
+                     right_cols=["r2"])
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        a = batch.column("r1").to_numpy(zero_copy_only=False) + kconst
+        b = batch.column("r2").to_numpy(zero_copy_only=False) + kconst
+        num = a + b
+        den = a * b
+        return pa.table({
+            id_col: batch.column(id_col),
+            "r1": pa.array(a - kconst, pa.int64()),
+            "r2": pa.array(b - kconst, pa.int64()),
+            "rrf_num": pa.array(num, pa.int64()),
+            "rrf_den": pa.array(den, pa.int64()),
+            "rrf": pa.array(num / den.astype(np.float64),
+                            pa.float64())})
+
+    return (both.map_batches(fuse, batch_format="pyarrow")
+            .sort(["rrf", id_col], descending=[True, False])
+            .limit(topk))
+
+
+def yoy_revenue(orders_ds, sf_dir: str):
+    """Year-over-year revenue per customer nation: order-header cents
+    per (nation, year) with the prior EXISTING year's cents and the
+    YoY ratio → ``(n_name, o_year, rev_cents, prev_cents, yoy_ratio)``
+    (NULL prev/ratio on each nation's first year — SQL LAG semantics).
+
+    Shape: customer nationkeys broadcast dense int8, per-batch packed
+    (nation, year) integer partials, ONE tiny groupby (≤ nations·years
+    rows); the lag itself is driver-side arithmetic on that rollup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class Partial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            yr = od.astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            cents = np.floor(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            packed = (yr << 5) | nk
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, cents)
+            return pa.table({
+                "nation_key": pa.array(uniq & 31, pa.int64()),
+                "o_year": pa.array(uniq >> 5, pa.int64()),
+                "cents": pa.array(acc, pa.int64())})
+
+    out = (
+        orders_ds.map_batches(Partial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+        .groupby(["nation_key", "o_year"])
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()  # ≤ nations·years rows
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["n_name"] = [name_of[int(k)] for k in out["nation_key"]]
+    out = out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    prev = out.groupby("n_name")["rev_cents"].shift(1)
+    ratio = out["rev_cents"] / prev
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "o_year": pa.array(out["o_year"].astype(np.int64), pa.int64()),
+        "rev_cents": pa.array(out["rev_cents"].astype(np.int64),
+                              pa.int64()),
+        "prev_cents": pa.array(prev, pa.float64()),
+        "yoy_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
+def bounce_rate(events_ds, gap_seconds: int = 1800,
+                num_buckets: int = 64):
+    """Per-day session bounce rate: sessions start after a
+    >``gap_seconds`` silence (the `sessionize` rule, (ts, event_id)
+    tie-break); a bounce is a single-event session; grouped by the
+    session's START day →
+    ``(day, n_sessions, n_bounces, bounce_rate)``.
+
+    ONE user-hash exchange; per bucket one sort + vectorized boundary
+    detection and per-session event counts (run-length math, no
+    per-session Python); per-day partials reduce through a tiny
+    day-keyed groupby."""
+    from ..functions.arrowutil import id_buckets
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id"])
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("user_id"),
+                                          num_buckets), pa.int32()))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"),
+                           ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        new_s = np.empty(n, np.bool_)
+        new_s[0] = True
+        new_s[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_s)
+        lens = np.diff(np.append(starts, n))
+        day = ts[starts] // 86_400_000_000
+        bounce = (lens == 1).astype(np.int64)
+        uniq, inv = np.unique(day, return_inverse=True)
+        s_cnt = np.bincount(inv).astype(np.int64)
+        b_cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(b_cnt, inv, bounce)
+        return pa.table({"day": pa.array(uniq, pa.int64()),
+                         "s": pa.array(s_cnt, pa.int64()),
+                         "b": pa.array(b_cnt, pa.int64())})
+
+    out = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("s", alias_name="n_sessions"),
+                   Sum("b", alias_name="n_bounces"))
+        .to_pandas()  # ≤ span-days rows
+    ).sort_values("day").reset_index(drop=True)
+    s = out["n_sessions"].astype(np.int64)
+    b = out["n_bounces"].astype(np.int64)
+    return pa.table({
+        "day": pa.array(out["day"].astype(np.int64), pa.int64()),
+        "n_sessions": pa.array(s, pa.int64()),
+        "n_bounces": pa.array(b, pa.int64()),
+        "bounce_rate": pa.array(b.to_numpy()
+                                / s.to_numpy().astype(np.float64),
+                                pa.float64()),
+    })

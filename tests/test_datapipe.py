@@ -7878,3 +7878,63 @@ class TestAssortativity:
         got = degree_assortativity(rd.from_arrow(edges)).to_pandas()
         assert int(got["m_inc"][0]) == 8
         assert float(got["r"][0]) == -1.0
+
+
+class TestRrfFusion:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("rrf_fusion", ("documents",))
+        assert len(g) == 20
+        assert g.equals(w)
+
+    def test_rational_identity(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_rrf_fusion("/root/testdata/sf0.001").to_pandas()
+        a = got["r1"] + 60
+        b = got["r2"] + 60
+        assert (got["rrf_num"] == a + b).all()
+        assert (got["rrf_den"] == a * b).all()
+        assert (got["rrf"] == got["rrf_num"] / got["rrf_den"]).all()
+
+
+class TestYoyRevenue:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("yoy_revenue",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_first_year_is_null(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_yoy_revenue("/root/testdata/sf0.001").to_pandas()
+        firsts = got.groupby("n_name").head(1)
+        assert firsts["prev_cents"].isna().all()
+        assert firsts["yoy_ratio"].isna().all()
+        rest = got.groupby("n_name").apply(
+            lambda d: d.iloc[1:]).reset_index(drop=True)
+        if len(rest):
+            assert rest["prev_cents"].notna().all()
+
+
+class TestBounceRate:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("bounce_rate", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_zero_gap_all_bounces(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import bounce_rate
+
+        sf = "/root/testdata/sf0.001"
+        got = bounce_rate(
+            rd.read_parquet(f"{sf}/events.parquet",
+                            columns=["user_id", "ts", "event_id"]),
+            gap_seconds=0).to_pandas()
+        # gap 0 ⇒ every inter-event silence > 0 starts a new session;
+        # only exactly-simultaneous events share one, so bounces ≤
+        # sessions with equality unless duplicate timestamps exist
+        assert (got["n_bounces"] <= got["n_sessions"]).all()
+        assert (got["bounce_rate"] > 0.9).all()
