@@ -1677,6 +1677,49 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_token_stats(docs, merges)
 
 
+def _minhash_calibration_oracle(word_jaccard_cte: str) -> str:
+    """SQL twin of dedup.minhash_calibration: the 64 (a_i, b_i)
+    permutation constants come from the SAME numpy RandomState(7) draw
+    as dedup.MinHasher, inlined as a VALUES list; sig_i(doc) =
+    min((a_i·(h mod p) mod p + b_i) mod p) over the doc's shingle
+    hashes h = first-8-md5-bytes, p = 2^61−1 — HUGEINT throughout, so
+    products < 2^122 never wrap."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, (1 << 61) - 1, size=64).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=64).astype(np.uint64)
+    perm_vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(64))
+    p = (1 << 61) - 1
+    return f"""
+        WITH {word_jaccard_cte},
+        perms(i, pa_, pb_) AS (VALUES {perm_vals}),
+        hsh AS (SELECT doc_id,
+                       ('0x' || substring(md5(sh), 1, 16))::UBIGINT
+                         % {p}::UBIGINT AS h
+                FROM sh),
+        sigs AS (SELECT doc_id, i,
+                        CAST(min((pa_::HUGEINT * h::HUGEINT
+                                  % {p}::HUGEINT + pb_::HUGEINT)
+                                 % {p}::HUGEINT) AS BIGINT) AS sig
+                 FROM hsh, perms GROUP BY 1, 2),
+        agree AS (
+          SELECT v.id_a, v.id_b,
+                 CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_agree
+          FROM vpairs v
+          JOIN sigs sa ON sa.doc_id = v.id_a
+          JOIN sigs sb ON sb.doc_id = v.id_b AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT a.id_a, a.id_b, v.jaccard, a.n_agree,
+               CAST(a.n_agree AS DOUBLE) / 64.0 AS est_jaccard
+        FROM agree a
+        JOIN vpairs v ON v.id_a = a.id_a AND v.id_b = a.id_b
+        ORDER BY a.id_a, a.id_b
+    """
+
+
 def _passage_acc_sql(w: int) -> str:
     """SQL twin of the numpy uint64 rolling accumulator: acc = acc*B + th,
     wrapped mod 2^64 at every step (HUGEINT intermediates stay < 2^84)."""
@@ -4464,6 +4507,28 @@ def _q_bounce_rate(sf_dir: str):
                         columns=["user_id", "ts", "event_id"]))
 
 
+def _q_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration on verified near-dup pairs:
+    signature agreement via a second co-partitioned verify, exact
+    Jaccard from the fused dedup lineage."""
+    from studiocr_ray.datapipe.dedup import minhash_calibration
+
+    return minhash_calibration(_docs(sf_dir).materialize(),
+                               threshold=0.5)
+
+
+def _q_interarrival_hist(sf_dir: str):
+    """Log2-bucketed inter-arrival histogram: frexp-exact bit-length
+    buckets, one user exchange, ≤64-row groupby."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import interarrival_hist
+
+    return interarrival_hist(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4736,6 +4801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "yoy_revenue": _q_yoy_revenue,
         "bounce_rate": _q_bounce_rate,
+        "minhash_calibration": _q_minhash_calibration,
+        "interarrival_hist": _q_interarrival_hist,
     }
 
 
@@ -8776,6 +8843,26 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(sum(j) AS HUGEINT) * sum(j)
                           AS DOUBLE) AS r
             FROM inc
+        """,
+        # round-5: minhash calibration — signatures recomputed in SQL
+        # with the engine's RandomState(7) permutation constants
+        "minhash_calibration": _minhash_calibration_oracle(
+            word_jaccard_cte),
+        # round-5: log2 inter-arrival buckets — length(bin(gap)) is
+        # the exact bit length (no float log2)
+        "interarrival_hist": """
+            WITH g AS (
+              SELECT epoch_us(ts)
+                     - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                       AS gap
+              FROM events)
+            SELECT CASE WHEN gap = 0 THEN 0
+                        ELSE CAST(length(bin(gap)) AS BIGINT)
+                   END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # round-5: reciprocal-rank fusion — exact rational
         # num/den = (a+b)/(a·b) with a = 60+r1, b = 60+r2

@@ -2139,3 +2139,70 @@ def winnow_fingerprints(docs_ds, k: int = 5, w: int = 4,
             "min_fp_hash": pa.array(hx, pa.string())})
 
     return docs_ds.map_batches(winnow, batch_format="pyarrow")
+
+
+class _SigAgreeMetric:
+    """Component-agreement count between two minhash signatures —
+    vectorized per pair bucket (ndarray compare, no per-component
+    Python)."""
+
+    def __call__(self, id_a, id_b, va, vb):
+        a = np.asarray(va.to_pylist(), dtype=np.int64)
+        b = np.asarray(vb.to_pylist(), dtype=np.int64)
+        if a.size == 0:
+            return pa.array([], pa.int64())
+        return pa.array((a == b).sum(axis=1).astype(np.int64),
+                        pa.int64())
+
+
+def minhash_calibration(ds, threshold: float = 0.5,
+                        num_perm: int = 64, bands: int = 16,
+                        shingle: str = "word", n: int = 3):
+    """Sketch-vs-truth calibration of the MinHash estimator: for every
+    verified near-duplicate pair (exact Jaccard ≥ ``threshold``), the
+    number of agreeing signature components and the resulting estimate
+    → ``(id_a, id_b, jaccard, n_agree, est_jaccard)`` with
+    est_jaccard = n_agree/num_perm.  E[n_agree/num_perm] = Jaccard is
+    the estimator's defining property (Broder 1997) — this query
+    measures the realized spread so an operator can pick band/row
+    parameters from data rather than the asymptotic formula.
+
+    Shape: the verified pairs reuse `minhash_dedup_pairs`' fused
+    lineage; signatures attach through a SECOND `copartition_verify`
+    (signature values move through one exchange, never the driver) and
+    the two per-pair columns meet in a composite-key join.  ``ds`` is
+    consumed three times — pass a materialized dataset."""
+    from .join import hash_join_multi
+
+    pairs = minhash_dedup_pairs(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle=shingle, n=n, as_dataset=True)
+    id_type = _id_type_of(ds, "doc_id")
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm,
+                               "shingle": shingle, "n": n,
+                               "bands": None},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda b: b.select(["doc_id", "minhash"]).rename_columns(
+            ["doc_id", "value"]),
+        batch_format="pyarrow",
+    )
+    agree = copartition_verify(
+        pairs, sigs, _SigAgreeMetric(), "n_agree",
+        id_type=id_type, value_type=pa.list_(pa.int64()),
+        metric_type=pa.int64(),
+    )
+    both = hash_join_multi(pairs, agree, on=["id_a", "id_b"],
+                           left_cols=["jaccard"],
+                           right_cols=["n_agree"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        na = batch.column("n_agree").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "est_jaccard",
+            pa.array(na / float(num_perm), pa.float64()))
+
+    return both.map_batches(finish, batch_format="pyarrow")

@@ -8103,3 +8103,58 @@ def bounce_rate(events_ds, gap_seconds: int = 1800,
                                 / s.to_numpy().astype(np.float64),
                                 pa.float64()),
     })
+
+
+def interarrival_hist(events_ds, num_buckets: int = 64):
+    """Log₂-bucketed inter-arrival-time histogram: per user, the gaps
+    (µs) between consecutive events ((ts, event_id) order), bucketed by
+    BIT LENGTH — bucket b holds gaps in [2^(b-1), 2^b), bucket 0 holds
+    simultaneous events → ``(bucket, n_gaps)``.  The doubling buckets
+    are the standard latency/burstiness profile shape.
+
+    Exactness: the bucket is ``frexp``'s exponent (exact for any gap
+    < 2^53 µs ≈ 285 years), never ``floor(log2(x))`` — float log₂
+    rounds up at just-below-power-of-two values and mis-buckets them.
+    ONE user-hash exchange; per bucket one sort + vectorized diffs;
+    the final groupby is ≤ 64 rows."""
+    from ..functions.arrowutil import id_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id"])
+        return t.append_column(
+            "bucket", pa.array(id_buckets(t.column("user_id"),
+                                          num_buckets), pa.int32()))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"),
+                           ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n < 2:
+            return pa.table({"lg": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        g = (ts[1:] - ts[:-1])[same]
+        lg = np.zeros(len(g), np.int64)
+        pos = g > 0
+        lg[pos] = np.frexp(g[pos].astype(np.float64))[1]
+        uniq, cnt = np.unique(lg, return_counts=True)
+        return pa.table({"lg": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    out = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("lg")
+        .aggregate(Sum("n", alias_name="n_gaps"))
+        .to_pandas()  # ≤ 64 rows
+    ).sort_values("lg").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(out["lg"].astype(np.int64), pa.int64()),
+        "n_gaps": pa.array(out["n_gaps"].astype(np.int64), pa.int64()),
+    })

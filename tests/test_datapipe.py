@@ -7938,3 +7938,66 @@ class TestBounceRate:
         # sessions with equality unless duplicate timestamps exist
         assert (got["n_bounces"] <= got["n_sessions"]).all()
         assert (got["bounce_rate"] > 0.9).all()
+
+
+class TestMinhashCalibration:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("minhash_calibration", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_estimator_tracks_jaccard(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_minhash_calibration(
+            "/root/testdata/sf0.001").to_pandas()
+        assert ((got["n_agree"] >= 0) & (got["n_agree"] <= 64)).all()
+        assert (got["est_jaccard"] == got["n_agree"] / 64.0).all()
+        # Broder: E[est] = J; on ≥0.5-Jaccard pairs the estimate must
+        # be positively biased toward agreement (mean error < 0.25
+        # with 64 perms is a 6-sigma-plus margin)
+        err = (got["est_jaccard"] - got["jaccard"]).abs().mean()
+        assert err < 0.25
+
+
+class TestInterarrivalHist:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("interarrival_hist", ("events",))
+        assert len(g) > 0
+        assert g.astype("int64").equals(w.astype("int64"))
+
+    def test_total_gap_count(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_interarrival_hist(sf).to_pandas()
+        n_events, n_users = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf}/events.parquet')").fetchone()
+        assert int(got["n_gaps"].sum()) == n_events - n_users
+
+    def test_power_of_two_boundary(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import interarrival_hist
+
+        # gaps: 1µs→bucket 1, 2µs→bucket 2, 3µs→bucket 2, 4µs→bucket 3,
+        # (2^40-1)µs→bucket 40, 2^40µs→bucket 41 — the float-log2 trap
+        base = 1_000_000_000
+        ts = [0, 1, 3, 6, 10, 10 + (1 << 40) - 1,
+              10 + (1 << 40) - 1 + (1 << 40)]
+        events = pa.table({
+            "user_id": pa.array([7] * len(ts), pa.int64()),
+            "ts": pa.array([base + t for t in ts],
+                           pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(ts))), pa.int64()),
+        })
+        got = interarrival_hist(
+            rd.from_arrow(events)).to_pandas().set_index("bucket")
+        assert got.loc[1, "n_gaps"] == 1
+        assert got.loc[2, "n_gaps"] == 2
+        assert got.loc[3, "n_gaps"] == 1
+        assert got.loc[40, "n_gaps"] == 1
+        assert got.loc[41, "n_gaps"] == 1
