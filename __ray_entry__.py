@@ -4529,6 +4529,49 @@ def _q_interarrival_hist(sf_dir: str):
                         columns=["user_id", "ts", "event_id"]))
 
 
+def _q_hhi_nation(sf_dir: str):
+    """Per-nation HHI revenue concentration: customer rollup exchange,
+    hi/lo-split Σcents² partials, exact-rational double."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import hhi_nation
+
+    return hhi_nation(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        sf_dir,
+    )
+
+
+def _q_running_monthly_revenue(sf_dir: str):
+    """Cumulative monthly revenue per nation: packed integer partials,
+    tiny groupby, driver-side running sum (SQL window twin)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import running_monthly_revenue
+
+    return running_monthly_revenue(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"]),
+        sf_dir,
+    )
+
+
+def _q_median_order_by_nation(sf_dir: str):
+    """Exact per-nation lower-median order cents from bounded
+    (nation, cents) histogram partials — no full sort anywhere."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import median_order_by_nation
+
+    return median_order_by_nation(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4803,6 +4846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": _q_bounce_rate,
         "minhash_calibration": _q_minhash_calibration,
         "interarrival_hist": _q_interarrival_hist,
+        "hhi_nation": _q_hhi_nation,
+        "running_monthly_revenue": _q_running_monthly_revenue,
+        "median_order_by_nation": _q_median_order_by_nation,
     }
 
 
@@ -8863,6 +8909,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_gaps
             FROM g WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: per-nation HHI — exact rational Σrev² / (Σrev)²
+        "hhi_nation": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1)
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(rev) AS BIGINT) AS rev_cents,
+                   CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+                     / CAST(CAST(sum(rev) AS HUGEINT) * sum(rev)
+                            AS DOUBLE) AS hhi
+            FROM pc
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: cumulative monthly revenue per nation (running SUM)
+        "running_monthly_revenue": """
+            WITH m AS (
+              SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name, month, rev_cents,
+                   CAST(sum(rev_cents) OVER
+                        (PARTITION BY n_name ORDER BY month
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_cents
+            FROM m ORDER BY 1, 2
+        """,
+        # round-5: exact per-nation lower-median order cents
+        "median_order_by_nation": """
+            WITH c AS (
+              SELECT n_name,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey),
+            r AS (SELECT n_name, cents,
+                         row_number() OVER (PARTITION BY n_name
+                                            ORDER BY cents) AS rn,
+                         count(*) OVER (PARTITION BY n_name) AS n
+                  FROM c)
+            SELECT n_name,
+                   CAST(max(n) AS BIGINT) AS n_orders,
+                   CAST(min(CASE WHEN rn = (n - 1) // 2 + 1
+                                 THEN cents END) AS BIGINT)
+                     AS median_cents
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # round-5: reciprocal-rank fusion — exact rational
         # num/den = (a+b)/(a·b) with a = 60+r1, b = 60+r2

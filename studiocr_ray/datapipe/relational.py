@@ -8158,3 +8158,243 @@ def interarrival_hist(events_ds, num_buckets: int = 64):
         "bucket": pa.array(out["lg"].astype(np.int64), pa.int64()),
         "n_gaps": pa.array(out["n_gaps"].astype(np.int64), pa.int64()),
     })
+
+
+def hhi_nation(orders_ds, sf_dir: str):
+    """Herfindahl–Hirschman revenue-concentration index per customer
+    nation: HHI = Σ_c (rev_c / rev_nation)² over each nation's
+    customers → ``(n_name, n_customers, rev_cents, hhi)``.
+
+    Exactness: HHI = Σrev_c² / (Σrev_c)² — numerator Σcents² splits
+    hi/lo 32-bit inside int64 partials (the corr_by_nation Σc²
+    discipline: cents² can pass 2^63) and recombines as Python big
+    ints driver-side, so the double is a single exact-rational
+    division.  Shape: per-(custkey) cents partials → ONE custkey-keyed
+    exchange (one row per customer); per-nation squares reduce from
+    per-batch partials over that rollup (nation broadcast dense int8);
+    only the ≤25-row table reaches the driver."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck_ = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ck_, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"o_custkey": pa.array(uniq, pa.int64()),
+                         "cents": pa.array(acc, pa.int64())})
+
+    per_cust = (
+        orders_ds.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+    )
+
+    class NationPartial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            rev = batch.column("rev").to_numpy(zero_copy_only=False)
+            sq_hi, sq_lo = np.divmod(rev * rev, np.int64(2**32))
+            # rev_c < 2^31.5 keeps rev² inside int64; the driver
+            # recombines hi/lo exactly — same contract as corr_by_nation
+            uniq, inv = np.unique(nk, return_inverse=True)
+            out = {"nation_key": pa.array(uniq, pa.int64())}
+            for name, col in (("n_cust", np.ones(len(rev), np.int64)),
+                              ("rev", rev), ("sq_hi", sq_hi),
+                              ("sq_lo", sq_lo)):
+                acc = np.zeros(len(uniq), np.int64)
+                np.add.at(acc, inv, col)
+                out[name] = pa.array(acc, pa.int64())
+            return pa.table(out)
+
+    out = (
+        per_cust.map_batches(NationPartial, batch_format="pyarrow",
+                             concurrency=(1, 8))
+        .groupby("nation_key")
+        .aggregate(Sum("n_cust", alias_name="n_customers"),
+                   Sum("rev", alias_name="rev_cents"),
+                   Sum("sq_hi", alias_name="sq_hi"),
+                   Sum("sq_lo", alias_name="sq_lo"))
+        .to_pandas()  # ≤ 25 nations
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["n_name"] = [name_of[int(k)] for k in out["nation_key"]]
+    out = out.sort_values("n_name").reset_index(drop=True)
+    hhi = []
+    for _, row in out.iterrows():
+        ssq = int(row["sq_hi"]) * (2**32) + int(row["sq_lo"])
+        tot = int(row["rev_cents"])
+        hhi.append(float(ssq) / float(tot * tot) if tot else 0.0)
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "n_customers": pa.array(out["n_customers"].astype(np.int64),
+                                pa.int64()),
+        "rev_cents": pa.array(out["rev_cents"].astype(np.int64),
+                              pa.int64()),
+        "hhi": pa.array(hhi, pa.float64()),
+    })
+
+
+def running_monthly_revenue(orders_ds, sf_dir: str):
+    """Cumulative month-by-month revenue per customer nation →
+    ``(n_name, month, rev_cents, cum_cents)`` with ``month`` as
+    'YYYY-MM' — SQL running-SUM window semantics.
+
+    Shape: dense nation broadcast, packed (nation, month) integer
+    partials, ONE tiny groupby (≤ nations·months rows), driver-side
+    cumulative sum per nation over that rollup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class Partial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            mo = od.astype("datetime64[us]").astype(
+                "datetime64[M]").astype(np.int64)  # months since 1970
+            cents = np.floor(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            packed = (mo << 5) | nk
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, cents)
+            return pa.table({
+                "nation_key": pa.array(uniq & 31, pa.int64()),
+                "mo": pa.array(uniq >> 5, pa.int64()),
+                "cents": pa.array(acc, pa.int64())})
+
+    out = (
+        orders_ds.map_batches(Partial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+        .groupby(["nation_key", "mo"])
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()  # ≤ nations·months rows
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["n_name"] = [name_of[int(k)] for k in out["nation_key"]]
+    out = out.sort_values(["n_name", "mo"]).reset_index(drop=True)
+    out["cum_cents"] = out.groupby("n_name")["rev_cents"].cumsum()
+    mo = out["mo"].to_numpy().astype("datetime64[M]")
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "month": pa.array(np.datetime_as_string(mo, unit="M"),
+                          pa.string()),
+        "rev_cents": pa.array(out["rev_cents"].astype(np.int64),
+                              pa.int64()),
+        "cum_cents": pa.array(out["cum_cents"].astype(np.int64),
+                              pa.int64()),
+    })
+
+
+def median_order_by_nation(orders_ds, sf_dir: str):
+    """EXACT per-nation median order value (lower median — the element
+    at 0-based index (n−1)//2 of the sorted cents) →
+    ``(n_name, n_orders, median_cents)``.
+
+    The median never sorts raw orders: per-batch (nation, cents)
+    histogram partials → ONE keyed groupby bounded by the CENTS DOMAIN
+    per nation (the `global_rank_bins` bounded-value contract); the
+    driver walks each nation's ≤|domain| histogram rows cumulatively
+    to the median index.  No full-table sort, no per-order driver
+    data."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class HistPartial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            cents = np.floor(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            packed = (cents << 5) | nk
+            uniq, inv = np.unique(packed, return_inverse=True)
+            return pa.table({
+                "nation_key": pa.array(uniq & 31, pa.int64()),
+                "cents": pa.array(uniq >> 5, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64),
+                              pa.int64())})
+
+    hist = (
+        orders_ds.map_batches(HistPartial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+        .groupby(["nation_key", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by nations × cents domain
+    ).sort_values(["nation_key", "cents"]).reset_index(drop=True)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    rows = []
+    for nk, grp in hist.groupby("nation_key"):
+        n = int(grp["n"].sum())
+        target = (n - 1) // 2 + 1  # 1-based count to reach
+        cum = grp["n"].cumsum()
+        med = int(grp["cents"].to_numpy()[
+            np.searchsorted(cum.to_numpy(), target)])
+        rows.append((name_of[int(nk)], n, med))
+    rows.sort()
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+        "median_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -8001,3 +8001,74 @@ class TestInterarrivalHist:
         assert got.loc[3, "n_gaps"] == 1
         assert got.loc[40, "n_gaps"] == 1
         assert got.loc[41, "n_gaps"] == 1
+
+
+class TestHhiNation:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("hhi_nation",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_hhi_bounds(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_hhi_nation("/root/testdata/sf0.001").to_pandas()
+        # HHI ∈ [1/n, 1]: 1/n at perfect equality, 1 at monopoly
+        lo = 1.0 / got["n_customers"]
+        assert ((got["hhi"] >= lo - 1e-12)
+                & (got["hhi"] <= 1.0)).all()
+
+
+class TestRunningMonthlyRevenue:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("running_monthly_revenue",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_cumsum_is_monotone_and_closes(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_running_monthly_revenue(
+            "/root/testdata/sf0.001").to_pandas()
+        for _, grp in got.groupby("n_name"):
+            assert grp["cum_cents"].is_monotonic_increasing
+            assert int(grp["cum_cents"].iloc[-1]) == int(
+                grp["rev_cents"].sum())
+
+
+class TestMedianOrderByNation:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("median_order_by_nation",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_median_is_lower_of_even(self, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq_mod
+        import tempfile, os
+
+        from studiocr_ray.datapipe.relational import \
+            median_order_by_nation
+
+        d = tempfile.mkdtemp()
+        pq_mod.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+        }), os.path.join(d, "customer.parquet"))
+        pq_mod.write_table(pa.table({
+            "n_nationkey": pa.array([0], pa.int32()),
+            "n_name": pa.array(["X"], pa.string()),
+        }), os.path.join(d, "nation.parquet"))
+        orders = pa.table({
+            "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0],
+                                     pa.float64()),
+        })
+        got = median_order_by_nation(rd.from_arrow(orders),
+                                     d).to_pandas()
+        # even count ⇒ LOWER median: sorted cents 1000,2000,3000,4000
+        # → index (4-1)//2 = 1 → 2000
+        assert int(got["median_cents"][0]) == 2000
