@@ -1677,6 +1677,51 @@ def _q_bpe_stats(sf_dir: str):
     return bpe_token_stats(docs, merges)
 
 
+def _label_prop_oracle(iters: int = 3) -> str:
+    """SQL twin of graph.label_propagation over the synthetic
+    webgraph: raw edges BOTH orientations, duplicates and self-loops
+    kept (vote multiplicities must match the engine exactly); each
+    unrolled round is a count + row_number() majority with the
+    (count DESC, label ASC) tie order."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+        c{t} AS (SELECT e.dst AS v, {prev}.label AS label,
+                        count(*) AS c
+                 FROM ue e JOIN {prev} ON {prev}.v = e.src
+                 GROUP BY 1, 2),
+        l{t} AS (SELECT v, label FROM (
+                   SELECT v, label,
+                          row_number() OVER (PARTITION BY v
+                                             ORDER BY c DESC, label)
+                            AS rn
+                   FROM c{t}) WHERE rn = 1)""")
+        prev = f"l{t}"
+    return f"""
+        WITH d AS (SELECT doc_id, lang FROM documents),
+        cnt AS (SELECT count(*) AS n FROM d),
+        raw AS (
+          SELECT doc_id AS src,
+                 (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+          UNION ALL
+          SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+          UNION ALL
+          SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt) FROM d),
+        ue AS (SELECT src, dst FROM raw
+               UNION ALL SELECT dst, src FROM raw),
+        codes AS (SELECT lang,
+                         CAST(row_number() OVER (ORDER BY lang) - 1
+                              AS BIGINT) AS label
+                  FROM (SELECT DISTINCT lang FROM documents)),
+        l0 AS (SELECT doc_id AS v, label FROM d JOIN codes
+               USING (lang)),
+        {','.join(rounds)}
+        SELECT v AS doc_id, CAST(label AS BIGINT) AS label
+        FROM {prev} ORDER BY 1
+    """
+
+
 def _minhash_calibration_oracle(word_jaccard_cte: str) -> str:
     """SQL twin of dedup.minhash_calibration: the 64 (a_i, b_i)
     permutation constants come from the SAME numpy RandomState(7) draw
@@ -4572,6 +4617,61 @@ def _q_median_order_by_nation(sf_dir: str):
     )
 
 
+def _q_label_prop(sf_dir: str):
+    """3-round deterministic majority label propagation of language
+    codes over the synthetic webgraph — the pagerank fused exchange,
+    one all-to-all per round."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import label_propagation
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    n = docs.count()
+    langs = sorted(
+        r["lang"] for r in
+        docs.groupby("lang").count().select_columns(["lang"])
+        .take_all())
+    code = {la: i for i, la in enumerate(langs)}
+
+    def seed(batch: pa.Table) -> pa.Table:
+        la = batch.column("lang").to_pylist()
+        return pa.table({
+            "v": batch.column("doc_id"),
+            "label": pa.array([code[x] for x in la], pa.int64())})
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        # both orientations = undirected neighbor semantics
+        return pa.table({
+            "src": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst, src]), pa.int64())})
+
+    return label_propagation(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        docs.map_batches(seed, batch_format="pyarrow"),
+        iters=3,
+    )
+
+
+def _q_revenue_half_point(sf_dir: str):
+    """Revenue-weighted median order value per nation: bounded
+    (nation, cents) histogram, exact 2·cum ≥ total walk."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import revenue_half_point
+
+    return revenue_half_point(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4849,6 +4949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_nation": _q_hhi_nation,
         "running_monthly_revenue": _q_running_monthly_revenue,
         "median_order_by_nation": _q_median_order_by_nation,
+        "label_prop": _q_label_prop,
+        "revenue_half_point": _q_revenue_half_point,
     }
 
 
@@ -8909,6 +9011,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_gaps
             FROM g WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: 3-round majority label propagation (unrolled)
+        "label_prop": _label_prop_oracle(3),
+        # round-5: revenue-weighted median order value per nation —
+        # exact 2·cum ≥ total
+        "revenue_half_point": """
+            WITH c AS (
+              SELECT n_name,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey),
+            r AS (SELECT n_name, cents,
+                         sum(cents) OVER (PARTITION BY n_name
+                                          ORDER BY cents
+                                          ROWS UNBOUNDED PRECEDING)
+                           AS cum,
+                         sum(cents) OVER (PARTITION BY n_name)
+                           AS total
+                  FROM c)
+            SELECT n_name,
+                   CAST(max(total) AS BIGINT) AS total_cents,
+                   CAST(min(CASE WHEN 2 * cum >= total THEN cents
+                            END) AS BIGINT) AS half_cents
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # round-5: per-nation HHI — exact rational Σrev² / (Σrev)²
         "hhi_nation": """

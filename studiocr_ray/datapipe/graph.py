@@ -1300,3 +1300,112 @@ def degree_assortativity(edges_ds, num_buckets: int = 64):
                      "sum_jk": pa.array([sjk], pa.int64()),
                      "sum_j2": pa.array([sj2], pa.int64()),
                      "r": pa.array([r], pa.float64())})
+
+
+def label_propagation(edges_ds, labels_ds, iters: int = 3,
+                      num_buckets: int = 32):
+    """Synchronous majority-vote label propagation (Raghavan et al.
+    2007, made deterministic): each round every node takes the most
+    frequent label among its IN-neighBOR labels, ties to the SMALLEST
+    label code → ``(doc_id, label)`` after ``iters`` rounds.
+    ``labels_ds`` is (v, label) integer seed labels; ``edges_ds`` is
+    directed (src, dst) — pass both orientations for undirected
+    semantics.  Deterministic by construction (integer counts + total
+    tie order), so N- and 4N-node runs agree bit-for-bit.
+
+    Scale shape — the `pagerank_int` fused exchange: vote rows
+    (bucket(dst), dst, label) and edge rows (bucket(src), src, dst)
+    co-live in one ``groupby(bucket).map_groups`` per round; each
+    bucket resolves its nodes' majorities vectorized (one lexsort —
+    no per-node Python) and immediately emits next-round votes along
+    its out-edges.  One all-to-all per round, node labels never touch
+    the driver."""
+    from .dedup import _flat_arr
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("v")
+        return pa.table({
+            "b": _ib(v, num_buckets),
+            "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "a": v,
+            "dst": v,
+            "val": batch.column("label").cast(pa.int64()),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        return pa.table({
+            "b": _ib(src, num_buckets),
+            "role": pa.array(np.ones(batch.num_rows, np.int8)),
+            "a": src,
+            "dst": batch.column("dst"),
+            "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def majority(votes: pa.Table):
+        """(a=node, val=label) vote rows → (nodes, labels) arrays."""
+        t = votes.sort_by([("a", "ascending"), ("val", "ascending")])
+        node = _flat_arr(t.column("a")).to_numpy(zero_copy_only=False)
+        lbl = t.column("val").to_numpy(zero_copy_only=False)
+        n = len(node)
+        if n == 0:
+            return node, lbl
+        pair_start = np.empty(n, np.bool_)
+        pair_start[0] = True
+        pair_start[1:] = (node[1:] != node[:-1]) | (lbl[1:] != lbl[:-1])
+        starts = np.flatnonzero(pair_start)
+        cnts = np.diff(np.append(starts, n))
+        pn, pl = node[starts], lbl[starts]
+        order = np.lexsort((pl, -cnts, pn))
+        pn, pl = pn[order], pl[order]
+        first = np.empty(len(pn), np.bool_)
+        first[0] = True
+        first[1:] = pn[1:] != pn[:-1]
+        return pn[first], pl[first]
+
+    def fused_step(group: pa.Table) -> pa.Table:
+        # pure neighbor-majority: labels travel ONLY along out-edges,
+        # so every node needs in-degree ≥ 1 AND out-degree ≥ 1 (the
+        # synthetic webgraph guarantees both); a sink/source node
+        # would otherwise silently drop out — hence the fail-loud
+        # check below.
+        votes = group.filter(pc.equal(group.column("role"), 0))
+        edges = group.filter(pc.equal(group.column("role"), 1))
+        nodes, labels = majority(votes)
+        if edges.num_rows == 0:
+            return pa.table({
+                "b": _ib(pa.array(nodes, pa.int64()), num_buckets),
+                "role": pa.array(np.zeros(len(nodes), np.int8)),
+                "a": pa.array(nodes, pa.int64()),
+                "dst": pa.array(nodes, pa.int64()),
+                "val": pa.array(labels, pa.int64()),
+            })
+        src = _flat_arr(edges.column("a")).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(nodes, src)
+        pos_c = np.minimum(pos, max(len(nodes) - 1, 0))
+        if len(nodes) == 0 or not (nodes[pos_c] == src).all():
+            raise ValueError("edge source with no label vote")
+        out = pa.table({
+            "b": _ib(edges.column("dst"), num_buckets),
+            "role": pa.array(np.zeros(edges.num_rows, np.int8)),
+            "a": edges.column("dst"),
+            "dst": edges.column("dst"),
+            "val": pa.array(labels[pos_c], pa.int64()),
+        })
+        return pa.concat_tables([out, edges])
+
+    def final_labels(group: pa.Table) -> pa.Table:
+        votes = group.filter(pc.equal(group.column("role"), 0))
+        nodes, labels = majority(votes)
+        return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                         "label": pa.array(labels, pa.int64())})
+
+    rows = labels_ds.map_batches(seed_rows,
+                                 batch_format="pyarrow").union(
+        edges_ds.map_batches(edge_rows, batch_format="pyarrow"))
+    for _ in range(iters):
+        rows = rows.groupby("b").map_groups(fused_step,
+                                            batch_format="pyarrow")
+    return rows.groupby("b").map_groups(final_labels,
+                                        batch_format="pyarrow")

@@ -8398,3 +8398,74 @@ def median_order_by_nation(orders_ds, sf_dir: str):
         "n_orders": pa.array([r[1] for r in rows], pa.int64()),
         "median_cents": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def revenue_half_point(orders_ds, sf_dir: str):
+    """Revenue-weighted median order value per nation: the smallest
+    order cents value where the running revenue (orders sorted by
+    value) reaches HALF the nation's total — "half the money is in
+    orders of at most X" → ``(n_name, total_cents, half_cents)``.
+    The comparison is the exact integer 2·cum ≥ total (no float
+    halves).
+
+    Same bounded (nation, cents)-histogram shape as
+    `median_order_by_nation`: per-batch packed partials, one keyed
+    groupby, driver walks ≤|domain| rows per nation."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class HistPartial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            cents = np.floor(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            packed = (cents << 5) | nk
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, cents)
+            return pa.table({
+                "nation_key": pa.array(uniq & 31, pa.int64()),
+                "cents": pa.array(uniq >> 5, pa.int64()),
+                "w": pa.array(acc, pa.int64())})
+
+    hist = (
+        orders_ds.map_batches(HistPartial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+        .groupby(["nation_key", "cents"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # bounded by nations × cents domain
+    ).sort_values(["nation_key", "cents"]).reset_index(drop=True)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    rows = []
+    for nk, grp in hist.groupby("nation_key"):
+        total = int(grp["w"].sum())
+        cum = grp["w"].cumsum().to_numpy()
+        half = int(grp["cents"].to_numpy()[
+            np.flatnonzero(2 * cum >= total)[0]])
+        rows.append((name_of[int(nk)], total, half))
+    rows.sort()
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "total_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "half_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })

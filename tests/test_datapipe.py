@@ -8072,3 +8072,67 @@ class TestMedianOrderByNation:
         # even count ⇒ LOWER median: sorted cents 1000,2000,3000,4000
         # → index (4-1)//2 = 1 → 2000
         assert int(got["median_cents"][0]) == 2000
+
+
+class TestLabelPropagation:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("label_prop", ("documents",))
+        assert len(g) > 0
+        assert g.astype("int64").equals(w.astype("int64"))
+
+    def test_uniform_seed_is_fixed_point(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import label_propagation
+
+        # all nodes share label 5 → any majority stays 5
+        nodes = pa.table({
+            "v": pa.array([0, 1, 2, 3], pa.int64()),
+            "label": pa.array([5, 5, 5, 5], pa.int64())})
+        # ring 0→1→2→3→0 plus reverse = in/out degree ≥ 1 everywhere
+        e = pa.table({
+            "src": pa.array([0, 1, 2, 3, 1, 2, 3, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3, 0, 0, 1, 2, 3], pa.int64())})
+        got = label_propagation(rd.from_arrow(e),
+                                rd.from_arrow(nodes),
+                                iters=2).to_pandas()
+        assert sorted(got["doc_id"]) == [0, 1, 2, 3]
+        assert (got["label"] == 5).all()
+
+    def test_majority_flips_minority(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.graph import label_propagation
+
+        # complete 3-clique (both directions): labels 1,1,2 → after
+        # one round node 2 sees {1,1} → 1; nodes 0,1 see {1,2} tie →
+        # smallest label 1 → consensus 1
+        nodes = pa.table({
+            "v": pa.array([0, 1, 2], pa.int64()),
+            "label": pa.array([1, 1, 2], pa.int64())})
+        e = pa.table({
+            "src": pa.array([0, 0, 1, 1, 2, 2], pa.int64()),
+            "dst": pa.array([1, 2, 0, 2, 0, 1], pa.int64())})
+        got = label_propagation(rd.from_arrow(e),
+                                rd.from_arrow(nodes),
+                                iters=1).to_pandas()
+        assert (got["label"] == 1).all()
+
+
+class TestRevenueHalfPoint:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("revenue_half_point",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_half_point_at_least_median(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        half = e._q_revenue_half_point(sf).to_pandas()
+        med = e._q_median_order_by_nation(sf).to_pandas()
+        m = half.merge(med, on="n_name")
+        # revenue-weighted median ≥ count median (revenue weights
+        # skew toward expensive orders)
+        assert (m["half_cents"] >= m["median_cents"]).all()
