@@ -4672,6 +4672,23 @@ def _q_revenue_half_point(sf_dir: str):
     )
 
 
+def _q_unigram_coverage(sf_dir: str):
+    """Vocab coverage curve: word-count rollup → fused distributed
+    top-k(1000) sort+limit → driver cumulative walk at k=10/100/1000."""
+    from studiocr_ray.datapipe.relational import unigram_coverage
+
+    return unigram_coverage(_docs(sf_dir))
+
+
+def _q_dup_source_matrix(sf_dir: str):
+    """Cross-source near-dup contamination matrix from the verified
+    minhash pairs, sources attached by doc-hash joins."""
+    from studiocr_ray.datapipe.dedup import dup_source_matrix
+
+    return dup_source_matrix(_docs(sf_dir).materialize(),
+                             threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4951,6 +4968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_by_nation": _q_median_order_by_nation,
         "label_prop": _q_label_prop,
         "revenue_half_point": _q_revenue_half_point,
+        "unigram_coverage": _q_unigram_coverage,
+        "dup_source_matrix": _q_dup_source_matrix,
     }
 
 
@@ -9012,6 +9031,39 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY 1
         """,
+        # round-5: vocab coverage curve at k = 10/100/1000
+        "unigram_coverage": f"""
+            WITH wc AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest({toks.format(src='lower(text)')})
+                  AS term FROM documents)
+              GROUP BY 1),
+            r AS (SELECT cnt,
+                         row_number() OVER (ORDER BY cnt DESC, term)
+                           AS rn
+                  FROM wc),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST((SELECT sum(cnt) FROM r WHERE rn <= k)
+                        AS BIGINT) AS covered,
+                   (SELECT total FROM t) AS total_tokens,
+                   CAST((SELECT sum(cnt) FROM r WHERE rn <= k)
+                        AS DOUBLE)
+                     / (SELECT total FROM t) AS frac
+            FROM (VALUES (10), (100), (1000)) ks(k)
+            ORDER BY k
+        """,
+        # round-5: cross-source near-dup matrix over verified pairs
+        "dup_source_matrix": f"""
+            WITH {{wj}}
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM vpairs v
+            JOIN documents da ON da.doc_id = v.id_a
+            JOIN documents db ON db.doc_id = v.id_b
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """.format(wj=word_jaccard_cte),
         # round-5: 3-round majority label propagation (unrolled)
         "label_prop": _label_prop_oracle(3),
         # round-5: revenue-weighted median order value per nation —

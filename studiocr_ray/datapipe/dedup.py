@@ -2206,3 +2206,57 @@ def minhash_calibration(ds, threshold: float = 0.5,
             pa.array(na / float(num_perm), pa.float64()))
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_source_matrix(ds, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, shingle: str = "word",
+                      n: int = 3):
+    """Cross-source contamination matrix: verified near-duplicate
+    pairs (exact Jaccard ≥ ``threshold``) rolled up by the UNORDERED
+    source pair → ``(source_a, source_b, n_pairs)`` with
+    source_a ≤ source_b — where crawl snapshots leak into each other.
+
+    Shape: the verified pairs reuse `minhash_dedup_pairs`' fused
+    lineage; each side's source attaches through `join.hash_join`
+    (documents are NOT broadcast); the unordered canonicalization and
+    the final count are per-batch partials into a
+    ≤|sources|²-row groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    pairs = minhash_dedup_pairs(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle=shingle, n=n, as_dataset=True)
+    side = ds.map_batches(
+        lambda b: b.select(["doc_id", "source"]),
+        batch_format="pyarrow")
+    with_a = hash_join(pairs, side, on="id_a", right_on="doc_id",
+                       left_cols=["id_b"], right_cols=["source"])
+    with_b = hash_join(with_a, side, on="id_b", right_on="doc_id",
+                       left_cols=["source"], right_cols=["source"],
+                       suffix="_b")
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        sa = batch.column("source")
+        sb = batch.column("source_b")
+        lo = pc.min_element_wise(sa, sb)
+        hi = pc.max_element_wise(sa, sb)
+        t = pa.table({"source_a": lo, "source_b": hi})
+        return (t.group_by(["source_a", "source_b"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source_a", "source_b", "n"]))
+
+    out = (
+        with_b.map_batches(canon_partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()  # ≤ |sources|² rows
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    return pa.table({
+        "source_a": pa.array(out["source_a"], pa.string()),
+        "source_b": pa.array(out["source_b"], pa.string()),
+        "n_pairs": pa.array(out["n_pairs"].astype(np.int64),
+                            pa.int64()),
+    })

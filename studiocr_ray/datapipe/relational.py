@@ -8469,3 +8469,40 @@ def revenue_half_point(orders_ds, sf_dir: str):
         "total_cents": pa.array([r[1] for r in rows], pa.int64()),
         "half_cents": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def unigram_coverage(docs_ds, ks: tuple = (10, 100, 1000),
+                     text_col: str = "text"):
+    """Vocabulary coverage curve: for each k in ``ks``, the fraction
+    of the corpus TOKEN MASS covered by the k most frequent unigrams
+    ((count DESC, term ASC) order) →
+    ``(k, covered, total_tokens, frac)`` — the tokenizer-budget
+    planning curve (how much text a k-entry vocab explains).
+
+    Shape: the `word_count` partial rollup (one keyed exchange), ONE
+    distributed sort of the (term, cnt) table cut to max(ks) rows by
+    ``limit`` (sort+limit fuse into a per-block top-k + merge — no
+    full-table collect), total mass from a one-row-per-batch sum;
+    the ≤max(ks) head reaches the driver for the cumulative walk."""
+    counts = word_count(docs_ds, text_col=text_col)
+    kmax = max(ks)
+    head = (counts.sort(["cnt", "term"], descending=[True, False])
+            .limit(kmax).to_pandas())
+    total = counts.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [int(np.sum(b.column("cnt").to_numpy(
+                zero_copy_only=False)))], pa.int64())}),
+        batch_format="pyarrow").sum("t")
+    total = int(total) if total is not None else 0
+    cum = head["cnt"].cumsum()
+    rows = []
+    for k in sorted(ks):
+        covered = int(cum.iloc[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append((int(k), covered, total,
+                     covered / total if total else 0.0))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "covered": pa.array([r[1] for r in rows], pa.int64()),
+        "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "frac": pa.array([r[3] for r in rows], pa.float64()),
+    })

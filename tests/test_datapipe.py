@@ -8136,3 +8136,38 @@ class TestRevenueHalfPoint:
         # revenue-weighted median ≥ count median (revenue weights
         # skew toward expensive orders)
         assert (m["half_cents"] >= m["median_cents"]).all()
+
+
+class TestUnigramCoverage:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("unigram_coverage", ("documents",))
+        assert len(g) == 3
+        assert g.equals(w)
+
+    def test_monotone_and_bounded(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_unigram_coverage(
+            "/root/testdata/sf0.001").to_pandas().sort_values("k")
+        assert got["covered"].is_monotonic_increasing
+        assert (got["covered"] <= got["total_tokens"]).all()
+        assert (got["frac"] ==
+                got["covered"] / got["total_tokens"]).all()
+
+
+class TestDupSourceMatrix:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("dup_source_matrix", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_total_matches_pair_count(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        mat = e._q_dup_source_matrix(sf).to_pandas()
+        pairs = e.queries()["minhash_pairs"](sf)
+        pairs = pairs.to_pandas() if hasattr(pairs, "to_pandas") \
+            else pairs
+        assert int(mat["n_pairs"].sum()) == len(pairs)
+        assert (mat["source_a"] <= mat["source_b"]).all()
