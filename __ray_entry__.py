@@ -4689,6 +4689,42 @@ def _q_dup_source_matrix(sf_dir: str):
                              threshold=0.5)
 
 
+def _q_mad_by_type(sf_dir: str):
+    """Per-type exact median + MAD from two bounded-histogram passes
+    (robust location/scale, no raw-event sort)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import mad_by_type
+
+    return mad_by_type(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]))
+
+
+def _q_joint_degree_hist(sf_dir: str):
+    """Unordered joint degree distribution of the synthetic webgraph
+    — the 2-D refinement behind assortativity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import joint_degree_hist
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return joint_degree_hist(
+        docs.map_batches(edges, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -4970,6 +5006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_half_point": _q_revenue_half_point,
         "unigram_coverage": _q_unigram_coverage,
         "dup_source_matrix": _q_dup_source_matrix,
+        "mad_by_type": _q_mad_by_type,
+        "joint_degree_hist": _q_joint_degree_hist,
     }
 
 
@@ -9064,6 +9102,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = v.id_b
             GROUP BY 1, 2 ORDER BY 1, 2
         """.format(wj=word_jaccard_cte),
+        # round-5: per-type exact lower-median + MAD (two passes)
+        "mad_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100.0) AS BIGINT)
+                                AS cents
+                       FROM events),
+            r AS (SELECT event_type, cents,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM c),
+            m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                         CAST(min(CASE WHEN rn = (n - 1) // 2 + 1
+                                       THEN cents END) AS BIGINT)
+                           AS med
+                  FROM r GROUP BY 1),
+            d AS (SELECT c.event_type,
+                         abs(c.cents - m.med) AS dev
+                  FROM c JOIN m USING (event_type)),
+            r2 AS (SELECT event_type, dev,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY dev) AS rn,
+                          count(*) OVER (PARTITION BY event_type)
+                            AS n
+                   FROM d)
+            SELECT m.event_type, m.n,
+                   m.med AS median_cents,
+                   CAST(min(CASE WHEN r2.rn = (r2.n - 1) // 2 + 1
+                                 THEN r2.dev END) AS BIGINT)
+                     AS mad_cents
+            FROM r2 JOIN m USING (event_type)
+            GROUP BY 1, 2, 3
+            ORDER BY 1
+        """,
+        # round-5: unordered joint degree distribution (webgraph)
+        "joint_degree_hist": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+              FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v FROM e)
+                    GROUP BY 1)
+            SELECT least(du.deg, dv.deg) AS deg_lo,
+                   greatest(du.deg, dv.deg) AS deg_hi,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM e JOIN deg du ON e.u = du.node
+                   JOIN deg dv ON e.v = dv.node
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # round-5: 3-round majority label propagation (unrolled)
         "label_prop": _label_prop_oracle(3),
         # round-5: revenue-weighted median order value per nation —

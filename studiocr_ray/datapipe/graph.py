@@ -1409,3 +1409,83 @@ def label_propagation(edges_ds, labels_ds, iters: int = 3,
                                             batch_format="pyarrow")
     return rows.groupby("b").map_groups(final_labels,
                                         batch_format="pyarrow")
+
+
+def joint_degree_hist(edges_ds, num_buckets: int = 64):
+    """Joint degree distribution of an undirected graph: for every
+    edge, the UNORDERED pair of endpoint degrees →
+    ``(deg_lo, deg_hi, n_edges)`` — the two-dimensional refinement of
+    the degree histogram (what `degree_assortativity` summarizes into
+    one number).
+
+    Same shape as assortativity: canonical edge dedup, degree rollup,
+    two node-hash joins to attach both endpoint degrees, then packed
+    (lo, hi) integer partials into a ≤|distinct-degree|²-row groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        uniq = np.unique(np.stack([np.minimum(s, d),
+                                   np.maximum(s, d)], axis=1), axis=0)
+        return pa.table({"u": pa.array(uniq[:, 0], pa.int64()),
+                         "v": pa.array(uniq[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+    )
+    with_u = hash_join(edges, degrees, on="u", right_on="node",
+                       left_cols=["v"], right_cols=["deg"],
+                       num_buckets=num_buckets)
+    both = hash_join(with_u, degrees, on="v", right_on="node",
+                     left_cols=["deg"], right_cols=["deg"],
+                     num_buckets=num_buckets, suffix="_v")
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("deg").to_numpy(zero_copy_only=False)
+        b = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        packed = (lo.astype(np.int64) << 32) | hi.astype(np.int64)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "deg_lo": pa.array(uniq >> 32, pa.int64()),
+            "deg_hi": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        both.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["deg_lo", "deg_hi"])
+        .aggregate(Sum("n", alias_name="n_edges"))
+        .to_pandas()  # ≤ distinct-degrees² rows
+    ).sort_values(["deg_lo", "deg_hi"]).reset_index(drop=True)
+    return pa.table({
+        "deg_lo": pa.array(out["deg_lo"].astype(np.int64), pa.int64()),
+        "deg_hi": pa.array(out["deg_hi"].astype(np.int64), pa.int64()),
+        "n_edges": pa.array(out["n_edges"].astype(np.int64),
+                            pa.int64()),
+    })

@@ -8506,3 +8506,69 @@ def unigram_coverage(docs_ds, ks: tuple = (10, 100, 1000),
         "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
         "frac": pa.array([r[3] for r in rows], pa.float64()),
     })
+
+
+def mad_by_type(events_ds):
+    """Robust per-type location/scale: for each event type, the EXACT
+    lower-median of value cents and the MAD (lower-median of absolute
+    deviations from that median) →
+    ``(event_type, n, median_cents, mad_cents)`` — the outlier-robust
+    twin of mean/stddev scoring.
+
+    Two bounded-histogram passes (the `median_order_by_nation`
+    contract — per-batch (type, cents) partials, one keyed groupby,
+    driver walks ≤|domain| rows per type): pass 1 yields each type's
+    median, which broadcasts as a tiny dict inside the pass-2 closure;
+    pass 2 histograms |cents − med|.  No sort of raw events, nothing
+    per-event on the driver."""
+
+    def hist(ds, med: dict | None):
+        def partial(batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type")
+            if isinstance(et, pa.ChunkedArray):
+                et = et.combine_chunks()
+            ets = et.to_numpy(zero_copy_only=False)
+            cents = np.floor(batch.column("value").to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)
+            if med is not None:
+                base = np.array([med[t] for t in ets], np.int64)
+                cents = np.abs(cents - base)
+            df = pd.DataFrame({"event_type": ets, "cents": cents})
+            g = df.groupby(["event_type", "cents"],
+                           sort=False).size().reset_index(name="n")
+            return pa.table({
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "cents": pa.array(g["cents"].astype(np.int64),
+                                  pa.int64()),
+                "n": pa.array(g["n"].astype(np.int64), pa.int64())})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # bounded by types × cents domain
+        ).sort_values(["event_type", "cents"]).reset_index(drop=True)
+
+    def medians(h: pd.DataFrame) -> dict:
+        out = {}
+        for et, grp in h.groupby("event_type"):
+            n = int(grp["n"].sum())
+            target = (n - 1) // 2 + 1
+            cum = grp["n"].cumsum().to_numpy()
+            out[et] = (int(grp["cents"].to_numpy()[
+                np.searchsorted(cum, target)]), n)
+        return out
+
+    h1 = hist(events_ds, None)
+    med_n = medians(h1)
+    med = {t: m for t, (m, _) in med_n.items()}
+    h2 = hist(events_ds, med)
+    mad = {t: m for t, (m, _) in medians(h2).items()}
+    types = sorted(med_n)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array([med_n[t][1] for t in types], pa.int64()),
+        "median_cents": pa.array([med_n[t][0] for t in types],
+                                 pa.int64()),
+        "mad_cents": pa.array([mad[t] for t in types], pa.int64()),
+    })

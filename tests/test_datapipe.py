@@ -8171,3 +8171,55 @@ class TestDupSourceMatrix:
             else pairs
         assert int(mat["n_pairs"].sum()) == len(pairs)
         assert (mat["source_a"] <= mat["source_b"]).all()
+
+
+class TestMadByType:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("mad_by_type", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_hand_rolled(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import mad_by_type
+
+        ev = pa.table({
+            "event_type": pa.array(["a"] * 5, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 100.0],
+                              pa.float64()),
+        })
+        got = mad_by_type(rd.from_arrow(ev)).to_pandas()
+        # cents 100,200,300,400,10000 → median 300; devs
+        # 200,100,0,100,9700 sorted 0,100,100,200,9700 → MAD 100
+        assert int(got["median_cents"][0]) == 300
+        assert int(got["mad_cents"][0]) == 100
+
+
+class TestJointDegreeHist:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("joint_degree_hist", ("documents",))
+        assert len(g) > 0
+        assert g.astype("int64").equals(w.astype("int64"))
+
+    def test_edge_mass_conserved(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_joint_degree_hist(sf).to_pandas()
+        n_edges = duckdb.sql(f"""
+            WITH d AS (SELECT doc_id FROM
+                       read_parquet('{sf}/documents.parquet')),
+            cnt AS (SELECT count(*) n FROM d),
+            raw AS (SELECT doc_id src,
+                           (doc_id+1)%(SELECT n FROM cnt) dst FROM d
+                    UNION ALL SELECT doc_id,
+                           (doc_id+2)%(SELECT n FROM cnt) FROM d
+                    UNION ALL SELECT doc_id,
+                           (doc_id*3+1)%(SELECT n FROM cnt) FROM d)
+            SELECT count(*) FROM (SELECT DISTINCT least(src,dst),
+                   greatest(src,dst) FROM raw WHERE src<>dst)
+            """).fetchone()[0]
+        assert int(got["n_edges"].sum()) == n_edges
