@@ -4725,6 +4725,21 @@ def _q_joint_degree_hist(sf_dir: str):
         docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_above_own_avg(sf_dir: str):
+    """Orders above their customer's own average: customer rollup is
+    NOT broadcastable, so orders re-join it custkey-hash
+    co-partitioned; exact cents·cnt > Σcents."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import above_own_avg
+
+    return above_own_avg(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -5008,6 +5023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_source_matrix": _q_dup_source_matrix,
         "mad_by_type": _q_mad_by_type,
         "joint_degree_hist": _q_joint_degree_hist,
+        "above_own_avg": _q_above_own_avg,
     }
 
 
@@ -9102,6 +9118,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = v.id_b
             GROUP BY 1, 2 ORDER BY 1, 2
         """.format(wj=word_jaccard_cte),
+        # round-5: orders above their customer's own average —
+        # exact cents·cnt > Σcents, customer-level decorrelation
+        "above_own_avg": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1)
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN
+                       CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) * pc.c > pc.s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   CAST(sum(CASE WHEN
+                       CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) * pc.c > pc.s
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     AS frac_above
+            FROM orders o
+            JOIN pc ON o.o_custkey = pc.o_custkey
+            JOIN customer ON o.o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
         # round-5: per-type exact lower-median + MAD (two passes)
         "mad_by_type": """
             WITH c AS (SELECT event_type,

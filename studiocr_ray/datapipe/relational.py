@@ -8572,3 +8572,114 @@ def mad_by_type(events_ds):
                                  pa.int64()),
         "mad_cents": pa.array([mad[t] for t in types], pa.int64()),
     })
+
+
+def above_own_avg(orders_ds, sf_dir: str):
+    """Customer-level decorrelated comparison: orders STRICTLY above
+    their own customer's average order value, rolled up per nation →
+    ``(n_name, n_orders, n_above, frac_above)``.
+
+    The correlated subquery (avg over the same customer) decorrelates
+    into a per-customer (Σcents, count) rollup; unlike
+    `above_nation_avg`'s 25-row broadcast, the rollup here is
+    CUSTOMER-scale — never broadcastable — so orders re-join it
+    custkey-hash co-partitioned (`join.hash_join`) and the comparison
+    runs exact-integer (cents·cnt > Σcents) inside the joined batches.
+    Nation names resolve from the ≤25-row dimension driver-side."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({
+            "o_custkey": pa.array(uniq, pa.int64()),
+            "s": pa.array(acc, pa.int64()),
+            "c": pa.array(np.bincount(inv).astype(np.int64),
+                          pa.int64())})
+
+    rollup = (
+        orders_ds.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="sum_cents"),
+                   Sum("c", alias_name="cnt"))
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": pa.array(cents, pa.int64())})
+
+    joined = hash_join(
+        orders_ds.map_batches(order_rows, batch_format="pyarrow"),
+        rollup, on="o_custkey",
+        left_cols=["cents"], right_cols=["sum_cents", "cnt"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nation_of = np.full(int(ck.max()) + 1, -1, np.int8)
+    nation_of[ck] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    ref = ray.put(nation_of)
+
+    class NationPartial:
+        def __init__(self):
+            self.nation_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck_ = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            if (ck_ < 0).any() or (ck_ >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck_].astype(np.int64)
+            if (nk < 0).any():
+                raise ValueError("customer with no nation row")
+            cents = batch.column("cents").to_numpy(
+                zero_copy_only=False)
+            s = batch.column("sum_cents").to_numpy(
+                zero_copy_only=False)
+            c = batch.column("cnt").to_numpy(zero_copy_only=False)
+            above = (cents * c > s).astype(np.int64)
+            uniq, inv = np.unique(nk, return_inverse=True)
+            n_all = np.bincount(inv).astype(np.int64)
+            n_ab = np.zeros(len(uniq), np.int64)
+            np.add.at(n_ab, inv, above)
+            return pa.table({
+                "nation_key": pa.array(uniq, pa.int64()),
+                "n_orders": pa.array(n_all, pa.int64()),
+                "n_above": pa.array(n_ab, pa.int64())})
+
+    out = (
+        joined.map_batches(NationPartial, batch_format="pyarrow",
+                           concurrency=(1, 8))
+        .groupby("nation_key")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("n_above", alias_name="n_above"))
+        .to_pandas()  # ≤ 25 nations
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    out["n_name"] = [name_of[int(k)] for k in out["nation_key"]]
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "n_orders": pa.array(out["n_orders"].astype(np.int64),
+                             pa.int64()),
+        "n_above": pa.array(out["n_above"].astype(np.int64),
+                            pa.int64()),
+        "frac_above": pa.array(
+            out["n_above"].to_numpy()
+            / out["n_orders"].to_numpy().astype(np.float64),
+            pa.float64()),
+    })

@@ -8223,3 +8223,22 @@ class TestJointDegreeHist:
                    greatest(src,dst) FROM raw WHERE src<>dst)
             """).fetchone()[0]
         assert int(got["n_edges"].sum()) == n_edges
+
+
+class TestAboveOwnAvg:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("above_own_avg",
+                                ("orders", "customer", "nation"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_strictly_less_than_half(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_above_own_avg("/root/testdata/sf0.001").to_pandas()
+        # at most half the orders can sit strictly above their own
+        # customer's mean is FALSE in general, but none can when a
+        # customer has a single order (cents·1 > cents never holds):
+        # assert the structural bound 0 ≤ n_above < n_orders instead
+        assert ((got["n_above"] >= 0)
+                & (got["n_above"] < got["n_orders"])).all()
