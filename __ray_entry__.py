@@ -4740,6 +4740,39 @@ def _q_above_own_avg(sf_dir: str):
     )
 
 
+def _q_edge_locality(sf_dir: str):
+    """Partitioner locality of the synthetic webgraph under the
+    engine's id_buckets hash (golden-ratio multiply >> 32 mod B)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from studiocr_ray.datapipe.graph import edge_locality
+
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(d, 3)
+        dst = np.stack(
+            [(d + 1) % n, (d + 2) % n, (d * 3 + 1) % n], axis=1
+        ).ravel()
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return edge_locality(docs.map_batches(edges,
+                                          batch_format="pyarrow"),
+                         num_buckets=32)
+
+
+def _q_simhash_bit_bias(sf_dir: str):
+    """Per-bit set fraction of the corpus simhash signatures — hash
+    bias audit on 64-row partials."""
+    from studiocr_ray.datapipe.dedup import simhash_bit_bias
+
+    return simhash_bit_bias(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -5024,6 +5057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": _q_mad_by_type,
         "joint_degree_hist": _q_joint_degree_hist,
         "above_own_avg": _q_above_own_avg,
+        "edge_locality": _q_edge_locality,
+        "simhash_bit_bias": _q_simhash_bit_bias,
     }
 
 
@@ -9203,6 +9238,54 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN deg du ON e.u = du.node
                    JOIN deg dv ON e.v = dv.node
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # round-5: id_buckets locality of the webgraph (golden-ratio
+        # multiply mod 2^64, top-32-bit bucket)
+        "edge_locality": """
+            WITH d AS (SELECT doc_id FROM documents),
+            cnt AS (SELECT count(*) AS n FROM d),
+            raw AS (
+              SELECT doc_id AS src,
+                     (doc_id+1) % (SELECT n FROM cnt) AS dst FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id+2) % (SELECT n FROM cnt) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id*3+1) % (SELECT n FROM cnt)
+              FROM d),
+            e AS (SELECT DISTINCT least(src,dst) AS u,
+                                  greatest(src,dst) AS v
+                  FROM raw WHERE src <> dst),
+            b AS (SELECT
+                    CAST((((u::HUGEINT * 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT) >> 32)
+                         % 32 AS BIGINT) AS bu,
+                    CAST((((v::HUGEINT * 11400714819323198485::HUGEINT)
+                           % 18446744073709551616::HUGEINT) >> 32)
+                         % 32 AS BIGINT) AS bv
+                  FROM e)
+            SELECT CAST(32 AS BIGINT) AS num_buckets,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN bu = bv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_local,
+                   CAST(sum(CASE WHEN bu = bv THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS frac_local
+            FROM b
+        """,
+        # round-5: simhash per-bit set-fraction audit (reuses the
+        # SQL-recomputed signatures)
+        "simhash_bit_bias": f"""
+            WITH {simhash_cte}
+            SELECT CAST(b.bit AS BIGINT) AS bit,
+                   CAST(sum(CASE WHEN (sval >> b.bit) & 1 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_set,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN (sval >> b.bit) & 1 = 1
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS frac
+            FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 63))
+                                 AS bit) b
+            GROUP BY 1 ORDER BY 1
         """,
         # round-5: 3-round majority label propagation (unrolled)
         "label_prop": _label_prop_oracle(3),

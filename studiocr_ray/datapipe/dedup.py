@@ -2260,3 +2260,52 @@ def dup_source_matrix(ds, threshold: float = 0.5, num_perm: int = 64,
         "n_pairs": pa.array(out["n_pairs"].astype(np.int64),
                             pa.int64()),
     })
+
+
+def simhash_bit_bias(ds):
+    """SimHash signature audit: per signature bit, how many documents
+    have it set → ``(bit, n_set, n_docs, frac)``.  An unbiased token
+    hash keeps every bit near 0.5; a skewed bit means the underlying
+    hash (or a pathological token distribution) is leaking structure
+    into the fingerprint and inflating near-dup false positives.
+
+    Consumes `simhash_signatures` (hex strings) and unpacks bits
+    vectorized (one unhexlify + big-endian uint64 view per batch, 64
+    shift-mask reductions) into 64-row partials; the groupby is ≤ 64
+    rows."""
+    import binascii
+
+    from ray.data.aggregate import Sum
+
+    sigs = simhash_signatures(ds)
+
+    def bit_partial(batch: pa.Table) -> pa.Table:
+        hx = batch.column("simhash")
+        if isinstance(hx, pa.ChunkedArray):
+            hx = hx.combine_chunks()
+        joined = "".join(hx.to_pylist())
+        vals = np.frombuffer(binascii.unhexlify(joined), dtype=">u8")
+        bits = np.arange(64, dtype=np.uint64)
+        n_set = ((vals[:, None] >> bits[None, :])
+                 & np.uint64(1)).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "bit": pa.array(bits.astype(np.int64), pa.int64()),
+            "n_set": pa.array(n_set, pa.int64()),
+            "n_docs": pa.array(np.full(64, len(vals), np.int64),
+                               pa.int64())})
+
+    out = (
+        sigs.map_batches(bit_partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Sum("n_set", alias_name="n_set"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()  # 64 rows
+    ).sort_values("bit").reset_index(drop=True)
+    return pa.table({
+        "bit": pa.array(out["bit"].astype(np.int64), pa.int64()),
+        "n_set": pa.array(out["n_set"].astype(np.int64), pa.int64()),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64), pa.int64()),
+        "frac": pa.array(out["n_set"].to_numpy()
+                         / out["n_docs"].to_numpy().astype(np.float64),
+                         pa.float64()),
+    })

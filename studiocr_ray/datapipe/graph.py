@@ -1489,3 +1489,57 @@ def joint_degree_hist(edges_ds, num_buckets: int = 64):
         "n_edges": pa.array(out["n_edges"].astype(np.int64),
                             pa.int64()),
     })
+
+
+def edge_locality(edges_ds, num_buckets: int = 32):
+    """Partitioning diagnostic: the fraction of (deduped, undirected)
+    edges whose two endpoints hash to the SAME bucket under the
+    engine's own `id_buckets` partitioner → ONE row
+    ``(num_buckets, n_edges, n_local, frac_local)``.  Every
+    co-partitioned graph stage (wedge join, vote exchange) ships only
+    the non-local complement, so this measures exactly the network
+    traffic a bucketing choice buys; a hash partitioner should sit at
+    frac ≈ 1/num_buckets — a significantly higher reading means key
+    structure leaks into the hash (a locality win), lower means
+    adversarial structure.
+
+    Per-batch vectorized canon + count partials, ONE pair-keyed
+    dedup exchange, one-row-per-batch sums — no driver data."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.arrowutil import id_buckets
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        uniq = np.unique(np.stack([np.minimum(s, d),
+                                   np.maximum(s, d)], axis=1), axis=0)
+        return pa.table({"u": pa.array(uniq[:, 0], pa.int64()),
+                         "v": pa.array(uniq[:, 1], pa.int64())})
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        bu = id_buckets(batch.column("u"), num_buckets)
+        bv = id_buckets(batch.column("v"), num_buckets)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "loc": pa.array([int((bu == bv).sum())], pa.int64())})
+
+    sums = edges.map_batches(local_partial,
+                             batch_format="pyarrow").sum(["n", "loc"])
+    n = int(sums["sum(n)"]) if sums else 0
+    loc = int(sums["sum(loc)"]) if sums else 0
+    return pa.table({
+        "num_buckets": pa.array([num_buckets], pa.int64()),
+        "n_edges": pa.array([n], pa.int64()),
+        "n_local": pa.array([loc], pa.int64()),
+        "frac_local": pa.array([loc / n if n else 0.0], pa.float64()),
+    })

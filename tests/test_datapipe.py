@@ -8242,3 +8242,36 @@ class TestAboveOwnAvg:
         # assert the structural bound 0 ≤ n_above < n_orders instead
         assert ((got["n_above"] >= 0)
                 & (got["n_above"] < got["n_orders"])).all()
+
+
+class TestEdgeLocality:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("edge_locality", ("documents",))
+        assert len(g) == 1
+        assert g.equals(w)
+
+    def test_near_uniform_hash(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_edge_locality("/root/testdata/sf0.001").to_pandas()
+        # a good hash partitioner lands near 1/32 ≈ 0.031
+        assert 0.0 <= float(got["frac_local"][0]) <= 0.15
+
+
+class TestSimhashBitBias:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("simhash_bit_bias", ("documents",))
+        assert len(g) == 64
+        assert g.equals(w)
+
+    def test_bits_near_half(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_simhash_bit_bias(
+            "/root/testdata/sf0.001").to_pandas()
+        assert (got["n_docs"] == got["n_docs"].iloc[0]).all()
+        assert ((got["frac"] >= 0.0) & (got["frac"] <= 1.0)).all()
+        # the audit's point on this corpus: the templated token
+        # distribution genuinely skews tf-weighted votes, so the bits
+        # are NOT uniform — at least one sits far from 0.5
+        assert (got["frac"] - 0.5).abs().max() > 0.2
