@@ -4773,6 +4773,14 @@ def _q_simhash_bit_bias(sf_dir: str):
     return simhash_bit_bias(_docs(sf_dir))
 
 
+def _q_token_type_corr(sf_dir: str):
+    """Herdan-law moments: exact int64 hi/lo-split second moments of
+    (tokens, types) per doc; math.sqrt corr for SQL parity."""
+    from studiocr_ray.datapipe.relational import token_type_corr
+
+    return token_type_corr(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -5059,6 +5067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_own_avg": _q_above_own_avg,
         "edge_locality": _q_edge_locality,
         "simhash_bit_bias": _q_simhash_bit_bias,
+        "token_type_corr": _q_token_type_corr,
     }
 
 
@@ -9286,6 +9295,31 @@ def oracle_sql() -> dict[str, str]:
             FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 63))
                                  AS bit) b
             GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: Herdan-law token/type correlation — HUGEINT moments
+        "token_type_corr": f"""
+            WITH t AS (
+              SELECT len(tk) AS x,
+                     len(list_distinct(tk)) AS y
+              FROM (SELECT {toks.format(src='lower(text)')} AS tk
+                    FROM documents)),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy,
+                         sum(CAST(y AS HUGEINT) * y) AS syy
+                  FROM t)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(sx AS BIGINT) AS sum_tokens,
+                   CAST(sy AS BIGINT) AS sum_types,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     AS corr,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+            FROM m
         """,
         # round-5: 3-round majority label propagation (unrolled)
         "label_prop": _label_prop_oracle(3),

@@ -8683,3 +8683,71 @@ def above_own_avg(orders_ds, sf_dir: str):
             / out["n_orders"].to_numpy().astype(np.float64),
             pa.float64()),
     })
+
+
+def token_type_corr(docs_ds, text_col: str = "text"):
+    """Exact Pearson correlation and OLS slope between per-document
+    token count and distinct-token (type) count → ONE row
+    ``(n_docs, sum_tokens, sum_types, corr, slope)`` — the
+    lexical-richness curve (Herdan's law) reduced to its second
+    moments.
+
+    All five moments are EXACT int64 partial sums; the second moments
+    split hi/lo 32-bit inside the partials (the corr_by_nation Σc²
+    discipline — Σx² for 10^12 docs overflows raw int64) and recombine
+    as Python big ints; corr uses math.sqrt on the exact-rational
+    pieces (the type_corr parity rule — ``**0.5`` diverges from SQL
+    sqrt in the last bit)."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        x = np.zeros(batch.num_rows, np.int64)  # tokens
+        y = np.zeros(batch.num_rows, np.int64)  # types
+        if len(flat):
+            np.add.at(x, doc_idx, 1)
+            codes = _dict_encode(flat).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pairs = np.unique(np.stack(
+                [doc_idx.astype(np.int64), codes], axis=1), axis=0)
+            np.add.at(y, pairs[:, 0], 1)
+        cols = {"n": np.array([batch.num_rows], np.int64),
+                "sx": np.array([int(x.sum())], np.int64),
+                "sy": np.array([int(y.sum())], np.int64)}
+        for name, v in (("xx", x * x), ("xy", x * y), ("yy", y * y)):
+            cols[f"s{name}_hi"] = np.array(
+                [int((v >> np.int64(32)).sum())], np.int64)
+            cols[f"s{name}_lo"] = np.array(
+                [int((v & np.int64(0xFFFFFFFF)).sum())], np.int64)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    names = ["n", "sx", "sy", "sxx_hi", "sxx_lo", "sxy_hi", "sxy_lo",
+             "syy_hi", "syy_lo"]
+    sums = docs_ds.map_batches(partial,
+                               batch_format="pyarrow").sum(names)
+    if sums is None:
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "sum_tokens": pa.array([0], pa.int64()),
+            "sum_types": pa.array([0], pa.int64()),
+            "corr": pa.array([0.0], pa.float64()),
+            "slope": pa.array([0.0], pa.float64())})
+    g = {k: int(sums[f"sum({k})"]) for k in names}
+    n, sx, sy = g["n"], g["sx"], g["sy"]
+    sxx = g["sxx_hi"] * (2**32) + g["sxx_lo"]
+    sxy = g["sxy_hi"] * (2**32) + g["sxy_lo"]
+    syy = g["syy_hi"] * (2**32) + g["syy_lo"]
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    corr = (float(num) / math.sqrt(float(d1) * float(d2))
+            if d1 and d2 else 0.0)
+    slope = float(num) / float(d1) if d1 else 0.0
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_tokens": pa.array([sx], pa.int64()),
+        "sum_types": pa.array([sy], pa.int64()),
+        "corr": pa.array([corr], pa.float64()),
+        "slope": pa.array([slope], pa.float64()),
+    })

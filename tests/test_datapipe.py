@@ -8275,3 +8275,20 @@ class TestSimhashBitBias:
         # distribution genuinely skews tf-weighted votes, so the bits
         # are NOT uniform — at least one sits far from 0.5
         assert (got["frac"] - 0.5).abs().max() > 0.2
+
+
+class TestTokenTypeCorr:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("token_type_corr", ("documents",))
+        assert len(g) == 1
+        assert g.equals(w)
+
+    def test_positive_and_bounded(self, ray_session):
+        import __ray_entry__ as e
+
+        got = e._q_token_type_corr(
+            "/root/testdata/sf0.001").to_pandas()
+        # longer docs have more types: strong positive correlation
+        assert 0.5 < float(got["corr"][0]) <= 1.0
+        assert float(got["slope"][0]) > 0.0
+        assert int(got["sum_types"][0]) <= int(got["sum_tokens"][0])
