@@ -4781,6 +4781,14 @@ def _q_token_type_corr(sf_dir: str):
     return token_type_corr(_docs(sf_dir))
 
 
+def _q_embed_norm_hist(sf_dir: str):
+    """Log2 histogram of exact e6-quantized squared embedding norms
+    (ANN index-health check)."""
+    from studiocr_ray.datapipe.embed import norm_hist
+
+    return norm_hist(_emb(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -5068,6 +5076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_locality": _q_edge_locality,
         "simhash_bit_bias": _q_simhash_bit_bias,
         "token_type_corr": _q_token_type_corr,
+        "embed_norm_hist": _q_embed_norm_hist,
     }
 
 
@@ -9320,6 +9329,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
             FROM m
+        """,
+        # round-5: log2 histogram of e6-quantized squared norms
+        # (CAST to DOUBLE before *1e6 — the embed_dim_stats rule)
+        "embed_norm_hist": """
+            WITH sq AS (
+              SELECT vec_id,
+                     CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1e6)
+                                   AS BIGINT)
+                              * CAST(floor(CAST(e AS DOUBLE) * 1e6)
+                                     AS BIGINT)) AS BIGINT) AS s
+              FROM (SELECT vec_id, unnest(embedding) AS e
+                    FROM embeddings)
+              GROUP BY 1)
+            SELECT CASE WHEN s = 0 THEN 0
+                        ELSE CAST(length(bin(s)) AS BIGINT)
+                   END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM sq GROUP BY 1 ORDER BY 1
         """,
         # round-5: 3-round majority label propagation (unrolled)
         "label_prop": _label_prop_oracle(3),

@@ -1194,3 +1194,49 @@ def embed_dim_stats(ds, col: str = "embedding"):
         "mean": pa.array(mean, pa.float64()),
         "var": pa.array(var, pa.float64()),
     })
+
+
+def norm_hist(emb_ds, emb_col: str = "embedding"):
+    """Log₂ histogram of embedding squared L2 norms, computed on the
+    EXACT integer lattice: each component quantizes to
+    ``floor(x·1e6)`` (the embed_dim_stats discipline), the squared
+    norm is an exact int64 sum, and the bucket is its frexp bit
+    length → ``(bucket, n_vecs)``.  Norm drift between embedding
+    batches is the standard index-health check before ANN ingestion.
+
+    Per-batch fully vectorized (one ragged-to-dense reshape per
+    batch); the groupby is ≤ 64 rows."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+        flat = np.floor(col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        sq = np.zeros(batch.num_rows, np.int64)
+        np.add.at(sq, doc_idx, flat * flat)
+        lg = np.zeros(batch.num_rows, np.int64)
+        pos = sq > 0
+        lg[pos] = np.frexp(sq[pos].astype(np.float64))[1]
+        uniq, cnt = np.unique(lg, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_vecs"))
+        .to_pandas()  # ≤ 64 rows
+    ).sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype(np.int64), pa.int64()),
+        "n_vecs": pa.array(out["n_vecs"].astype(np.int64), pa.int64()),
+    })

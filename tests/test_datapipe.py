@@ -8292,3 +8292,29 @@ class TestTokenTypeCorr:
         assert 0.5 < float(got["corr"][0]) <= 1.0
         assert float(got["slope"][0]) > 0.0
         assert int(got["sum_types"][0]) <= int(got["sum_tokens"][0])
+
+
+class TestEmbedNormHist:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("embed_norm_hist", ("embeddings",))
+        assert len(g) >= 1
+        assert g.astype("int64").equals(w.astype("int64"))
+        assert int(g["n_vecs"].sum()) > 0
+
+    def test_bucket_spread(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import norm_hist
+
+        emb = pa.table({
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0],       # sq 0 → bucket 0
+                 [1.0, 0.0],       # sq 1e12 → bit_length(1e12)=40
+                 [2.0, 0.0],       # sq 4e12 → 42
+                 [1.0, 1.0]],      # sq 2e12 → 41
+                pa.list_(pa.float32())),
+        })
+        got = norm_hist(rd.from_arrow(emb)).to_pandas()
+        assert got.set_index("bucket")["n_vecs"].to_dict() == {
+            0: 1, 40: 1, 41: 1, 42: 1}
