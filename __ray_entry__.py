@@ -4789,6 +4789,61 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 local supplier volume: dense int8 nation broadcasts on
+    both join sides, region pre-filter before the single orderkey
+    exchange, exact integer 1e-4 revenue."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q5_local_supplier
+
+    return q5_local_supplier(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        sf_dir,
+    )
+
+
+def _q_q12_late_lines(sf_dir: str):
+    """TPC-H Q12 adapted: l_linestatus as the mode dimension, shipped
+    >= 60 days after order date as the lateness predicate; narrow-row
+    orderkey join + integer count partials."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q12_late_lines
+
+    return q12_late_lines(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate",
+                                 "l_linestatus"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"]),
+    )
+
+
+def _q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 adapted: unique-latest shipper of finished
+    multi-supplier orders; semi-join + orderkey co-partition + segment
+    reduceat verdicts + B·k top-k merge."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_shipdate"]),
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus"]),
+        sf_dir,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ordered deliberately.
 
@@ -5077,6 +5132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_bit_bias": _q_simhash_bit_bias,
         "token_type_corr": _q_token_type_corr,
         "embed_norm_hist": _q_embed_norm_hist,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "q12_late_lines": _q_q12_late_lines,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
     }
 
 
@@ -9658,6 +9716,83 @@ def oracle_sql() -> dict[str, str]:
                             AND l_quantity >= 48)
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        # round-5: TPC-H Q5 — exact integer 1e-4 revenue, same
+        # floor(x*100+0.5) quantization tree as q7_volume
+        "q5_local_supplier": """
+            SELECT n_name, revenue_e4,
+                   CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue
+            FROM (
+              SELECT n_name,
+                     CAST(sum(
+                       CAST(floor(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)
+                       * CAST(floor((1.0 - l_discount) * 100.0 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS revenue_e4
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE c_nationkey = s_nationkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1)
+            ORDER BY revenue_e4 DESC, n_name
+        """,
+        # round-5: TPC-H Q12 adapted — l_linestatus as the mode,
+        # shipped >= 60 days after order date as the lateness predicate
+        "q12_late_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        # round-5: TPC-H Q21 adapted — unique strictly-latest shipper of
+        # a finished multi-supplier order (exists/not-exists preserved)
+        "q21_waiting_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey, l_shipdate
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            m AS (
+              SELECT l_orderkey, max(l_shipdate) AS mx,
+                     count(DISTINCT l_suppkey) AS ns
+              FROM l GROUP BY 1),
+            c AS (
+              SELECT l.l_orderkey,
+                     min(l_suppkey) AS cand,
+                     max(l_suppkey) AS cand_max
+              FROM l JOIN m USING (l_orderkey)
+              WHERE l_shipdate = mx
+              GROUP BY 1)
+            SELECT s_name, numwait, rank FROM (
+              SELECT s_name, CAST(count(*) AS BIGINT) AS numwait,
+                     CAST(row_number() OVER
+                          (ORDER BY count(*) DESC, s_name) AS INT)
+                       AS rank
+              FROM c
+              JOIN m USING (l_orderkey)
+              JOIN supplier ON cand = s_suppkey
+              WHERE ns >= 2 AND cand = cand_max
+              GROUP BY s_name)
+            WHERE rank <= 10
+            ORDER BY rank
         """,
     }
 

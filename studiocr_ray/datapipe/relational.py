@@ -8751,3 +8751,379 @@ def token_type_corr(docs_ds, text_col: str = "text"):
         "corr": pa.array([corr], pa.float64()),
         "slope": pa.array([slope], pa.float64()),
     })
+
+
+def q5_local_supplier(lineitem_ds, orders_ds, sf_dir: str,
+                      region: str = "ASIA",
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1997-01-01"):
+    """TPC-H Q5 (local supplier volume): revenue from lineitems whose
+    SUPPLIER and CUSTOMER sit in the same nation of one region, orders
+    in a date window → ``(n_name, revenue_e4, revenue)`` sorted by
+    revenue desc.  Completes the relational family's TPC-H coverage
+    (reference analogue: the doc↔page↔block FK joins,
+    /root/reference/StudiOCR/db.py:43-61, at warehouse shape).
+
+    Scale shape (the :func:`q7_volume` decomposition): nation/region are
+    driver-read dimension tables; supplier→nation and customer→nation
+    broadcast once as dense int8 arrays (1 byte per key); BOTH join
+    sides pre-filter to the region's nations, so the single
+    orderkey-hash exchange carries only qualifying narrow integer rows
+    (~(|region|/25)² of lineitem at uniform nations).  Lineitem
+    pre-aggregates exact integer 1e-4 revenue per (orderkey, nation)
+    before the exchange; the final groupby has ≤ |nations| rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .join import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {n: int(k) for k, n in zip(
+        reg.column("r_regionkey").to_pylist(),
+        reg.column("r_name").to_pylist())}
+    if region not in rkey:
+        raise ValueError(f"unknown region {region!r}")
+    nk_arr = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    in_region = np.zeros(int(nk_arr.max()) + 1, bool)
+    name_of = {}
+    for k, nm, rk in zip(nk_arr.tolist(),
+                         nation.column("n_name").to_pylist(),
+                         nation.column("n_regionkey").to_pylist()):
+        if int(rk) == rkey[region]:
+            in_region[k] = True
+            name_of[int(k)] = nm
+
+    def dense_nation(path, key_col, nk_col):
+        t = pq.read_table(path, columns=[key_col, nk_col])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        nks = t.column(nk_col).to_numpy(zero_copy_only=False)
+        arr = np.full(int(keys.max()) + 1, -1, np.int8)
+        arr[keys] = nks.astype(np.int8)
+        return arr
+
+    supp_ref = ray.put(dense_nation(f"{sf_dir}/supplier.parquet",
+                                    "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(dense_nation(f"{sf_dir}/customer.parquet",
+                                    "c_custkey", "c_nationkey"))
+    region_ref = ray.put(in_region)
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+
+    class LinePartial:
+        def __init__(self):
+            self.nation_of = ray.get(supp_ref)
+            self.in_region = ray.get(region_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            if (sk < 0).any() or (sk >= len(self.nation_of)).any():
+                raise ValueError("unknown supplier key in lineitem")
+            nk = self.nation_of[sk]
+            keep = (nk >= 0) & self.in_region[np.maximum(nk, 0)]
+            if not keep.any():
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "supp_nk": pa.array([], pa.int8()),
+                    "rev_part": pa.array([], pa.int64())})
+            idx = np.flatnonzero(keep)
+            ok = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[idx]
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)[idx]
+            disc = batch.column("l_discount").to_numpy(
+                zero_copy_only=False)[idx]
+            rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+                   * np.floor((1.0 - disc) * 100.0 + 0.5).astype(
+                       np.int64))
+            # nationkeys < 25 fit 5 bits under the orderkey
+            packed = (ok << 5) | nk[idx].astype(np.int64)
+            uniq, inv = np.unique(packed, return_inverse=True)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, rev)
+            return pa.table({
+                "l_orderkey": pa.array(uniq >> 5, pa.int64()),
+                "supp_nk": pa.array((uniq & 31).astype(np.int8),
+                                    pa.int8()),
+                "rev_part": pa.array(acc, pa.int64())})
+
+    class OrderSide:
+        def __init__(self):
+            self.nation_of = ray.get(cust_ref)
+            self.in_region = ray.get(region_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            if (ck < 0).any() or (ck >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key in orders")
+            nk = self.nation_of[ck]
+            keep = ((od >= lo) & (od < hi) & (nk >= 0)
+                    & self.in_region[np.maximum(nk, 0)])
+            t = batch.select(["o_orderkey"]).filter(pa.array(keep))
+            return t.append_column(
+                "cust_nk", pa.array(nk[keep], pa.int8()))
+
+    lines = lineitem_ds.map_batches(LinePartial, batch_format="pyarrow",
+                                    concurrency=(1, 8))
+    ords = orders_ds.map_batches(OrderSide, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    joined = hash_join(lines, ords, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["supp_nk", "rev_part"],
+                       right_cols=["cust_nk"])
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        sn = batch.column("supp_nk").to_numpy(zero_copy_only=False)
+        cn = batch.column("cust_nk").to_numpy(zero_copy_only=False)
+        keep = sn == cn  # local supplier: same nation as the customer
+        if not keep.any():
+            return pa.table({"nk": pa.array([], pa.int8()),
+                             "rev_part": pa.array([], pa.int64())})
+        idx = np.flatnonzero(keep)
+        rev = batch.column("rev_part").to_numpy(
+            zero_copy_only=False)[idx]
+        uniq, inv = np.unique(sn[idx], return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"nk": pa.array(uniq, pa.int8()),
+                         "rev_part": pa.array(acc, pa.int64())})
+
+    out = (
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("rev_part", alias_name="revenue_e4"))
+        .to_pandas()  # ≤ |nations in region| rows
+    )
+    res = pd.DataFrame({
+        "n_name": [name_of[int(k)] for k in out["nk"]],
+        "revenue_e4": out["revenue_e4"].astype(np.int64),
+    }).sort_values(["revenue_e4", "n_name"],
+                   ascending=[False, True]).reset_index(drop=True)
+    return pa.table({
+        "n_name": pa.array(res["n_name"], pa.string()),
+        "revenue_e4": pa.array(res["revenue_e4"], pa.int64()),
+        "revenue": pa.array(res["revenue_e4"].to_numpy() / 1e4,
+                            pa.float64()),
+    })
+
+
+def q12_late_lines(lineitem_ds, orders_ds,
+                   date_from: str = "1996-01-01",
+                   date_to: str = "1997-01-01",
+                   late_days: int = 60):
+    """TPC-H Q12 adapted (shipmode priority): the synthetic lineitem has
+    no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so the "mode"
+    dimension is ``l_linestatus`` and a line is LATE when it shipped
+    ``>= late_days`` after its order date — preserving Q12's structure
+    (join + conditional priority counts per mode) on the available
+    columns → ``(l_linestatus, high_line_count, low_line_count)``.
+
+    Scale shape: orders pre-filter to the date window and ship only
+    ``(o_orderkey, odate, is_high)`` narrow rows into ONE orderkey-hash
+    exchange against ``(l_orderkey, l_shipdate, status)`` lineitem rows;
+    the lateness predicate (needs both sides' dates) applies right after
+    the join, then integer count partials per (status, is_high) make the
+    final groupby ≤ 4 rows.  Counts are exact integers → hash-exact."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+    late_us = int(late_days) * 86_400_000_000
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        t = batch.filter(pa.array(keep))
+        odk = od[keep]
+        pri = t.column("o_orderpriority")
+        is_high = pc.or_(pc.equal(pri, "1-URGENT"),
+                         pc.equal(pri, "2-HIGH")).to_numpy(
+            zero_copy_only=False).astype(np.int8)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "odate": pa.array(odk, pa.int64()),
+            "is_high": pa.array(is_high, pa.int8())})
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").cast(pa.int64())
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "sd": sd,
+            "status": batch.column("l_linestatus")})
+
+    lines = lineitem_ds.map_batches(line_side, batch_format="pyarrow")
+    ords = orders_ds.map_batches(order_side, batch_format="pyarrow")
+    joined = hash_join(lines, ords, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols=["sd", "status"],
+                       right_cols=["odate", "is_high"])
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("sd").to_numpy(zero_copy_only=False)
+        od = batch.column("odate").to_numpy(zero_copy_only=False)
+        keep = sd - od >= late_us
+        if not keep.any():
+            return pa.table({"status": pa.array([], pa.string()),
+                             "high_part": pa.array([], pa.int64()),
+                             "low_part": pa.array([], pa.int64())})
+        t = batch.filter(pa.array(keep))
+        st = t.column("status")
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        d = st.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        hi_f = t.column("is_high").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nvoc = len(d.dictionary)
+        high = np.bincount(codes, weights=hi_f,
+                           minlength=nvoc).astype(np.int64)
+        low = np.bincount(codes, weights=1 - hi_f,
+                          minlength=nvoc).astype(np.int64)
+        return pa.table({"status": d.dictionary,
+                         "high_part": pa.array(high, pa.int64()),
+                         "low_part": pa.array(low, pa.int64())})
+
+    out = (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Sum("high_part", alias_name="high_line_count"),
+                   Sum("low_part", alias_name="low_line_count"))
+        .to_pandas()  # ≤ |linestatus| rows
+    ).sort_values("status").reset_index(drop=True)
+    return pa.table({
+        "l_linestatus": pa.array(out["status"], pa.string()),
+        "high_line_count": pa.array(
+            out["high_line_count"].astype(np.int64), pa.int64()),
+        "low_line_count": pa.array(
+            out["low_line_count"].astype(np.int64), pa.int64()),
+    })
+
+
+def q21_waiting_suppliers(lineitem_ds, orders_ds, sf_dir: str,
+                          topk: int = 10, num_buckets: int = 32):
+    """TPC-H Q21 adapted (suppliers who kept orders waiting): with no
+    commit/receipt dates, "the supplier that kept order O waiting" is
+    the UNIQUE latest shipper of a finished (status 'F') multi-supplier
+    order — l_shipdate strictly greater than every other supplier's
+    lines, preserving Q21's exists/not-exists structure (≥2 suppliers on
+    the order; no second supplier ties the latest ship date) →
+    ``(s_name, numwait, rank)`` top-k by (numwait desc, s_name).
+
+    Scale shape: orders ship ONLY status-'F' orderkeys into a semi-join
+    (lineitem side prunes to 3 int columns before the exchange); the
+    per-order verdict needs every line of an order in one place, so
+    qualifying lines co-partition by orderkey-hash — segment reduceat
+    max/distinct scans per bucket, no per-order Python.  Per-supplier
+    counts pre-aggregate per bucket; the final groupby is |suppliers|
+    rows and top-k merges B·k partials driver-side
+    (:func:`top_revenue_orders` shape).  s_name attaches from the
+    driver-read supplier dimension at the very end (k rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.arrowutil import id_buckets
+    from .join import hash_join
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("o_orderstatus"), "F")
+        return batch.select(["o_orderkey"]).filter(keep)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "sd": batch.column("l_shipdate").cast(pa.int64())})
+
+    lines = lineitem_ds.map_batches(line_side, batch_format="pyarrow")
+    okeys = orders_ds.map_batches(order_keys, batch_format="pyarrow")
+    fin = hash_join(lines, okeys, on="l_orderkey",
+                    right_on="o_orderkey", how="semi",
+                    left_cols=["l_suppkey", "sd"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = id_buckets(batch.column("l_orderkey"), num_buckets)
+        return batch.append_column("ob", pa.array(b, pa.int32()))
+
+    def bucket_verdicts(group: pa.Table) -> pa.Table:
+        """One bucket holds complete orders: per order segment, emit the
+        supplier iff the order has ≥2 distinct suppliers and exactly one
+        of them owns the max ship date."""
+        empty = pa.table({"suppkey": pa.array([], pa.int64()),
+                          "wait_part": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sd = group.column("sd").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, sd = ok[order], sk[order], sd[order]
+        new_seg = np.empty(len(ok), bool)
+        new_seg[0] = True
+        new_seg[1:] = ok[1:] != ok[:-1]
+        first = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        mx = np.maximum.reduceat(sd, first)
+        new_pair = new_seg.copy()
+        new_pair[1:] |= sk[1:] != sk[:-1]
+        n_supp = np.add.reduceat(new_pair.astype(np.int64), first)
+        cand = sd == mx[seg_id]
+        cidx = np.flatnonzero(cand)
+        if cidx.size == 0:
+            return empty
+        cseg = seg_id[cidx]
+        csk = sk[cidx]
+        cfirst = np.empty(cidx.size, bool)
+        cfirst[0] = True
+        cfirst[1:] = cseg[1:] != cseg[:-1]
+        cstart = np.flatnonzero(cfirst)
+        cmin = np.minimum.reduceat(csk, cstart)
+        cmax = np.maximum.reduceat(csk, cstart)
+        segs = cseg[cstart]
+        win = (cmin == cmax) & (n_supp[segs] >= 2)
+        if not win.any():
+            return empty
+        uniq, inv = np.unique(cmin[win], return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, 1)
+        return pa.table({"suppkey": pa.array(uniq, pa.int64()),
+                         "wait_part": pa.array(acc, pa.int64())})
+
+    counts = (
+        fin.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(bucket_verdicts, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("wait_part", alias_name="numwait"))
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= topk:
+            return batch.select(["suppkey", "numwait"])
+        sk = batch.column("suppkey").to_numpy(zero_copy_only=False)
+        nw = batch.column("numwait").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((sk, -nw))[:topk]
+        return pa.table({"suppkey": pa.array(sk[sel], pa.int64()),
+                         "numwait": pa.array(nw[sel], pa.int64())})
+
+    import heapq
+
+    partials = counts.map_batches(topk_partial,
+                                  batch_format="pyarrow").take_all()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name_of = {int(k): n for k, n in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_name").to_pylist())}
+    best = heapq.nsmallest(
+        topk,
+        ((-r["numwait"], name_of[int(r["suppkey"])]) for r in partials))
+    return pa.table({
+        "s_name": pa.array([n for _, n in best], pa.string()),
+        "numwait": pa.array([-w for w, _ in best], pa.int64()),
+        "rank": pa.array(range(1, len(best) + 1), pa.int32()),
+    })

@@ -8318,3 +8318,114 @@ class TestEmbedNormHist:
         got = norm_hist(rd.from_arrow(emb)).to_pandas()
         assert got.set_index("bucket")["n_vecs"].to_dict() == {
             0: 1, 40: 1, 41: 1, 42: 1}
+
+
+class TestQ5LocalSupplier:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        # sf0.01: ASIA has enough local supplier/customer coincidences
+        g, w = _registry_parity(
+            "q5_local_supplier",
+            ("customer", "orders", "lineitem", "supplier", "nation",
+             "region"), sf="/root/testdata/sf0.01")
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_unknown_region_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q5_local_supplier
+
+        sf = "/root/testdata/sf0.001"
+        with pytest.raises(ValueError, match="unknown region"):
+            q5_local_supplier(
+                rd.read_parquet(f"{sf}/lineitem.parquet"),
+                rd.read_parquet(f"{sf}/orders.parquet"),
+                sf, region="ATLANTIS")
+
+    def test_local_only(self, ray_session):
+        """Every reported nation had at least one same-nation
+        customer+supplier pair in the window (revenue > 0)."""
+        import __ray_entry__ as e
+
+        got = e._q_q5_local_supplier("/root/testdata/sf0.01").to_pandas()
+        assert (got["revenue_e4"] > 0).all()
+        # sorted by revenue desc
+        assert (got["revenue_e4"].to_numpy()[:-1]
+                >= got["revenue_e4"].to_numpy()[1:]).all()
+
+
+class TestQ12LateLines:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("q12_late_lines",
+                                ("lineitem", "orders"))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_counts_partition_by_priority(self, ray_session):
+        """high + low per status == total late lines per status."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_q12_late_lines(sf).to_pandas()
+        want = duckdb.sql(f"""
+            SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{sf}/lineitem.parquet') li
+            JOIN read_parquet('{sf}/orders.parquet') o
+              ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        tot = (got["high_line_count"] + got["low_line_count"]).to_numpy()
+        assert (tot == want["n"].to_numpy()).all()
+
+
+class TestQ21WaitingSuppliers:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity(
+            "q21_waiting_suppliers",
+            ("lineitem", "orders", "supplier"),
+            sf="/root/testdata/sf0.01")
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_unique_latest_semantics(self, ray_session):
+        """Hand-built 3-order corpus: only the order with >= 2 distinct
+        suppliers and a unique strictly-latest shipper counts."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import q21_waiting_suppliers
+
+        d = np.datetime64("2000-01-01", "us").astype("int64")
+        day = 86_400_000_000
+        li = pa.table({
+            # order 1: suppliers 1,2 — supplier 2 uniquely latest → wait
+            # order 2: suppliers 1,2 tie at the max → no winner
+            # order 3: single supplier → no waiters possible
+            "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 1, 2, 1], pa.int64()),
+            "l_shipdate": pa.array(
+                np.array([d, d + day, d, d, d], np.int64),
+                pa.timestamp("us")),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F"], pa.string()),
+        })
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(pa.table({
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["SUPP_A", "SUPP_B"], pa.string()),
+            }), f"{td}/supplier.parquet")
+            got = q21_waiting_suppliers(
+                rd.from_arrow(li), rd.from_arrow(orders), td,
+            ).to_pandas()
+        assert got["s_name"].tolist() == ["SUPP_B"]
+        assert got["numwait"].tolist() == [1]
