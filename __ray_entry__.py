@@ -4789,6 +4789,31 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_search_conjunctive(sf_dir: str):
+    """ALL-words substring search (the AND twin of search_substring);
+    index-side postings intersection lives in search.search_corpus_all."""
+    from studiocr_ray.datapipe.relational import search_docs_conjunctive
+
+    return search_docs_conjunctive(_docs(sf_dir), SEARCH_WORDS)
+
+
+def _q_kendall_nation(sf_dir: str):
+    """Exact Kendall tau-b per nation (acctbal cents × order count):
+    contingency-cell partials + one custkey exchange + per-nation 2-D
+    prefix sums — no global sort, no O(n²) pair scan."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import kendall_by_nation
+
+    return kendall_by_nation(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]),
+        sf_dir,
+    )
+
+
 def _q_q5_local_supplier(sf_dir: str):
     """TPC-H Q5 local supplier volume: dense int8 nation broadcasts on
     both join sides, region pre-filter before the single orderkey
@@ -5135,6 +5160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": _q_q5_local_supplier,
         "q12_late_lines": _q_q12_late_lines,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "search_conjunctive": _q_search_conjunctive,
+        "kendall_nation": _q_kendall_nation,
     }
 
 
@@ -5217,6 +5244,9 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(regexp_split_to_array({src}, '\\s+'), x -> x <> '')"
     )
     any_word = " OR ".join(
+        f"contains(lower(text), '{w.lower()}')" for w in SEARCH_WORDS
+    )
+    all_word = " AND ".join(
         f"contains(lower(text), '{w.lower()}')" for w in SEARCH_WORDS
     )
     prof_vals = ", ".join(
@@ -9793,6 +9823,67 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY s_name)
             WHERE rank <= 10
             ORDER BY rank
+        """,
+        # round-5: ALL-words conjunctive search (AND twin of
+        # search_substring)
+        "search_conjunctive":
+            f"SELECT doc_id FROM documents WHERE {all_word}",
+        # round-5: exact Kendall tau-b per nation from contingency
+        # cells — the self-join counts each unordered pair once (only
+        # one ordering satisfies the strict inequality)
+        "kendall_nation": """
+            WITH oc AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+              FROM orders GROUP BY 1),
+            pc AS (
+              SELECT c_nationkey AS nk,
+                     CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                       AS x,
+                     coalesce(y, 0) AS y
+              FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+            cells AS (
+              SELECT nk, x, y, CAST(count(*) AS BIGINT) AS w
+              FROM pc GROUP BY 1, 2, 3),
+            pairs AS (
+              SELECT a.nk,
+                     CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                              THEN a.w * b.w ELSE 0 END) AS BIGINT)
+                       AS conc,
+                     CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                              THEN a.w * b.w ELSE 0 END) AS BIGINT)
+                       AS disc
+              FROM cells a JOIN cells b ON a.nk = b.nk
+              GROUP BY 1),
+            tx AS (SELECT nk, x, CAST(sum(w) AS BIGINT) AS t
+                   FROM cells GROUP BY 1, 2),
+            ty AS (SELECT nk, y, CAST(sum(w) AS BIGINT) AS t
+                   FROM cells GROUP BY 1, 2),
+            tots AS (
+              SELECT nk, CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+              FROM tx GROUP BY 1),
+            toty AS (
+              SELECT nk, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+              FROM ty GROUP BY 1)
+            SELECT n_name,
+                   n AS n_customers,
+                   conc AS concordant,
+                   disc AS discordant,
+                   n1 AS ties_x_pairs,
+                   n2 AS ties_y_pairs,
+                   CASE WHEN (n * (n - 1) // 2 - n1) > 0
+                         AND (n * (n - 1) // 2 - n2) > 0
+                        THEN CAST(conc - disc AS DOUBLE)
+                             / sqrt(CAST(n * (n - 1) // 2 - n1
+                                         AS DOUBLE)
+                                    * CAST(n * (n - 1) // 2 - n2
+                                           AS DOUBLE))
+                        ELSE 0.0 END AS tau_b
+            FROM pairs
+            JOIN tots USING (nk)
+            JOIN toty USING (nk)
+            JOIN nation ON nk = n_nationkey
+            ORDER BY n_name
         """,
     }
 

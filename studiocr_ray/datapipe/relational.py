@@ -9127,3 +9127,195 @@ def q21_waiting_suppliers(lineitem_ds, orders_ds, sf_dir: str,
         "numwait": pa.array([-w for w, _ in best], pa.int64()),
         "rank": pa.array(range(1, len(best) + 1), pa.int32()),
     })
+
+
+def search_docs_conjunctive(ds, words: list[str], text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """ALL-words (conjunctive) case-insensitive substring match over
+    documents → doc_ids.  The AND twin of :func:`search_docs_substring`
+    (the reference's OCR search is ANY-word with early break,
+    /root/reference/StudiOCR/ListDocuments.py:206-221); the index-side
+    postings-intersection variant is :func:`studiocr_ray.search.
+    search_corpus_all`.  One Arrow kernel per word per batch, stream-only."""
+    import pyarrow.compute as pc
+
+    lw = [w.lower() for w in words]
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column(text_col))
+        mask = None
+        for w in lw:
+            m = pc.match_substring(low, w)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask).select([id_col])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def kendall_by_nation(orders_ds, customer_ds, sf_dir: str,
+                      num_buckets: int = 16):
+    """Exact Kendall tau-b per nation between customer account balance
+    (exact cents) and the customer's order count →
+    ``(n_name, n_customers, concordant, discordant, ties_x_pairs,
+    ties_y_pairs, tau_b)``.
+
+    The rank-correlation twin of :func:`spearman_by_nation` computed
+    WITHOUT any global sort or O(n²) pair scan: Kendall's pair counts
+    are a pure function of the per-nation contingency CELLS
+    ``(x=cents, y=order count) → weight``, so the pipeline reduces to
+    cell partials long before any exchange.  Concordant/discordant/tie
+    pair counts come from one exclusive 2-D prefix-sum over the nation's
+    D×K cell matrix (D = distinct balances, K = distinct order counts —
+    K is tiny, D ≤ customers of the nation), all int64-exact, so every
+    count column hash-matches the SQL oracle's cell self-join; ``tau_b``
+    is then one IEEE-deterministic ``(C-D)/sqrt((n0-n1)·(n0-n2))``.
+
+    Scale shape: customers enter as ZERO rows unioned with per-batch
+    order-count partials, so customers with no orders are counted
+    without any anti-join; ONE custkey-hash exchange totals counts per
+    customer; nation/cents attach from dense driver-broadcast arrays
+    (int8 + int64 per custkey — the :func:`orders_per_nation` pattern;
+    at extreme key ranges swap in its documented custkey-hash semi-join
+    shape); cell partials shrink each batch to its distinct cells before
+    the tiny per-nation groupby."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey",
+                                  "c_acctbal"])
+    ck_arr = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    max_ck = int(ck_arr.max())
+    nation_of = np.full(max_ck + 1, -1, np.int8)
+    nation_of[ck_arr] = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int8)
+    cents_of = np.zeros(max_ck + 1, np.int64)
+    cents_of[ck_arr] = np.floor(
+        cust.column("c_acctbal").to_numpy(zero_copy_only=False)
+        * 100.0 + 0.5).astype(np.int64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = {int(k): n for k, n in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist())}
+    dims_ref = ray.put((nation_of, cents_of))
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, 1)
+        return pa.table({"ck": pa.array(uniq, pa.int64()),
+                         "cnt_part": pa.array(acc, pa.int64())})
+
+    def cust_zero(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey")
+        return pa.table({"ck": ck.cast(pa.int64()),
+                         "cnt_part": pa.array(
+                             np.zeros(batch.num_rows, np.int64))})
+
+    per_customer = (
+        orders_ds.map_batches(order_partial, batch_format="pyarrow")
+        .union(customer_ds.map_batches(cust_zero,
+                                       batch_format="pyarrow"))
+        .groupby("ck")
+        .aggregate(Sum("cnt_part", alias_name="n_orders"))
+    )
+
+    class CellPartial:
+        def __init__(self):
+            self.nation_of, self.cents_of = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("ck").to_numpy(zero_copy_only=False)
+            if (ck < 0).any() or (ck >= len(self.nation_of)).any():
+                raise ValueError("unknown customer key")
+            nk = self.nation_of[ck]
+            if (nk < 0).any():
+                raise ValueError("customer key missing from dimension")
+            cents = self.cents_of[ck]
+            y = batch.column("n_orders").to_numpy(zero_copy_only=False)
+            cells = np.stack([nk.astype(np.int64), cents, y], axis=1)
+            uniq, inv = np.unique(cells, axis=0, return_inverse=True)
+            w = np.zeros(len(uniq), np.int64)
+            np.add.at(w, inv, 1)
+            return pa.table({
+                "nk": pa.array(uniq[:, 0].astype(np.int8), pa.int8()),
+                "cents": pa.array(uniq[:, 1], pa.int64()),
+                "y": pa.array(uniq[:, 2], pa.int64()),
+                "w_part": pa.array(w, pa.int64())})
+
+    def nation_tau(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "nk": pa.array([], pa.int8()),
+                "n_customers": pa.array([], pa.int64()),
+                "concordant": pa.array([], pa.int64()),
+                "discordant": pa.array([], pa.int64()),
+                "ties_x_pairs": pa.array([], pa.int64()),
+                "ties_y_pairs": pa.array([], pa.int64()),
+                "tau_b": pa.array([], pa.float64())})
+        nk = int(group.column("nk")[0].as_py())
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        w = group.column("w_part").to_numpy(zero_copy_only=False)
+        # merge duplicate cells across partials
+        cells = np.stack([cents, y], axis=1)
+        uniq, inv = np.unique(cells, axis=0, return_inverse=True)
+        wm = np.zeros(len(uniq), np.int64)
+        np.add.at(wm, inv, w)
+        xs, xi = np.unique(uniq[:, 0], return_inverse=True)
+        ys, yi = np.unique(uniq[:, 1], return_inverse=True)
+        M = np.zeros((len(xs), len(ys)), np.int64)
+        M[xi, yi] = wm
+        # exclusive 2-D prefix sums: S_lt[i,j] = Σ_{i'<i, j'<j} M
+        row_cum = np.cumsum(M, axis=0)
+        S_below = np.zeros_like(M)
+        S_below[1:, :] = row_cum[:-1, :]          # Σ_{i'<i} M[i',j]
+        S_lt = np.zeros_like(M)
+        S_lt[:, 1:] = np.cumsum(S_below, axis=1)[:, :-1]
+        S_gt = np.zeros_like(M)                   # Σ_{i'<i, j'>j}
+        S_gt[:, :-1] = (S_below[:, ::-1].cumsum(axis=1)[:, ::-1])[:, 1:]
+        conc = int((M * S_lt).sum())
+        disc = int((M * S_gt).sum())
+        n = int(M.sum())
+        tx = M.sum(axis=1)
+        ty = M.sum(axis=0)
+        n1 = int((tx * (tx - 1) // 2).sum())
+        n2 = int((ty * (ty - 1) // 2).sum())
+        n0 = n * (n - 1) // 2
+        denom = float(n0 - n1) * float(n0 - n2)
+        tau = (float(conc - disc) / math.sqrt(denom)) if denom > 0 \
+            else 0.0
+        return pa.table({
+            "nk": pa.array([nk], pa.int8()),
+            "n_customers": pa.array([n], pa.int64()),
+            "concordant": pa.array([conc], pa.int64()),
+            "discordant": pa.array([disc], pa.int64()),
+            "ties_x_pairs": pa.array([n1], pa.int64()),
+            "ties_y_pairs": pa.array([n2], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64())})
+
+    out = (
+        per_customer.map_batches(CellPartial, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+        .groupby("nk")
+        .map_groups(nation_tau, batch_format="pyarrow")
+        .to_pandas()  # ≤ |nations| rows
+    ).sort_values("nk").reset_index(drop=True)
+    return pa.table({
+        "n_name": pa.array([name_of[int(k)] for k in out["nk"]],
+                           pa.string()),
+        "n_customers": pa.array(out["n_customers"].astype(np.int64),
+                                pa.int64()),
+        "concordant": pa.array(out["concordant"].astype(np.int64),
+                               pa.int64()),
+        "discordant": pa.array(out["discordant"].astype(np.int64),
+                               pa.int64()),
+        "ties_x_pairs": pa.array(out["ties_x_pairs"].astype(np.int64),
+                                 pa.int64()),
+        "ties_y_pairs": pa.array(out["ties_y_pairs"].astype(np.int64),
+                                 pa.int64()),
+        "tau_b": pa.array(out["tau_b"].astype(np.float64),
+                          pa.float64()),
+    })

@@ -371,3 +371,82 @@ def doc_blocks(out_dir: str, url: str) -> pa.Table:
     if not tables:
         return pa.table({k: [] for k in BLOCKS.names}, schema=BLOCKS)
     return pa.concat_tables(tables)
+
+
+def search_corpus_all(
+    index_ds,
+    query: str,
+    fuzzy: bool = False,
+    tol: int | float = 2,
+    num_buckets: int = 64,
+):
+    """CONJUNCTIVE (ALL-words) search across documents → Dataset of
+    distinct urls matching EVERY query word.
+
+    The reference's OCR-mode search is ANY-word
+    (/root/reference/StudiOCR/ListDocuments.py:206-221, `break` on first
+    hit); AND semantics is the classic postings-intersection twin: a url
+    qualifies when, for each query word w_i, SOME term containing w_i
+    (same substring — or fuzzy — rule as :func:`search_corpus`) lists it.
+    Empty query ⇒ all urls, consistent with ListDocuments.py:210-212.
+
+    Scale shape: per index batch, each query word filters the distinct-
+    term dictionary and unions that word's url lists — emitting narrow
+    ``(url, wi)`` rows deduplicated within the batch, so the single
+    url-hash exchange carries at most |words|·|matched urls| rows, never
+    block-level postings.  Per bucket, one lexsort + run scan counts the
+    distinct words each url matched; ``== len(words)`` is the verdict.
+    A url's rows land in exactly ONE bucket, so the per-bucket verdict
+    is the global one (the :func:`distinct_urls_ds` partitioning rule).
+    """
+    import numpy as np
+
+    from .functions.arrowutil import first_of_run_mask, string_buckets
+
+    words = query.lower().split()
+    if not words:
+        return search_corpus(index_ds, "")
+    n_words = len(words)
+    EMPTY = pa.table({"ubucket": pa.array([], pa.int32()),
+                      "url": pa.array([], pa.string()),
+                      "wi": pa.array([], pa.int8())})
+
+    def word_hits(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, w in enumerate(words):
+            hit = _match_terms_batch(batch, [w], fuzzy, tol)
+            if hit.num_rows == 0:
+                continue
+            flat = hit.column("urls").combine_chunks().flatten()
+            u = pc.unique(flat)
+            outs.append(pa.table({
+                "url": u,
+                "wi": pa.array(np.full(len(u), i, np.int8)),
+            }))
+        if not outs:
+            return EMPTY
+        t = pa.concat_tables(outs)
+        b = string_buckets(t.column("url"), num_buckets)
+        return pa.table({
+            "ubucket": pa.array(b, pa.int32()),
+            "url": t.column("url"),
+            "wi": t.column("wi")})
+
+    def intersect(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string())})
+        t = group.sort_by([("url", "ascending"), ("wi", "ascending")])
+        urls = t.column("url")
+        first_pair = first_of_run_mask([urls, t.column("wi")])
+        first_url = first_of_run_mask([urls])
+        # distinct words per url = distinct (url, wi) runs per url run
+        starts = np.flatnonzero(first_url)
+        cnt = np.add.reduceat(first_pair.astype(np.int64), starts)
+        keep = starts[cnt == n_words]
+        return pa.table({"url": urls.take(pa.array(keep))})
+
+    return (
+        index_ds.map_batches(word_hits, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(intersect, batch_format="pyarrow")
+    )

@@ -8429,3 +8429,93 @@ class TestQ21WaitingSuppliers:
             ).to_pandas()
         assert got["s_name"].tolist() == ["SUPP_B"]
         assert got["numwait"].tolist() == [1]
+
+
+class TestSearchConjunctive:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("search_conjunctive", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_subset_of_any_word(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        both = set(e._q_search_conjunctive(sf).to_pandas()["doc_id"])
+        any_ = set(e._q_search_substring(sf).to_pandas()["doc_id"])
+        assert both <= any_ and len(both) < len(any_)
+
+
+class TestKendallNation:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity(
+            "kendall_nation", ("orders", "customer", "nation"))
+        assert len(g) == 25
+        assert g.equals(w)
+
+    def test_pair_accounting(self, ray_session):
+        """conc + disc + ties_x + ties_y - within-cell pairs == n0:
+        every unordered pair falls in exactly one class (pairs tied on
+        BOTH coordinates are counted in ties_x AND ties_y, so the
+        inclusion-exclusion needs the within-cell pair count)."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_kendall_nation(sf).to_pandas()
+        cells = duckdb.sql(f"""
+            WITH oc AS (SELECT o_custkey, count(*) AS y
+                        FROM read_parquet('{sf}/orders.parquet')
+                        GROUP BY 1),
+            pc AS (SELECT c_nationkey AS nk,
+                          CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                            AS x,
+                          coalesce(y, 0) AS y
+                   FROM read_parquet('{sf}/customer.parquet')
+                   LEFT JOIN oc ON c_custkey = o_custkey)
+            SELECT nk, CAST(sum(w * (w - 1) // 2) AS BIGINT) AS cellp
+            FROM (SELECT nk, x, y, CAST(count(*) AS BIGINT) AS w
+                  FROM pc GROUP BY 1, 2, 3)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        n = got["n_customers"].to_numpy()
+        n0 = n * (n - 1) // 2
+        total = (got["concordant"] + got["discordant"]
+                 + got["ties_x_pairs"] + got["ties_y_pairs"]
+                 - cells["cellp"].to_numpy())
+        assert (total == n0).all()
+        assert (got["tau_b"].abs() <= 1.0).all()
+
+    def test_perfect_agreement(self, ray_session):
+        """Strictly co-monotone x/y with no ties → tau_b == 1."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import kendall_by_nation
+
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(pa.table({
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+                "c_acctbal": pa.array([1.0, 2.0, 3.0, 4.0],
+                                      pa.float64()),
+            }), f"{td}/customer.parquet")
+            pq.write_table(pa.table({
+                "n_nationkey": pa.array([0], pa.int32()),
+                "n_name": pa.array(["N0"], pa.string()),
+            }), f"{td}/nation.parquet")
+            # order counts 1,2,3,4 for custkeys 1..4
+            oc = [k for k in (1, 2, 3, 4) for _ in range(k)]
+            pq.write_table(pa.table({
+                "o_custkey": pa.array(oc, pa.int64()),
+            }), f"{td}/orders.parquet")
+            got = kendall_by_nation(
+                rd.read_parquet(f"{td}/orders.parquet"),
+                rd.read_parquet(f"{td}/customer.parquet"),
+                td).to_pandas()
+        assert got["tau_b"].tolist() == [1.0]
+        assert got["concordant"].tolist() == [6]
+        assert got["discordant"].tolist() == [0]

@@ -358,3 +358,64 @@ class TestIndexedSearch:
             a = _urls(search_corpus(ds, q, fuzzy=fz, tol=1))
             b = _urls(search_corpus_indexed(idx_dir, q, fuzzy=fz, tol=1))
             assert a == b, (q, fz)
+
+
+def brute_force_conjunctive_search(blocks, query, fuzzy=False, tol=2):
+    """ALL-words: a doc matches iff EVERY query word is a substring of
+    SOME block's lowered text (per-word EXISTS over the doc's blocks)."""
+    words = query.lower().split()
+    urls = blocks.column("url").to_pylist()
+    texts = blocks.column("text").to_pylist()
+    if not words:
+        return sorted(set(urls))
+    per_url: dict[str, set[int]] = {}
+    for u, t in zip(urls, texts):
+        s = per_url.setdefault(u, set())
+        tl = t.lower()
+        for i, w in enumerate(words):
+            if i in s:
+                continue
+            if fuzzy_match(tl, w, tol) if fuzzy else (w in tl):
+                s.add(i)
+    return sorted(u for u, s in per_url.items() if len(s) == len(words))
+
+
+class TestConjunctiveSearch:
+    @pytest.mark.parametrize(
+        "query",
+        ["the", "man time", "corn water", "the zzzznope", "The World"],
+    )
+    def test_exact_parity(self, corpus, oracle_blocks, query):
+        from studiocr_ray.search import search_corpus_all
+
+        _, idx_dir = corpus
+        got = _urls(search_corpus_all(index_dataset(idx_dir), query))
+        assert got == brute_force_conjunctive_search(oracle_blocks, query)
+
+    def test_and_is_subset_of_or(self, corpus, oracle_blocks):
+        from studiocr_ray.search import search_corpus_all
+
+        _, idx_dir = corpus
+        q = "man time"
+        both = set(_urls(search_corpus_all(index_dataset(idx_dir), q)))
+        any_ = set(_urls(search_corpus(index_dataset(idx_dir), q)))
+        assert both <= any_
+        # the fixture must actually separate AND from OR
+        assert len(both) < len(any_)
+
+    def test_empty_query_matches_all(self, corpus, oracle_blocks):
+        from studiocr_ray.search import search_corpus_all
+
+        _, idx_dir = corpus
+        got = _urls(search_corpus_all(index_dataset(idx_dir), " "))
+        assert got == brute_force_corpus_search(oracle_blocks, "")
+
+    def test_fuzzy_parity(self, corpus, oracle_blocks):
+        from studiocr_ray.search import search_corpus_all
+
+        _, idx_dir = corpus
+        got = _urls(search_corpus_all(
+            index_dataset(idx_dir), "worlb maizd", fuzzy=True, tol=1))
+        want = brute_force_conjunctive_search(
+            oracle_blocks, "worlb maizd", fuzzy=True, tol=1)
+        assert got == want and len(want) > 0
