@@ -4789,6 +4789,35 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_hapax_stats(sf_dir: str):
+    """Corpus-hapax attribution per source: term-hash bucketed
+    (term, source, tf) cells; raw tokens never shuffle."""
+    from studiocr_ray.datapipe.text import hapax_stats
+
+    return hapax_stats(_docs(sf_dir))
+
+
+def _q_label_cohesion(sf_dir: str):
+    """Per-label intra vs inter mean dot product on the exact e6
+    lattice via the sum-of-dots identity — class-separability audit
+    with NO pairwise pass."""
+    from studiocr_ray.datapipe.embed import label_cohesion
+
+    return label_cohesion(_emb(sf_dir))
+
+
+def _q_changepoint_days(sf_dir: str):
+    """Integer CUSUM change-point screen on daily counts per event
+    type: cell partials + one type groupby + one cumsum per type."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import changepoint_days
+
+    return changepoint_days(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type"]))
+
+
 def _q_search_conjunctive(sf_dir: str):
     """ALL-words substring search (the AND twin of search_substring);
     index-side postings intersection lives in search.search_corpus_all."""
@@ -5162,6 +5191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "search_conjunctive": _q_search_conjunctive,
         "kendall_nation": _q_kendall_nation,
+        "label_cohesion": _q_label_cohesion,
+        "changepoint_days": _q_changepoint_days,
+        "hapax_stats": _q_hapax_stats,
     }
 
 
@@ -9884,6 +9916,123 @@ def oracle_sql() -> dict[str, str]:
             JOIN toty USING (nk)
             JOIN nation ON nk = n_nationkey
             ORDER BY n_name
+        """,
+        # round-5: per-label embedding cohesion via the sum-of-dots
+        # identity on the exact e6 lattice (no pairwise pass; HUGEINT
+        # keeps |S|² exact, both engines cast the same integer to
+        # DOUBLE with the same expression tree)
+        "label_cohesion": """
+            WITH z AS (
+              SELECT label, unnest(embedding) AS e,
+                     unnest(range(len(embedding))) AS dim
+              FROM embeddings),
+            q AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(dim AS BIGINT) AS dim,
+                     CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5)
+                          AS BIGINT) AS qv
+              FROM z),
+            sd AS (SELECT label, dim,
+                          CAST(sum(qv) AS HUGEINT) AS s
+                   FROM q GROUP BY 1, 2),
+            tot AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS st
+                    FROM sd GROUP BY 1),
+            nv AS (SELECT CAST(label AS BIGINT) AS label,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM embeddings GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS nn
+                   FROM embeddings),
+            sqs AS (SELECT label,
+                           CAST(sum(CAST(qv AS HUGEINT) * qv)
+                                AS HUGEINT) AS sq
+                    FROM q GROUP BY 1),
+            inl AS (SELECT sd.label,
+                           CAST(sum(s * s) AS HUGEINT) AS s2,
+                           CAST(sum(s * (st - s)) AS HUGEINT) AS crs
+                    FROM sd JOIN tot USING (dim) GROUP BY 1)
+            SELECT label, n AS n_vecs,
+                   CASE WHEN n > 1 THEN
+                     (CAST(s2 - sq AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE))
+                     / 1000000000000.0 ELSE 0.0 END AS mean_intra_dot,
+                   CASE WHEN n > 0 AND n < nn THEN
+                     (CAST(crs AS DOUBLE)
+                      / CAST(n * (nn - n) AS DOUBLE))
+                     / 1000000000000.0 ELSE 0.0 END AS mean_inter_dot,
+                   (CASE WHEN n > 1 THEN
+                     (CAST(s2 - sq AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE))
+                     / 1000000000000.0 ELSE 0.0 END)
+                   - (CASE WHEN n > 0 AND n < nn THEN
+                     (CAST(crs AS DOUBLE)
+                      / CAST(n * (nn - n) AS DOUBLE))
+                     / 1000000000000.0 ELSE 0.0 END) AS margin
+            FROM inl
+            JOIN nv USING (label)
+            JOIN sqs USING (label)
+            CROSS JOIN nt
+            ORDER BY label
+        """,
+        # round-5: integer CUSUM change-point per event type —
+        # s_k = D·prefix(c) − k·T, peak |s| with earliest-day tie-break
+        "changepoint_days": """
+            WITH d AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS nd,
+                         CAST(sum(c) AS BIGINT) AS tot
+                  FROM d GROUP BY 1),
+            s AS (SELECT d.event_type, day, nd, tot,
+                         nd * sum(c) OVER (PARTITION BY d.event_type
+                                           ORDER BY day
+                                           ROWS UNBOUNDED PRECEDING)
+                         - (row_number() OVER
+                            (PARTITION BY d.event_type ORDER BY day))
+                           * tot AS sk
+                  FROM d JOIN t USING (event_type)),
+            r AS (SELECT event_type, day, nd, tot, sk,
+                         row_number() OVER
+                           (PARTITION BY event_type
+                            ORDER BY abs(sk) DESC, day) AS rk
+                  FROM s)
+            SELECT event_type,
+                   nd AS n_days,
+                   tot AS total_events,
+                   CAST(day * 86400000000 AS BIGINT) AS cp_day_us,
+                   CAST(sk AS BIGINT) AS cusum_peak
+            FROM r WHERE rk = 1
+            ORDER BY event_type
+        """,
+        # round-5: corpus-hapax attribution per source (a hapax term's
+        # one source is min(source) — there is only one)
+        "hapax_stats": f"""
+            WITH tk AS (
+              SELECT source,
+                     unnest({toks.format(src='lower(text)')}) AS tok
+              FROM documents),
+            tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c,
+                          min(source) AS src1
+                   FROM tk GROUP BY 1),
+            per_src AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT tok) AS BIGINT)
+                       AS n_distinct_terms
+              FROM tk GROUP BY 1),
+            hx AS (SELECT src1 AS source,
+                          CAST(count(*) AS BIGINT) AS n_hapax
+                   FROM tc WHERE c = 1 GROUP BY 1)
+            SELECT source,
+                   coalesce(n_hapax, 0) AS n_hapax,
+                   n_distinct_terms,
+                   n_tokens,
+                   CAST(coalesce(n_hapax, 0) AS DOUBLE)
+                     / CAST(n_distinct_terms AS DOUBLE) AS hapax_share
+            FROM per_src LEFT JOIN hx USING (source)
+            ORDER BY source
         """,
     }
 

@@ -1240,3 +1240,101 @@ def norm_hist(emb_ds, emb_col: str = "embedding"):
         "bucket": pa.array(out["bucket"].astype(np.int64), pa.int64()),
         "n_vecs": pa.array(out["n_vecs"].astype(np.int64), pa.int64()),
     })
+
+
+def label_cohesion(emb_ds, emb_col: str = "embedding",
+                   label_col: str = "label"):
+    """Per-label embedding-space cohesion audit → ``(label, n_vecs,
+    mean_intra_dot, mean_inter_dot, margin)``: the mean pairwise dot
+    product WITHIN each label vs the mean dot against every OTHER
+    label's vectors — the class-separability check run before trusting
+    labels (or cluster assignments) for curation decisions.
+
+    NO pairwise pass exists anywhere: on the exact e6 lattice
+    (``floor(x·1e6+0.5)``, the embed_dim_stats discipline) the
+    sum-of-dots identities
+    ``Σ_{i<j∈L} v_i·v_j = (|S_L|² − Σ_{i∈L}|v_i|²)/2`` and
+    ``Σ_{i∈L, j∉L} v_i·v_j = S_L·(S_tot − S_L)``
+    reduce everything to per-label component sums.  Per-batch partials
+    are one row per label (n, per-dim sums, squared-norm sum split
+    hi/lo at 2³² so int64 never wraps across batches — the
+    token_type_corr discipline); one tiny label groupby; the driver
+    combines exact Python ints and emits IEEE-deterministic doubles
+    with the same expression tree as the SQL oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        if batch.num_rows == 0:
+            raise ValueError("empty batch")
+        d = int(lens[0])
+        if (lens != d).any():
+            raise ValueError("ragged embedding lengths")
+        q = np.floor(col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64).reshape(batch.num_rows, d)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        ll = len(uniq)
+        S = np.zeros((ll, d), np.int64)
+        np.add.at(S, inv, q)
+        sq_row = (q * q).sum(axis=1)
+        sq = np.zeros(ll, np.int64)
+        np.add.at(sq, inv, sq_row)
+        n = np.bincount(inv, minlength=ll).astype(np.int64)
+        cols = {
+            "label": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sq_hi": pa.array(sq >> 32, pa.int64()),
+            "sq_lo": pa.array(sq & 0xFFFFFFFF, pa.int64()),
+        }
+        for j in range(d):
+            cols[f"s_{j}"] = pa.array(S[:, j], pa.int64())
+        return pa.table(cols)
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    first = partials.take(1)[0]
+    dims = sorted(int(k[2:]) for k in first if k.startswith("s_"))
+    names = ["n", "sq_hi", "sq_lo"] + [f"s_{j}" for j in dims]
+    agg = (
+        partials.groupby("label")
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+        .to_pandas()  # ≤ |labels| rows
+    ).sort_values("label").reset_index(drop=True)
+    S_by_label = [
+        [int(agg[f"s_{j}"][i]) for j in dims]
+        for i in range(len(agg))
+    ]
+    S_tot = [sum(s[j] for s in S_by_label) for j in range(len(dims))]
+    N = int(agg["n"].sum())
+    out = {"label": [], "n_vecs": [], "mean_intra_dot": [],
+           "mean_inter_dot": [], "margin": []}
+    for i in range(len(agg)):
+        n = int(agg["n"][i])
+        sq = (int(agg["sq_hi"][i]) << 32) + int(agg["sq_lo"][i])
+        s = S_by_label[i]
+        s2 = sum(v * v for v in s)
+        cross = sum(v * (t - v) for v, t in zip(s, S_tot))
+        # same expression tree as the SQL oracle:
+        # (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 1e12
+        intra = ((float(s2 - sq) / float(n * (n - 1))) / 1e12) \
+            if n > 1 else 0.0
+        inter = ((float(cross) / float(n * (N - n))) / 1e12) \
+            if 0 < n < N else 0.0
+        out["label"].append(int(agg["label"][i]))
+        out["n_vecs"].append(n)
+        out["mean_intra_dot"].append(intra)
+        out["mean_inter_dot"].append(inter)
+        out["margin"].append(intra - inter)
+    return pa.table({
+        "label": pa.array(out["label"], pa.int64()),
+        "n_vecs": pa.array(out["n_vecs"], pa.int64()),
+        "mean_intra_dot": pa.array(out["mean_intra_dot"], pa.float64()),
+        "mean_inter_dot": pa.array(out["mean_inter_dot"], pa.float64()),
+        "margin": pa.array(out["margin"], pa.float64()),
+    })

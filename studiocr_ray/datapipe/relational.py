@@ -9319,3 +9319,89 @@ def kendall_by_nation(orders_ds, customer_ds, sf_dir: str,
         "tau_b": pa.array(out["tau_b"].astype(np.float64),
                           pa.float64()),
     })
+
+
+def changepoint_days(events_ds, ts_col: str = "ts",
+                     type_col: str = "event_type"):
+    """Integer CUSUM change-point screen per event type →
+    ``(event_type, n_days, total_events, cp_day_us, cusum_peak)``: the
+    day where the cumulative deviation of the DAILY event count from
+    the type's own mean peaks (classic CUSUM; Page, Biometrika 1954).
+    Complements :func:`anomaly_days` (single-day robust outliers) by
+    finding sustained LEVEL SHIFTS — the screen run on a crawl/ingest
+    feed before trusting a source's volume.
+
+    Everything stays on integers: with D days and T total events, the
+    scaled cumulative deviation after day k is
+    ``s_k = D·(Σ_{i≤k} c_i) − k·T``  (= D·Σ(c_i − T/D), the exact mean
+    deviation scaled by D) — int64-safe (≤ D·T) and hash-exact; the
+    peak is ``max |s_k|`` with the EARLIEST day breaking ties.
+
+    Scale shape: per-batch partial counts per (type, day) collapse each
+    batch to its distinct cells; ONE type-keyed groupby co-locates a
+    type's day table (bounded: days, not events); the per-type scan is
+    one sort + cumsum.  Output is |types| rows."""
+    from ray.data.aggregate import Sum  # noqa: F401  (pattern parity)
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ts // DAY_US
+        et = batch.column(type_col)
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = codes * (1 << 32) | (day & 0xFFFFFFFF)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, 1)
+        return pa.table({
+            "event_type": d.dictionary.take(
+                pa.array(uniq >> 32, pa.int64())),
+            "day": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "c_part": pa.array(c, pa.int64())})
+
+    def type_cusum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_days": pa.array([], pa.int64()),
+                "total_events": pa.array([], pa.int64()),
+                "cp_day_us": pa.array([], pa.int64()),
+                "cusum_peak": pa.array([], pa.int64())})
+        day = group.column("day").to_numpy(zero_copy_only=False)
+        cp = group.column("c_part").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(day, return_inverse=True)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, cp)
+        D = len(uniq)
+        T = int(c.sum())
+        s = D * np.cumsum(c) - np.arange(1, D + 1, dtype=np.int64) * T
+        k = int(np.argmax(np.abs(s)))  # argmax takes the FIRST maximum
+        return pa.table({
+            "event_type": pa.array(
+                [group.column("event_type")[0].as_py()], pa.string()),
+            "n_days": pa.array([D], pa.int64()),
+            "total_events": pa.array([T], pa.int64()),
+            "cp_day_us": pa.array([int(uniq[k]) * DAY_US], pa.int64()),
+            "cusum_peak": pa.array([int(s[k])], pa.int64())})
+
+    out = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(type_cusum, batch_format="pyarrow")
+        .to_pandas()  # |types| rows
+    ).sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_days": pa.array(out["n_days"].astype(np.int64), pa.int64()),
+        "total_events": pa.array(out["total_events"].astype(np.int64),
+                                 pa.int64()),
+        "cp_day_us": pa.array(out["cp_day_us"].astype(np.int64),
+                              pa.int64()),
+        "cusum_peak": pa.array(out["cusum_peak"].astype(np.int64),
+                               pa.int64()),
+    })

@@ -729,3 +729,121 @@ def source_scorecard(ds, text_col: str = "text",
             g["q_u"].to_numpy().astype(np.float64) / n / np.float64(1e6),
             pa.float64()),
     })
+
+
+def hapax_stats(ds, text_col: str = "text", source_col: str = "source",
+                num_buckets: int = 64):
+    """Corpus-hapax attribution per source → ``(source, n_hapax,
+    n_distinct_terms, n_tokens, hapax_share)``: how many of the CORPUS's
+    hapax legomena (terms whose total corpus frequency is exactly 1)
+    each source contributes, against the source's own distinct-term and
+    token totals.  A source whose hapax share spikes is emitting noise
+    (OCR garbage, random ids); one whose share collapses is template
+    spam — the classic Zipf-tail curation screen
+    (complements ``zipf_stats`` / ``vocab_growth``).
+
+    Scale shape: per-batch ``(term, source, tf)`` partials (one
+    composite np.unique per batch) bucket by a term hash, so a term's
+    WHOLE corpus history lands in one bucket — hapax verdicts are local
+    to the bucket scan (one string sort + run reduceat, no per-term
+    Python).  Bucket outputs are ≤ |sources| rows each; the final
+    groupby is |sources| rows.  Raw tokens never shuffle — only
+    distinct (term, source) cells."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutil import string_buckets
+    from .relational import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({
+                "tb": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64())})
+        td = flat.dictionary_encode()
+        sd = src.dictionary_encode()
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[doc_idx]
+        nterm = len(td.dictionary)
+        key = scodes * nterm + tcodes
+        uniq, counts = np.unique(key, return_counts=True)
+        terms = td.dictionary.take(pa.array(uniq % nterm))
+        return pa.table({
+            "tb": pa.array(string_buckets(terms, num_buckets),
+                           pa.int32()),
+            "term": terms,
+            "source": sd.dictionary.take(pa.array(uniq // nterm)),
+            "tf": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "hapax_part": pa.array([], pa.int64()),
+                "distinct_part": pa.array([], pa.int64()),
+                "tok_part": pa.array([], pa.int64())})
+        t = group.sort_by([("term", "ascending"),
+                           ("source", "ascending")])
+        terms = t.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        from ..functions.arrowutil import first_of_run_mask
+
+        new_term = first_of_run_mask([terms])
+        starts = np.flatnonzero(new_term)
+        totals = np.add.reduceat(tf, starts)
+        run_len = np.diff(np.append(starts, len(tf)))
+        # a corpus-hapax term has total tf 1 ⇒ exactly one partial row
+        hapax_rows = starts[(totals == 1) & (run_len == 1)]
+        sd = src.dictionary_encode()
+        scodes = sd.indices.to_numpy(zero_copy_only=False)
+        ns = len(sd.dictionary)
+        hapax = np.bincount(scodes[hapax_rows],
+                            minlength=ns).astype(np.int64)
+        # distinct (source, term) cells: collapse same-pair rows from
+        # different batches
+        new_pair = first_of_run_mask([terms, src])
+        distinct = np.bincount(scodes[new_pair],
+                               minlength=ns).astype(np.int64)
+        toks = np.zeros(ns, np.int64)
+        np.add.at(toks, scodes, tf)
+        return pa.table({
+            "source": sd.dictionary,
+            "hapax_part": pa.array(hapax, pa.int64()),
+            "distinct_part": pa.array(distinct, pa.int64()),
+            "tok_part": pa.array(toks, pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(bucket_scan, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("hapax_part", alias_name="n_hapax"),
+                   Sum("distinct_part", alias_name="n_distinct_terms"),
+                   Sum("tok_part", alias_name="n_tokens"))
+        .to_pandas()  # |sources| rows
+    ).sort_values("source").reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_hapax": pa.array(out["n_hapax"].astype(np.int64),
+                            pa.int64()),
+        "n_distinct_terms": pa.array(
+            out["n_distinct_terms"].astype(np.int64), pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].astype(np.int64),
+                             pa.int64()),
+        "hapax_share": pa.array(
+            out["n_hapax"].astype(np.float64).to_numpy()
+            / out["n_distinct_terms"].astype(np.float64).to_numpy(),
+            pa.float64()),
+    })

@@ -8519,3 +8519,105 @@ class TestKendallNation:
         assert got["tau_b"].tolist() == [1.0]
         assert got["concordant"].tolist() == [6]
         assert got["discordant"].tolist() == [0]
+
+
+class TestLabelCohesion:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("label_cohesion", ("embeddings",))
+        assert len(g) == 10
+        assert g.equals(w)
+
+    def test_identity_and_orthogonal(self, ray_session):
+        """Two labels of identical unit vectors on different axes:
+        intra dot = 1, inter dot = 0, margin = 1."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import label_cohesion
+
+        emb = pa.table({
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],
+                pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+        })
+        got = label_cohesion(rd.from_arrow(emb)).to_pandas()
+        assert got["mean_intra_dot"].tolist() == [1.0, 1.0]
+        assert got["mean_inter_dot"].tolist() == [0.0, 0.0]
+        assert got["margin"].tolist() == [1.0, 1.0]
+
+    def test_ragged_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.embed import label_cohesion
+
+        emb = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [1.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        })
+        with pytest.raises(Exception, match="ragged"):
+            label_cohesion(rd.from_arrow(emb)).to_pandas()
+
+
+class TestChangepointDays:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("changepoint_days", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_known_level_shift(self, ray_session):
+        """10 days at 1/day then 10 days at 3/day: the CUSUM peak sits
+        exactly at the shift boundary (day 9, the last low day)."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import changepoint_days
+
+        DAY = 86_400_000_000
+        ts, et = [], []
+        for d in range(20):
+            for _ in range(1 if d < 10 else 3):
+                ts.append(d * DAY + 12 * 3600 * 1_000_000)
+                et.append("click")
+        t = pa.table({
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "event_type": pa.array(et, pa.string()),
+        })
+        got = changepoint_days(rd.from_arrow(t)).to_pandas()
+        assert got["n_days"].tolist() == [20]
+        assert got["total_events"].tolist() == [40]
+        assert got["cp_day_us"].tolist() == [9 * DAY]
+        # s_9 = 20·10 − 10·40 = −200
+        assert got["cusum_peak"].tolist() == [-200]
+
+
+class TestHapaxStats:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("hapax_stats", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_hand_corpus(self, ray_session):
+        """'unique' appears once in the corpus (source A); 'shared'
+        appears in both sources; within-doc repeats are not hapax."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import hapax_stats
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["unique shared twice twice",
+                              "shared other",
+                              "other"], pa.string()),
+            "source": pa.array(["A", "A", "B"], pa.string()),
+        })
+        got = hapax_stats(rd.from_arrow(docs)).to_pandas()
+        byname = got.set_index("source")
+        assert int(byname.loc["A", "n_hapax"]) == 1      # 'unique'
+        assert int(byname.loc["B", "n_hapax"]) == 0
+        # A's distinct terms: unique, shared, twice, other
+        assert int(byname.loc["A", "n_distinct_terms"]) == 4
+        assert int(byname.loc["B", "n_distinct_terms"]) == 1
+        assert int(byname.loc["A", "n_tokens"]) == 6
+        assert int(byname.loc["B", "n_tokens"]) == 1
