@@ -4789,6 +4789,20 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_nb_calibration(sf_dir: str):
+    """Reliability diagram of the self-trained NB classifier: fixed
+    0.01-nat integer score bins × observed lang=='en' rate."""
+    import numpy as np
+
+    from studiocr_ray.datapipe.classify import nb_calibration
+
+    return nb_calibration(
+        _docs(sf_dir),
+        lambda b: np.asarray(b.column("lang").to_pylist(),
+                             dtype=object) == "en",
+    )
+
+
 def _q_hapax_stats(sf_dir: str):
     """Corpus-hapax attribution per source: term-hash bucketed
     (term, source, tf) cells; raw tokens never shuffle."""
@@ -5194,6 +5208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_cohesion": _q_label_cohesion,
         "changepoint_days": _q_changepoint_days,
         "hapax_stats": _q_hapax_stats,
+        "nb_calibration": _q_nb_calibration,
     }
 
 
@@ -10033,6 +10048,51 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_distinct_terms AS DOUBLE) AS hapax_share
             FROM per_src LEFT JOIN hx USING (source)
             ORDER BY source
+        """,
+        # round-5: NB reliability diagram — same training CTEs as
+        # nb_quality; scores shifted non-negative so DuckDB's
+        # truncating // equals numpy's floor //
+        "nb_calibration": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ),
+            lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+            cnt AS (
+              SELECT tok,
+                     count(*) FILTER (pos) AS cp,
+                     count(*) FILTER (NOT pos) AS cn
+              FROM tk JOIN lab USING (doc_id) GROUP BY tok
+            ),
+            w AS (
+              SELECT tok,
+                     CAST(floor(ln(CAST(cp + 1 AS DOUBLE)) * 1000000.0)
+                          AS BIGINT)
+                     - CAST(floor(ln(CAST(cn + 1 AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) AS w_u
+              FROM cnt
+            ),
+            per AS (
+              SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(w_u) AS BIGINT) AS score_u
+              FROM tk JOIN w USING (tok) GROUP BY tk.doc_id
+            ),
+            bins AS (
+              SELECT ((score_u + 100000000 * n_tokens) // n_tokens)
+                       // 10000 AS bucket,
+                     pos
+              FROM per JOIN lab USING (doc_id)
+            )
+            SELECT CAST(bucket * 10000 - 100000000 AS BIGINT)
+                     AS bucket_lo_unats,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+                   CAST(count(*) FILTER (pos) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS pos_rate
+            FROM bins GROUP BY bucket ORDER BY bucket
         """,
     }
 

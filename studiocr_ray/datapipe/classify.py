@@ -195,3 +195,116 @@ def nb_quality_score(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+_CAL_OFF = 100_000_000  # 100 nats in micro-nats: > any per-token |weight|
+_CAL_STEP = 10_000      # 0.01-nat reliability bins
+
+
+class _NBCalibrator:
+    """Scoring + label pass emitting per-batch reliability-bin partials:
+    bin = ((score_u + OFF·n_tok) // n_tok) // STEP on integers shifted
+    non-negative, so numpy floor division and SQL's truncating ``//``
+    agree (DuckDB truncates toward zero on negatives)."""
+
+    def __init__(self, weights_ref, label_expr):
+        tbl = ray.get(weights_ref) \
+            if not isinstance(weights_ref, pa.Table) else weights_ref
+        self.w = dict(
+            zip(tbl.column("term").to_pylist(),
+                tbl.column("w_u").to_numpy(zero_copy_only=False).tolist())
+        )
+        self.label_expr = label_expr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, doc_idx = _flat_tokens(batch, "text")
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "pos_part": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        d = _dict_encode(flat)
+        dict_w = np.array(
+            [self.w[t] for t in d.dictionary.to_pylist()], dtype=np.int64
+        )
+        tok_w = dict_w[d.indices.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        score_u = np.bincount(doc_idx, weights=tok_w,
+                              minlength=n).astype(np.int64)
+        pos = np.asarray(self.label_expr(batch), dtype=bool)
+        keep = n_tok > 0  # token-free docs have no score: excluded
+        if not keep.any():
+            return empty
+        m = (score_u[keep] + _CAL_OFF * n_tok[keep]) // n_tok[keep]
+        b = m // _CAL_STEP
+        uniq, inv = np.unique(b, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, 1)
+        np_pos = np.zeros(len(uniq), np.int64)
+        np.add.at(np_pos, inv, pos[keep].astype(np.int64))
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n_part": pa.array(cnt, pa.int64()),
+                         "pos_part": pa.array(np_pos, pa.int64())})
+
+
+def nb_calibration(ds, label_expr, text_col: str = "text",
+                   concurrency=(1, 8)):
+    """Reliability diagram for the self-trained NB quality classifier →
+    ``(bucket_lo_unats, n_docs, n_pos, pos_rate)``: docs binned by their
+    integer mean per-token log-odds score in fixed 0.01-nat bins, with the
+    observed positive-label rate per bin — the calibration audit run
+    before trusting classifier scores as sampling weights (well
+    calibrated ⇔ rate rises monotonically and crosses ½ near score 0).
+
+    Same training pass as :func:`nb_quality_score` (weights broadcast
+    once); the scoring pass folds each batch to ≤ |bins| partial rows,
+    so the final groupby is tiny.  Everything through the bin id is
+    int64-exact (scores shifted non-negative so floor and truncating
+    division agree — see :class:`_NBCalibrator`); ``pos_rate`` is one
+    deterministic double division, so the SQL oracle hash-matches.
+    Token-free docs carry no score and are excluded (documented)."""
+    from ray.data.aggregate import Sum
+
+    counts = class_token_counts(ds, text_col=text_col,
+                                label_expr=label_expr)
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+    tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"term": pa.array([], pa.string()),
+                       "c_pos": pa.array([], pa.int64()),
+                       "c_neg": pa.array([], pa.int64())})
+    )
+    cp = tbl.column("c_pos").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    cn = tbl.column("c_neg").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    w_u = _log_micronats(cp + 1) - _log_micronats(cn + 1)
+    weights = pa.table(
+        {"term": tbl.column("term"), "w_u": pa.array(w_u, pa.int64())}
+    )
+    ref = ray.put(weights)
+    out = (
+        ds.map_batches(
+            _NBCalibrator,
+            fn_constructor_args=(ref, label_expr),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n_part", alias_name="n_docs"),
+                   Sum("pos_part", alias_name="n_pos"))
+        .to_pandas()  # ≤ |0.01-nat bins| rows
+    ).sort_values("bucket").reset_index(drop=True)
+    b = out["bucket"].astype(np.int64).to_numpy()
+    nd = out["n_docs"].astype(np.int64).to_numpy()
+    npos = out["n_pos"].astype(np.int64).to_numpy()
+    return pa.table({
+        "bucket_lo_unats": pa.array(b * _CAL_STEP - _CAL_OFF,
+                                    pa.int64()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_pos": pa.array(npos, pa.int64()),
+        "pos_rate": pa.array(npos.astype(np.float64)
+                             / nd.astype(np.float64), pa.float64()),
+    })

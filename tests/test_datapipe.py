@@ -8621,3 +8621,30 @@ class TestHapaxStats:
         assert int(byname.loc["B", "n_distinct_terms"]) == 1
         assert int(byname.loc["A", "n_tokens"]) == 6
         assert int(byname.loc["B", "n_tokens"]) == 1
+
+
+class TestNBCalibration:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("nb_calibration", ("documents",))
+        assert len(g) >= 5
+        assert g.equals(w)
+
+    def test_counts_cover_scored_docs(self, ray_session):
+        """Bin counts sum to the number of docs with >= 1 token, and
+        pos counts never exceed bin counts."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e._q_nb_calibration(sf).to_pandas()
+        n_scored = duckdb.sql(f"""
+            SELECT count(*) FROM read_parquet(
+              '{sf}/documents.parquet')
+            WHERE len(list_filter(regexp_split_to_array(lower(text),
+                                                        '\\s+'),
+                                  x -> x <> '')) > 0
+        """).fetchone()[0]
+        assert int(got["n_docs"].sum()) == int(n_scored)
+        assert (got["n_pos"] <= got["n_docs"]).all()
+        assert ((got["pos_rate"] >= 0) & (got["pos_rate"] <= 1)).all()
