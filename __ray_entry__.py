@@ -4789,6 +4789,27 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_path_deviation(sf_dir: str):
+    """Edit-distance histogram of per-user journeys (first 8 events)
+    vs the modal journey; levenshtein once per DISTINCT path."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import path_deviation
+
+    return path_deviation(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"]))
+
+
+def _q_simpson_diversity(sf_dir: str):
+    """Per-source Simpson token concentration (exact repeat-pair
+    counts, hi/lo-safe partials; log-free evenness screen)."""
+    from studiocr_ray.datapipe.text import simpson_diversity
+
+    return simpson_diversity(_docs(sf_dir))
+
+
 def _q_nb_calibration(sf_dir: str):
     """Reliability diagram of the self-trained NB classifier: fixed
     0.01-nat integer score bins × observed lang=='en' rate."""
@@ -5209,6 +5230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_days": _q_changepoint_days,
         "hapax_stats": _q_hapax_stats,
         "nb_calibration": _q_nb_calibration,
+        "simpson_diversity": _q_simpson_diversity,
+        "path_deviation": _q_path_deviation,
     }
 
 
@@ -10093,6 +10116,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (pos) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) AS pos_rate
             FROM bins GROUP BY bucket ORDER BY bucket
+        """,
+        # round-5: per-source Simpson index — exact repeat-pair counts;
+        # inv_simpson = 1/λ on the identical double
+        "simpson_diversity": f"""
+            WITH tk AS (
+              SELECT source,
+                     unnest({toks.format(src='lower(text)')}) AS tok
+              FROM documents),
+            cells AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2),
+            per AS (
+              SELECT source,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS repeat_pairs
+              FROM cells GROUP BY 1)
+            SELECT source, n_tokens, repeat_pairs,
+                   CASE WHEN n_tokens > 1 THEN
+                     CAST(repeat_pairs AS DOUBLE)
+                     / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                   ELSE 0.0 END AS simpson,
+                   CASE WHEN n_tokens > 1 AND repeat_pairs > 0 THEN
+                     1.0 / (CAST(repeat_pairs AS DOUBLE)
+                            / CAST(n_tokens * (n_tokens - 1)
+                                   AS DOUBLE))
+                   ELSE 0.0 END AS inv_simpson
+            FROM per ORDER BY source
+        """,
+        # round-5: journey-deviation histogram — modal = most frequent
+        # first-8-event path (ties → smallest); DuckDB levenshtein is
+        # the same char DP as textfns.levenshtein
+        "path_deviation": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM e WHERE rn <= 8 GROUP BY user_id),
+            m AS (
+              SELECT path FROM (
+                SELECT path, count(*) AS n FROM p GROUP BY path)
+              ORDER BY n DESC, path LIMIT 1)
+            SELECT CAST(levenshtein(p.path, m.path) AS BIGINT)
+                     AS distance,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p CROSS JOIN m
+            GROUP BY 1 ORDER BY 1
         """,
     }
 

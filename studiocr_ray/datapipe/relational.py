@@ -9405,3 +9405,123 @@ def changepoint_days(events_ds, ts_col: str = "ts",
         "cusum_peak": pa.array(out["cusum_peak"].astype(np.int64),
                                pa.int64()),
     })
+
+
+def path_deviation(ds, k_events: int = 8, num_buckets: int = 64):
+    """Behavioral-template deviation → ``(distance, n_users)``: every
+    user's journey (first ``k_events`` event types by ``(ts, event_id)``,
+    '>'-joined) scored by character-level edit distance against the
+    corpus's MODAL journey (most frequent; ties → lexicographically
+    smallest), histogrammed.  The population-level complement of
+    :func:`user_paths` (which lists the templates; this measures how
+    tightly the population clusters around the top one) — bot cohorts
+    collapse to distance 0, organic traffic spreads.
+
+    Shape: the :func:`user_paths` bucketed reassembly with an in-run
+    position mask for the K-truncation (one exchange; a user's stream
+    lands whole in one bucket); per-bucket path counts roll up through a
+    path-keyed sum whose output is distinct-journey-bounded, the modal
+    pick merges per-batch 1-row partials driver-side; pass 2 re-derives
+    paths the same way and evaluates levenshtein once per DISTINCT path
+    per bucket (dictionary encode — never per user).  Distances are
+    exact ints; DuckDB's ``levenshtein`` is the same char DP as
+    ``textfns.levenshtein``."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import id_buckets
+    from ..functions.textfns import levenshtein
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "ts", "event_id", "event_type"])
+        return t.append_column(
+            "bucket",
+            pa.array(id_buckets(t.column("user_id"), num_buckets),
+                     pa.int32()))
+
+    def bucket_paths(group: pa.Table):
+        """→ (user-aligned ListArray of first-k types) as paths array."""
+        t = group.sort_by([("user_id", "ascending"),
+                           ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return None
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        new_u = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(new_u)
+        seg = np.cumsum(new_u) - 1
+        pos = np.arange(n) - starts[seg]
+        keep = pos < k_events
+        vals = t.column("event_type").combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = (vals.chunk(0) if vals.num_chunks == 1
+                    else pa.concat_arrays(vals.chunks))
+        vals = vals.filter(pa.array(keep))
+        lens = np.minimum(np.diff(np.append(starts, n)), k_events)
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       vals)
+        return pc.binary_join(lst, ">")
+
+    def count_partial(group: pa.Table) -> pa.Table:
+        paths = bucket_paths(group)
+        if paths is None:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        d = paths.dictionary_encode()
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary))
+        return pa.table({
+            "path": d.dictionary,
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_partial, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def top1_part(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("n_users", "descending"), ("path", "ascending")])
+        return batch.take(idx[: min(1, batch.num_rows)])
+
+    cands = counted.map_batches(top1_part,
+                                batch_format="pyarrow").take_all()
+    if not cands:
+        return pa.table({"distance": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    modal = min(cands, key=lambda r: (-r["n_users"], r["path"]))["path"]
+
+    def dist_partial(group: pa.Table) -> pa.Table:
+        paths = bucket_paths(group)
+        if paths is None:
+            return pa.table({"distance": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        d = paths.dictionary_encode()
+        vocab = d.dictionary.to_pylist()
+        dist = np.fromiter((levenshtein(p, modal) for p in vocab),
+                           dtype=np.int64, count=len(vocab))
+        per_user = dist[d.indices.to_numpy(zero_copy_only=False)]
+        uniq, cnt = np.unique(per_user, return_counts=True)
+        return pa.table({
+            "distance": pa.array(uniq, pa.int64()),
+            "n_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dist_partial, batch_format="pyarrow")
+        .groupby("distance")
+        .aggregate(Sum("n_part", alias_name="n_users"))
+        .to_pandas()  # ≤ max path length rows
+    ).sort_values("distance").reset_index(drop=True)
+    return pa.table({
+        "distance": pa.array(out["distance"].astype(np.int64),
+                             pa.int64()),
+        "n_users": pa.array(out["n_users"].astype(np.int64),
+                            pa.int64()),
+    })

@@ -847,3 +847,117 @@ def hapax_stats(ds, text_col: str = "text", source_col: str = "source",
             / out["n_distinct_terms"].astype(np.float64).to_numpy(),
             pa.float64()),
     })
+
+
+def simpson_diversity(ds, text_col: str = "text",
+                      source_col: str = "source",
+                      num_buckets: int = 64):
+    """Per-source Simpson token-concentration index → ``(source,
+    n_tokens, repeat_pairs, simpson, inv_simpson)``: the probability two
+    random tokens drawn from the source (without replacement) are the
+    SAME type, ``λ = Σ_t c_t(c_t−1) / (N(N−1))``, plus the effective
+    vocabulary size ``1/λ``.  The evenness complement of
+    :func:`hapax_stats`' richness screen — template spam drives λ up,
+    random noise drives it to ~1/V — and log-free, so unlike Shannon
+    entropy it is exactly reproducible in SQL.
+
+    Scale shape: the :func:`hapax_stats` layout — per-batch
+    ``(term, source, tf)`` cells bucket by term hash so a (term, source)
+    pair's partials meet in one bucket scan (sort + reduceat); the
+    pair-count contribution ``Σ c(c−1)`` leaves each bucket split hi/lo
+    at 2³² (c ~ 10⁹ for a stopword at 100 TB squares past int64).
+    Final groupby is |sources| rows; only distinct cells ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutil import first_of_run_mask, string_buckets
+    from .relational import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({
+                "tb": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64())})
+        td = flat.dictionary_encode()
+        sd = src.dictionary_encode()
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[doc_idx]
+        nterm = len(td.dictionary)
+        key = scodes * nterm + tcodes
+        uniq, counts = np.unique(key, return_counts=True)
+        terms = td.dictionary.take(pa.array(uniq % nterm))
+        return pa.table({
+            "tb": pa.array(string_buckets(terms, num_buckets),
+                           pa.int32()),
+            "term": terms,
+            "source": sd.dictionary.take(pa.array(uniq // nterm)),
+            "tf": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "tok_part": pa.array([], pa.int64()),
+                "rp_hi": pa.array([], pa.int64()),
+                "rp_lo": pa.array([], pa.int64())})
+        t = group.sort_by([("term", "ascending"),
+                           ("source", "ascending")])
+        terms = t.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        new_pair = first_of_run_mask([terms, src])
+        starts = np.flatnonzero(new_pair)
+        c = np.add.reduceat(tf, starts)  # cell totals across batches
+        rp = c * (c - 1)
+        sd = src.dictionary_encode()
+        scodes = sd.indices.to_numpy(zero_copy_only=False)
+        ns = len(sd.dictionary)
+        toks = np.zeros(ns, np.int64)
+        np.add.at(toks, scodes, tf)
+        rps = np.zeros(ns, np.int64)
+        np.add.at(rps, scodes[starts], rp)
+        return pa.table({
+            "source": sd.dictionary,
+            "tok_part": pa.array(toks, pa.int64()),
+            "rp_hi": pa.array(rps >> 32, pa.int64()),
+            "rp_lo": pa.array(rps & 0xFFFFFFFF, pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(bucket_scan, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("tok_part", alias_name="n_tokens"),
+                   Sum("rp_hi", alias_name="rp_hi"),
+                   Sum("rp_lo", alias_name="rp_lo"))
+        .to_pandas()  # |sources| rows
+    ).sort_values("source").reset_index(drop=True)
+    srcs, ntoks, rps, simps, invs = [], [], [], [], []
+    for i in range(len(out)):
+        n = int(out["n_tokens"][i])
+        rp = (int(out["rp_hi"][i]) << 32) + int(out["rp_lo"][i])
+        # same expression tree as the SQL oracle
+        lam = (float(rp) / float(n * (n - 1))) if n > 1 else 0.0
+        srcs.append(out["source"][i])
+        ntoks.append(n)
+        rps.append(rp)
+        simps.append(lam)
+        invs.append(1.0 / lam if lam > 0.0 else 0.0)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array(ntoks, pa.int64()),
+        "repeat_pairs": pa.array(rps, pa.int64()),
+        "simpson": pa.array(simps, pa.float64()),
+        "inv_simpson": pa.array(invs, pa.float64()),
+    })

@@ -8648,3 +8648,61 @@ class TestNBCalibration:
         assert int(got["n_docs"].sum()) == int(n_scored)
         assert (got["n_pos"] <= got["n_docs"]).all()
         assert ((got["pos_rate"] >= 0) & (got["pos_rate"] <= 1)).all()
+
+
+class TestSimpsonDiversity:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("simpson_diversity", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_hand_corpus(self, ray_session):
+        """Source A: 'x x x' (3 tokens, one type) → λ = 6/6 = 1;
+        source B: 'a b c' (all distinct) → λ = 0, inv = 0."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import simpson_diversity
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["x x x", "a b c"], pa.string()),
+            "source": pa.array(["A", "B"], pa.string()),
+        })
+        got = simpson_diversity(rd.from_arrow(docs)).to_pandas()
+        byname = got.set_index("source")
+        assert float(byname.loc["A", "simpson"]) == 1.0
+        assert int(byname.loc["A", "repeat_pairs"]) == 6
+        assert float(byname.loc["B", "simpson"]) == 0.0
+        assert float(byname.loc["B", "inv_simpson"]) == 0.0
+
+
+class TestPathDeviation:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("path_deviation", ("events",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_modal_users_at_zero(self, ray_session):
+        """3 identical journeys + 1 deviant: modal bucket holds 3 users
+        at distance 0; the deviant lands at its exact edit distance."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import path_deviation
+
+        rows = []
+        eid = 0
+        for u, seq in [(1, "ab"), (2, "ab"), (3, "ab"), (4, "ax")]:
+            for i, c in enumerate(seq):
+                rows.append((u, i * 1_000_000, eid, c))
+                eid += 1
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                           pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+        got = path_deviation(rd.from_arrow(t)).to_pandas()
+        # modal path 'a>b'; 'a>x' is one substitution away
+        assert got.set_index("distance")["n_users"].to_dict() == {
+            0: 3, 1: 1}
