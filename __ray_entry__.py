@@ -4789,6 +4789,20 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_hll_error(sf_dir: str):
+    """HLL estimate vs exact distinct per event type with signed
+    relative error — the sketch-trust audit."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.sketch import hll_error_audit
+
+    return hll_error_audit(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        p=HLL_P,
+    )
+
+
 def _q_path_deviation(sf_dir: str):
     """Edit-distance histogram of per-user journeys (first 8 events)
     vs the modal journey; levenshtein once per DISTINCT path."""
@@ -5232,6 +5246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_calibration": _q_nb_calibration,
         "simpson_diversity": _q_simpson_diversity,
         "path_deviation": _q_path_deviation,
+        "hll_error": _q_hll_error,
     }
 
 
@@ -10166,6 +10181,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM p CROSS JOIN m
             GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: HLL vs exact distinct audit — same register SQL as
+        # hll_users, joined to the exact count, identical error tree
+        "hll_error": f"""
+            WITH h AS (
+              SELECT event_type,
+                     ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16))::UBIGINT AS hv
+              FROM events
+            ),
+            reg AS (
+              SELECT event_type,
+                     CAST(hv >> {64 - HLL_P} AS BIGINT) AS idx,
+                     MAX(CASE WHEN (hv & ((1::UBIGINT<<{64 - HLL_P})-1)) = 0
+                              THEN {64 - HLL_P + 1}
+                              ELSE {64 - HLL_P}
+                                   - length(bin(hv & ((1::UBIGINT<<{64 - HLL_P})-1)))
+                                   + 1 END) AS rho
+              FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                     count(*) AS n_registers,
+                     {1 << HLL_P} - count(*) AS zero_registers,
+                     sum((1::HUGEINT) << ({64 - HLL_P + 1} - rho))
+                     + CAST({1 << HLL_P} - count(*) AS HUGEINT)
+                       * ((1::HUGEINT)<<{64 - HLL_P + 1}) AS s
+              FROM reg GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type,
+                     CASE WHEN zero_registers > 0
+                          THEN {float(1 << HLL_P)} * ln({float(1 << HLL_P)}
+                               / CAST(zero_registers AS DOUBLE))
+                          ELSE 0.7213 / (1.0 + 1.079 / {float(1 << HLL_P)})
+                               * {float(1 << HLL_P)} * {float(1 << HLL_P)}
+                               * power(2.0, {float(64 - HLL_P + 1)})
+                               / CAST(s AS DOUBLE)
+                     END AS estimate
+              FROM agg
+            ),
+            ex AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, exact_distinct, estimate,
+                   (estimate - CAST(exact_distinct AS DOUBLE))
+                     / CAST(exact_distinct AS DOUBLE) AS rel_error
+            FROM est JOIN ex USING (event_type)
+            ORDER BY event_type
         """,
     }
 

@@ -780,3 +780,35 @@ def kmv_intersect(ds, value_col: str = "user_id",
         "est_b": pa.array([side_est(hb)], pa.float64()),
         "est_intersection": pa.array([est_inter], pa.float64()),
     })
+
+
+def hll_error_audit(events_ds, p: int = 12):
+    """Sketch-trust audit → ``(event_type, exact_distinct, estimate,
+    rel_error)``: the HyperLogLog estimate (:func:`hll_distinct`) next
+    to the EXACT distinct-user count
+    (:func:`..relational.distinct_users_per_type`) with the signed
+    relative error — the check run before replacing exact count-distinct
+    with registers in production rollups (|rel_error| should sit inside
+    ~1.04/√2^p).
+
+    Both sides are already scale-shaped (register partials / distinct
+    narrow pairs); the audit itself joins two ≤|types|-row results
+    driver-side.  ``rel_error`` mirrors the oracle's expression tree
+    ``(estimate − exact)/exact`` on the identical doubles."""
+    from .relational import distinct_users_per_type
+
+    est = hll_distinct(events_ds, "event_type", "user_id",
+                       p=p).to_pandas()
+    exact = distinct_users_per_type(events_ds).to_pandas()
+    m = est.merge(exact, on="event_type", how="inner").sort_values(
+        "event_type").reset_index(drop=True)
+    ex = m["n_users"].astype(np.int64).to_numpy()
+    es = m["estimate"].astype(np.float64).to_numpy()
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "exact_distinct": pa.array(ex, pa.int64()),
+        "estimate": pa.array(es, pa.float64()),
+        "rel_error": pa.array(
+            (es - ex.astype(np.float64)) / ex.astype(np.float64),
+            pa.float64()),
+    })

@@ -8706,3 +8706,19 @@ class TestPathDeviation:
         # modal path 'a>b'; 'a>x' is one substitution away
         assert got.set_index("distance")["n_users"].to_dict() == {
             0: 3, 1: 1}
+
+
+class TestHLLError:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("hll_error", ("events",))
+        assert len(g) == 5
+        assert g.equals(w)
+
+    def test_error_within_hll_bound(self, ray_session):
+        """|rel_error| within 5σ of the theoretical 1.04/√m."""
+        import __ray_entry__ as e
+
+        got = e._q_hll_error("/root/testdata/sf0.001").to_pandas()
+        bound = 5 * 1.04 / (2 ** (e.HLL_P / 2))
+        assert (got["rel_error"].abs() <= bound).all()
+        assert (got["exact_distinct"] > 0).all()
