@@ -4789,6 +4789,19 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_cluster_purity(sf_dir: str):
+    """Closure-vs-clique audit of near-dup clusters: fraction of member
+    pairs that are verified >=threshold edges."""
+    from studiocr_ray.datapipe.dedup import (
+        cluster_purity,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5,
+                                num_perm=64, bands=32)
+    return cluster_purity(pairs)
+
+
 def _q_hll_error(sf_dir: str):
     """HLL estimate vs exact distinct per event type with signed
     relative error — the sketch-trust audit."""
@@ -5247,6 +5260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity": _q_simpson_diversity,
         "path_deviation": _q_path_deviation,
         "hll_error": _q_hll_error,
+        "cluster_purity": _q_cluster_purity,
     }
 
 
@@ -10232,6 +10246,35 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(exact_distinct AS DOUBLE) AS rel_error
             FROM est JOIN ex USING (event_type)
             ORDER BY event_type
+        """,
+        # round-5: closure-vs-clique purity of near-dup clusters —
+        # same vpairs + reachability as dup_clusters
+        "cluster_purity": f"""
+            WITH RECURSIVE {word_jaccard_cte},
+            nodes AS (SELECT id_a AS id FROM vpairs
+                      UNION SELECT id_b FROM vpairs),
+            edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+                      UNION ALL SELECT id_b, id_a FROM vpairs),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+            ),
+            clus AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+            csz AS (SELECT rep, CAST(count(*) AS BIGINT) AS size
+                    FROM clus GROUP BY 1),
+            cdp AS (SELECT c.rep,
+                           CAST(count(*) AS BIGINT) AS direct_pairs
+                    FROM vpairs v JOIN clus c ON c.id = v.id_a
+                    GROUP BY 1)
+            SELECT csz.rep AS cluster_rep, size,
+                   coalesce(direct_pairs, 0) AS direct_pairs,
+                   CAST(size * (size - 1) // 2 AS BIGINT)
+                     AS possible_pairs,
+                   CAST(coalesce(direct_pairs, 0) AS DOUBLE)
+                     / CAST(size * (size - 1) // 2 AS DOUBLE) AS purity
+            FROM csz LEFT JOIN cdp USING (rep)
+            ORDER BY cluster_rep
         """,
     }
 

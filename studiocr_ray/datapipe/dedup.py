@@ -2309,3 +2309,42 @@ def simhash_bit_bias(ds):
                          / out["n_docs"].to_numpy().astype(np.float64),
                          pa.float64()),
     })
+
+
+def cluster_purity(pairs: pa.Table) -> pa.Table:
+    """Near-dup cluster-quality audit → ``(cluster_rep, size,
+    direct_pairs, possible_pairs, purity)``: transitive-closure clusters
+    chain A~B~C without A~C ever being verified, so ``purity`` — the
+    fraction of a cluster's member pairs that ARE verified ≥-threshold
+    edges — measures how much the closure over-merges (1.0 = clique;
+    → 2/size = a bare chain).  The audit run before trusting
+    keep-one-per-cluster dedup at a given threshold.
+
+    Driver-side over the verified PAIR set like
+    :func:`duplicate_clusters` (pairs are collision-bounded, orders of
+    magnitude smaller than the corpus); for crawl-scale pair sets the
+    same counts compose from :func:`duplicate_clusters_ds` +
+    :func:`attach_cluster_labels`'s co-partitioned label attach (size
+    and direct-pair partials per rep, one rep-keyed sum).  Counts are
+    exact ints; ``purity`` is one double division mirroring the SQL
+    oracle."""
+    clusters = duplicate_clusters(pairs)
+    ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    reps = clusters.column("cluster_rep").to_numpy(zero_copy_only=False)
+    rep_of = dict(zip(ids.tolist(), reps.tolist()))
+    uniq, inv = np.unique(reps, return_inverse=True)
+    size = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False)
+    pair_rep = np.array([rep_of[x] for x in a.tolist()], dtype=np.int64)
+    direct = np.bincount(
+        np.searchsorted(uniq, pair_rep), minlength=len(uniq)
+    ).astype(np.int64)
+    possible = size * (size - 1) // 2
+    return pa.table({
+        "cluster_rep": pa.array(uniq, pa.int64()),
+        "size": pa.array(size, pa.int64()),
+        "direct_pairs": pa.array(direct, pa.int64()),
+        "possible_pairs": pa.array(possible, pa.int64()),
+        "purity": pa.array(direct.astype(np.float64)
+                           / possible.astype(np.float64), pa.float64()),
+    })

@@ -8722,3 +8722,25 @@ class TestHLLError:
         bound = 5 * 1.04 / (2 ** (e.HLL_P / 2))
         assert (got["rel_error"].abs() <= bound).all()
         assert (got["exact_distinct"] > 0).all()
+
+
+class TestClusterPurity:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("cluster_purity", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_chain_vs_clique(self, ray_session):
+        """Clique {1,2,3} (all 3 edges) → purity 1; chain {10,11,12}
+        (2 of 3 edges) → purity 2/3."""
+        from studiocr_ray.datapipe.dedup import cluster_purity
+
+        pairs = pa.table({
+            "id_a": pa.array([1, 1, 2, 10, 11], pa.int64()),
+            "id_b": pa.array([2, 3, 3, 11, 12], pa.int64()),
+        })
+        got = cluster_purity(pairs).to_pandas().set_index("cluster_rep")
+        assert float(got.loc[1, "purity"]) == 1.0
+        assert int(got.loc[1, "direct_pairs"]) == 3
+        assert float(got.loc[10, "purity"]) == 2.0 / 3.0
+        assert int(got.loc[10, "possible_pairs"]) == 3
