@@ -21,6 +21,7 @@ from collections.abc import Callable
 from typing import Any
 
 SEARCH_WORDS = ["table", "window"]
+TOKEN_BUDGET = 1000
 HLL_P = 12
 BLOOM_K = 2
 BLOOM_M = 1 << 18
@@ -4789,6 +4790,15 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_token_budget_sample(sf_dir: str):
+    """Deterministic per-source token-budget sample: smallest-splitmix64
+    prefix per source while tokens <= budget; batch combiner prunes
+    before the exchange."""
+    from studiocr_ray.datapipe.sample import token_budget_sample
+
+    return token_budget_sample(_docs(sf_dir), TOKEN_BUDGET)
+
+
 def _q_cluster_purity(sf_dir: str):
     """Closure-vs-clique audit of near-dup clusters: fraction of member
     pairs that are verified >=threshold edges."""
@@ -5261,6 +5271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_deviation": _q_path_deviation,
         "hll_error": _q_hll_error,
         "cluster_purity": _q_cluster_purity,
+        "token_budget_sample": _q_token_budget_sample,
     }
 
 
@@ -10275,6 +10286,35 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(size * (size - 1) // 2 AS DOUBLE) AS purity
             FROM csz LEFT JOIN cdp USING (rep)
             ORDER BY cluster_rep
+        """,
+        # round-5: per-source token-budget sample — splitmix64 in
+        # UHUGEINT (the shuffle_rank idiom), window cumsum per source
+        "token_budget_sample": f"""
+            WITH s0 AS (SELECT doc_id,
+                   CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+                        % 18446744073709551616 AS UBIGINT) AS z
+                 FROM documents),
+            s1 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                         * 13787848793156543929)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s0),
+            s2 AS (SELECT doc_id,
+                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                         * 10723151780598845931)
+                        % 18446744073709551616 AS UBIGINT) AS z FROM s1),
+            hh AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s2),
+            tk AS (SELECT doc_id, source,
+                          CAST(len({toks.format(src='lower(text)')})
+                               AS BIGINT) AS n_tokens
+                   FROM documents),
+            c AS (SELECT tk.doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY h, tk.doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                  FROM tk JOIN hh ON tk.doc_id = hh.doc_id)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
         """,
     }
 

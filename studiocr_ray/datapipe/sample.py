@@ -483,3 +483,84 @@ def temperature_sample(ds, budget_frac: float = 0.2,
         .groupby("wb")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def token_budget_sample(
+    ds,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Deterministic per-source sampling to a TOKEN budget →
+    ``(id, source, n_tokens, cum_tokens)``: each source keeps its
+    smallest-``splitmix64(id)`` documents while the running token total
+    stays ≤ ``budget_tokens`` — "give me ~10M tokens per source" as a
+    pure function of the rows, so re-runs, resumes and different cluster
+    shapes pick the SAME sample (the :func:`stratified_sample` /
+    :func:`source_cap` discipline, but budgeted in tokens, the unit
+    training actually consumes, instead of row quotas).
+
+    Scale shape: the within-batch prefix is a LOWER bound of the global
+    prefix at every hash position, so a per-batch combiner sorts its
+    rows per source by ``(hash, id)``, cumsums tokens and drops
+    everything past the budget BEFORE the exchange — each batch ships at
+    most ⌈budget/min_doc_tokens⌉ narrow rows per source, never the
+    corpus.  The per-source finalize is one vectorized lexsort + cumsum
+    per bucket."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import string_buckets
+    from .relational import _flat_tokens
+
+    budget = int(budget_tokens)
+
+    def _prefix(t: pa.Table, emit_cum: bool) -> pa.Table:
+        """Sort per (source, hash, id), cumsum tokens per source, keep
+        rows with running total ≤ budget."""
+        src = t.column(strat_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        sd = src.dictionary_encode()
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((ids, h, scodes))
+        sc, hs, idx = scodes[order], h[order], order
+        nt = ntok[order]
+        cum = np.cumsum(nt)
+        starts = np.flatnonzero(
+            np.concatenate(([True], sc[1:] != sc[:-1])))
+        seg = np.cumsum(np.concatenate(
+            ([True], sc[1:] != sc[:-1]))) - 1
+        base = np.concatenate(([0], cum[starts[1:] - 1]))
+        run = cum - base[seg]
+        keep = run <= budget
+        kept = t.take(pa.array(idx[keep]))
+        if emit_cum:
+            kept = kept.append_column(
+                "cum_tokens", pa.array(run[keep], pa.int64()))
+        return kept
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        ntok = np.bincount(doc_idx,
+                           minlength=batch.num_rows).astype(np.int64)
+        t = batch.select([id_col, strat_col]).append_column(
+            "n_tokens", pa.array(ntok, pa.int64()))
+        out = _prefix(t, emit_cum=False)
+        wb = (string_buckets(out.column(strat_col), num_buckets)
+              if out.num_rows else np.zeros(0, np.int32))
+        return out.append_column("wb", pa.array(wb, pa.int32()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _prefix(group.drop_columns(["wb"]), emit_cum=True)
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

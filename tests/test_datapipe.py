@@ -8744,3 +8744,45 @@ class TestClusterPurity:
         assert int(got.loc[1, "direct_pairs"]) == 3
         assert float(got.loc[10, "purity"]) == 2.0 / 3.0
         assert int(got.loc[10, "possible_pairs"]) == 3
+
+
+class TestTokenBudgetSample:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("token_budget_sample", ("documents",))
+        assert len(g) > 0
+        assert g.equals(w)
+
+    def test_budget_respected_and_deterministic(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        a = e._q_token_budget_sample(sf).to_pandas().sort_values(
+            ["source", "cum_tokens"]).reset_index(drop=True)
+        b = e._q_token_budget_sample(sf).to_pandas().sort_values(
+            ["source", "cum_tokens"]).reset_index(drop=True)
+        assert a.equals(b)  # pure function of the rows
+        per = a.groupby("source")["n_tokens"].sum()
+        assert (per <= e.TOKEN_BUDGET).all()
+        # cum_tokens is a per-source prefix sum of n_tokens
+        for _, sub in a.groupby("source"):
+            assert (sub["cum_tokens"].to_numpy()
+                    == sub["n_tokens"].cumsum().to_numpy()).all()
+
+    def test_batch_prune_invariance(self, ray_session):
+        """Tiny batch size forces the combiner's within-batch prune to
+        fire; the result must equal the single-batch run."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sample import token_budget_sample
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        one = token_budget_sample(
+            rd.from_arrow(t), 500).to_pandas()
+        many = token_budget_sample(
+            rd.from_arrow(t).repartition(37), 500).to_pandas()
+        cols = ["doc_id", "source", "n_tokens", "cum_tokens"]
+        a = one[cols].sort_values(cols).reset_index(drop=True)
+        b = many[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
