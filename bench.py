@@ -481,6 +481,40 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["smb_join"] = time.perf_counter() - t0
     shutil.rmtree(smb_root, ignore_errors=True)
 
+    # hapax attribution at corpus scale: the term-hash bucketed
+    # (term, source, tf) cell exchange over 1.2M docs (16 synthetic
+    # sources so the per-source rollup has real groups)
+    from studiocr_ray.datapipe.text import hapax_stats
+
+    from studiocr_ray.functions.arrowutil import string_buckets
+
+    _SRC16 = pa.array([f"s{i}" for i in range(16)], pa.string())
+
+    def with_source(b: pa.Table) -> pa.Table:
+        sb = string_buckets(b.column("doc_id"), 16)
+        return b.append_column(
+            "source", _SRC16.take(pa.array(sb.astype("int64"))))
+
+    t0 = time.perf_counter()
+    hapax_stats(
+        corpus().map_batches(with_source, batch_format="pyarrow")
+    ).to_pandas()
+    timings["hapax_stats"] = time.perf_counter() - t0
+
+    # exact Kendall tau-b per nation over the sf TPC-H tables:
+    # contingency-cell partials + one custkey exchange + 2-D prefix sums
+    from studiocr_ray.datapipe.relational import kendall_by_nation
+
+    t0 = time.perf_counter()
+    kendall_by_nation(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey"]),
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey"]),
+        sf_dir,
+    )
+    timings["kendall_nation"] = time.perf_counter() - t0
+
     docs = summary["docs"]
     shutil.rmtree(out, ignore_errors=True)
     return {
