@@ -4790,6 +4790,14 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_term_dispersion(sf_dir: str):
+    """Fano burstiness of the top-20 corpus terms: exact bucketed
+    candidate pass + broadcast probe; no open-vocab term shuffle."""
+    from studiocr_ray.datapipe.relational import term_dispersion
+
+    return term_dispersion(_docs(sf_dir), k=20)
+
+
 def _q_token_budget_sample(sf_dir: str):
     """Deterministic per-source token-budget sample: smallest-splitmix64
     prefix per source while tokens <= budget; batch combiner prunes
@@ -5272,6 +5280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error": _q_hll_error,
         "cluster_purity": _q_cluster_purity,
         "token_budget_sample": _q_token_budget_sample,
+        "term_dispersion": _q_term_dispersion,
     }
 
 
@@ -10315,6 +10324,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM tk JOIN hh ON tk.doc_id = hh.doc_id)
             SELECT doc_id, source, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+        """,
+        # round-5: Fano burstiness of the top-20 terms — population
+        # variance over ALL docs (zeros included), same expression tree
+        "term_dispersion": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest({toks.format(src='lower(text)')}) AS term
+              FROM documents),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                   FROM documents),
+            top AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS tf_total
+              FROM tk GROUP BY term
+              ORDER BY tf_total DESC, term LIMIT 20),
+            per AS (
+              SELECT tk.term, tk.doc_id,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM tk JOIN top USING (term)
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT term,
+                     CAST(sum(tf) AS BIGINT) AS tf_total,
+                     CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+              FROM per GROUP BY term)
+            SELECT term, tf_total, df, sum_tf2,
+                   (CAST(sum_tf2 AS DOUBLE) / n
+                    - (CAST(tf_total AS DOUBLE) / n)
+                      * (CAST(tf_total AS DOUBLE) / n))
+                   / (CAST(tf_total AS DOUBLE) / n) AS fano
+            FROM agg CROSS JOIN nd
+            ORDER BY tf_total DESC, term
         """,
     }
 

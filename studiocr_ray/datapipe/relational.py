@@ -9525,3 +9525,128 @@ def path_deviation(ds, k_events: int = 8, num_buckets: int = 64):
         "n_users": pa.array(out["n_users"].astype(np.int64),
                             pa.int64()),
     })
+
+
+def term_dispersion(ds, k: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Term burstiness over the corpus's top-``k`` terms →
+    ``(term, tf_total, df, sum_tf2, fano)``: the variance-to-mean ratio
+    (Fano factor) of each term's per-document frequency over ALL N
+    docs — the classic content-vs-function-word separator (Church &
+    Gale, 1995): function words scatter ~Poisson (Fano ≈ 1), topical
+    words burst (Fano ≫ 1).  A quality screen for stopword lists and
+    index hot-term salts alike.
+
+    Two broadcast passes, no term-keyed shuffle of the open vocabulary:
+    pass 1 reduces each batch to its term partials and merges only the
+    per-batch top candidates (every global top-k term is a per-batch
+    top-k term of some batch ⊇ guarantee does NOT hold for sums, so the
+    candidate pass merges FULL per-batch term partials through the
+    word_count-style bucketed sum, then takes top-k with term-ascending
+    ties); pass 2 broadcasts the ≤k-term list via ``pc.is_in`` and
+    folds each batch to ≤k (tf, tf², df, n) partial rows.  Fano uses
+    the population variance over all N docs (zeros included):
+    ``(S2/N − (S1/N)²) / (S1/N)`` — the same expression tree as the
+    SQL oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions.arrowutil import string_buckets
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({"wb": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        d = _dict_encode(flat)
+        tf = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                         minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({
+            "wb": pa.array(string_buckets(d.dictionary, 64), pa.int32()),
+            "term": d.dictionary,
+            "tf": pa.array(tf, pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        d = _dict_encode(group.column("term"))
+        tf = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            weights=group.column("tf").to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary)).astype(np.int64)
+        t = pa.table({"term": d.dictionary,
+                      "tf": pa.array(tf, pa.int64())})
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("tf", "descending"),
+                                            ("term", "ascending")])
+        return t.take(idx[:k])
+
+    cands = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ 64·k candidate rows
+    cands.sort(key=lambda r: (-r["tf"], r["term"]))
+    top = [r["term"] for r in cands[:k]]
+    if not top:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf_total": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64()),
+                         "sum_tf2": pa.array([], pa.int64()),
+                         "fano": pa.array([], pa.float64())})
+    value_set = pa.array(sorted(top), pa.string())
+    pos_of = {t: i for i, t in enumerate(sorted(top))}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        kk = len(pos_of)
+        cols = {"n_docs": pa.array([batch.num_rows], pa.int64())}
+        if len(flat) == 0:
+            for j in range(kk):
+                for pre in ("s1", "s2", "df"):
+                    cols[f"{pre}_{j}"] = pa.array([0], pa.int64())
+            return pa.table(cols)
+        hit = pc.is_in(flat, value_set=value_set).to_numpy(
+            zero_copy_only=False)
+        hflat = flat.take(pa.array(np.flatnonzero(hit)))
+        hdoc = doc_idx[hit]
+        codes = pc.index_in(hflat, value_set=value_set).to_numpy(
+            zero_copy_only=False)
+        n = batch.num_rows
+        for j in range(kk):
+            m = codes == j
+            tf = np.bincount(hdoc[m], minlength=n).astype(np.int64)
+            cols[f"s1_{j}"] = pa.array([int(tf.sum())], pa.int64())
+            cols[f"s2_{j}"] = pa.array([int((tf * tf).sum())],
+                                       pa.int64())
+            cols[f"df_{j}"] = pa.array([int((tf > 0).sum())],
+                                       pa.int64())
+        return pa.table(cols)
+
+    names = ["n_docs"] + [f"{p}_{j}" for j in range(len(pos_of))
+                          for p in ("s1", "s2", "df")]
+    sums = ds.map_batches(probe, batch_format="pyarrow").sum(names)
+    n_f = float(sums["sum(n_docs)"])
+    terms_sorted = sorted(top)
+    out = {"term": [], "tf_total": [], "df": [], "sum_tf2": [],
+           "fano": []}
+    for t in sorted(top, key=lambda t: (-int(sums[
+            f"sum(s1_{pos_of[t]})"]), t)):
+        j = pos_of[t]
+        s1 = int(sums[f"sum(s1_{j})"])
+        s2 = int(sums[f"sum(s2_{j})"])
+        df = int(sums[f"sum(df_{j})"])
+        mean = float(s1) / n_f
+        var = float(s2) / n_f - mean * mean
+        out["term"].append(t)
+        out["tf_total"].append(s1)
+        out["df"].append(df)
+        out["sum_tf2"].append(s2)
+        out["fano"].append(var / mean if mean > 0.0 else 0.0)
+    return pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "tf_total": pa.array(out["tf_total"], pa.int64()),
+        "df": pa.array(out["df"], pa.int64()),
+        "sum_tf2": pa.array(out["sum_tf2"], pa.int64()),
+        "fano": pa.array(out["fano"], pa.float64()),
+    })

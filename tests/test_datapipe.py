@@ -8786,3 +8786,33 @@ class TestTokenBudgetSample:
         a = one[cols].sort_values(cols).reset_index(drop=True)
         b = many[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestTermDispersion:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("term_dispersion", ("documents",))
+        assert len(g) == 20
+        assert g.equals(w)
+
+    def test_bursty_vs_uniform(self, ray_session):
+        """'flat' appears once in every doc (Fano → 0, sub-Poisson);
+        'burst' appears 4x in a quarter of docs (same total tf, Fano
+        ~3x the mean) — burstiness separates them at equal tf_total."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import term_dispersion
+
+        texts = []
+        for i in range(16):
+            extra = "burst burst burst burst " if i % 4 == 0 else ""
+            texts.append(extra + "flat filler" + str(i))
+        docs = pa.table({
+            "doc_id": pa.array(range(16), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = term_dispersion(rd.from_arrow(docs),
+                              k=2).to_pandas().set_index("term")
+        assert int(got.loc["flat", "tf_total"]) == 16
+        assert int(got.loc["burst", "tf_total"]) == 16
+        assert float(got.loc["flat", "fano"]) == 0.0
+        assert float(got.loc["burst", "fano"]) == 3.0
