@@ -4,9 +4,13 @@ Media travel as opaque ``binary`` columns with typed metadata — the same
 pattern as the reference's JPEG page blobs in SQLite
 (/root/reference/StudiOCR/db.py:46, OcrEngine.py:82-83) lifted to Arrow.
 Real codecs (Pillow/cv2/ffmpeg) are NOT in this container, so the decode
-kernels are pluggable: a real decoder raises ``NotImplementedError`` here and
-a **deterministic fake** stands in for tests — the Ray-side plumbing (schema,
-actor-pool signature, batch sizing, output layout) is real and tested.
+kernels are pluggable: COMPRESSED codecs raise ``NotImplementedError``
+(``RealMediaDecoder``, the Pillow/ffmpeg swap point), the library-free
+raster formats decode for REAL (``PixmapDecoder``: binary PPM/PGM +
+uncompressed 24-bit BMP, pure numpy, round-trip-tested against
+``encode_ppm``/``encode_bmp``), and a **deterministic fake** stands in
+where tests need SQL-oracle-able values — the Ray-side plumbing (schema,
+actor-pool signature, batch sizing, output layout) is real throughout.
 
 Batch-size guidance: media rows are MBs; run these stages with small
 ``batch_size`` (8–64) and let block splitting + object-store spilling handle
@@ -38,8 +42,9 @@ class RealMediaDecoder:
 
     def decode(self, payload: bytes, media_type: str) -> np.ndarray:
         raise NotImplementedError(
-            "real media decoding requires Pillow/ffmpeg, not present in this "
-            "environment; use DeterministicFakeDecoder for tests"
+            "compressed-codec decoding requires Pillow/ffmpeg, not present "
+            "in this environment; PixmapDecoder decodes PPM/PGM/BMP for "
+            "real, DeterministicFakeDecoder serves oracle-able tests"
         )
 
 
@@ -76,9 +81,7 @@ class MediaFeatures:
     Decoder built once per actor (warm state, like the OCR engine)."""
 
     def __init__(self, decoder: str = "fake"):
-        self.decoder = (
-            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
-        )
+        self.decoder = make_decoder(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import math
@@ -128,9 +131,7 @@ class MediaResize:
 
     def __init__(self, factor: int = 2, decoder: str = "fake"):
         self.factor = factor
-        self.decoder = (
-            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
-        )
+        self.decoder = make_decoder(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         f = self.factor
@@ -173,9 +174,7 @@ class FrameSampler:
 
     def __init__(self, every_n: int = 2, decoder: str = "fake"):
         self.every_n = every_n
-        self.decoder = (
-            DeterministicFakeDecoder() if decoder == "fake" else RealMediaDecoder()
-        )
+        self.decoder = make_decoder(decoder)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, feats = [], [], []
@@ -251,3 +250,120 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class PixmapDecoder:
+    """REAL image decoder for the library-free raster formats — binary
+    PPM (P6), PGM (P5) and uncompressed 24-bit BMP — in pure numpy byte
+    plumbing.  This makes the decode swap point GENUINELY real for the
+    formats this sandbox can produce and verify end-to-end
+    (:func:`encode_ppm` / :func:`encode_bmp` are the exact inverses);
+    :class:`RealMediaDecoder` remains the documented swap point for
+    compressed codecs (JPEG/PNG/ffmpeg), which need external libraries.
+
+    Output: float32 in [0, 1] — ``pixels / 255.0`` — shaped (H, W, 3)
+    for color payloads, (H, W) for PGM."""
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type != "image":
+            raise ValueError(
+                f"PixmapDecoder handles images only, got {media_type!r}")
+        if payload[:2] in (b"P6", b"P5"):
+            return self._pnm(payload)
+        if payload[:2] == b"BM":
+            return self._bmp(payload)
+        raise ValueError(
+            "unsupported image payload: PixmapDecoder reads binary "
+            "PPM/PGM and uncompressed 24-bit BMP")
+
+    @staticmethod
+    def _pnm(buf: bytes) -> np.ndarray:
+        toks, i = [], 2
+        while len(toks) < 3:
+            while i < len(buf) and buf[i : i + 1].isspace():
+                i += 1
+            if buf[i : i + 1] == b"#":  # comment to end of line
+                while i < len(buf) and buf[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j
+        i += 1  # exactly one whitespace byte after maxval (spec)
+        w, h, maxval = toks
+        if maxval != 255:
+            raise ValueError(f"only maxval 255 supported, got {maxval}")
+        ch = 3 if buf[:2] == b"P6" else 1
+        px = np.frombuffer(buf, np.uint8, count=w * h * ch, offset=i)
+        arr = px.reshape((h, w, 3) if ch == 3 else (h, w))
+        return arr.astype(np.float32) / 255.0
+
+    @staticmethod
+    def _bmp(buf: bytes) -> np.ndarray:
+        off = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(
+                f"only uncompressed 24-bit BMP supported "
+                f"(bpp={bpp}, compression={comp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            buf, np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].astype(np.float32) / 255.0  # BGR→RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) → binary PPM (P6) bytes — the exact inverse of
+    :meth:`PixmapDecoder._pnm` (up to the /255 scaling)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → uncompressed bottom-up 24-bit BMP bytes —
+    the exact inverse of :meth:`PixmapDecoder._bmp` (the reference's
+    JPEG save-as, /root/reference/StudiOCR/PhotoViewer.py:88-116, for a
+    format this sandbox can write without libraries)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    data = body.tobytes()
+    size = 14 + 40 + len(data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def make_decoder(name: str):
+    """Decoder registry: ``fake`` (deterministic md5 keystream, SQL
+    oracle-able), ``pixmap`` (REAL PPM/PGM/BMP decode, pure numpy), or
+    ``real`` (the Pillow/ffmpeg swap point)."""
+    if name == "fake":
+        return DeterministicFakeDecoder()
+    if name == "pixmap":
+        return PixmapDecoder()
+    return RealMediaDecoder()

@@ -8816,3 +8816,88 @@ class TestTermDispersion:
         assert int(got.loc["burst", "tf_total"]) == 16
         assert float(got.loc["flat", "fano"]) == 0.0
         assert float(got.loc["burst", "fano"]) == 3.0
+
+
+class TestPixmapDecoder:
+    def _rng_img(self, h, w, seed=3):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    def test_ppm_round_trip(self):
+        from studiocr_ray.datapipe.multimodal import (
+            PixmapDecoder,
+            encode_ppm,
+        )
+
+        img = self._rng_img(7, 5)
+        got = PixmapDecoder().decode(encode_ppm(img), "image")
+        assert got.shape == (7, 5, 3)
+        assert (got == img.astype(np.float32) / 255.0).all()
+
+    def test_ppm_comment_header(self):
+        from studiocr_ray.datapipe.multimodal import PixmapDecoder
+
+        img = self._rng_img(2, 3)
+        payload = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+        got = PixmapDecoder().decode(payload, "image")
+        assert (got == img.astype(np.float32) / 255.0).all()
+
+    def test_bmp_round_trip_with_padding(self):
+        from studiocr_ray.datapipe.multimodal import (
+            PixmapDecoder,
+            encode_bmp,
+        )
+
+        # width 3 → stride 12 ≠ 9: exercises row padding
+        img = self._rng_img(4, 3, seed=9)
+        got = PixmapDecoder().decode(encode_bmp(img), "image")
+        assert got.shape == (4, 3, 3)
+        assert (got == img.astype(np.float32) / 255.0).all()
+
+    def test_pgm(self):
+        from studiocr_ray.datapipe.multimodal import PixmapDecoder
+
+        gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        payload = b"P5\n3 2\n255\n" + gray.tobytes()
+        got = PixmapDecoder().decode(payload, "image")
+        assert got.shape == (2, 3)
+        assert (got == gray.astype(np.float32) / 255.0).all()
+
+    def test_unsupported_raises(self):
+        from studiocr_ray.datapipe.multimodal import PixmapDecoder
+
+        with pytest.raises(ValueError, match="unsupported"):
+            PixmapDecoder().decode(b"\x89PNG....", "image")
+
+    def test_media_features_real_decode_end_to_end(self, ray_session):
+        """The REAL decode path through the actor-pool stage: features
+        of a BMP payload equal numpy computed directly on the pixels."""
+        import math
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.multimodal import (
+            MEDIA_SCHEMA,
+            MediaFeatures,
+            encode_bmp,
+        )
+
+        img = self._rng_img(16, 16, seed=21)
+        t = pa.Table.from_pylist(
+            [{"media_id": 1, "media_type": "image",
+              "payload": encode_bmp(img),
+              "meta": {"width": 16, "height": 16, "duration_ms": 0,
+                       "codec": "bmp"}}],
+            schema=MEDIA_SCHEMA)
+        got = rd.from_arrow(t).map_batches(
+            MediaFeatures, fn_constructor_kwargs={"decoder": "pixmap"},
+            batch_format="pyarrow", concurrency=1,
+        ).to_pandas()
+        flat = (img.astype(np.float32) / 255.0).ravel().astype(np.float64)
+        n = flat.size
+        s1, s2 = float(flat.sum()), float((flat * flat).sum())
+        want_mean = s1 / n
+        want_std = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+        feat = got["feature"][0]
+        assert feat[0] == want_mean
+        assert feat[1] == want_std
