@@ -360,10 +360,70 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def make_decoder(name: str):
     """Decoder registry: ``fake`` (deterministic md5 keystream, SQL
-    oracle-able), ``pixmap`` (REAL PPM/PGM/BMP decode, pure numpy), or
-    ``real`` (the Pillow/ffmpeg swap point)."""
+    oracle-able), ``pixmap`` (REAL PPM/PGM/BMP decode, pure numpy),
+    ``wave`` (REAL RIFF/WAVE PCM decode, pure numpy), or ``real`` (the
+    Pillow/ffmpeg swap point for compressed codecs)."""
     if name == "fake":
         return DeterministicFakeDecoder()
     if name == "pixmap":
         return PixmapDecoder()
+    if name == "wave":
+        return WaveDecoder()
     return RealMediaDecoder()
+
+
+class WaveDecoder:
+    """REAL audio decoder for RIFF/WAVE PCM payloads — 16-bit or 8-bit,
+    any channel count, pure numpy (the audio twin of
+    :class:`PixmapDecoder`; :func:`encode_wav` is the exact inverse).
+    Output: float32 in [-1, 1), shape (n_samples,) mono or
+    (n_samples, channels)."""
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type != "audio":
+            raise ValueError(
+                f"WaveDecoder handles audio only, got {media_type!r}")
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("unsupported audio payload: RIFF/WAVE only")
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1 or bits not in (8, 16):
+            raise ValueError(
+                f"only 8/16-bit PCM supported (fmt={audio_fmt}, "
+                f"bits={bits})")
+        if bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        else:  # 8-bit WAV is unsigned, biased at 128
+            x = (np.frombuffer(data, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        return x.reshape(-1, channels) if channels > 1 else x
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) or (n, channels) PCM → RIFF/WAVE bytes — the exact
+    inverse of :class:`WaveDecoder` (up to the /32768 scaling)."""
+    assert samples.dtype == np.int16
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    data = np.ascontiguousarray(samples, "<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body

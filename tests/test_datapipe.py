@@ -8901,3 +8901,49 @@ class TestPixmapDecoder:
         feat = got["feature"][0]
         assert feat[0] == want_mean
         assert feat[1] == want_std
+
+
+class TestWaveDecoder:
+    def test_mono_round_trip(self):
+        from studiocr_ray.datapipe.multimodal import (
+            WaveDecoder,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(4)
+        pcm = rng.randint(-32768, 32768, size=777).astype(np.int16)
+        got = WaveDecoder().decode(encode_wav(pcm), "audio")
+        assert got.shape == (777,)
+        assert (got == pcm.astype(np.float32) / 32768.0).all()
+
+    def test_stereo_round_trip(self):
+        from studiocr_ray.datapipe.multimodal import (
+            WaveDecoder,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(5)
+        pcm = rng.randint(-32768, 32768, size=(64, 2)).astype(np.int16)
+        got = WaveDecoder().decode(encode_wav(pcm), "audio")
+        assert got.shape == (64, 2)
+        assert (got == pcm.astype(np.float32) / 32768.0).all()
+
+    def test_odd_chunk_alignment(self):
+        """A 3-byte junk chunk before fmt exercises word alignment."""
+        from studiocr_ray.datapipe.multimodal import (
+            WaveDecoder,
+            encode_wav,
+        )
+
+        pcm = np.array([1, -1, 2], np.int16)
+        wav = encode_wav(pcm)
+        junk = b"junk" + (3).to_bytes(4, "little") + b"abc\x00"
+        payload = wav[:12] + junk + wav[12:]
+        got = WaveDecoder().decode(payload, "audio")
+        assert (got == pcm.astype(np.float32) / 32768.0).all()
+
+    def test_non_wav_raises(self):
+        from studiocr_ray.datapipe.multimodal import WaveDecoder
+
+        with pytest.raises(ValueError, match="RIFF/WAVE"):
+            WaveDecoder().decode(b"\xff\xfb....", "audio")
