@@ -197,3 +197,68 @@ class TestSketchKernels:
             for i in range(pieces)
         ]
         assert words_of([whole]) == words_of(chunks)
+
+
+class TestRawCodecs:
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_ppm_bmp_round_trip(self, h, w, seed):
+        import numpy as np
+
+        from studiocr_ray.datapipe.multimodal import (
+            PixmapDecoder,
+            encode_bmp,
+            encode_ppm,
+        )
+
+        rng = np.random.RandomState(seed % (2**31))
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        want = img.astype(np.float32) / 255.0
+        dec = PixmapDecoder()
+        assert (dec.decode(encode_ppm(img), "image") == want).all()
+        assert (dec.decode(encode_bmp(img), "image") == want).all()
+
+    @given(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_round_trip(self, n, ch, seed):
+        import numpy as np
+
+        from studiocr_ray.datapipe.multimodal import (
+            WaveDecoder,
+            encode_wav,
+        )
+
+        rng = np.random.RandomState(seed % (2**31))
+        shape = (n,) if ch == 1 else (n, ch)
+        pcm = rng.randint(-32768, 32768, size=shape).astype(np.int16)
+        got = WaveDecoder().decode(encode_wav(pcm), "audio")
+        assert got.shape == shape
+        assert (got == pcm.astype(np.float32) / 32768.0).all()
+
+
+class TestLevenshteinProperties:
+    @given(st.text(max_size=12), st.text(max_size=12))
+    @settings(max_examples=80, deadline=None)
+    def test_metric_axioms(self, a, b):
+        from studiocr_ray.functions.textfns import levenshtein
+
+        d = levenshtein(a, b)
+        assert d == levenshtein(b, a)
+        assert (d == 0) == (a == b)
+        assert d <= max(len(a), len(b))
+        assert d >= abs(len(a) - len(b))
+
+    @given(st.text(max_size=8), st.text(max_size=8), st.text(max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_triangle_inequality(self, a, b, c):
+        from studiocr_ray.functions.textfns import levenshtein
+
+        assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
