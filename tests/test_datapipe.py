@@ -8947,3 +8947,54 @@ class TestWaveDecoder:
 
         with pytest.raises(ValueError, match="RIFF/WAVE"):
             WaveDecoder().decode(b"\xff\xfb....", "audio")
+
+
+class TestMergeSorted:
+    def test_incremental_merge_equals_full_sort(self, ray_session,
+                                                tmp_path):
+        """merge_sorted(base, delta) reads back identically to a fresh
+        write_sorted over the union, and untouched ranges carry over as
+        hard links (nlink > 1), not rewrites."""
+        import os
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.sortedio import (
+            merge_sorted,
+            read_sorted,
+            write_sorted,
+        )
+
+        rng = np.random.RandomState(11)
+        keys = rng.randint(0, 1000, size=400).astype(np.int64)
+        base_t = pa.table({"k": pa.array(keys, pa.int64()),
+                           "v": pa.array(np.arange(400), pa.int64())})
+        # delta hits only the LOW half of the key space → high ranges
+        # must be linked, not rewritten
+        dk = rng.randint(0, 300, size=60).astype(np.int64)
+        delta_t = pa.table({"k": pa.array(dk, pa.int64()),
+                            "v": pa.array(np.arange(1000, 1060),
+                                          pa.int64())})
+        base = str(tmp_path / "base")
+        out = str(tmp_path / "out")
+        write_sorted(rd.from_arrow(base_t), base, key="k", num_ranges=8)
+        info = merge_sorted(base, rd.from_arrow(delta_t), out, key="k")
+        assert info["ranges_touched"] >= 1
+        assert info["ranges_linked"] >= 1
+        # global order + exact multiset vs a from-scratch sorted write
+        got = pa.concat_tables(t for _, t in read_sorted(out))
+        gk = got.column("k").to_numpy(zero_copy_only=False)
+        assert (gk[:-1] <= gk[1:]).all()
+        want = pa.concat_tables([base_t, delta_t]).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        gdf = got.to_pandas().sort_values(["k", "v"]) \
+            .reset_index(drop=True)
+        assert gdf.equals(want)
+        # linked ranges share inodes with the base files
+        linked_shared = 0
+        for d in os.listdir(out):
+            for f in os.listdir(os.path.join(out, d)):
+                p = os.path.join(out, d, f)
+                if os.stat(p).st_nlink > 1:
+                    linked_shared += 1
+        assert linked_shared >= info["ranges_linked"]
