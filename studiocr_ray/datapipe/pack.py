@@ -218,3 +218,113 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def export_token_shards(
+    ds,
+    out_path: str,
+    num_shards: int = 16,
+    vocab_size: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Distributed packed-token export → Megatron-style binary shards:
+    ``shard-<i>.bin`` (one little-endian uint32 token-id stream, docs
+    concatenated in doc-id order) + ``shard-<i>.idx`` (int64 doc ids and
+    end offsets, binary-searchable) — the sink a training loader mmaps.
+    Returns the shard manifest table ``(shard, docs, tokens)``.
+
+    Token ids are ``splitmix64(md5-free whitespace-token hash) %
+    vocab_size`` — the engine's deterministic stand-in for a learned BPE
+    (the documented swap point: substitute the real tokenizer inside
+    ``encode``; shard layout, index format and resume story are
+    unchanged).  Shards are ``id_hash % num_shards``, so each doc lands
+    in exactly one shard, each shard writes in ONE task (sorted by doc
+    id — deterministic bytes, safely re-runnable: a crashed run
+    rewrites the same file), and a loader can consume shards
+    independently.  One doc-id-keyed exchange of (id, token-ids) rows;
+    at 100 TB raise ``num_shards`` so one shard's tokens fit a task."""
+    import os
+
+    from ..functions.arrowutil import id_buckets, id_hash64
+
+    os.makedirs(out_path, exist_ok=True)
+    out_abs = os.path.abspath(out_path)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        ids64 = id_hash64(flat)
+        tok_ids = (ids64 % np.uint64(vocab_size)).astype(np.uint32)
+        counts = np.bincount(doc_idx,
+                             minlength=batch.num_rows).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(tok_ids, pa.uint32()))
+        dids = batch.column(id_col)
+        return pa.table({
+            "shard": pa.array(id_buckets(dids, num_shards), pa.int32()),
+            "doc_id": dids,
+            "tok": lst})
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "docs": pa.array([], pa.int64()),
+                             "tokens": pa.array([], pa.int64())})
+        sid = int(group.column("shard")[0].as_py())
+        t = group.sort_by([("doc_id", "ascending")])
+        toks = t.column("tok").combine_chunks()
+        stream = toks.flatten().to_numpy(zero_copy_only=False).astype(
+            "<u4")
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype("<i8")
+        with open(os.path.join(out_abs, f"shard-{sid}.bin"), "wb") as f:
+            f.write(stream.tobytes())
+        with open(os.path.join(out_abs, f"shard-{sid}.idx"), "wb") as f:
+            f.write(np.int64(len(ids)).tobytes())
+            f.write(ids.tobytes())
+            f.write(ends.astype("<i8").tobytes())
+        return pa.table({
+            "shard": pa.array([sid], pa.int32()),
+            "docs": pa.array([len(ids)], pa.int64()),
+            "tokens": pa.array([int(ends[-1]) if len(ends) else 0],
+                               pa.int64())})
+
+    out = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()  # ≤ num_shards rows
+    ).sort_values("shard").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def read_token_shard(out_path: str, shard: int):
+    """Read one exported shard back → (doc_ids int64[], ends int64[],
+    stream uint32[]): doc i's tokens are ``stream[ends[i-1]:ends[i]]``."""
+    import os
+
+    with open(os.path.join(out_path, f"shard-{shard}.idx"), "rb") as f:
+        buf = f.read()
+    n = int(np.frombuffer(buf, "<i8", count=1)[0])
+    ids = np.frombuffer(buf, "<i8", count=n, offset=8)
+    ends = np.frombuffer(buf, "<i8", count=n, offset=8 + 8 * n)
+    stream = np.fromfile(os.path.join(out_path, f"shard-{shard}.bin"),
+                         dtype="<u4")
+    return ids, ends, stream

@@ -8998,3 +8998,59 @@ class TestMergeSorted:
                 if os.stat(p).st_nlink > 1:
                     linked_shared += 1
         assert linked_shared >= info["ranges_linked"]
+
+
+class TestExportTokenShards:
+    def test_round_trip_and_determinism(self, ray_session, tmp_path):
+        import hashlib
+
+        import duckdb
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.pack import (
+            export_token_shards,
+            read_token_shard,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"])
+        out1 = str(tmp_path / "shards1")
+        man = export_token_shards(ds, out1, num_shards=4).to_pandas()
+        # totals match the SQL token count
+        want_tokens = duckdb.sql(f"""
+            SELECT sum(len(list_filter(
+              regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+            FROM read_parquet('{sf}/documents.parquet')
+        """).fetchone()[0]
+        assert int(man["tokens"].sum()) == int(want_tokens)
+        assert int(man["docs"].sum()) == 500
+        # per-doc boundaries: token counts per doc match
+        counts = dict(duckdb.sql(f"""
+            SELECT doc_id, len(list_filter(
+              regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+            FROM read_parquet('{sf}/documents.parquet')
+        """).fetchall())
+        for s in man["shard"]:
+            ids, ends, stream = read_token_shard(out1, int(s))
+            assert len(stream) == int(ends[-1])
+            lens = np.diff(np.concatenate(([0], ends)))
+            for did, ln in zip(ids.tolist(), lens.tolist()):
+                assert counts[did] == ln
+            # doc ids sorted within a shard (deterministic layout)
+            assert (ids[:-1] < ids[1:]).all()
+        # byte-identical re-run (safe resume contract)
+        out2 = str(tmp_path / "shards2")
+        export_token_shards(ds, out2, num_shards=4)
+
+        def digest(p):
+            h = hashlib.md5()
+            with open(p, "rb") as f:
+                h.update(f.read())
+            return h.hexdigest()
+
+        import os
+
+        for f in sorted(os.listdir(out1)):
+            assert digest(os.path.join(out1, f)) == digest(
+                os.path.join(out2, f))
