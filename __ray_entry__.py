@@ -4790,6 +4790,27 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_token_shards(sf_dir: str):
+    """Packed token-shard export manifest: writes Megatron-style
+    bin/idx shards under /tmp and returns (shard, docs, tokens) — the
+    oracle recomputes the golden-ratio shard hash and token totals."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.pack import export_token_shards
+
+    out = os.path.join(
+        "/tmp",
+        "graft_token_shards_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    return export_token_shards(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        out, num_shards=8)
+
+
 def _q_term_dispersion(sf_dir: str):
     """Fano burstiness of the top-20 corpus terms: exact bucketed
     candidate pass + broadcast probe; no open-vocab term shuffle."""
@@ -5281,6 +5302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_purity": _q_cluster_purity,
         "token_budget_sample": _q_token_budget_sample,
         "term_dispersion": _q_term_dispersion,
+        "token_shards": _q_token_shards,
     }
 
 
@@ -10356,6 +10378,22 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(tf_total AS DOUBLE) / n) AS fano
             FROM agg CROSS JOIN nd
             ORDER BY tf_total DESC, term
+        """,
+        # round-5: shard manifest of the packed token export — shard =
+        # (golden-ratio-multiply hash >> 32) % 8, mod-2^64 in UHUGEINT
+        "token_shards": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST((CAST(doc_id AS UHUGEINT)
+                           * 11400714819323198485)
+                          % 18446744073709551616 AS UBIGINT) AS hv,
+                     CAST(len({toks.format(src='text')}) AS BIGINT)
+                       AS n_tok
+              FROM documents)
+            SELECT CAST((hv >> 32) % 8 AS INTEGER) AS shard,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(n_tok) AS BIGINT) AS tokens
+            FROM h GROUP BY 1 ORDER BY 1
         """,
     }
 

@@ -9054,3 +9054,10 @@ class TestExportTokenShards:
         for f in sorted(os.listdir(out1)):
             assert digest(os.path.join(out1, f)) == digest(
                 os.path.join(out2, f))
+
+
+class TestTokenShardsRegistry:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("token_shards", ("documents",))
+        assert len(g) == 8
+        assert g.astype("int64").equals(w.astype("int64"))
