@@ -4790,6 +4790,15 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_length_emd(sf_dir: str):
+    """Exact 1-D Wasserstein drift of each source's doc-length
+    distribution vs the corpus — integer cumulative counts, one bounded
+    cell groupby."""
+    from studiocr_ray.datapipe.text import length_emd
+
+    return length_emd(_docs(sf_dir))
+
+
 def _q_token_shards(sf_dir: str):
     """Packed token-shard export manifest: writes Megatron-style
     bin/idx shards under /tmp and returns (shard, docs, tokens) — the
@@ -5303,6 +5312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _q_token_budget_sample,
         "term_dispersion": _q_term_dispersion,
         "token_shards": _q_token_shards,
+        "length_emd": _q_length_emd,
     }
 
 
@@ -10394,6 +10404,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS docs,
                    CAST(sum(n_tok) AS BIGINT) AS tokens
             FROM h GROUP BY 1 ORDER BY 1
+        """,
+        # round-5: exact W1 drift per source — HUGEINT numerator sum
+        # (order-free), two final double divisions, same tree
+        "length_emd": """
+            WITH cells AS (
+              SELECT source, n_chars AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2),
+            vals AS (SELECT DISTINCT v FROM cells),
+            nxt AS (SELECT v, lead(v) OVER (ORDER BY v) AS v2
+                    FROM vals),
+            g AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc
+                  FROM cells GROUP BY 1),
+            gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM g),
+            gcum AS (SELECT v, CAST(sum(gc) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cg
+                     FROM g),
+            ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+                   FROM cells GROUP BY 1),
+            grid AS (SELECT s.source, va.v
+                     FROM (SELECT DISTINCT source FROM cells) s
+                     CROSS JOIN vals va),
+            sc AS (SELECT grid.source, grid.v,
+                          coalesce(c, 0) AS c
+                   FROM grid LEFT JOIN cells
+                     ON cells.source = grid.source
+                    AND cells.v = grid.v),
+            scum AS (SELECT source, v,
+                            CAST(sum(c) OVER (PARTITION BY source
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS cs
+                     FROM sc),
+            terms AS (
+              SELECT scum.source,
+                     abs(CAST(cs AS HUGEINT) * nn
+                         - CAST(cg AS HUGEINT) * n_s)
+                       * (v2 - v) AS t
+              FROM scum
+              JOIN gcum USING (v)
+              JOIN nxt USING (v)
+              JOIN ns USING (source)
+              CROSS JOIN gtot
+              WHERE v2 IS NOT NULL),
+            st AS (SELECT source, sum(t) AS s FROM terms GROUP BY 1)
+            SELECT ns.source, n_s AS n_docs,
+                   CASE WHEN n_s > 0 AND nn > 0 THEN
+                     CAST(coalesce(s, 0) AS DOUBLE)
+                     / CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)
+                   ELSE 0.0 END AS emd
+            FROM ns LEFT JOIN st USING (source)
+            CROSS JOIN gtot
+            ORDER BY ns.source
         """,
     }
 

@@ -961,3 +961,83 @@ def simpson_diversity(ds, text_col: str = "text",
         "simpson": pa.array(simps, pa.float64()),
         "inv_simpson": pa.array(invs, pa.float64()),
     })
+
+
+def length_emd(ds, value_col: str = "n_chars",
+               source_col: str = "source"):
+    """Per-source distribution drift as the exact 1-D Wasserstein-1
+    (earth-mover) distance between the source's ``value_col``
+    distribution and the WHOLE corpus's → ``(source, n_docs, emd)``.
+    The magnitude complement of the sup-norm KS screen (`ks_values`):
+    W₁ says HOW MUCH length mass a source would have to move to look
+    like the corpus — the drift number a mixing policy can threshold.
+
+    Everything is integer-exact until one final division:
+    ``W₁ = Σ_i |cumS_i·N − cumG_i·n_s| · (v_{i+1} − v_i)  / (n_s·N)``
+    over the merged distinct values v — the numerator sums exact Python
+    ints driver-side (no float addition order anywhere), and the SQL
+    oracle computes the identical HUGEINT sum.  Scale shape: one
+    bounded ``(source, value)`` cell groupby (distinct lengths ×
+    sources, NOT rows); the driver scan is over cells only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sd = src.dictionary_encode()
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        key = scodes * (1 << 40) + v  # lengths < 2^40 by contract
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": sd.dictionary.take(pa.array(uniq >> 40)),
+            "v": pa.array(uniq & ((1 << 40) - 1), pa.int64()),
+            "c_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c_part", alias_name="c"))
+        .to_pandas()  # |sources| × |distinct values| cells
+    )
+    vals = np.sort(cells["v"].unique())
+    gaps = np.diff(vals)
+    n_total = int(cells["c"].sum())
+    cum_g = np.zeros(len(vals), dtype=object)
+    g_of = {int(v): i for i, v in enumerate(vals)}
+    gcounts = np.zeros(len(vals), np.int64)
+    for v, c in cells.groupby("v")["c"].sum().items():
+        gcounts[g_of[int(v)]] = int(c)
+    acc = 0
+    for i in range(len(vals)):
+        acc += int(gcounts[i])
+        cum_g[i] = acc
+    out = {"source": [], "n_docs": [], "emd": []}
+    for s, sub in cells.groupby("source"):
+        scounts = np.zeros(len(vals), np.int64)
+        for v, c in zip(sub["v"], sub["c"]):
+            scounts[g_of[int(v)]] = int(c)
+        n_s = int(scounts.sum())
+        num = 0
+        cum_s = 0
+        cg = 0
+        for i in range(len(vals) - 1):
+            cum_s += int(scounts[i])
+            cg = int(cum_g[i])
+            num += abs(cum_s * n_total - cg * n_s) * int(gaps[i])
+        emd = (float(num) / float(n_s) / float(n_total)) \
+            if n_s and n_total else 0.0
+        out["source"].append(s)
+        out["n_docs"].append(n_s)
+        out["emd"].append(emd)
+    order = np.argsort(np.asarray(out["source"], dtype=object))
+    return pa.table({
+        "source": pa.array([out["source"][i] for i in order],
+                           pa.string()),
+        "n_docs": pa.array([out["n_docs"][i] for i in order],
+                           pa.int64()),
+        "emd": pa.array([out["emd"][i] for i in order], pa.float64()),
+    })

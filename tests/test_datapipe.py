@@ -9061,3 +9061,27 @@ class TestTokenShardsRegistry:
         g, w = _registry_parity("token_shards", ("documents",))
         assert len(g) == 8
         assert g.astype("int64").equals(w.astype("int64"))
+
+
+class TestLengthEMD:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("length_emd", ("documents",))
+        assert len(g) == 20
+        assert g.equals(w)
+
+    def test_known_shift(self, ray_session):
+        """Source A all length 10, source B all length 30, equal sizes:
+        each source's W1 vs the corpus (half mass at each) is
+        |F_s - F_g| = 1/2 over the gap of 20 → EMD = 10."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import length_emd
+
+        docs = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "n_chars": pa.array([10] * 4 + [30] * 4, pa.int64()),
+            "source": pa.array(["A"] * 4 + ["B"] * 4, pa.string()),
+        })
+        got = length_emd(rd.from_arrow(docs)).to_pandas()
+        assert got["emd"].tolist() == [10.0, 10.0]
+        assert got["n_docs"].tolist() == [4, 4]
