@@ -1723,6 +1723,43 @@ def _label_prop_oracle(iters: int = 3) -> str:
     """
 
 
+def _dedup_curve_oracle(word_jaccard_cte: str,
+                        thresholds=(0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
+    """SQL twin of dedup.dedup_cost_curve: one vpairs CTE (exact
+    ≥0.5-jaccard pairs), then per threshold a pure filter + its own
+    recursive reachability closure; the UNION ALL row per threshold
+    carries pair/cluster/removed counts."""
+    blocks, finals = [], []
+    for i, t in enumerate(thresholds):
+        blocks.append(f"""
+        vp{i} AS (SELECT id_a, id_b FROM vpairs
+                  WHERE jaccard >= {t!r}),
+        nodes{i} AS (SELECT id_a AS id FROM vp{i}
+                     UNION SELECT id_b FROM vp{i}),
+        edges{i} AS (SELECT id_a AS a, id_b AS b FROM vp{i}
+                     UNION ALL SELECT id_b, id_a FROM vp{i}),
+        reach{i}(id, r) AS (
+          SELECT id, id FROM nodes{i}
+          UNION
+          SELECT e.a, reach{i}.r FROM edges{i} e
+          JOIN reach{i} ON reach{i}.id = e.b),
+        clus{i} AS (SELECT id, min(r) AS rep FROM reach{i}
+                    GROUP BY id)""")
+        finals.append(f"""
+            SELECT CAST({t!r} AS DOUBLE) AS threshold,
+                   CAST((SELECT count(*) FROM vp{i}) AS BIGINT)
+                     AS n_pairs,
+                   CAST((SELECT count(DISTINCT rep) FROM clus{i})
+                        AS BIGINT) AS n_clusters,
+                   CAST((SELECT count(*) FROM clus{i})
+                        - (SELECT count(DISTINCT rep) FROM clus{i})
+                        AS BIGINT) AS docs_removed""")
+    return ("WITH RECURSIVE " + word_jaccard_cte + ","
+            + ",".join(blocks)
+            + " SELECT * FROM (" + " UNION ALL ".join(finals)
+            + ") ORDER BY threshold")
+
+
 def _minhash_calibration_oracle(word_jaccard_cte: str) -> str:
     """SQL twin of dedup.minhash_calibration: the 64 (a_i, b_i)
     permutation constants come from the SAME numpy RandomState(7) draw
@@ -4790,6 +4827,19 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_dedup_curve(sf_dir: str):
+    """Near-dup threshold cost curve: one LSH+verify pass at 0.5, pure
+    filters above — pairs/clusters/docs-removed per threshold."""
+    from studiocr_ray.datapipe.dedup import (
+        dedup_cost_curve,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5,
+                                num_perm=64, bands=32)
+    return dedup_cost_curve(pairs)
+
+
 def _q_length_emd(sf_dir: str):
     """Exact 1-D Wasserstein drift of each source's doc-length
     distribution vs the corpus — integer cumulative counts, one bounded
@@ -5313,6 +5363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dispersion": _q_term_dispersion,
         "token_shards": _q_token_shards,
         "length_emd": _q_length_emd,
+        "dedup_curve": _q_dedup_curve,
     }
 
 
@@ -10457,6 +10508,9 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gtot
             ORDER BY ns.source
         """,
+        # round-5: threshold cost curve — per-threshold recursive
+        # closures over the one exact vpairs CTE
+        "dedup_curve": _dedup_curve_oracle(word_jaccard_cte),
     }
 
 

@@ -2348,3 +2348,42 @@ def cluster_purity(pairs: pa.Table) -> pa.Table:
         "purity": pa.array(direct.astype(np.float64)
                            / possible.astype(np.float64), pa.float64()),
     })
+
+
+def dedup_cost_curve(pairs: pa.Table,
+                     thresholds=(0.5, 0.6, 0.7, 0.8, 0.9)) -> pa.Table:
+    """Near-dup THRESHOLD cost curve → ``(threshold, n_pairs,
+    n_clusters, docs_removed)``: for each candidate threshold, how many
+    verified pairs survive, how many clusters they form, and how many
+    documents keep-one-per-cluster dedup would drop — the artifact a
+    curation owner reads to PICK the threshold (the removal knee) before
+    committing a corpus-wide dedup.
+
+    ``pairs`` must carry the exact ``jaccard`` column and be produced at
+    the LOWEST threshold under consideration
+    (:func:`minhash_dedup_pairs`); every higher threshold is then a pure
+    filter — one LSH + verify pass serves the whole curve.  Driver-side
+    over the collision-bounded pair set like :func:`duplicate_clusters`
+    (the `_ds` twin composes the same counts at crawl scale)."""
+    th = sorted(float(t) for t in thresholds)
+    j = pairs.column("jaccard").to_numpy(zero_copy_only=False)
+    out = {"threshold": [], "n_pairs": [], "n_clusters": [],
+           "docs_removed": []}
+    for t in th:
+        keep = j >= t
+        sub = pairs.filter(pa.array(keep))
+        clusters = duplicate_clusters(sub)
+        reps = clusters.column("cluster_rep").to_numpy(
+            zero_copy_only=False)
+        n_docs = len(reps)
+        n_clusters = len(np.unique(reps)) if n_docs else 0
+        out["threshold"].append(t)
+        out["n_pairs"].append(int(keep.sum()))
+        out["n_clusters"].append(n_clusters)
+        out["docs_removed"].append(n_docs - n_clusters)
+    return pa.table({
+        "threshold": pa.array(out["threshold"], pa.float64()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "n_clusters": pa.array(out["n_clusters"], pa.int64()),
+        "docs_removed": pa.array(out["docs_removed"], pa.int64()),
+    })

@@ -9085,3 +9085,28 @@ class TestLengthEMD:
         got = length_emd(rd.from_arrow(docs)).to_pandas()
         assert got["emd"].tolist() == [10.0, 10.0]
         assert got["n_docs"].tolist() == [4, 4]
+
+
+class TestDedupCurve:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("dedup_curve", ("documents",))
+        assert len(g) == 5
+        assert g.equals(w)
+
+    def test_monotone_and_hand_built(self, ray_session):
+        """Raising the threshold never removes MORE docs; a hand pair
+        set gives the exact knee."""
+        from studiocr_ray.datapipe.dedup import dedup_cost_curve
+
+        pairs = pa.table({
+            "id_a": pa.array([1, 1, 10], pa.int64()),
+            "id_b": pa.array([2, 3, 11], pa.int64()),
+            "jaccard": pa.array([0.95, 0.65, 0.55], pa.float64()),
+        })
+        got = dedup_cost_curve(pairs).to_pandas().set_index("threshold")
+        assert got.loc[0.5, "docs_removed"] == 3  # {1,2,3}:2 + {10,11}:1
+        assert got.loc[0.6, "docs_removed"] == 2
+        assert got.loc[0.7, "docs_removed"] == 1
+        assert got.loc[0.9, "docs_removed"] == 1
+        rem = got["docs_removed"].to_numpy()
+        assert (rem[:-1] >= rem[1:]).all()
