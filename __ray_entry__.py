@@ -4827,6 +4827,19 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_transition_entropy(sf_dir: str):
+    """Next-event Shannon entropy per type over the Markov transition
+    counts — integer micro-nat terms (char_entropy discipline)."""
+    import ray.data as rd
+
+    from studiocr_ray.datapipe.relational import transition_entropy
+
+    return transition_entropy(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"]))
+
+
 def _q_dedup_curve(sf_dir: str):
     """Near-dup threshold cost curve: one LSH+verify pass at 0.5, pure
     filters above — pairs/clusters/docs-removed per threshold."""
@@ -5364,6 +5377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "length_emd": _q_length_emd,
         "dedup_curve": _q_dedup_curve,
+        "transition_entropy": _q_transition_entropy,
     }
 
 
@@ -10511,6 +10525,36 @@ def oracle_sql() -> dict[str, str]:
         # round-5: threshold cost curve — per-threshold recursive
         # closures over the one exact vpairs CTE
         "dedup_curve": _dedup_curve_oracle(word_jaccard_cte),
+        # round-5: next-event entropy per type — integer micro-nat
+        # terms (the char_entropy ln discipline), one final division
+        "transition_entropy": """
+            WITH o AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nxt
+              FROM events),
+            c AS (SELECT event_type AS from_type, nxt AS to_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+                   FROM c GROUP BY 1),
+            ent AS (
+              SELECT c.from_type,
+                     CAST(sum(n *
+                       (CAST(floor(ln(CAST(t AS DOUBLE))
+                                   * 1000000.0) AS BIGINT)
+                        - CAST(floor(ln(CAST(n AS DOUBLE))
+                                     * 1000000.0) AS BIGINT)))
+                          AS BIGINT) AS ent_u
+              FROM c JOIN tt USING (from_type) GROUP BY 1)
+            SELECT from_type,
+                   t AS n_transitions,
+                   ent_u,
+                   CAST(ent_u AS DOUBLE) / t / 1000000.0 AS entropy
+            FROM ent JOIN tt USING (from_type)
+            ORDER BY from_type
+        """,
     }
 
 

@@ -9650,3 +9650,45 @@ def term_dispersion(ds, k: int = 20, text_col: str = "text",
         "sum_tf2": pa.array(out["sum_tf2"], pa.int64()),
         "fano": pa.array(out["fano"], pa.float64()),
     })
+
+
+def transition_entropy(ds, num_buckets: int = 64):
+    """Next-event UNCERTAINTY per state → ``(from_type, n_transitions,
+    ent_u, entropy)``: the Shannon entropy (nats) of each event type's
+    next-type distribution over the :func:`transition_counts` Markov
+    counts — near-zero entropy marks scripted/bot flows (the next step
+    is always the same), high entropy marks organic browsing.
+
+    Exactness discipline = ``char_entropy``'s: the per-cell term is the
+    INTEGER micro-nat ``n·(⌊ln T·10⁶⌋ − ⌊ln n·10⁶⌋)`` so the sum is
+    order-free and hash-exact; only the final ``ent_u / T / 10⁶``
+    division is floating point, with the same expression tree as the
+    SQL oracle.  The transition table is bounded by #types², so the
+    final fold is driver-side over a tiny frame; the heavy lifting
+    (user-bucketed adjacency) is transition_counts' one exchange."""
+    from .lm import _log_micronats
+
+    t = transition_counts(ds, num_buckets=num_buckets).to_pandas()
+    out = {"from_type": [], "n_transitions": [], "ent_u": [],
+           "entropy": []}
+    for ft, sub in t.groupby("from_type"):
+        n = sub["n"].to_numpy().astype(np.int64)
+        T = int(n.sum())
+        lt = int(_log_micronats(np.array([T], np.int64))[0])
+        ln = _log_micronats(n)
+        ent_u = int((n * (lt - ln)).sum())
+        out["from_type"].append(ft)
+        out["n_transitions"].append(T)
+        out["ent_u"].append(ent_u)
+        out["entropy"].append(
+            float(ent_u) / T / 1e6 if T > 0 else 0.0)
+    order = np.argsort(np.asarray(out["from_type"], dtype=object))
+    return pa.table({
+        "from_type": pa.array([out["from_type"][i] for i in order],
+                              pa.string()),
+        "n_transitions": pa.array(
+            [out["n_transitions"][i] for i in order], pa.int64()),
+        "ent_u": pa.array([out["ent_u"][i] for i in order], pa.int64()),
+        "entropy": pa.array([out["entropy"][i] for i in order],
+                            pa.float64()),
+    })

@@ -9110,3 +9110,38 @@ class TestDedupCurve:
         assert got.loc[0.9, "docs_removed"] == 1
         rem = got["docs_removed"].to_numpy()
         assert (rem[:-1] >= rem[1:]).all()
+
+
+class TestTransitionEntropy:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("transition_entropy", ("events",))
+        assert len(g) == 5
+        assert g.equals(w)
+
+    def test_scripted_vs_mixed(self, ray_session):
+        """'a' always goes to 'b' (entropy 0); 'b' splits 50/50 between
+        'a' and 'c' (entropy ln 2)."""
+        import math
+
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import transition_entropy
+
+        seq = ["a", "b", "a", "a", "b", "c"]  # user1: a>b>a  user2: a>b>c
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": pa.array(np.arange(6, dtype=np.int64) * 1_000_000,
+                           pa.timestamp("us")),
+            "event_id": pa.array(range(6), pa.int64()),
+            "event_type": pa.array(seq, pa.string()),
+        })
+        got = transition_entropy(rd.from_arrow(t)).to_pandas() \
+            .set_index("from_type")
+        assert float(got.loc["a", "entropy"]) == 0.0  # a→b always
+        # b → {a, c} equally: floor-scaled ln 2
+        want = float(int(2 * (math.floor(math.log(2.0) * 1e6)
+                              - math.floor(math.log(1.0) * 1e6)))) \
+            / 2 / 1e6
+        assert float(got.loc["b", "entropy"]) == want
+        assert abs(float(got.loc["b", "entropy"])
+                   - math.log(2.0)) < 1e-5
