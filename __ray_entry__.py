@@ -4827,6 +4827,14 @@ def _q_embed_norm_hist(sf_dir: str):
     return norm_hist(_emb(sf_dir))
 
 
+def _q_vocab_overlap(sf_dir: str):
+    """Pairwise source vocabulary Jaccard via per-term uint64 source
+    bitmasks — terms never leave their bucket."""
+    from studiocr_ray.datapipe.text import vocab_overlap
+
+    return vocab_overlap(_docs(sf_dir))
+
+
 def _q_transition_entropy(sf_dir: str):
     """Next-event Shannon entropy per type over the Markov transition
     counts — integer micro-nat terms (char_entropy discipline)."""
@@ -5378,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_emd": _q_length_emd,
         "dedup_curve": _q_dedup_curve,
         "transition_entropy": _q_transition_entropy,
+        "vocab_overlap": _q_vocab_overlap,
     }
 
 
@@ -10554,6 +10563,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ent_u AS DOUBLE) / t / 1000000.0 AS entropy
             FROM ent JOIN tt USING (from_type)
             ORDER BY from_type
+        """,
+        # round-5: pairwise source vocabulary Jaccard (distinct-term
+        # sets; pairs sharing zero terms are absent on both sides)
+        "vocab_overlap": f"""
+            WITH st AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source,
+                       unnest({toks.format(src='lower(text)')}) AS tok
+                FROM documents)),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM st GROUP BY 1),
+            p AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_common_terms
+              FROM st a JOIN st b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b, n_common_terms,
+                   CAST(sa.n + sb.n - n_common_terms AS BIGINT)
+                     AS n_union_terms,
+                   CAST(n_common_terms AS DOUBLE)
+                     / CAST(sa.n + sb.n - n_common_terms AS DOUBLE)
+                     AS jaccard
+            FROM p
+            JOIN sz sa ON sa.source = source_a
+            JOIN sz sb ON sb.source = source_b
+            ORDER BY source_a, source_b
         """,
     }
 

@@ -1041,3 +1041,123 @@ def length_emd(ds, value_col: str = "n_chars",
                            pa.int64()),
         "emd": pa.array([out["emd"][i] for i in order], pa.float64()),
     })
+
+
+def vocab_overlap(ds, text_col: str = "text",
+                  source_col: str = "source",
+                  num_buckets: int = 64):
+    """Pairwise source VOCABULARY similarity → ``(source_a, source_b,
+    n_common_terms, n_union_terms, jaccard)`` for every unordered source
+    pair: the Jaccard of the two sources' distinct-term sets — sources
+    sharing template/domain vocabulary cluster together before any
+    embedding exists (the cheap source-similarity matrix next to
+    `dup_source_matrix`'s doc-level one).
+
+    Scale shape: a term's source set folds to ONE uint64 bitmask inside
+    its term-hash bucket (≤ 64 sources by contract — raise, don't
+    truncate), and the bucket emits a |S|×|S| integer co-occurrence
+    matrix (tiny) built by one vectorized outer-AND over the masks —
+    terms never leave their bucket and the final groupby sums
+    |S|² cells.  All counts exact ints; jaccard is one double division
+    mirroring the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.arrowutil import string_buckets
+    from .relational import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _flat_tokens(batch, text_col)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({
+                "tb": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "source": pa.array([], pa.string())})
+        td = flat.dictionary_encode()
+        sd = src.dictionary_encode()
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[doc_idx]
+        key = np.unique(scodes * len(td.dictionary) + tcodes)
+        terms = td.dictionary.take(pa.array(key % len(td.dictionary)))
+        return pa.table({
+            "tb": pa.array(string_buckets(terms, num_buckets),
+                           pa.int32()),
+            "term": terms,
+            "source": sd.dictionary.take(
+                pa.array(key // len(td.dictionary)))})
+
+    def bucket_matrix(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "sa": pa.array([], pa.string()),
+                "sb": pa.array([], pa.string()),
+                "common_part": pa.array([], pa.int64())})
+        td = group.column("term")
+        if isinstance(td, pa.ChunkedArray):
+            td = td.combine_chunks()
+        sd = group.column("source")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        tdd = td.dictionary_encode()
+        sdd = sd.dictionary_encode()
+        ns = len(sdd.dictionary)
+        if ns > 64:
+            raise ValueError(
+                f"vocab_overlap's bitmask path supports <= 64 sources, "
+                f"got {ns}; widen to multi-word masks")
+        tc = tdd.indices.to_numpy(zero_copy_only=False)
+        sc = sdd.indices.to_numpy(zero_copy_only=False)
+        masks = np.zeros(len(tdd.dictionary), np.uint64)
+        np.bitwise_or.at(masks, tc,
+                         np.uint64(1) << sc.astype(np.uint64))
+        # |S|×|S| co-occurrence: bit i AND bit j over all term masks
+        bits = ((masks[:, None] >> np.arange(ns, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int64)  # (terms, ns)
+        co = bits.T @ bits  # (ns, ns) exact int64
+        ia, ib = np.triu_indices(ns)
+        names = sdd.dictionary.to_pylist()
+        return pa.table({
+            "sa": pa.array([names[i] for i in ia], pa.string()),
+            "sb": pa.array([names[j] for j in ib], pa.string()),
+            "common_part": pa.array(co[ia, ib], pa.int64())})
+
+    def canon(batch: pa.Table) -> pa.Table:
+        """order each pair (min, max) so cross-bucket cells merge."""
+        import pyarrow.compute as pc
+
+        a, b = batch.column("sa"), batch.column("sb")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        return pa.table({"sa": lo, "sb": hi,
+                         "common_part": batch.column("common_part")})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(bucket_matrix, batch_format="pyarrow")
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .aggregate(Sum("common_part", alias_name="n_common"))
+        .to_pandas()  # ≤ |S|² rows
+    )
+    size_of = {r["sa"]: int(r["n_common"]) for _, r in cells.iterrows()
+               if r["sa"] == r["sb"]}
+    sub = cells[cells["sa"] != cells["sb"]].sort_values(
+        ["sa", "sb"]).reset_index(drop=True)
+    common = sub["n_common"].astype(np.int64).to_numpy()
+    na = np.array([size_of[s] for s in sub["sa"]], np.int64)
+    nb = np.array([size_of[s] for s in sub["sb"]], np.int64)
+    union = na + nb - common
+    return pa.table({
+        "source_a": pa.array(sub["sa"], pa.string()),
+        "source_b": pa.array(sub["sb"], pa.string()),
+        "n_common_terms": pa.array(common, pa.int64()),
+        "n_union_terms": pa.array(union, pa.int64()),
+        "jaccard": pa.array(
+            common.astype(np.float64) / union.astype(np.float64),
+            pa.float64()),
+    })

@@ -9145,3 +9145,45 @@ class TestTransitionEntropy:
         assert float(got.loc["b", "entropy"]) == want
         assert abs(float(got.loc["b", "entropy"])
                    - math.log(2.0)) < 1e-5
+
+
+class TestVocabOverlap:
+    def test_matches_duckdb_via_registry_oracle(self, ray_session):
+        g, w = _registry_parity("vocab_overlap", ("documents",))
+        assert len(g) == 190  # C(20, 2) source pairs
+        assert g.equals(w)
+
+    def test_hand_corpus(self, ray_session):
+        """A={x,y,z}, B={y,z,w}, C={q}: A∩B=2 of 4; C shares nothing
+        and is absent from the pair list."""
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import vocab_overlap
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x y z", "y z w", "q"], pa.string()),
+            "source": pa.array(["A", "B", "C"], pa.string()),
+        })
+        got = vocab_overlap(rd.from_arrow(docs)).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert (row["source_a"], row["source_b"]) == ("A", "B")
+        assert int(row["n_common_terms"]) == 2
+        assert int(row["n_union_terms"]) == 4
+        assert float(row["jaccard"]) == 0.5
+
+    def test_too_many_sources_raises(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import vocab_overlap
+
+        docs = pa.table({
+            "doc_id": pa.array(range(70), pa.int64()),
+            "text": pa.array(["shared"] * 70, pa.string()),
+            "source": pa.array([f"s{i}" for i in range(70)],
+                               pa.string()),
+        })
+        with pytest.raises(Exception, match="64 sources"):
+            vocab_overlap(rd.from_arrow(docs), num_buckets=1) \
+                .to_pandas()
