@@ -1119,11 +1119,15 @@ def vocab_overlap(ds, text_col: str = "text",
                 & np.uint64(1)).astype(np.int64)  # (terms, ns)
         co = bits.T @ bits  # (ns, ns) exact int64
         ia, ib = np.triu_indices(ns)
+        vals = co[ia, ib]
+        nz = vals > 0  # zero partials carry no information (and a
+        # globally-zero pair is absent on the oracle side too)
+        ia, ib, vals = ia[nz], ib[nz], vals[nz]
         names = sdd.dictionary.to_pylist()
         return pa.table({
             "sa": pa.array([names[i] for i in ia], pa.string()),
             "sb": pa.array([names[j] for j in ib], pa.string()),
-            "common_part": pa.array(co[ia, ib], pa.int64())})
+            "common_part": pa.array(vals, pa.int64())})
 
     def canon(batch: pa.Table) -> pa.Table:
         """order each pair (min, max) so cross-bucket cells merge."""
