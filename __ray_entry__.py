@@ -5098,8 +5098,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     Everything past position 50 carries at least one green driver
     CORRECTNESS row from rounds 1-4 plus same-oracle pytest coverage in
-    tests/; new round-5 operators are appended at the very end with the
-    same pytest oracles.
+    tests/ — EXCEPT the round-5 operators appended at the very end
+    (q5_local_supplier … vocab_overlap), which were added after the
+    final rotation: each of those is validated by the same DuckDB
+    oracle through tests/test_datapipe.py AND by full
+    tools/check_correctness.py sweeps at sf0.01 and sf0.001 (both
+    recorded green in BASELINE/SURVEY), just not by a driver row —
+    there are only 50 driver slots per round.
     """
     return {
         # --- driver-checked prefix: the 50 queries with no prior driver
