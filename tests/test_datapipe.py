@@ -9187,3 +9187,60 @@ class TestVocabOverlap:
         with pytest.raises(Exception, match="64 sources"):
             vocab_overlap(rd.from_arrow(docs), num_buckets=1) \
                 .to_pandas()
+
+
+class TestRound5Invariance:
+    """Batch-split / bucket-count invariance for the session's bucketed
+    operators — the guards that catch partitioning-dependent bugs."""
+
+    def test_hapax_and_simpson_split_invariant(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.text import (
+            hapax_stats,
+            simpson_diversity,
+        )
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        for fn in (hapax_stats, simpson_diversity):
+            one = fn(rd.from_arrow(t)).to_pandas()
+            many = fn(rd.from_arrow(t).repartition(23)).to_pandas()
+            cols = list(one.columns)
+            a = one[cols].sort_values(cols).reset_index(drop=True)
+            b = many[cols].sort_values(cols).reset_index(drop=True)
+            assert a.equals(b), fn.__name__
+
+    def test_kendall_bucket_invariant(self, ray_session):
+        import ray.data as rd
+
+        from studiocr_ray.datapipe.relational import kendall_by_nation
+
+        sf = "/root/testdata/sf0.001"
+
+        def run(nb):
+            return kendall_by_nation(
+                rd.read_parquet(f"{sf}/orders.parquet",
+                                columns=["o_custkey"]),
+                rd.read_parquet(f"{sf}/customer.parquet",
+                                columns=["c_custkey"]),
+                sf, num_buckets=nb).to_pandas()
+
+        assert run(4).equals(run(32))
+
+    def test_vocab_overlap_bucket_invariant(self, ray_session):
+        import ray.data as rd
+
+        import pyarrow.parquet as pq
+
+        from studiocr_ray.datapipe.text import vocab_overlap
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+
+        def run(nb):
+            df = vocab_overlap(rd.from_arrow(t),
+                               num_buckets=nb).to_pandas()
+            cols = list(df.columns)
+            return df[cols].sort_values(cols).reset_index(drop=True)
+
+        assert run(8).equals(run(64))
